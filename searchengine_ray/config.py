@@ -1,0 +1,86 @@
+"""Run configuration: the reference's flat key=value parameter files.
+
+Mirrors `Homeworks/HW6/QryEval/QryEval.java:241-276` (reader) and the
+required/optional key surface (`QryEval.java:67-90`); stays a plain dict plus
+typed accessors — no Dataset involvement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def read_param_file(path: str) -> dict[str, str]:
+    """``key=value`` per line; blank lines skipped; later keys win."""
+    params: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            params[k.strip()] = v.strip()
+    return params
+
+
+@dataclass
+class ModelParams:
+    """Retrieval-model knobs (defaults = the reference's canonical params,
+    `Homeworks/HW6/QryEval/HW6-Exp-2.1a.param`, `HW3-Exp-4c.param`)."""
+
+    model: str = "bm25"  # unrankedboolean | rankedboolean | bm25 | indri
+    k1: float = 1.2
+    b: float = 0.75
+    k3: float = 0.0  # read but never applied, like the reference (qtf=1)
+    mu: float = 1500.0
+    lam: float = 0.01  # Indri:lambda
+    top_k: int = 100  # trecEvalOutputLength
+
+    @classmethod
+    def from_params(cls, params: dict[str, str]) -> "ModelParams":
+        m = params.get("retrievalAlgorithm", "BM25").lower()
+        return cls(
+            model=m,
+            k1=float(params.get("BM25:k_1", 1.2)),
+            b=float(params.get("BM25:b", 0.75)),
+            k3=float(params.get("BM25:k_3", 0.0)),
+            mu=float(params.get("Indri:mu", 1500.0)),
+            lam=float(params.get("Indri:lambda", 0.01)),
+            top_k=int(params.get("trecEvalOutputLength", 100)),
+        )
+
+
+#: default query operator each model wraps a bare query in
+#: (`QryEval.java:121-122`; RetrievalModel*.defaultQrySopName)
+DEFAULT_OP = {
+    "bm25": "#sum",
+    "indri": "#and",
+    "rankedboolean": "#and",
+    "unrankedboolean": "#and",
+}
+
+
+@dataclass
+class BuildConfig:
+    """Index-build knobs; all partitioning decisions are explicit here."""
+
+    fields: dict[str, str] = field(
+        default_factory=lambda: {
+            "body": "content",
+            "title": "path",
+            "url": "repo",
+            "keywords": "lang",
+        }
+    )
+    #: doc-range salt: postings for one term are split into rows per
+    #: ``doc_id // doc_bucket_size`` so a hot term ("the"-scale skew at
+    #: 10^12 files) never forms one giant shuffle group; buckets are
+    #: doc-ranges, so concatenating them in bucket order preserves the
+    #: docid-ascending postings invariant with no re-sort.
+    doc_bucket_size: int = 1 << 16
+    #: per-block skip/block-max granularity inside one postings row
+    skip_block_docs: int = 128
+    #: independent build partitions (resume granularity); each covers a
+    #: doc_id range and writes its own manifest entry.
+    num_partitions: int = 1
+    tokenize_batch_size: int = 1024

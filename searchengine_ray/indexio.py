@@ -1,0 +1,185 @@
+"""Index reading: decoded posting lists, docmap, corpus statistics.
+
+The query-side analog of the reference's static ``Idx`` accessors
+(`Homeworks/HW6/QryEval/Idx.java:60-228`) and ``InvList`` loader
+(`InvList.java:106-150`), backed by the Parquet index that build.py wrote.
+
+One :class:`InvertedIndex` instance is the per-actor state of the query
+actor pool (loaded once in ``__init__``, reused across query batches). It
+can be opened on the full index or on a subset of doc-range partitions
+(``parts=``) — the multi-node serving path opens one doc-shard per actor.
+Decoded postings are cached per (field, term).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from .codec import decode_segmented, decode_sorted, varbyte_decode
+
+
+@dataclass
+class Postings:
+    """Decoded positional posting list (reference ``InvList``):
+    docid-ascending, positions ascending within each doc."""
+
+    doc_ids: np.ndarray  # int64, ascending
+    tfs: np.ndarray  # int64
+    pos_offsets: np.ndarray  # int64, len = df + 1
+    positions: np.ndarray  # int64, flat
+    df: int
+    ctf: int
+
+    def positions_for(self, i: int) -> np.ndarray:
+        return self.positions[self.pos_offsets[i] : self.pos_offsets[i + 1]]
+
+
+EMPTY_POSTINGS = Postings(
+    np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(1, np.int64),
+    np.empty(0, np.int64), 0, 0,
+)
+
+
+def _parquet_files(paths: list[str]) -> list[str]:
+    """pyarrow.dataset wants file paths when given a list; glob dirs."""
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, n) for n in names if n.endswith(".parquet")
+                )
+        else:
+            files.append(p)
+    return sorted(files)
+
+
+class InvertedIndex:
+    def __init__(self, index_dir: str, parts: list[int] | None = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+
+        post_dir = os.path.join(index_dir, "postings")
+        doc_dir = os.path.join(index_dir, "docmap")
+        if parts is None:
+            post_paths: list[str] = [post_dir]
+            doc_paths: list[str] = [doc_dir]
+        else:
+            post_paths = [os.path.join(post_dir, f"part_{p:05d}") for p in parts]
+            doc_paths = [os.path.join(doc_dir, f"part_{p:05d}") for p in parts]
+
+        self._postings_tbl = pads.dataset(_parquet_files(post_paths)).to_table()
+        # (field, term) -> row indices ordered by ascending bucket; buckets are
+        # disjoint doc ranges, so concatenation preserves docid order.
+        fields = self._postings_tbl.column("field").to_pylist()
+        terms = self._postings_tbl.column("term").to_pylist()
+        buckets = self._postings_tbl.column("bucket").to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        self._key_rows: dict[tuple[str, str], list[int]] = {}
+        for i in order:
+            self._key_rows.setdefault((fields[i], terms[i]), []).append(int(i))
+        self._cache: dict[tuple[str, str], Postings] = {}
+
+        dm = pads.dataset(_parquet_files(doc_paths)).to_table()
+        dm_ids = dm.column("doc_id").to_numpy()
+        dorder = np.argsort(dm_ids)
+        self._doc_ids = dm_ids[dorder]
+        self._external_ids = np.asarray(dm.column("external_id").to_pylist(), dtype=object)[dorder]
+        self._sha256 = np.asarray(dm.column("sha256").to_pylist(), dtype=object)[dorder]
+        self._doclens = {
+            name.removeprefix("len_"): dm.column(name).to_numpy()[dorder]
+            for name in dm.schema.names
+            if name.startswith("len_")
+        }
+        self.n_local_docs = len(self._doc_ids)
+
+    # ---- corpus statistics (Idx.java:60-63, 198-228) ----
+    @property
+    def num_docs(self) -> int:
+        return int(self.stats["n_docs"])
+
+    def doc_count(self, field: str) -> int:
+        return int(self.stats["fields"][field]["doc_count"])
+
+    def sum_field_lengths(self, field: str) -> int:
+        return int(self.stats["fields"][field]["sum_len"])
+
+    # ---- per-doc attributes ----
+    def _rows_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._doc_ids, doc_ids)
+        idx = np.clip(idx, 0, max(0, self.n_local_docs - 1))
+        return idx
+
+    def doclen(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        return self._doclens[field][self._rows_for(np.asarray(doc_ids, np.int64))]
+
+    def external_ids(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self._external_ids[self._rows_for(np.asarray(doc_ids, np.int64))]
+
+    def all_doc_ids(self) -> np.ndarray:
+        return self._doc_ids
+
+    # ---- postings ----
+    def postings(self, field: str, term: str) -> Postings:
+        key = (field, term)
+        if key in self._cache:
+            return self._cache[key]
+        rows = self._key_rows.get(key)
+        if not rows:
+            self._cache[key] = EMPTY_POSTINGS
+            return EMPTY_POSTINGS
+        docs_parts, tfs_parts, pos_parts, off_parts = [], [], [], []
+        base = 0
+        for r in rows:
+            docs = decode_sorted(self._postings_tbl.column("docs_vb")[r].as_py())
+            tfs = varbyte_decode(self._postings_tbl.column("tfs_vb")[r].as_py())
+            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            pos = decode_segmented(self._postings_tbl.column("pos_vb")[r].as_py(), offs)
+            docs_parts.append(docs)
+            tfs_parts.append(tfs.astype(np.int64))
+            pos_parts.append(pos)
+            off_parts.append(offs[1:] + base)
+            base += len(pos)
+        doc_ids = np.concatenate(docs_parts)
+        tfs = np.concatenate(tfs_parts)
+        positions = np.concatenate(pos_parts)
+        pos_offsets = np.concatenate([np.zeros(1, np.int64)] + off_parts)
+        p = Postings(
+            doc_ids=doc_ids,
+            tfs=tfs,
+            pos_offsets=pos_offsets,
+            positions=positions,
+            df=len(doc_ids),
+            ctf=int(tfs.sum()),
+        )
+        self._cache[key] = p
+        return p
+
+    def block_metadata(self, field: str, term: str):
+        """Per-block (last_doc, max_tf, min_dl) skip metadata for block-max
+        WAND, concatenated across bucket rows in doc order."""
+        rows = self._key_rows.get((field, term))
+        if not rows:
+            return None
+        last, max_tf, min_dl = [], [], []
+        for r in rows:
+            last.extend(self._postings_tbl.column("blk_last")[r].as_py())
+            max_tf.extend(self._postings_tbl.column("blk_max_tf")[r].as_py())
+            min_dl.extend(self._postings_tbl.column("blk_min_dl")[r].as_py())
+        return (
+            np.asarray(last, np.int64),
+            np.asarray(max_tf, np.int64),
+            np.asarray(min_dl, np.int64),
+        )
+
+    def vocabulary(self, field: str | None = None) -> list[tuple[str, str]]:
+        keys = self._key_rows.keys()
+        return [k for k in keys if field is None or k[0] == field]

@@ -1,0 +1,404 @@
+"""Query evaluation: inverted-list operators + score operators, vectorized.
+
+Re-expresses the reference's document-at-a-time machinery (`Homeworks/HW6/
+QryEval/Qry.java:255-355`, QryIop*/QrySop*) as numpy array algebra over
+decoded posting lists. Semantics are ported exactly, including the flagged
+quirks (SURVEY.md §7 "hard parts"):
+
+- #NEAR/n: ordered, each arg position consumed once per match, fail test is
+  ``cur - prev > n`` (`QryIopNear.java:63`), emitted position = last arg's
+  (`QryIopNear.java:71`);
+- #WINDOW/n: unordered, match iff ``max - min < n`` STRICT
+  (`QryIopWindow.java:60`), emit max, advance all, else advance past min;
+- #SYN: positional union, positions concatenated then sorted
+  (`QryIopSyn.java:56-69`);
+- Indri #OR returns ``prod(1 - s_i)`` — the conventional complement is
+  missing in the reference (`QrySopOr.java:75-95`); reproduced as-is;
+- BM25 k_3 is read but never applied (`QrySopScore.java:114-133`);
+- score accumulation follows argument order (Java loop order) so floats are
+  bit-reproducible against the pure-Python oracle.
+
+Derived inverted lists (#NEAR/#WINDOW/#SYN outputs) carry their own df/ctf,
+used by BM25/Indri scoring (`QrySopScore.java:123-124, 89-90`) — at
+multi-shard scale those statistics must be globally aggregated before
+scoring (two-phase evaluation; see engine.evaluate_sharded).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+
+from .config import ModelParams
+from .indexio import EMPTY_POSTINGS, InvertedIndex, Postings
+from .qryparse import Op, Term
+
+# ---------------------------------------------------------------------------
+# Inverted-list (QryIop) evaluation -> Postings
+# ---------------------------------------------------------------------------
+
+
+def eval_iop(node, index: InvertedIndex) -> Postings:
+    if isinstance(node, Term):
+        return index.postings(node.field, node.term)
+    if node.name == "#syn":
+        return _eval_syn([eval_iop(a, index) for a in node.args])
+    if node.name == "#near":
+        return _eval_positional(
+            [eval_iop(a, index) for a in node.args], node.dist, ordered=True
+        )
+    if node.name == "#window":
+        return _eval_positional(
+            [eval_iop(a, index) for a in node.args], node.dist, ordered=False
+        )
+    raise ValueError(f"not an inverted-list operator: {node.name}")
+
+
+def _make_postings(doc_ids, tfs, pos_offsets, positions) -> Postings:
+    return Postings(
+        doc_ids=doc_ids,
+        tfs=tfs,
+        pos_offsets=pos_offsets,
+        positions=positions,
+        df=len(doc_ids),
+        ctf=int(tfs.sum()) if len(tfs) else 0,
+    )
+
+
+def _eval_syn(parts: list[Postings]) -> Postings:
+    """Union; per-doc positions = concatenation of all args', sorted."""
+    parts = [p for p in parts if p.df > 0]
+    if not parts:
+        return EMPTY_POSTINGS
+    doc_all = np.concatenate([np.repeat(p.doc_ids, p.tfs) for p in parts])
+    pos_all = np.concatenate([p.positions for p in parts])
+    order = np.lexsort((pos_all, doc_all))
+    doc_all, pos_all = doc_all[order], pos_all[order]
+    doc_ids, tfs = np.unique(doc_all, return_counts=True)
+    pos_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(doc_ids, tfs.astype(np.int64), pos_offsets, pos_all)
+
+
+def _eval_positional(parts: list[Postings], dist: int, ordered: bool) -> Postings:
+    """#NEAR/n (ordered) and #WINDOW/n (unordered) over common docs."""
+    if not parts or any(p.df == 0 for p in parts):
+        return EMPTY_POSTINGS
+    common = reduce(np.intersect1d, [p.doc_ids for p in parts])
+    if len(common) == 0:
+        return EMPTY_POSTINGS
+    idx_per_arg = [np.searchsorted(p.doc_ids, common) for p in parts]
+    out_docs, out_tfs, out_pos = [], [], []
+    for row, _doc in enumerate(common):
+        plists = [
+            p.positions[p.pos_offsets[ix[row]] : p.pos_offsets[ix[row] + 1]]
+            for p, ix in zip(parts, idx_per_arg)
+        ]
+        matches = (
+            _near_positions(plists, dist)
+            if ordered
+            else _window_positions(plists, dist)
+        )
+        if matches:
+            out_docs.append(_doc)
+            out_tfs.append(len(matches))
+            out_pos.extend(matches)
+    if not out_docs:
+        return EMPTY_POSTINGS
+    doc_ids = np.asarray(out_docs, dtype=np.int64)
+    tfs = np.asarray(out_tfs, dtype=np.int64)
+    pos_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(doc_ids, tfs, pos_offsets, np.asarray(out_pos, np.int64))
+
+
+def _near_positions(plists: list[np.ndarray], dist: int) -> list[int]:
+    """Exact `QryIopNear.java:27-83` pointer sweep (stateful loc iterators)."""
+    k = len(plists)
+    ptr = [0] * k
+    lens = [len(p) for p in plists]
+    out: list[int] = []
+    while ptr[0] < lens[0]:
+        prev_id = plists[0][ptr[0]]
+        found = True
+        for i in range(1, k):
+            pi = plists[i]
+            while ptr[i] < lens[i] and pi[ptr[i]] <= prev_id:
+                ptr[i] += 1
+            if ptr[i] >= lens[i]:
+                ptr[0] = lens[0]  # locIteratorFinish on first arg
+                found = False
+                break
+            cur = pi[ptr[i]]
+            if cur - prev_id > dist:
+                ptr[0] += 1  # advance only the first arg, retry
+                found = False
+                break
+            prev_id = cur
+        if found:
+            out.append(int(plists[k - 1][ptr[k - 1]]))
+            for i in range(k):
+                ptr[i] += 1
+    return out
+
+
+def _window_positions(plists: list[np.ndarray], dist: int) -> list[int]:
+    """Exact `QryIopWindow.java:27-77` min/max sweep."""
+    k = len(plists)
+    ptr = [0] * k
+    lens = [len(p) for p in plists]
+    out: list[int] = []
+    while all(ptr[i] < lens[i] for i in range(k)):
+        locs = [int(plists[i][ptr[i]]) for i in range(k)]
+        mn, mx = min(locs), max(locs)
+        if mx - mn < dist:  # STRICT, unlike #NEAR's <= (reference quirk)
+            out.append(mx)
+            for i in range(k):
+                ptr[i] += 1
+        else:
+            for i in range(k):
+                pi = plists[i]
+                while ptr[i] < lens[i] and pi[ptr[i]] <= mn:
+                    ptr[i] += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Score (QrySop) evaluation -> (matching doc_ids, scores)
+# ---------------------------------------------------------------------------
+
+_MIN_DOUBLE = 4.9e-324  # Java Double.MIN_VALUE, the RankedBoolean OR seed
+
+
+class Evaluator:
+    """Evaluates a parsed query tree against one index under one model."""
+
+    def __init__(self, index: InvertedIndex, params: ModelParams):
+        self.index = index
+        self.p = params
+        self.model = params.model
+        self._iop_cache: dict[int, Postings] = {}
+        #: optional {(field, id(node) key): (df, ctf)} override used by the
+        #: sharded two-phase path to inject GLOBAL derived-list statistics
+        self.stats_override: dict = {}
+
+    # -- inverted lists (cached per tree node) --
+    def iop(self, node) -> Postings:
+        key = id(node)
+        if key not in self._iop_cache:
+            self._iop_cache[key] = eval_iop(node, self.index)
+        return self._iop_cache[key]
+
+    def _iop_stats(self, node) -> tuple[int, int]:
+        """(df, ctf) of a (possibly derived) inverted list; the sharded path
+        overrides these with globally-aggregated values."""
+        if id(node) in self.stats_override:
+            return self.stats_override[id(node)]
+        p = self.iop(node)
+        return p.df, p.ctf
+
+    # -- public entry --
+    def evaluate(self, root) -> tuple[np.ndarray, np.ndarray]:
+        if root is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, scores = self.sop(root)
+        return docs, scores
+
+    # -- score-operator dispatch --
+    def sop(self, node) -> tuple[np.ndarray, np.ndarray]:
+        name = node.name
+        model = self.model
+        if name == "#score":
+            return self._score_leaf(node)
+        # per-model operator support, matching the reference getScore
+        # instanceof ladders (unsupported combinations throw there too)
+        if name == "#sum" and model != "bm25":
+            raise ValueError(f"{model} doesn't support the #SUM operator")
+        if model == "bm25" and name in ("#and", "#or", "#wand"):
+            raise ValueError(f"BM25 doesn't support the {name} operator")
+        children = node.args
+        results = [self.sop(c) for c in children]
+        if self._is_match_all(name):
+            docs = reduce(np.intersect1d, [r[0] for r in results])
+        else:
+            docs = reduce(np.union1d, [r[0] for r in results])
+        if len(docs) == 0:
+            return docs.astype(np.int64), np.empty(0, np.float64)
+
+        if model == "unrankedboolean":
+            return docs, np.ones(len(docs), np.float64)
+
+        # per child: (scores aligned to docs, matched mask); unmatched slots
+        # hold the Indri default score under Indri, 0 otherwise
+        vals = [
+            self._align(child, docs, cdocs, cscores)
+            for child, (cdocs, cscores) in zip(children, results)
+        ]
+
+        if model == "rankedboolean":
+            if name == "#or":
+                res = np.full(len(docs), _MIN_DOUBLE)
+                for v, matched in vals:
+                    res[matched] = np.maximum(res[matched], v[matched])
+                return docs, res
+            if name in ("#and", "#wand", "#wsum"):
+                res = np.full(len(docs), np.finfo(np.float64).max)
+                for v, _ in vals:
+                    res = np.minimum(res, v)
+                return docs, res
+            raise ValueError(f"RankedBoolean doesn't support {name}")
+
+        if model == "bm25":
+            # sum and wsum: plain sum of MATCHING children (weights unused
+            # under BM25, `QrySopWSum.java:116-127`)
+            res = np.zeros(len(docs), np.float64)
+            for v, matched in vals:
+                res[matched] += v[matched]
+            return docs, res
+
+        if model == "indri":
+            n = len(children)
+            if name == "#and":
+                res = np.ones(len(docs), np.float64)
+                for v, _ in vals:
+                    res = res * v
+                return docs, np.power(res, 1.0 / n)
+            if name == "#or":
+                # reference quirk: returns prod(1-s) WITHOUT the final
+                # complement (`QrySopOr.java:75-87`) — reproduced as-is
+                res = np.ones(len(docs), np.float64)
+                for v, _ in vals:
+                    res = res * (1.0 - v)
+                return docs, res
+            if name == "#wand":
+                total = float(sum(node.weights))
+                res = np.ones(len(docs), np.float64)
+                for w, (v, _) in zip(node.weights, vals):
+                    res = res * np.power(v, w / total)
+                return docs, res
+            if name == "#wsum":
+                total = float(sum(node.weights))
+                res = np.zeros(len(docs), np.float64)
+                for w, (v, _) in zip(node.weights, vals):
+                    res = res + v * (w / total)
+                return docs, res
+            raise ValueError(f"Indri doesn't support the {name} operator")
+
+        raise ValueError(f"unknown retrieval model {self.model}")
+
+    def _is_match_all(self, name: str) -> bool:
+        # QrySop*.docIteratorHasMatch dispatch ladders
+        if name in ("#or", "#sum"):
+            return False
+        if name in ("#and", "#wand", "#wsum"):
+            return self.model != "indri"
+        raise ValueError(name)
+
+    def _align(self, child, docs, cdocs, cscores):
+        """Child scores gathered onto ``docs``; unmatched docs get the Indri
+        default score (other models never read unmatched slots).
+        Returns (values, matched_mask)."""
+        out = np.zeros(len(docs), np.float64)
+        if len(cdocs):
+            pos = np.searchsorted(cdocs, docs)
+            pos_c = np.clip(pos, 0, len(cdocs) - 1)
+            matched = cdocs[pos_c] == docs
+            out[matched] = cscores[pos_c[matched]]
+        else:
+            matched = np.zeros(len(docs), bool)
+        if self.model == "indri" and not matched.all():
+            out[~matched] = self.default_scores(child, docs[~matched])
+        return out, matched
+
+    # -- leaves --
+    def _score_leaf(self, node) -> tuple[np.ndarray, np.ndarray]:
+        iop_node = node.args[0]
+        p = self.iop(iop_node)
+        docs = p.doc_ids
+        if p.df == 0:
+            return docs, np.empty(0, np.float64)
+        model = self.model
+        if model == "unrankedboolean":
+            return docs, np.ones(len(docs), np.float64)
+        if model == "rankedboolean":
+            return docs, p.tfs.astype(np.float64)
+        field = _iop_field(iop_node)
+        dl = self.index.doclen(field, docs).astype(np.float64)
+        if model == "bm25":
+            df, _ = self._iop_stats(iop_node)
+            N = float(self.index.num_docs)
+            avelen = float(self.index.sum_field_lengths(field)) / float(
+                self.index.doc_count(field)
+            )
+            idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+            tf = p.tfs.astype(np.float64)
+            k1, b = self.p.k1, self.p.b
+            return docs, idf * tf / (tf + k1 * (1.0 - b + b * dl / avelen))
+        if model == "indri":
+            _, ctf = self._iop_stats(iop_node)
+            mu, lam = self.p.mu, self.p.lam
+            clen = float(self.index.sum_field_lengths(field))
+            prob = float(ctf) / clen
+            tf = p.tfs.astype(np.float64)
+            return docs, (1.0 - lam) * (tf + mu * prob) / (dl + mu) + lam * prob
+        raise ValueError(f"unknown retrieval model {model}")
+
+    def default_scores(self, node, docs: np.ndarray) -> np.ndarray:
+        """Indri absent-doc scores (`QrySopScore.java:98-112` and the
+        combinator getDefaultScore methods)."""
+        if node.name == "#score":
+            iop_node = node.args[0]
+            field = _iop_field(iop_node)
+            _, ctf = self._iop_stats(iop_node)
+            ctf_eff = 0.5 if ctf < 1 else float(ctf)
+            mu, lam = self.p.mu, self.p.lam
+            clen = float(self.index.sum_field_lengths(field))
+            prob = ctf_eff / clen
+            dl = self.index.doclen(field, docs).astype(np.float64)
+            return (1.0 - lam) * (mu * prob) / (dl + mu) + lam * prob
+        if node.name == "#and":
+            res = np.ones(len(docs), np.float64)
+            for c in node.args:
+                res = res * self.default_scores(c, docs)
+            return np.power(res, 1.0 / len(node.args))
+        if node.name == "#or":
+            res = np.ones(len(docs), np.float64)
+            for c in node.args:
+                res = res * (1.0 - self.default_scores(c, docs))
+            return res
+        if node.name == "#wand":
+            total = float(sum(node.weights))
+            res = np.ones(len(docs), np.float64)
+            for w, c in zip(node.weights, node.args):
+                res = res * np.power(self.default_scores(c, docs), w / total)
+            return res
+        if node.name == "#wsum":
+            total = float(sum(node.weights))
+            res = np.zeros(len(docs), np.float64)
+            for w, c in zip(node.weights, node.args):
+                res = res + self.default_scores(c, docs) * (w / total)
+            return res
+        raise ValueError(f"{node.name} has no Indri default score")
+
+
+def _iop_field(node) -> str:
+    return node.field if isinstance(node, Term) else node.field or "body"
+
+
+def collect_iop_nodes(root, out=None) -> list:
+    """All inverted-list nodes under score leaves, in tree order (used by the
+    sharded two-phase path to aggregate derived-list df/ctf globally)."""
+    if out is None:
+        out = []
+    if root is None:
+        return out
+    if isinstance(root, Term):
+        out.append(root)
+        return out
+    if root.name == "#score":
+        out.append(root.args[0])
+        return out
+    for a in root.args:
+        collect_iop_nodes(a, out)
+    return out

@@ -1,0 +1,225 @@
+"""Query-language parser: Indri-style prefix queries -> typed query tree.
+
+A pure-Python re-expression of the reference parser with identical
+semantics (`Homeworks/HW6/QryEval/QryParser.java`):
+
+- prefix operators ``#AND #OR #SYN #NEAR/n #WINDOW/n #SUM #WAND #WSUM``
+  (case-insensitive, ``/n`` distance split, `QryParser.java:78-135`);
+- terms may carry a ``.field`` suffix split at the FIRST dot against a field
+  whitelist (`QryParser.java:144-182`); default field ``body``;
+- any numeric token before an argument is consumed as a weight
+  (`QryParser.java:346-350`) — only #WAND/#WSUM keep weights
+  (`Qry.java:184-187`, `QrySopWAnd.java:17-19`); a multi-term token
+  replicates its weight per produced term;
+- well-formedness on append (`Qry.java:111-182`): implied #SCORE inserted
+  between a score operator and an inverted-list argument; inverted-list
+  operators require same-field inverted-list args (field propagates up);
+- the optimizer deletes empty operators (stopword-only) and collapses
+  single-argument non-SCORE operators (`QryParser.java:233-275`).
+
+Deliberate deviation (flagged quirk): when the optimizer deletes an argument
+of a weighted operator we delete its weight too; the reference leaves the
+weight list misaligned in that case (Qry.removeArg never touches weights).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
+
+SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score"}
+IOP_NAMES = {"#syn", "#near", "#window"}
+WEIGHTED = {"#wand", "#wsum"}
+
+
+class QuerySyntaxError(ValueError):
+    pass
+
+
+@dataclass
+class Term:
+    """Inverted-list leaf: one (term, field) posting lookup."""
+
+    term: str
+    field: str = "body"
+
+    is_iop = True
+
+    def __repr__(self):
+        return f"{self.term}.{self.field}"
+
+
+@dataclass
+class Op:
+    name: str  # '#and', '#near', ... (lowercase, no distance)
+    args: list = dc_field(default_factory=list)
+    weights: list = dc_field(default_factory=list)
+    dist: int = 0
+    field: str | None = None  # propagated for iops
+
+    @property
+    def is_iop(self) -> bool:
+        return self.name in IOP_NAMES
+
+    def __repr__(self):
+        d = f"/{self.dist}" if self.name in ("#near", "#window") else ""
+        if self.name in WEIGHTED:
+            inner = " ".join(f"{w} {a!r}" for w, a in zip(self.weights, self.args))
+        else:
+            inner = " ".join(repr(a) for a in self.args)
+        return f"{self.name}{d}({inner})"
+
+
+def _is_numeric(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+def _create_operator(name: str) -> Op:
+    low = name.lower()
+    dist = 0
+    if "/" in low:
+        parts = low.split("/")
+        if len(parts) != 2:
+            raise QuerySyntaxError(f"Wrong query operator format {name}")
+        low = parts[0]
+        try:
+            dist = int(parts[1])
+        except ValueError as e:
+            raise QuerySyntaxError(f"Bad distance in {name}") from e
+    if low not in SOP_NAMES | IOP_NAMES or low == "#score":
+        raise QuerySyntaxError(f"Unknown query operator {name}")
+    return Op(low, dist=dist)
+
+
+def _create_terms(token: str, analyze) -> list[Term]:
+    dot = token.find(".")
+    if dot < 0:
+        fieldname, raw = "body", token
+    else:
+        fieldname, raw = token[dot + 1 :].lower(), token[:dot]
+    if fieldname not in FIELD_WHITELIST:
+        raise QuerySyntaxError(f"Unknown field {token}")
+    return [Term(t, fieldname) for t in analyze(raw)]
+
+
+def _append_arg(parent: Op, child, weight: float | None) -> None:
+    """Well-formedness rules of `Qry.java:111-182` + weight bookkeeping."""
+    child_is_iop = getattr(child, "is_iop", False)
+    if parent.name == "#score":
+        if parent.args or not child_is_iop:
+            raise QuerySyntaxError("#SCORE takes exactly one inverted-list arg")
+        parent.args.append(child)
+        return
+    if parent.is_iop:
+        if not child_is_iop:
+            raise QuerySyntaxError(
+                f"{parent.name} arguments must be inverted-list operators"
+            )
+        cfield = child.field
+        if not parent.args:
+            parent.field = cfield
+        elif parent.field != cfield:
+            raise QuerySyntaxError(
+                "Arguments to inverted-list operators must share one field"
+            )
+        parent.args.append(child)
+        return
+    # parent is a score operator
+    if child_is_iop:
+        wrapper = Op("#score")
+        wrapper.args.append(child)
+        child = wrapper
+    parent.args.append(child)
+    if parent.name in WEIGHTED:
+        if weight is None:
+            raise QuerySyntaxError(f"{parent.name} arguments need weights")
+        parent.weights.append(weight)
+
+
+def _index_of_balancing_paren(s: str) -> int:
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _pop_subquery(s: str) -> tuple[str, str]:
+    end = _index_of_balancing_paren(s)
+    if end < 0:
+        raise QuerySyntaxError("Unbalanced parentheses in subquery")
+    return s[: end + 1], s[end + 1 :]
+
+
+def _pop_term(s: str) -> tuple[str, str]:
+    parts = s.split(None, 1)
+    return parts[0], (parts[1] if len(parts) > 1 else "")
+
+
+def parse_string(query: str, analyze) -> Op:
+    query = query.strip()
+    n_open, n_close = query.count("("), query.count(")")
+    if (
+        n_open == 0
+        or n_open != n_close
+        or _index_of_balancing_paren(query) != len(query) - 1
+    ):
+        raise QuerySyntaxError("Missing, unbalanced, or misplaced parentheses")
+
+    opname, rest = query.split("(", 1)
+    tree = _create_operator(opname.strip())
+    rest = rest[: rest.rfind(")")].strip()
+
+    while rest:
+        weight = None
+        head = rest.split(None, 1)
+        if _is_numeric(head[0]):
+            weight = float(head[0])
+            rest = head[1].strip() if len(head) > 1 else ""
+            if not rest:
+                break
+        if rest[0] == "#":
+            sub, rest = _pop_subquery(rest)
+            args = [parse_string(sub, analyze)]
+        else:
+            tok, rest = _pop_term(rest)
+            args = _create_terms(tok, analyze)
+        rest = rest.strip()
+        for a in args:
+            _append_arg(tree, a, weight)
+    return tree
+
+
+def optimize(node):
+    """Delete empty operators, collapse single-arg non-SCORE operators."""
+    if isinstance(node, Term):
+        return node
+    for i in range(len(node.args) - 1, -1, -1):
+        opt = optimize(node.args[i])
+        if opt is None:
+            node.args.pop(i)
+            if node.name in WEIGHTED and i < len(node.weights):
+                node.weights.pop(i)
+        else:
+            node.args[i] = opt
+    if not node.args:
+        return None
+    if len(node.args) == 1 and node.name != "#score":
+        return node.args[0]
+    return node
+
+
+def parse_query(query: str, default_op: str, analyze) -> "Op | Term | None":
+    """Full pipeline: wrap in the model's default operator
+    (`QryEval.java:121-122`), exact parse, optimize."""
+    tree = parse_string(f"{default_op}({query})", analyze)
+    return optimize(tree)

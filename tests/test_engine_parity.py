@@ -1,0 +1,120 @@
+"""Engine vs pure-Python oracle: rank-identity + score equality (<=1e-10)
+across every operator and retrieval model (SURVEY.md §5 test plan)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from searchengine_ray.config import ModelParams
+from searchengine_ray.engine import SearchEngine
+
+QUERIES = [
+    ("1", "memory buffer overflow"),
+    ("2", "#and( buffer overflow check )"),
+    ("3", "#or( mutex.title lock semaphore )"),
+    ("4", "#near/1( unit test )"),
+    ("5", "#near/3( open file )"),
+    ("6", "#window/8( read write )"),
+    ("7", "#syn( error fault failure )"),
+    ("8", "#wand( 0.8 #and( hash map ) 0.1 #and( #near/1( hash map ) ) 0.1 #and( #window/8( hash map ) ) )"),
+    ("9", "#wsum( 0.2 index.url 0.3 index.title 0.5 index.body )"),
+    ("10", "#and( #syn( alloc #near/2( memory allocate ) ) free )"),
+    ("11", "uniqueterm_only_here"),        # df=1 edge
+    ("12", "check"),                        # df > N/2 -> idf clamp to 0
+    ("13", "mutex lock"),                   # exact-tie docs -> extid tie-break
+    ("14", "nosuchtermanywhere"),           # empty result
+    ("15", "the of and"),                   # stopword-only -> empty query
+    ("16", "#near/2( the fast )"),          # stopword vanishes inside near
+    ("17", "py.keywords"),                  # keywords field
+    ("18", "#sum( #near/1( unit test ) runner )"),
+]
+
+MODELS = ["bm25", "indri", "rankedboolean", "unrankedboolean"]
+
+
+def _params(model):
+    return ModelParams(model=model, top_k=50)
+
+
+@pytest.fixture(scope="module")
+def engines(built_index):
+    return {m: SearchEngine(built_index, _params(m)) for m in MODELS}
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_parity_all_queries(model, engines, oracle):
+    eng = engines[model]
+    for qid, q in QUERIES:
+        try:
+            got = eng.search(qid, q).to_pandas()
+            raised = None
+        except ValueError as e:
+            got, raised = None, e
+        try:
+            want = oracle.search(qid, q, _params(model))
+            oracle_raised = None
+        except ValueError as e:
+            want, oracle_raised = None, e
+        # engine and oracle must agree on which op/model combos are invalid
+        assert (raised is None) == (oracle_raised is None), (
+            f"{model} q{qid}: engine={raised} oracle={oracle_raised}"
+        )
+        if raised is not None:
+            continue
+        assert list(got["external_id"]) == list(want["external_id"]), (
+            f"{model} q{qid} rank mismatch:\n{got.head(8)}\n--\n{want.head(8)}"
+        )
+        np.testing.assert_allclose(
+            got["score"].to_numpy(),
+            want["score"].to_numpy(),
+            rtol=0,
+            atol=1e-10,
+            err_msg=f"{model} q{qid}",
+        )
+
+
+def test_tie_break_is_exercised(engines, oracle):
+    got = engines["bm25"].search("13", "mutex lock").to_pandas()
+    # the two planted tie docs have identical content -> identical scores
+    tie = got[got["external_id"].str.startswith("tie/")]
+    assert len(tie) == 2
+    s = tie["score"].to_numpy()
+    assert s[0] == s[1]
+    assert list(tie["external_id"]) == sorted(tie["external_id"])
+
+
+def test_sha256_invariant(built_index, fixture_corpus):
+    dm = pads.dataset(f"{built_index}/docmap").to_table().to_pandas()
+    content = dict(
+        zip(
+            fixture_corpus.column("doc_id").to_pylist(),
+            fixture_corpus.column("content").to_pylist(),
+        )
+    )
+    assert len(dm) == len(content)
+    for _, row in dm.iterrows():
+        assert (
+            hashlib.sha256(content[row.doc_id].encode()).hexdigest() == row.sha256
+        )
+
+
+def test_postings_invariants(built_index):
+    from searchengine_ray.indexio import InvertedIndex
+
+    idx = InvertedIndex(built_index)
+    total_ctf = 0
+    for field, term in idx.vocabulary("body"):
+        p = idx.postings(field, term)
+        assert np.all(np.diff(p.doc_ids) > 0), f"docids not ascending for {term}"
+        assert p.df == len(p.doc_ids)
+        assert p.ctf == int(p.tfs.sum())
+        for i in range(p.df):
+            pos = p.positions_for(i)
+            assert np.all(np.diff(pos) > 0)
+        total_ctf += p.ctf
+    # sum of body ctf == sum of body doclens minus stopword positions
+    dm = pads.dataset(f"{built_index}/docmap").to_table()
+    sum_len = sum(dm.column("len_body").to_pylist())
+    assert total_ctf < sum_len  # stopwords occupy positions but aren't indexed

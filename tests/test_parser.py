@@ -1,0 +1,95 @@
+import pytest
+
+from searchengine_ray.analyze import analyze_query_token
+from searchengine_ray.qryparse import (
+    Op,
+    QuerySyntaxError,
+    Term,
+    parse_query,
+    parse_string,
+)
+
+
+def parse(q, default="#sum"):
+    return parse_query(q, default, analyze_query_token)
+
+
+def test_flat_query_wraps_in_default_op():
+    t = parse("parse json config")
+    assert isinstance(t, Op) and t.name == "#sum"
+    assert [a.name for a in t.args] == ["#score"] * 3
+    assert [a.args[0].term for a in t.args] == ["parse", "json", "config"]
+
+
+def test_field_suffix_and_default_field():
+    t = parse("mutex.title lock")
+    assert t.args[0].args[0].field == "title"
+    assert t.args[1].args[0].field == "body"
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(QuerySyntaxError):
+        parse("mutex.nosuchfield")
+
+
+def test_near_distance_and_field_propagation():
+    t = parse("#near/3(open file)")
+    # single-arg #sum collapses to the #score wrapper
+    assert t.name == "#score"
+    near = t.args[0]
+    assert near.name == "#near" and near.dist == 3 and near.field == "body"
+
+
+def test_iop_field_mismatch_rejected():
+    with pytest.raises(QuerySyntaxError):
+        parse("#near/2(open.title file.body)")
+
+
+def test_weights_parsed_for_wand():
+    t = parse("#wand( 0.8 hash 0.2 #near/1(hash map) )")
+    assert t.name == "#wand"
+    assert t.weights == [0.8, 0.2]
+    assert len(t.args) == 2
+
+
+def test_multi_term_token_replicates_weight():
+    t = parse("#wsum( 0.5 near-death 0.5 exp )")
+    assert t.weights == [0.5, 0.5, 0.5]
+    assert len(t.args) == 3
+
+
+def test_stopword_only_operator_deleted():
+    t = parse("#sum( #and(the of) zebra )")
+    # the #and vanishes; single remaining arg collapses to its #score
+    assert t.name == "#score"
+    assert t.args[0].term == "zebra"
+
+
+def test_all_stopwords_query_is_none():
+    assert parse("the and of") is None
+
+
+def test_weight_removed_with_deleted_arg():
+    t = parse("#wand( 0.7 #and(the) 0.3 zebra )")
+    assert t.name == "#score"  # collapsed single arg
+
+
+def test_unbalanced_parens():
+    with pytest.raises(QuerySyntaxError):
+        parse_string("#and(a b", analyze_query_token)
+
+
+def test_nested_structure():
+    t = parse("#and( #syn( alloc #near/2(memory allocate) ) free )", "#and")
+    assert t.name == "#and"
+    syn_score = t.args[0]
+    assert syn_score.name == "#score"
+    syn = syn_score.args[0]
+    assert syn.name == "#syn"
+    assert isinstance(syn.args[0], Term)
+    assert syn.args[1].name == "#near"
+
+
+def test_case_insensitive_ops():
+    t = parse("#AND( #SYN(station depot) track )", "#and")
+    assert t.name == "#and"
