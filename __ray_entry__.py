@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing in
+here (or the library) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — build the inverted index over the
+  sf0.001 documents-derived corpus and serve a structured query set.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operators); each takes sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible entry;
+  column names/aliases match the Ray outputs exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +16,392 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOK = """
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+const AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT CAST(sum(dl) AS DOUBLE)/count(*) FROM dl) AS ave,
+                 (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS clen)
+"""
+
+_STOPLIST_SQL = (
+    "('a','an','and','are','as','at','be','but','by','for','if','in','into',"
+    "'is','it','no','not','of','on','or','such','that','the','their','then',"
+    "'there','these','they','this','to','was','will','with')"
+)
+
+
+def _bm25_terms_sql(terms: list[str]) -> str:
+    """BM25 #SUM over terms, fixed accumulation order = query order."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    piv = ",\n    ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    add = " + ".join(f"coalesce(s_{i}, 0)" for i in range(len(terms)))
+    return f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         greatest(0.0, ln((const.n - stats.df + 0.5)/(stats.df + 0.5)))
+           * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+  FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id, {piv} FROM scored GROUP BY doc_id)
+SELECT doc_id, round({add}, 6) AS score_r FROM piv
+"""
+
+
+_SE_BM25_NEAR_SQL = f"""
+WITH {_TOK},
+ntf AS (SELECT a.doc_id, count(*) AS tf
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id),
+nstats AS (SELECT count(*) AS df FROM ntf)
+SELECT ntf.doc_id,
+       round(greatest(0.0, ln((const.n - nstats.df + 0.5)/(nstats.df + 0.5)))
+             * ntf.tf/(ntf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)), 6) AS score_r
+FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats
+"""
+
+_SE_NEAR_TF_SQL = f"""
+WITH {_TOK}
+SELECT a.doc_id, count(*) AS score
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id
+"""
+
+_SE_WINDOW_SQL = f"""
+WITH {_TOK}
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) < 8
+WHERE a.term = 'vector' AND b.term = 'scan'
+"""
+
+_SE_SYN_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE term IN ('scan','sort') GROUP BY doc_id
+"""
+
+_SE_RANKED_AND_SQL = f"""
+WITH {_TOK},
+ta AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
+tb AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='join' GROUP BY doc_id)
+SELECT ta.doc_id, least(ta.tf, tb.tf) AS score FROM ta JOIN tb USING(doc_id)
+"""
+
+_SE_RANKED_OR_SQL = f"""
+WITH {_TOK},
+ta AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
+tb AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='join' GROUP BY doc_id)
+SELECT coalesce(ta.doc_id, tb.doc_id) AS doc_id,
+       greatest(coalesce(ta.tf, 0), coalesce(tb.tf, 0)) AS score
+FROM ta FULL OUTER JOIN tb USING(doc_id)
+"""
+
+_SE_INDRI_AND_SQL = f"""
+WITH {_TOK},
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('spark','join') GROUP BY doc_id, term),
+cstats AS (SELECT
+  (SELECT CAST(sum(tf) AS DOUBLE) FROM tf2 WHERE term='spark') AS ctfa,
+  (SELECT CAST(sum(tf) AS DOUBLE) FROM tf2 WHERE term='join') AS ctfb),
+u AS (SELECT DISTINCT doc_id FROM tf2),
+piv AS (SELECT u.doc_id, dl.dl,
+  coalesce((SELECT tf FROM tf2 WHERE tf2.doc_id=u.doc_id AND term='spark'), 0) AS tfa,
+  coalesce((SELECT tf FROM tf2 WHERE tf2.doc_id=u.doc_id AND term='join'), 0) AS tfb
+  FROM u JOIN dl USING(doc_id))
+SELECT doc_id, round(pow(
+  ((1 - 0.01)*(tfa + 1500*(cstats.ctfa/const.clen))/(dl + 1500) + 0.01*(cstats.ctfa/const.clen)) *
+  ((1 - 0.01)*(tfb + 1500*(cstats.ctfb/const.clen))/(dl + 1500) + 0.01*(cstats.ctfb/const.clen)),
+  0.5), 6) AS score_r
+FROM piv CROSS JOIN const CROSS JOIN cstats
+"""
+
+_SE_WSUM_FIELDS_SQL = f"""
+WITH {_TOK},
+kdl AS (SELECT doc_id, len(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS kdl,
+               len(list_filter(regexp_extract_all(lower(lang), '[a-z0-9_]+'),
+                               x -> x = 'en')) AS tfk
+        FROM documents),
+kconst AS (SELECT CAST(sum(kdl) AS DOUBLE)/count(*) AS avek FROM kdl WHERE kdl > 0),
+kstats AS (SELECT count(*) AS dfk FROM kdl WHERE tfk > 0),
+btf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='dup' GROUP BY doc_id),
+bstats AS (SELECT count(*) AS df FROM btf)
+SELECT k.doc_id, round(
+  greatest(0.0, ln((const.n - kstats.dfk + 0.5)/(kstats.dfk + 0.5)))
+    * k.tfk/(k.tfk + 1.2*(1 - 0.75 + 0.75*k.kdl/kconst.avek))
+  + greatest(0.0, ln((const.n - bstats.df + 0.5)/(bstats.df + 0.5)))
+    * b.tf/(b.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)), 6) AS score_r
+FROM kdl k JOIN btf b USING(doc_id) JOIN dl USING(doc_id)
+CROSS JOIN const CROSS JOIN kconst CROSS JOIN kstats CROSS JOIN bstats
+WHERE k.tfk > 0
+"""
+
+_SE_DOCMAP_SQL = """
+WITH d AS (SELECT doc_id, source, text,
+  'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS p
+  FROM documents)
+SELECT doc_id,
+  source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40) AS external_id,
+  sha256(text) AS sha256,
+  len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS len_body
+FROM d
+"""
+
+_SE_LEXICON_SQL = f"""
+WITH {_TOK}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+FROM tok WHERE term NOT IN {_STOPLIST_SQL} GROUP BY term
+"""
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+_DEDUP_NGRAM_SQL = f"""
+WITH {_TOK},
+sh0 AS (SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM sh x JOIN keep USING(shingle) JOIN sh y USING(shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+SELECT a AS doc_id_a, b AS doc_id_b, inter,
+       sa.n + sb.n - inter AS union_sz,
+       (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_micro
+FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
+"""
+
+_DEDUP_EMB_SQL = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+_ANN_TOPK_SQL = """
+WITH s AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) AS sim
+  FROM embeddings q CROSS JOIN embeddings v
+  WHERE q.vec_id < 10 AND v.vec_id != q.vec_id)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
+_TOKEN_STATS_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+  coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0) AS n_stop
+FROM tok GROUP BY doc_id
+"""
+
+
+def _lang_markers_sql() -> str:
+    from searchengine_ray.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    counts = ",\n  ".join(
+        "coalesce(sum(CASE WHEN term IN ({}) THEN 1 END), 0) AS c_{}".format(
+            ",".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg
+        )
+        for lg in langs
+    )
+    g = "greatest({})".format(", ".join(f"c_{lg}" for lg in langs))
+    case = " ".join(
+        f"WHEN c_{lg} = {g} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH {_TOK},
+c AS (SELECT doc_id, {counts} FROM tok GROUP BY doc_id)
+SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {case} END AS lang_pred FROM c
+"""
+
+
+_QUALITY_SQL = f"""
+WITH {_TOK},
+c AS (SELECT doc_id, count(*) AS n,
+  coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0) AS n_stop,
+  sum(len(term)) AS n_chars
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens,
+  (n_stop * 1000000) // n AS stop_ratio_micro,
+  (n_chars * 1000000) // n AS mean_token_len_micro,
+  (n >= 20 AND 2 * n_stop <= n) AS passes
+FROM c
+"""
+
+_WINNOW_SQL = f"""
+WITH {_TOK},
+g0 AS (SELECT doc_id, pos,
+        md5(term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w) AS h
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, pos, h FROM g0 WHERE h IS NOT NULL),
+m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+sel AS (SELECT DISTINCT doc_id, fp FROM m)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp FROM sel GROUP BY doc_id
+"""
+
+_TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, ts,
+  CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM e),
+z AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY user_id, sess)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+FROM z GROUP BY user_id
+"""
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+  CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_centi,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORDERS_NATION_SQL = """
+SELECT n.n_name, count(*) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_price_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_TOP_PARTS_SQL = """
+SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_partkey
+ORDER BY sum_qty DESC, l_partkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 and serve the
+    reference-shaped structured query set (BM25 + Indri + Boolean)."""
+    from searchengine_ray.engine import run_queries
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.gate import index_for
+
+    idx = index_for("/root/testdata/sf0.001")
+    queries = [
+        ("1", "dup spark stream"),
+        ("2", "#near/1( hash join )"),
+        ("3", "#wsum( 0.3 en.keywords 0.7 dup.body )"),
+        ("4", "#sum( #syn( scan sort ) #window/8( vector scan ) )"),
+    ]
+    return run_queries(idx, queries, ModelParams(model="bm25", top_k=20), concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchengine_ray import ann, dedup, gate, relational, textstats, windows
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # search engine (documents-derived corpus)
+        "se_bm25_term": gate.se_bm25_term,
+        "se_bm25_flat": gate.se_bm25_flat,
+        "se_bm25_near": gate.se_bm25_near,
+        "se_near_tf": gate.se_near_tf,
+        "se_window_docs": gate.se_window_docs,
+        "se_syn_tf": gate.se_syn_tf,
+        "se_ranked_and": gate.se_ranked_and,
+        "se_ranked_or": gate.se_ranked_or,
+        "se_indri_and": gate.se_indri_and,
+        "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
+        "se_docmap": gate.se_docmap,
+        "se_lexicon": gate.se_lexicon,
+        # dedup
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "dedup_embedding": dedup.embedding_dup_pairs,
+        # similarity search
+        "ann_topk": ann.brute_topk,
+        "ann_ivf": ann.ivf_topk,
+        # text analysis
+        "text_token_stats": textstats.token_stats,
+        "text_lang_id": textstats.lang_id,
+        "text_quality": textstats.quality_score,
+        "text_winnow": textstats.winnow_fingerprints,
+        # stream-shaped
+        "events_tumbling": windows.tumbling_counts,
+        "events_sessionize": windows.sessionize,
+        # relational building blocks
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_orders_by_nation": relational.orders_by_nation,
+        "rel_top_parts": relational.top_parts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "se_bm25_term": _bm25_terms_sql(["dup"]),
+        "se_bm25_flat": _bm25_terms_sql(["dup", "spark"]),
+        "se_bm25_near": _SE_BM25_NEAR_SQL,
+        "se_near_tf": _SE_NEAR_TF_SQL,
+        "se_window_docs": _SE_WINDOW_SQL,
+        "se_syn_tf": _SE_SYN_SQL,
+        "se_ranked_and": _SE_RANKED_AND_SQL,
+        "se_ranked_or": _SE_RANKED_OR_SQL,
+        "se_indri_and": _SE_INDRI_AND_SQL,
+        "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
+        "se_docmap": _SE_DOCMAP_SQL,
+        "se_lexicon": _SE_LEXICON_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+        # dedup_minhash / dedup_simhash / ann_ivf: hash/centroid state is not
+        # SQL-expressible -> rows-only check; pytest verifies them against
+        # the exact-Jaccard / brute-force baselines instead.
+        "dedup_embedding": _DEDUP_EMB_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "text_token_stats": _TOKEN_STATS_SQL,
+        "text_lang_id": _lang_markers_sql(),
+        "text_quality": _QUALITY_SQL,
+        "text_winnow": _WINNOW_SQL,
+        "events_tumbling": _TUMBLING_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "rel_pricing_summary": _PRICING_SQL,
+        "rel_orders_by_nation": _ORDERS_NATION_SQL,
+        "rel_top_parts": _TOP_PARTS_SQL,
+    }

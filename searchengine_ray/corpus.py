@@ -44,8 +44,10 @@ def derive_corpus_batch(batch: pa.Table) -> pa.Table:
     source = batch.column("source").to_pylist()
     text = batch.column("text")
     path = [f"src/{lg}/doc_{d:08d}.txt" for lg, d in zip(lang, doc_id)]
+    # sha256 (not sha1) so DuckDB SQL can recompute it: substr(sha256(..),1,40)
     commit = [
-        hashlib.sha1(f"{s}/{p}".encode()).hexdigest() for s, p in zip(source, path)
+        hashlib.sha256(f"{s}/{p}".encode()).hexdigest()[:40]
+        for s, p in zip(source, path)
     ]
     return pa.table(
         {

@@ -1,0 +1,487 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All Ray-Data-first over the documents table `(doc_id, text, ...)`:
+
+- :func:`exact_dedup` — content-hash groupby, keep lowest doc_id.
+- :func:`ngram_jaccard_pairs` — exact n-gram-shingle Jaccard for candidate
+  pairs sharing a (non-ubiquitous) shingle; oracle-SQL-expressible.
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH candidate
+  generation, exact-Jaccard verification. The scale path for near-dup.
+- :func:`simhash_pairs` — 64-bit SimHash, 4x16-bit block blocking,
+  Hamming-distance verification.
+- :func:`embedding_dup_pairs` — cosine near-dup over the embeddings table
+  (broadcast matrix, per-batch matmul).
+
+Scale notes (10^12-file ambitions): every candidate generator here is a
+``groupby`` on a bounded-cardinality key (hash / band / block), the classic
+skew hazard being ubiquitous shingles — handled by a df cap that drops
+shingles occurring in more than ``shingle_df_cap`` docs (mirrored in the
+oracle SQL so results stay comparable). Verification joins broadcast the
+per-doc signatures at test scale; at cluster scale they become a
+repartition-by-pair co-location (documented, not needed at 500-5000 rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .analyze import tokenize
+
+MERSENNE = (1 << 61) - 1
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str):
+    """One row per distinct content: (doc_id = min over the group, n_dups)."""
+    ds = _read_docs(sf_dir)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.sha256(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "h": pa.array(h)})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].min())], "n_dups": [len(g)]}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pandas")
+        .select_columns(["doc_id", "n_dups"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling helpers
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    toks = tokenize(text)
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct shingles -> stable 64-bit ints (md5-based, process-stable)."""
+    hs = {
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        for s in set(_shingles(text, n))
+    }
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+class ShingleRows:
+    """map_batches stage: doc -> distinct (doc_id, shingle) rows."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, shingles = [], []
+        for d, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ss = set(_shingles(text, self.n))
+            doc_ids.extend([d] * len(ss))
+            shingles.extend(ss)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "shingle": pa.array(shingles, type=pa.string()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    shingle_df_cap: int = 100,
+):
+    """Pairs (a < b) with distinct-``n``-gram Jaccard >= threshold.
+
+    Candidate pairs come from co-occurrence in a shared shingle's posting
+    group; shingles present in more than ``shingle_df_cap`` docs are dropped
+    before pairing (skew guard, mirrored in the oracle SQL). Returns
+    (doc_id_a, doc_id_b, inter, union_sz, jaccard).
+    """
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir)
+    sh = ds.map_batches(ShingleRows(n), batch_format="pyarrow")
+
+    # per-doc distinct-shingle counts (small table -> broadcast)
+    sizes = dict(
+        (int(r["doc_id"]), int(r["count()"]))
+        for r in sh.groupby("doc_id").aggregate(Count()).iter_rows()
+    )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > shingle_df_cap or len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        docs = sorted(g["doc_id"].astype(int))
+        a, b = zip(*itertools.combinations(docs, 2))
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    pair_counts = (
+        sh.groupby("shingle")
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    import ray
+
+    sizes_ref = ray.put(sizes)
+
+    def score(t: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        inter = t.column("inter").to_numpy().astype(np.int64)
+        union = np.array(
+            [sz[x] + sz[y] for x, y in zip(a, b)], dtype=np.int64
+        ) - inter
+        jac = inter / union
+        keep = jac >= threshold
+        # integer micro-units (floor division) so the DuckDB oracle can
+        # reproduce the value exactly — library float rounding modes differ
+        jac_micro = (inter[keep] * 1_000_000) // union[keep]
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], type=pa.int64()),
+                "doc_id_b": pa.array(b[keep], type=pa.int64()),
+                "inter": pa.array(inter[keep], type=pa.int64()),
+                "union_sz": pa.array(union[keep], type=pa.int64()),
+                "jaccard_micro": pa.array(jac_micro, type=pa.int64()),
+            }
+        )
+
+    return pair_counts.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHashSignatures:
+    """Actor stage: doc -> (doc_id, sig list<uint64>). Permutation parameters
+    are seeded in __init__ (once per actor)."""
+
+    def __init__(self, n: int, num_perm: int, seed: int):
+        rng = np.random.default_rng(seed)
+        # multiply-shift hashing mod 2^64: odd multipliers + wraparound give
+        # genuinely order-scrambling permutations. (A bounded a*h+b that never
+        # wraps the modulus is ORDER-PRESERVING — every perm would pick the
+        # same smallest shingle and LSH degenerates; caught by recall tests.)
+        self.a = (
+            rng.integers(1, (1 << 63) - 1, size=num_perm, dtype=np.uint64)
+            | np.uint64(1)
+        )
+        self.b = rng.integers(0, (1 << 63) - 1, size=num_perm, dtype=np.uint64)
+        self.n = n
+        self.num_perm = num_perm
+
+    def sig(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.n)
+        if len(h) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        v = self.a[:, None] * h[None, :] + self.b[:, None]  # wraps mod 2^64
+        return np.min(v, axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        sigs = [self.sig(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array(
+                    [s.astype(np.int64) for s in sigs], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.6,
+    seed: int = 1234,
+):
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    shingle -> 128-perm MinHash signature (actor pool) -> explode to
+    (band_id, band_hash, doc_id) -> groupby band bucket -> candidate pairs
+    -> exact-Jaccard verify (broadcast shingle-hash sets) -> pairs >= t.
+    """
+    import ray
+    import ray.data
+
+    rows_per_band = num_perm // bands
+    ds = _read_docs(sf_dir)
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"n": n, "num_perm": num_perm, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out_band, out_hash, out_doc = [], [], []
+        for d, sig in zip(ids, t.column("sig").to_pylist()):
+            s = np.asarray(sig, dtype=np.uint64)
+            for bi in range(bands):
+                chunk = s[bi * rows_per_band : (bi + 1) * rows_per_band]
+                out_band.append(bi)
+                out_hash.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                out_doc.append(d)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "bh": pa.array(out_hash, type=pa.string()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+            }
+        )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc_id"].astype(int)))
+        if len(docs) < 2 or len(docs) > 200:  # band-bucket skew guard
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = zip(*itertools.combinations(docs, 2))
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    cand = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band", "bh"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+    )
+    cand_pairs = {
+        (int(r["a"]), int(r["b"])) for r in cand.iter_rows()
+    }
+
+    # verification: exact Jaccard on shingle-hash sets (broadcast at this
+    # scale; repartition-by-pair at cluster scale)
+    doc_sets = {}
+    for batch in _read_docs(sf_dir).iter_batches(batch_format="pyarrow"):
+        for d, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            doc_sets[int(d)] = set(_shingle_hashes(text, n).tolist())
+    rows = []
+    for a, b in sorted(cand_pairs):
+        sa, sb = doc_sets[a], doc_sets[b]
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac = inter / union if union else 0.0
+        if jac >= threshold:
+            rows.append((a, b, round(jac, 6)))
+    return pa.table(
+        {
+            "doc_id_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_id_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    for term, tf in zip(terms, counts):
+        h = int.from_bytes(hashlib.md5(str(term).encode()).digest()[:8], "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits == 1, tf, -tf)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 6):
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Blocking: 4 x 16-bit blocks (a pair within distance 3 must agree on at
+    least one block; with max_hamming up to 6 this is a recall-oriented
+    heuristic) -> groupby block bucket -> verified Hamming distance.
+    """
+    import ray.data
+
+    ds = _read_docs(sf_dir)
+
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hs = [_simhash64(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "simhash": pa.array(np.array(hs, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    sh = ds.map_batches(add_simhash, batch_format="pyarrow")
+
+    def explode_blocks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hs = t.column("simhash").to_pylist()
+        blk, val, doc, full = [], [], [], []
+        for d, h in zip(ids, hs):
+            uh = np.uint64(h).item() & ((1 << 64) - 1)
+            for bi in range(4):
+                blk.append(bi)
+                val.append((uh >> (16 * bi)) & 0xFFFF)
+                doc.append(d)
+                full.append(h)
+        return pa.table(
+            {
+                "blk": pa.array(blk, type=pa.int32()),
+                "val": pa.array(val, type=pa.int64()),
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "simhash": pa.array(full, type=pa.int64()),
+            }
+        )
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 500:
+            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
+        rows = sorted(
+            {(int(d), int(h)) for d, h in zip(g["doc_id"], g["simhash"])}
+        )
+        out = list(itertools.combinations(rows, 2))
+        return pd.DataFrame(
+            {
+                "a": [x[0][0] for x in out],
+                "b": [x[1][0] for x in out],
+                "ha": [x[0][1] for x in out],
+                "hb": [x[1][1] for x in out],
+            }
+        )
+
+    cand = (
+        sh.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby(["blk", "val"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], type=pa.int64()),
+                    "doc_id_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        x = t.column("ha").to_numpy().astype(np.uint64) ^ t.column(
+            "hb"
+        ).to_numpy().astype(np.uint64)
+        ham = np.zeros(len(x), dtype=np.int64)
+        xx = x.copy()
+        for _ in range(64):
+            ham += (xx & np.uint64(1)).astype(np.int64)
+            xx >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], type=pa.int64()),
+                "doc_id_b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = out.drop_duplicates(["doc_id_a", "doc_id_b"]).sort_values(
+        ["doc_id_a", "doc_id_b"]
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Pairs (a < b) of embeddings with cosine similarity >= threshold.
+
+    Brute-force per-batch matmul against the broadcast full matrix (fine at
+    <=1e5 rows; the ANN module's LSH/IVF variants are the scale path).
+    """
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = t.column("vec_id").to_numpy()
+        bm = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = bm @ all_mat.T
+        rows_a, rows_b, rows_s = [], [], []
+        for i, a in enumerate(bids):
+            hit = np.flatnonzero(sims[i] >= threshold)
+            for j in hit:
+                b = int(all_ids[j])
+                if int(a) < b:  # dedupe the symmetric pair
+                    rows_a.append(int(a))
+                    rows_b.append(b)
+                    rows_s.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "vec_id_a": pa.array(rows_a, type=pa.int64()),
+                "vec_id_b": pa.array(rows_b, type=pa.int64()),
+                "cosine": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")

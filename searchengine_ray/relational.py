@@ -1,0 +1,144 @@
+"""Relational pipelines over the TPC-H-ish tables: the generic groupby /
+broadcast-join / sort-limit building blocks the engine composes, expressed
+the Ray-Data-native way (column-pruned reads, vectorized pyarrow kernels,
+partial aggregation before the shuffle, broadcast dimension joins)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
+    """TPC-H Q1-shaped aggregate: per (returnflag, linestatus) sums/avgs over
+    lineitem shipped before ``cutoff``. Doubles rounded to 4."""
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"), pa.scalar(pd.Timestamp(cutoff))))
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        # per-row integer quantization -> order-independent integer sums that
+        # the SQL oracle reproduces exactly
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(pc.round(t.column("l_quantity"), round_mode="half_towards_infinity"), pa.int64()),
+                "disc_price_cents": pc.cast(
+                    pc.round(pc.multiply(disc_price, 100.0), round_mode="half_towards_infinity"), pa.int64()
+                ),
+                "disc_centi": pc.cast(
+                    pc.round(pc.multiply(t.column("l_discount"), 100.0), round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("disc_centi", alias_name="sum_disc_centi"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def orders_by_nation(sf_dir: str):
+    """orders ⨝ customer ⨝ nation rolled up to nation: broadcast the (small)
+    dimension maps once with ray.put, join inside map_batches — no shuffle
+    join for a dimension lookup. Returns (n_name, n_orders, total_price)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cmap = {
+        int(c): nmap[int(n)]
+        for c, n in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    cref = ray.put(cmap)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(cref)
+        names = [m[int(c)] for c in t.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0), round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_price_cents"),
+        )
+    )
+
+
+def top_parts(sf_dir: str, k: int = 10):
+    """Top-k partkeys by total shipped quantity: partial aggregation inside
+    map_batches (combiner) -> small groupby -> sort desc -> limit. Returns
+    (l_partkey, sum_qty)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: collapse the batch to one row per key before the shuffle;
+        # quantities quantized to ints so sums are order-independent
+        t = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": pc.cast(pc.round(t.column("l_quantity"), round_mode="half_towards_infinity"), pa.int64()),
+            }
+        )
+        g = t.group_by("l_partkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_partkey", "qty"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .sort(["sum_qty", "l_partkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out

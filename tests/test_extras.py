@@ -1,0 +1,119 @@
+"""Dedup / ANN / textstats / windows operators on the sf0.001 testdata,
+including the checks the SQL gate can't express (LSH recall vs exact
+Jaccard, IVF recall vs brute force)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_exact_dedup_counts():
+    from searchengine_ray.dedup import exact_dedup
+
+    df = exact_dedup(SF).to_pandas()
+    assert df["n_dups"].sum() == 500  # every doc accounted for
+    assert df["doc_id"].is_unique
+
+
+def test_ngram_jaccard_finds_planted_dups():
+    from searchengine_ray.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(SF).to_pandas()
+    # sf0.001 plants 25 near-dup docs (originals + ' dup'-token insertions)
+    assert len(df) >= 20
+    assert (df["jaccard_micro"] >= 600000).all()
+
+
+def test_minhash_recall_vs_exact():
+    from searchengine_ray.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(SF, threshold=0.6)
+    exact_pairs = {
+        (a, b)
+        for a, b in zip(
+            exact.to_pandas()["doc_id_a"], exact.to_pandas()["doc_id_b"]
+        )
+    }
+    mh = minhash_lsh_pairs(SF, threshold=0.6)
+    mh_pairs = set(
+        zip(mh.column("doc_id_a").to_pylist(), mh.column("doc_id_b").to_pylist())
+    )
+    # candidates are verified with exact Jaccard -> no false positives beyond
+    # the shingle-universe difference; recall must be high
+    assert len(mh_pairs & exact_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_simhash_finds_near_dups():
+    from searchengine_ray.dedup import simhash_pairs
+
+    t = simhash_pairs(SF, max_hamming=6)
+    assert t.num_rows >= 10  # planted dups are within a few bits
+    assert all(h <= 6 for h in t.column("hamming").to_pylist())
+
+
+def test_ann_brute_matches_numpy():
+    from searchengine_ray.ann import _load_matrix, brute_topk
+
+    t = brute_topk(SF, n_queries=5, k=8).to_pandas()
+    ids, mat = _load_matrix(SF)
+    sims = mat @ mat.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((ids, -s))[:8]
+        got = t[t["query_id"] == q]["neighbor_id"].tolist()
+        assert got == [int(ids[i]) for i in order]
+
+
+def test_ann_ivf_recall():
+    from searchengine_ray.ann import brute_topk, ivf_topk
+
+    brute = brute_topk(SF, n_queries=10, k=10).to_pandas()
+    ivf = ivf_topk(SF, n_queries=10, k=10, n_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == q]["neighbor_id"])
+        i = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 cells
+
+
+def test_token_stats_and_quality():
+    from searchengine_ray.textstats import quality_score, token_stats
+
+    ts = token_stats(SF).to_pandas()
+    assert (ts["n_unique"] <= ts["n_tokens"]).all()
+    q = quality_score(SF).to_pandas()
+    assert set(q.columns) == {
+        "doc_id", "n_tokens", "stop_ratio_micro", "mean_token_len_micro", "passes",
+    }
+    assert (q["stop_ratio_micro"] <= 1_000_000).all()
+
+
+def test_sessionize_invariants():
+    from searchengine_ray.windows import sessionize
+
+    s = sessionize(SF).to_pandas()
+    assert (s["n_sessions"] >= 1).all()
+    assert (s["max_session_events"] >= 1).all()
+
+
+def test_driver_contract_shapes():
+    """queries() and oracle_sql() stay consistent: every oracle key has a
+    query, callables are callable."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    qs, sql = m.queries(), m.oracle_sql()
+    assert set(sql) <= set(qs)
+    assert len(qs) >= 25
+    for name, fn in qs.items():
+        assert callable(fn), name
