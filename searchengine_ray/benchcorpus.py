@@ -12,9 +12,13 @@ import pyarrow as pa
 from .corpus import derive_corpus_batch
 
 
-def replicated_corpus_factory(sf_dir: str, factor: int, n_base: int = 500):
+def replicated_corpus_factory(sf_dir: str, factor: int, n_base: int | None = None):
     """Returns a zero-arg factory producing the replicated corpus Dataset."""
+    import pyarrow.parquet as pq
     import ray.data
+
+    if n_base is None:
+        n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def factory():
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
@@ -37,4 +41,5 @@ def replicated_corpus_factory(sf_dir: str, factor: int, n_base: int = 500):
         return ds.map_batches(replicate, batch_format="pyarrow", batch_size=100)
 
     factory.__name__ = f"replicated_corpus_{factor}x"
+    factory.n_docs = n_base * factor
     return factory

@@ -40,7 +40,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .analyze import analyze_batch, field_length
-from .codec import encode_segmented, encode_sorted, varbyte_encode
 from .config import BuildConfig
 from .corpus import corpus_from_documents
 
@@ -53,9 +52,9 @@ POSTINGS_SCHEMA = pa.schema(
         ("ctf", pa.int64()),
         ("first_doc", pa.int64()),
         ("last_doc", pa.int64()),
-        ("docs_vb", pa.binary()),
-        ("tfs_vb", pa.binary()),
-        ("pos_vb", pa.binary()),
+        ("docs_vb", pa.large_binary()),
+        ("tfs_vb", pa.large_binary()),
+        ("pos_vb", pa.large_binary()),
         ("blk_last", pa.list_(pa.int64())),
         ("blk_max_tf", pa.list_(pa.int64())),
         ("blk_min_dl", pa.list_(pa.int64())),
@@ -71,9 +70,24 @@ class TokenizeFields:
     plug in via ``__init__`` once per actor.
     """
 
-    def __init__(self, fields: dict[str, str], doc_bucket_size: int):
+    def __init__(self, fields: dict[str, str], doc_bucket_size: int, merge_partitions: int = 64):
         self.fields = fields
         self.doc_bucket_size = doc_bucket_size
+        self.merge_partitions = merge_partitions
+
+    def _kh(self, field: str, terms: np.ndarray, bucket: np.ndarray) -> np.ndarray:
+        """Stable hash-partition id per posting row; the shuffle key. Salting
+        is built in: the key includes the doc bucket, so a hot term's
+        postings land in bounded doc-range groups spread across partitions."""
+        import zlib
+
+        uniq, inv = np.unique(terms.astype(str), return_inverse=True)
+        th = np.array(
+            [zlib.crc32(f"{field}\x00{t}".encode()) for t in uniq], dtype=np.int64
+        )
+        return ((th[inv] + bucket * 1315423911) % self.merge_partitions).astype(
+            np.int32
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
@@ -85,6 +99,7 @@ class TokenizeFields:
                 continue
             g_doc = doc_ids[ab.doc_index]
             g_dl = ab.doc_lens[ab.doc_index]
+            bucket = (g_doc // self.doc_bucket_size).astype(np.int64)
             positions = pa.ListArray.from_arrays(
                 np.asarray(ab.pos_offsets, dtype=np.int32),
                 pa.array(ab.positions, type=pa.int32()),
@@ -92,11 +107,10 @@ class TokenizeFields:
             out.append(
                 pa.table(
                     {
+                        "kh": pa.array(self._kh(field, ab.term, bucket)),
                         "field": pa.array([field] * len(ab.term), type=pa.string()),
                         "term": pa.array(ab.term.astype(str), type=pa.string()),
-                        "bucket": pa.array(
-                            (g_doc // self.doc_bucket_size).astype(np.int32)
-                        ),
+                        "bucket": pa.array(bucket.astype(np.int32)),
                         "doc_id": pa.array(g_doc, type=pa.int64()),
                         "tf": pa.array(ab.tf, type=pa.int64()),
                         "dl": pa.array(g_dl, type=pa.int64()),
@@ -107,6 +121,7 @@ class TokenizeFields:
         if not out:
             return pa.table(
                 {
+                    "kh": pa.array([], type=pa.int32()),
                     "field": pa.array([], type=pa.string()),
                     "term": pa.array([], type=pa.string()),
                     "bucket": pa.array([], type=pa.int32()),
@@ -119,56 +134,149 @@ class TokenizeFields:
         return pa.concat_tables(out)
 
 
-class EncodePostingGroup:
-    """map_groups stage: all (field, term, bucket) rows -> one encoded row."""
+class EncodeMergePartition:
+    """map_groups stage over ONE hash partition of the (field, term, bucket)
+    key space: encodes ALL posting groups in the partition with vectorized
+    numpy — no per-group Python/Ray dispatch.
+
+    Why not ``groupby(keys).map_groups(per_group_fn)``: Ray's per-group
+    dispatch costs ~1-2 ms per group, which at real vocabulary sizes
+    (millions of distinct terms) is hours of pure overhead. Here the shuffle
+    key is a hash partition (``kh``), so one call handles thousands of
+    groups: sort by key inside the partition, find group boundaries, then
+    every posting list is delta+varbyte-encoded in four whole-partition
+    numpy passes and sliced by per-group byte counts. Block-max skip
+    metadata comes from ``np.maximum.reduceat`` over block boundaries.
+    """
 
     def __init__(self, skip_block_docs: int):
         self.skip_block_docs = skip_block_docs
-        self.__name__ = "encode_posting_group"  # map_groups wants a name
+        self.__name__ = "encode_merge_partition"
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group = group.sort_by("doc_id")
-        doc_ids = group.column("doc_id").to_numpy()
-        tfs = group.column("tf").to_numpy()
-        dls = group.column("dl").to_numpy()
-        pos_col = group.column("positions").combine_chunks()
-        pos_values = pos_col.values.to_numpy()
-        pos_offsets = pos_col.offsets.to_numpy().astype(np.int64)
+    def __call__(self, part: pa.Table) -> pa.Table:
+        from .codec import segmented_deltas, varbyte_encode_with_lengths
 
-        n = len(doc_ids)
-        blk_bounds = np.arange(0, n, self.skip_block_docs)
-        blk_ends = np.minimum(blk_bounds + self.skip_block_docs, n)
-        blk_last = doc_ids[blk_ends - 1]
-        blk_max_tf = np.array(
-            [tfs[s:e].max() for s, e in zip(blk_bounds, blk_ends)], dtype=np.int64
+        if part.num_rows == 0:
+            return _empty_postings_table()
+        part = part.sort_by(
+            [
+                ("field", "ascending"),
+                ("term", "ascending"),
+                ("bucket", "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        ).combine_chunks()
+
+        fcol = part.column("field").combine_chunks().dictionary_encode()
+        tcol = part.column("term").combine_chunks().dictionary_encode()
+        f_idx = fcol.indices.to_numpy()
+        t_idx = tcol.indices.to_numpy()
+        bucket = part.column("bucket").to_numpy()
+        doc = part.column("doc_id").to_numpy()
+        tf = part.column("tf").to_numpy()
+        dl = part.column("dl").to_numpy()
+        pos_col = part.column("positions").combine_chunks()
+        pos_vals = pos_col.values.to_numpy()
+        row_pos_off = pos_col.offsets.to_numpy().astype(np.int64)
+
+        n = len(doc)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (
+            (f_idx[1:] != f_idx[:-1])
+            | (t_idx[1:] != t_idx[:-1])
+            | (bucket[1:] != bucket[:-1])
         )
-        blk_min_dl = np.array(
-            [dls[s:e].min() for s, e in zip(blk_bounds, blk_ends)], dtype=np.int64
+        starts = np.flatnonzero(change)
+        G = len(starts)
+        ends = np.empty(G, dtype=np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = n
+        counts = ends - starts
+
+        row_off = np.concatenate((starts, [n]))  # group row offsets, len G+1
+        ctf = np.add.reduceat(tf, starts)
+
+        # --- docs: per-group delta then one varbyte pass, sliced by bytes ---
+        doc_gaps = segmented_deltas(doc, row_off)
+        doc_bytes, doc_lens = varbyte_encode_with_lengths(doc_gaps)
+        docs_vb = _binary_from_counts(doc_bytes, np.add.reduceat(doc_lens, starts))
+
+        # --- tfs ---
+        tf_bytes, tf_lens = varbyte_encode_with_lengths(tf)
+        tfs_vb = _binary_from_counts(tf_bytes, np.add.reduceat(tf_lens, starts))
+
+        # --- positions: per-ROW delta runs, grouped byte counts ---
+        pos_gaps = segmented_deltas(pos_vals, row_pos_off)
+        pos_bytes, pos_lens = varbyte_encode_with_lengths(pos_gaps)
+        # bytes per row (prefix-sum differences) -> bytes per group
+        if len(pos_lens):
+            csum = np.zeros(len(pos_lens) + 1, dtype=np.int64)
+            np.cumsum(pos_lens, out=csum[1:])
+            row_byte_counts = csum[row_pos_off[1:]] - csum[row_pos_off[:-1]]
+            grp_pos_bytes = np.add.reduceat(row_byte_counts, starts)
+        else:
+            grp_pos_bytes = np.zeros(G, dtype=np.int64)
+        pos_vb = _binary_from_counts(pos_bytes, grp_pos_bytes)
+
+        # --- block-max skip metadata (contiguous reduceat boundaries) ---
+        skip = self.skip_block_docs
+        reps = -(-counts // skip)
+        blk_group_off = np.zeros(G + 1, dtype=np.int64)
+        np.cumsum(reps, out=blk_group_off[1:])
+        blk_group = np.repeat(np.arange(G), reps)
+        within = np.arange(len(blk_group)) - blk_group_off[blk_group]
+        bstart = starts[blk_group] + within * skip
+        bend = np.minimum(bstart + skip, ends[blk_group])
+        blk_last = pa.ListArray.from_arrays(
+            blk_group_off.astype(np.int32), pa.array(doc[bend - 1], type=pa.int64())
+        )
+        blk_max_tf = pa.ListArray.from_arrays(
+            blk_group_off.astype(np.int32),
+            pa.array(np.maximum.reduceat(tf, bstart), type=pa.int64()),
+        )
+        blk_min_dl = pa.ListArray.from_arrays(
+            blk_group_off.astype(np.int32),
+            pa.array(np.minimum.reduceat(dl, bstart), type=pa.int64()),
         )
 
+        take = pa.array(starts, type=pa.int64())
         return pa.table(
             {
-                "field": group.column("field").slice(0, 1),
-                "term": group.column("term").slice(0, 1),
-                "bucket": group.column("bucket").slice(0, 1),
-                "df": pa.array([n], type=pa.int64()),
-                "ctf": pa.array([int(tfs.sum())], type=pa.int64()),
-                "first_doc": pa.array([int(doc_ids[0])], type=pa.int64()),
-                "last_doc": pa.array([int(doc_ids[-1])], type=pa.int64()),
-                "docs_vb": pa.array([encode_sorted(doc_ids)], type=pa.binary()),
-                "tfs_vb": pa.array([varbyte_encode(tfs)], type=pa.binary()),
-                "pos_vb": pa.array(
-                    [encode_segmented(pos_values, pos_offsets)], type=pa.binary()
-                ),
-                "blk_last": pa.array([blk_last.tolist()], type=pa.list_(pa.int64())),
-                "blk_max_tf": pa.array(
-                    [blk_max_tf.tolist()], type=pa.list_(pa.int64())
-                ),
-                "blk_min_dl": pa.array(
-                    [blk_min_dl.tolist()], type=pa.list_(pa.int64())
-                ),
+                "field": part.column("field").take(take),
+                "term": part.column("term").take(take),
+                "bucket": pa.array(bucket[starts], type=pa.int32()),
+                "df": pa.array(counts, type=pa.int64()),
+                "ctf": pa.array(ctf, type=pa.int64()),
+                "first_doc": pa.array(doc[starts], type=pa.int64()),
+                "last_doc": pa.array(doc[ends - 1], type=pa.int64()),
+                "docs_vb": docs_vb,
+                "tfs_vb": tfs_vb,
+                "pos_vb": pos_vb,
+                "blk_last": blk_last,
+                "blk_max_tf": blk_max_tf,
+                "blk_min_dl": blk_min_dl,
             }
         )
+
+
+def _binary_from_counts(data: np.ndarray, counts: np.ndarray) -> pa.Array:
+    """Zero-copy LargeBinary array: one value per group, sliced from the
+    whole-partition encoded buffer by per-group byte counts."""
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(counts),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _empty_postings_table() -> pa.Table:
+    cols = {}
+    for f in POSTINGS_SCHEMA:
+        cols[f.name] = pa.array([], type=f.type)
+    return pa.table(cols)
 
 
 class DocmapBatch:
@@ -219,6 +327,7 @@ def _fingerprint(cfg: BuildConfig, n_docs: int, source_desc: str) -> str:
             "bucket": cfg.doc_bucket_size,
             "skip": cfg.skip_block_docs,
             "parts": cfg.num_partitions,
+            "merge": cfg.merge_partitions,
             "n_docs": n_docs,
             "source": source_desc,
         },
@@ -232,12 +341,14 @@ def build_index(
     out_dir: str,
     cfg: BuildConfig | None = None,
     overwrite: bool = False,
+    n_docs: int | None = None,
 ) -> str:
     """Build (or resume) the index at ``out_dir``; returns ``out_dir``.
 
     ``source`` is either an sf_dir containing ``documents.parquet`` or a
     zero-arg factory returning the corpus Dataset (so each build partition
-    can re-instantiate its own lazy pipeline).
+    can re-instantiate its own lazy pipeline). Pass ``n_docs`` (really:
+    max doc_id + 1) to skip the bounds-discovery pass.
     """
     cfg = cfg or BuildConfig()
     if isinstance(source, str):
@@ -251,9 +362,9 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
 
-    max_id = factory().max("doc_id")
-    n_docs_hint = int(max_id) + 1
-    fp = _fingerprint(cfg, n_docs_hint, source_desc)
+    if n_docs is None:
+        n_docs = int(factory().max("doc_id")) + 1
+    fp = _fingerprint(cfg, n_docs, source_desc)
 
     manifest: dict = {"fingerprint": fp, "partitions": {}, "complete": False}
     if os.path.exists(manifest_path) and not overwrite:
@@ -271,9 +382,10 @@ def build_index(
                 shutil.rmtree(p)
 
     # doc-range partitions aligned to bucket boundaries (see module docstring)
-    per_part = -(-n_docs_hint // cfg.num_partitions)
+    per_part = -(-n_docs // cfg.num_partitions)
     per_part = -(-per_part // cfg.doc_bucket_size) * cfg.doc_bucket_size
 
+    tokenizer = TokenizeFields(cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions)
     for p in range(cfg.num_partitions):
         key = str(p)
         if manifest["partitions"].get(key, {}).get("status") == "done":
@@ -286,6 +398,10 @@ def build_index(
             return t.filter(pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi)))
 
         corpus = factory().map_batches(in_range, batch_format="pyarrow")
+        if cfg.num_partitions > 1 or cfg.materialize_partition:
+            # one read feeds both the docmap and postings passes; at cluster
+            # scale each partition's slice fits the object store by design
+            corpus = corpus.materialize()
 
         docmap = corpus.map_batches(
             DocmapBatch(cfg.fields),
@@ -294,13 +410,15 @@ def build_index(
         )
         _atomic_write(docmap, os.path.join(out_dir, "docmap", f"part_{p:05d}"))
 
-        posts = factory().map_batches(in_range, batch_format="pyarrow").map_batches(
-            TokenizeFields(cfg.fields, cfg.doc_bucket_size),
+        posts = corpus.map_batches(
+            tokenizer,
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         )
-        merged = posts.groupby(["field", "term", "bucket"]).map_groups(
-            EncodePostingGroup(cfg.skip_block_docs), batch_format="pyarrow"
+        # THE shuffle: hash-partitioned by (field, term, doc-bucket); each
+        # partition encodes all its posting groups in one vectorized call
+        merged = posts.groupby("kh").map_groups(
+            EncodeMergePartition(cfg.skip_block_docs), batch_format="pyarrow"
         )
         _atomic_write(merged, os.path.join(out_dir, "postings", f"part_{p:05d}"))
 
@@ -321,7 +439,8 @@ def build_index(
 
 
 def _finalize(out_dir: str, cfg: BuildConfig) -> None:
-    """Global aggregates over the built partitions: lexicon + corpus stats."""
+    """Global aggregates over the built partitions: lexicon + corpus stats
+    (one pass each; stats partials collapse per batch then sum on driver)."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -333,28 +452,28 @@ def _finalize(out_dir: str, cfg: BuildConfig) -> None:
     )
     _atomic_write(lexicon, os.path.join(out_dir, "lexicon"))
 
-    docmap = ray.data.read_parquet(os.path.join(out_dir, "docmap"))
-    n_docs = docmap.count()
-    stats: dict = {"n_docs": int(n_docs), "fields": {}}
-    for field in cfg.fields:
-        col = f"len_{field}"
-        agg = docmap.map_batches(
-            lambda t, c=col: pa.table(
-                {
-                    "sum_len": pa.array([pc.sum(t.column(c)).as_py() or 0]),
-                    "doc_count": pa.array(
-                        [pc.sum(pc.cast(pc.greater(t.column(c), 0), pa.int64())).as_py() or 0]
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        import pandas as pd  # small result
+    fields = list(cfg.fields)
+    docmap = ray.data.read_parquet(
+        os.path.join(out_dir, "docmap"), columns=[f"len_{f}" for f in fields]
+    )
 
-        pdf = agg.to_pandas()
-        stats["fields"][field] = {
-            "sum_len": int(pdf["sum_len"].sum()),
-            "doc_count": int(pdf["doc_count"].sum()),
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"n_docs": pa.array([t.num_rows], type=pa.int64())}
+        for f in fields:
+            c = t.column(f"len_{f}")
+            cols[f"sum_{f}"] = pa.array([pc.sum(c).as_py() or 0], type=pa.int64())
+            cols[f"cnt_{f}"] = pa.array(
+                [pc.sum(pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0],
+                type=pa.int64(),
+            )
+        return pa.table(cols)
+
+    pdf = docmap.map_batches(partial, batch_format="pyarrow").to_pandas()
+    stats: dict = {"n_docs": int(pdf["n_docs"].sum()), "fields": {}}
+    for f in fields:
+        stats["fields"][f] = {
+            "sum_len": int(pdf[f"sum_{f}"].sum()),
+            "doc_count": int(pdf[f"cnt_{f}"].sum()),
         }
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

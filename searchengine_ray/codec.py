@@ -14,14 +14,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array as LEB128 varbytes."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a non-negative int array as LEB128 varbytes.
+
+    Returns (byte_array uint8, per-value byte counts int64) — the counts let
+    callers split one big encoded buffer into per-group slices without
+    re-encoding (the vectorized posting-merge path relies on this)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bits/7), min 1
     bits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
     # bit_length via log2 on float is unsafe for >2^53; use a shift loop (<=10 iters)
     tmp = v.copy()
     while np.any(tmp > 0):
@@ -38,6 +41,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte_vals = ((v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[sel] > k + 1).astype(np.uint8) << 7
         out[starts[sel] + k] = byte_vals | cont
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array as LEB128 varbytes."""
+    out, _ = varbyte_encode_with_lengths(values)
     return out.tobytes()
 
 
@@ -84,24 +93,28 @@ def decode_sorted(buf: bytes | memoryview) -> np.ndarray:
     return delta_decode(varbyte_decode(buf))
 
 
-def encode_segmented(values: np.ndarray, offsets: np.ndarray) -> bytes:
-    """Delta+varbyte many ascending runs at once (e.g. per-doc position lists).
-
-    ``offsets`` (len = n_runs+1) delimits runs inside ``values``; each run is
-    delta-gapped independently (run starts stay absolute) so decode can
-    reconstruct per-run values given the same offsets. One vectorized pass.
-    """
+def segmented_deltas(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Gap-encode many ascending runs at once: deltas within each run, run
+    starts kept absolute. ``offsets`` (len = n_runs+1) delimits runs."""
     v = np.asarray(values, dtype=np.int64)
     offsets = np.asarray(offsets, dtype=np.int64)
     if v.size == 0:
-        return b""
+        return v
     gaps = np.empty_like(v)
     gaps[0] = v[0]
     np.subtract(v[1:], v[:-1], out=gaps[1:])
     run_starts = offsets[:-1]
     run_starts = run_starts[run_starts < v.size]
     gaps[run_starts] = v[run_starts]  # reset delta chain at each run start
-    return varbyte_encode(gaps)
+    return gaps
+
+
+def encode_segmented(values: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Delta+varbyte many ascending runs at once (e.g. per-doc position
+    lists); decode with :func:`decode_segmented` given the same offsets."""
+    if np.asarray(values).size == 0:
+        return b""
+    return varbyte_encode(segmented_deltas(values, offsets))
 
 
 def decode_segmented(buf: bytes | memoryview, offsets: np.ndarray) -> np.ndarray:

@@ -83,4 +83,13 @@ class BuildConfig:
     #: independent build partitions (resume granularity); each covers a
     #: doc_id range and writes its own manifest entry.
     num_partitions: int = 1
+    #: hash partitions of the (field, term, bucket) key space for the
+    #: posting-merge shuffle; each becomes ONE vectorized encode call.
+    #: Size ~2x cluster cores so the merge stage saturates without
+    #: per-group dispatch overhead.
+    merge_partitions: int = 64
+    #: materialize each build partition's corpus once so the docmap and
+    #: postings passes share a single read (always on for multi-partition
+    #: builds).
+    materialize_partition: bool = True
     tokenize_batch_size: int = 1024

@@ -140,16 +140,52 @@ def ngram_jaccard_pairs(
         for r in sh.groupby("doc_id").aggregate(Count()).iter_rows()
     )
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > shingle_df_cap or len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        docs = sorted(g["doc_id"].astype(int))
-        a, b = zip(*itertools.combinations(docs, 2))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+    # pair generation per HASH PARTITION of the shingle space (not per
+    # shingle group: Ray's per-group dispatch would dominate at millions of
+    # distinct shingles) — each call handles all its shingles vectorized
+    def pairs_of_partition(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
+        shingles = t.column("shingle").combine_chunks().dictionary_encode()
+        s_idx = shingles.indices.to_numpy()
+        docs = t.column("doc_id").to_numpy()
+        change = np.empty(len(s_idx), dtype=bool)
+        if len(s_idx) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        change[0] = True
+        change[1:] = s_idx[1:] != s_idx[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(s_idx))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2 or g > shingle_df_cap:
+                continue
+            d = docs[s:e]
+            ia, ib = np.triu_indices(g, k=1)
+            out_a.append(d[ia])
+            out_b.append(d[ib])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    def add_partition(t: pa.Table) -> pa.Table:
+        import zlib
+
+        kh = np.array(
+            [zlib.crc32(s.encode()) % 64 for s in t.column("shingle").to_pylist()],
+            dtype=np.int32,
+        )
+        return t.append_column("kh", pa.array(kh))
 
     pair_counts = (
-        sh.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
+        sh.map_batches(add_partition, batch_format="pyarrow")
+        .groupby("kh")
+        .map_groups(pairs_of_partition, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
     )
@@ -271,17 +307,40 @@ def minhash_lsh_pairs(
             }
         )
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"].astype(int)))
-        if len(docs) < 2 or len(docs) > 200:  # band-bucket skew guard
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*itertools.combinations(docs, 2))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+    def pairs_of_band(t: pa.Table) -> pa.Table:
+        # one call per band: bucket by band-hash, vectorized pair expansion
+        t = t.sort_by([("bh", "ascending"), ("doc_id", "ascending")])
+        bh = t.column("bh").combine_chunks().dictionary_encode().indices.to_numpy()
+        docs = t.column("doc_id").to_numpy()
+        if len(bh) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        change = np.empty(len(bh), dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(bh))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2 or g > 200:  # band-bucket skew guard
+                continue
+            d = docs[s:e]
+            ia, ib = np.triu_indices(g, k=1)
+            out_a.append(d[ia])
+            out_b.append(d[ib])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
 
     cand = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby("band")
+        .map_groups(pairs_of_band, batch_format="pyarrow")
     )
     cand_pairs = {
         (int(r["a"]), int(r["b"])) for r in cand.iter_rows()
@@ -376,26 +435,50 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
             }
         )
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 500:
-            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
-        rows = sorted(
-            {(int(d), int(h)) for d, h in zip(g["doc_id"], g["simhash"])}
-        )
-        out = list(itertools.combinations(rows, 2))
-        return pd.DataFrame(
+    def pairs_of_block(t: pa.Table) -> pa.Table:
+        # one call per 16-bit block position: bucket by value, vectorized
+        t = t.sort_by([("val", "ascending"), ("doc_id", "ascending")])
+        val = t.column("val").to_numpy()
+        docs = t.column("doc_id").to_numpy()
+        hashes = t.column("simhash").to_numpy()
+        empty = pa.table(
             {
-                "a": [x[0][0] for x in out],
-                "b": [x[1][0] for x in out],
-                "ha": [x[0][1] for x in out],
-                "hb": [x[1][1] for x in out],
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "ha": pa.array([], pa.int64()), "hb": pa.array([], pa.int64()),
+            }
+        )
+        if len(val) == 0:
+            return empty
+        change = np.empty(len(val), dtype=bool)
+        change[0] = True
+        change[1:] = val[1:] != val[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(val))
+        oa, ob, oha, ohb = [], [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2 or g > 500:
+                continue
+            ia, ib = np.triu_indices(g, k=1)
+            oa.append(docs[s:e][ia])
+            ob.append(docs[s:e][ib])
+            oha.append(hashes[s:e][ia])
+            ohb.append(hashes[s:e][ib])
+        if not oa:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(oa), type=pa.int64()),
+                "b": pa.array(np.concatenate(ob), type=pa.int64()),
+                "ha": pa.array(np.concatenate(oha), type=pa.int64()),
+                "hb": pa.array(np.concatenate(ohb), type=pa.int64()),
             }
         )
 
     cand = (
         sh.map_batches(explode_blocks, batch_format="pyarrow")
-        .groupby(["blk", "val"])
-        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby("blk")
+        .map_groups(pairs_of_block, batch_format="pyarrow")
     )
 
     def verify(t: pa.Table) -> pa.Table:

@@ -56,6 +56,25 @@ def top_k(
     return docs[order], scores[order], external_ids[order]
 
 
+def select_top_k(index: InvertedIndex, docs, scores, k):
+    """Top-k with the exact comparator, but cheap at large result sets:
+    partial-select candidates by score first (keeping ALL score ties at the
+    boundary), then do the expensive string tie-break sort and external-id
+    lookup only on the candidates."""
+    n = len(docs)
+    if n == 0:
+        return docs, scores, np.empty(0, dtype=object)
+    if n > 4 * k and k > 0:
+        kth = np.partition(scores, n - k)[n - k]  # k-th largest score
+        cand = np.flatnonzero(scores >= kth)  # ties at the boundary included
+    else:
+        cand = np.arange(n)
+    ext = index.external_ids(docs[cand])
+    order = np.lexsort((ext.astype(str), -scores[cand]))[:k]
+    sel = cand[order]
+    return docs[sel], scores[sel], ext[order]
+
+
 class SearchEngine:
     """Single-process engine over one built index (all shards)."""
 
@@ -72,8 +91,7 @@ class SearchEngine:
         tree = self.parse(query)
         ev = Evaluator(self.index, self.params)
         docs, scores = ev.evaluate(tree)
-        ext = self.index.external_ids(docs) if len(docs) else np.empty(0, object)
-        docs, scores, ext = top_k(docs, scores, ext, self.params.top_k)
+        docs, scores, ext = select_top_k(self.index, docs, scores, self.params.top_k)
         n = len(docs)
         return pa.table(
             {
@@ -154,6 +172,63 @@ def run_queries(
     return tbl.cast(RESULT_SCHEMA)
 
 
+class _EngineActor:
+    """Plain Ray actor wrapping SearchEngine (long-lived serving pool)."""
+
+    def __init__(self, index_dir: str, params: ModelParams | None):
+        self.engine = SearchEngine(index_dir, params)
+
+    def ping(self) -> bool:
+        return True
+
+    def search_many(self, items: list[tuple[str, str]]) -> pa.Table:
+        return self.engine.search_many(items)
+
+
+class QueryService:
+    """Long-lived query-serving pool: N actors, each holding the full index
+    (or a shard via ``parts``), queries round-robined in chunks.
+
+    This is the serving-path counterpart to :func:`run_queries` (which spins
+    a fresh Ray Data actor pool per call — fine for batch jobs, wrong for
+    measuring steady-state QPS)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        params: ModelParams | None = None,
+        num_actors: int = 8,
+    ):
+        import ray
+
+        Actor = ray.remote(num_cpus=1)(_EngineActor)
+        self.actors = [Actor.remote(index_dir, params) for _ in range(num_actors)]
+        ray.get([a.ping.remote() for a in self.actors])  # block until loaded
+
+    def search_batch(self, items: list[tuple[str, str]]) -> pa.Table:
+        import ray
+
+        n = len(self.actors)
+        chunks = [items[i::n] for i in range(n)]
+        futs = [
+            a.search_many.remote(c) for a, c in zip(self.actors, chunks) if c
+        ]
+        tables = [t for t in ray.get(futs) if t.num_rows]
+        if not tables:
+            return pa.table(
+                {f.name: pa.array([], type=f.type) for f in RESULT_SCHEMA}
+            )
+        out = pa.concat_tables(tables)
+        return out.sort_by([("qid", "ascending"), ("rank", "ascending")])
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 # ---------------------------------------------------------------------------
 # Doc-sharded two-phase evaluation (the at-scale path)
 # ---------------------------------------------------------------------------
@@ -178,9 +253,10 @@ class _ShardWorker:
         nodes = collect_iop_nodes(tree)
         ev.stats_override = {id(n): s for n, s in zip(nodes, merged)}
         docs, scores = ev.evaluate(tree)
-        ext = self.index.external_ids(docs) if len(docs) else np.empty(0, object)
         # shard-local truncation to top_k: safe, the global merge re-sorts
-        docs, scores, ext = top_k(docs, scores, ext, self.params.top_k)
+        docs, scores, ext = select_top_k(
+            self.index, docs, scores, self.params.top_k
+        )
         return pa.table(
             {
                 "doc_id": pa.array(docs, type=pa.int64()),

@@ -45,14 +45,72 @@ def eval_iop(node, index: InvertedIndex) -> Postings:
     if node.name == "#syn":
         return _eval_syn([eval_iop(a, index) for a in node.args])
     if node.name == "#near":
-        return _eval_positional(
-            [eval_iop(a, index) for a in node.args], node.dist, ordered=True
-        )
+        return _eval_near([eval_iop(a, index) for a in node.args], node.dist)
     if node.name == "#window":
-        return _eval_positional(
-            [eval_iop(a, index) for a in node.args], node.dist, ordered=False
+        return _eval_window_vectorized(
+            [eval_iop(a, index) for a in node.args], node.dist
         )
     raise ValueError(f"not an inverted-list operator: {node.name}")
+
+
+def _eval_window_vectorized(parts: list[Postings], dist: int) -> Postings:
+    """#WINDOW/n, lock-step vectorized across ALL common docs at once.
+
+    Exactly equivalent to the reference sweep (`QryIopWindow.java:27-77`):
+    per round, docs whose max-min spread is < n (strict) emit the max and
+    advance every list one step; other docs advance every list whose current
+    position equals the min (positions ascend within a list, so one step IS
+    "advance past min"; duplicate positions — possible under #SYN(x x) —
+    just take one extra round). Rounds are numpy ops over the active docs,
+    so total work is O(sum of positions), not O(docs x python-loop).
+    """
+    if not parts or any(p.df == 0 for p in parts):
+        return EMPTY_POSTINGS
+    common = reduce(np.intersect1d, [p.doc_ids for p in parts])
+    if len(common) == 0:
+        return EMPTY_POSTINGS
+    k = len(parts)
+    D = len(common)
+    ptr = np.empty((D, k), dtype=np.int64)
+    end = np.empty((D, k), dtype=np.int64)
+    for j, p in enumerate(parts):
+        ix = np.searchsorted(p.doc_ids, common)
+        ptr[:, j] = p.pos_offsets[ix]
+        end[:, j] = p.pos_offsets[ix + 1]
+    seg = [p.positions for p in parts]
+
+    active = np.arange(D)
+    out_rows: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    cur = np.empty((D, k), dtype=np.int64)
+    while len(active):
+        pa_ = ptr[active]
+        for j in range(k):
+            cur[: len(active), j] = seg[j][pa_[:, j]]
+        c = cur[: len(active)]
+        mn = c.min(axis=1)
+        mx = c.max(axis=1)
+        matched = (mx - mn) < dist
+        if matched.any():
+            out_rows.append(active[matched])
+            out_pos.append(mx[matched])
+        adv = matched[:, None] | (c == mn[:, None])
+        pa_ = pa_ + adv
+        ptr[active] = pa_
+        alive = (pa_ < end[active]).all(axis=1)
+        active = active[alive]
+    if not out_rows:
+        return EMPTY_POSTINGS
+    rows = np.concatenate(out_rows)
+    poss = np.concatenate(out_pos)
+    order = np.argsort(rows, kind="stable")  # per-doc emit order is ascending
+    rows, poss = rows[order], poss[order]
+    doc_rows, tfs = np.unique(rows, return_counts=True)
+    pos_offsets = np.zeros(len(doc_rows) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(
+        common[doc_rows], tfs.astype(np.int64), pos_offsets, poss
+    )
 
 
 def _make_postings(doc_ids, tfs, pos_offsets, positions) -> Postings:
@@ -67,39 +125,57 @@ def _make_postings(doc_ids, tfs, pos_offsets, positions) -> Postings:
 
 
 def _eval_syn(parts: list[Postings]) -> Postings:
-    """Union; per-doc positions = concatenation of all args', sorted."""
+    """Union; per-doc positions = concatenation of all args', sorted.
+
+    One radix-friendly sort of packed (doc << 32 | pos) keys instead of a
+    two-key lexsort + gather (positions fit 32 bits by construction)."""
     parts = [p for p in parts if p.df > 0]
     if not parts:
         return EMPTY_POSTINGS
-    doc_all = np.concatenate([np.repeat(p.doc_ids, p.tfs) for p in parts])
-    pos_all = np.concatenate([p.positions for p in parts])
-    order = np.lexsort((pos_all, doc_all))
-    doc_all, pos_all = doc_all[order], pos_all[order]
-    doc_ids, tfs = np.unique(doc_all, return_counts=True)
-    pos_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    key = np.concatenate(
+        [
+            (np.repeat(p.doc_ids, p.tfs).astype(np.uint64) << np.uint64(32))
+            | p.positions.astype(np.uint64)
+            for p in parts
+        ]
+    )
+    key.sort()
+    doc_all = (key >> np.uint64(32)).astype(np.int64)
+    pos_all = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    change = np.empty(len(doc_all), dtype=bool)
+    change[0] = True
+    change[1:] = doc_all[1:] != doc_all[:-1]
+    starts = np.flatnonzero(change)
+    tfs = np.diff(np.append(starts, len(doc_all))).astype(np.int64)
+    pos_offsets = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
-    return _make_postings(doc_ids, tfs.astype(np.int64), pos_offsets, pos_all)
+    return _make_postings(doc_all[starts], tfs, pos_offsets, pos_all)
 
 
-def _eval_positional(parts: list[Postings], dist: int, ordered: bool) -> Postings:
-    """#NEAR/n (ordered) and #WINDOW/n (unordered) over common docs."""
+def _eval_near(parts: list[Postings], dist: int) -> Postings:
+    """#NEAR/n over common docs (per-doc greedy pointer sweep; the ordered
+    consume-once semantics resist full vectorization, so the inner loops run
+    on plain Python lists for scalar speed)."""
     if not parts or any(p.df == 0 for p in parts):
         return EMPTY_POSTINGS
+    if len(parts) == 2:
+        return _eval_near2_vectorized(parts, dist)
     common = reduce(np.intersect1d, [p.doc_ids for p in parts])
     if len(common) == 0:
         return EMPTY_POSTINGS
     idx_per_arg = [np.searchsorted(p.doc_ids, common) for p in parts]
+    # plain Python lists: the greedy pointer sweeps do scalar indexing, which
+    # is several times faster on lists than on numpy arrays
+    pos_lists = [p.positions.tolist() for p in parts]
+    off_lists = [p.pos_offsets.tolist() for p in parts]
+    idx_lists = [ix.tolist() for ix in idx_per_arg]
     out_docs, out_tfs, out_pos = [], [], []
     for row, _doc in enumerate(common):
         plists = [
-            p.positions[p.pos_offsets[ix[row]] : p.pos_offsets[ix[row] + 1]]
-            for p, ix in zip(parts, idx_per_arg)
+            pl[off[ix[row]] : off[ix[row] + 1]]
+            for pl, off, ix in zip(pos_lists, off_lists, idx_lists)
         ]
-        matches = (
-            _near_positions(plists, dist)
-            if ordered
-            else _window_positions(plists, dist)
-        )
+        matches = _near_positions(plists, dist)
         if matches:
             out_docs.append(_doc)
             out_tfs.append(len(matches))
@@ -111,6 +187,57 @@ def _eval_positional(parts: list[Postings], dist: int, ordered: bool) -> Posting
     pos_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
     return _make_postings(doc_ids, tfs, pos_offsets, np.asarray(out_pos, np.int64))
+
+
+def _eval_near2_vectorized(parts: list[Postings], dist: int) -> Postings:
+    """2-arg #NEAR/n, lock-step vectorized across all common docs.
+
+    Exact state machine of `QryIopNear.java:27-83` for two args, advanced
+    one transition per round for every active doc:
+      B <= A            -> advance B one step ("advance past prev", stepwise)
+      B - A > n         -> advance A one step (distance fail)
+      else              -> match: emit B, advance both (consume-once)
+    Doc goes inactive when either list is exhausted (reference finishes the
+    doc when the second list runs out).
+    """
+    pa_, pb_ = parts
+    common = np.intersect1d(pa_.doc_ids, pb_.doc_ids)
+    if len(common) == 0:
+        return EMPTY_POSTINGS
+    ia = np.searchsorted(pa_.doc_ids, common)
+    ib = np.searchsorted(pb_.doc_ids, common)
+    ap = pa_.pos_offsets[ia].copy()
+    ae = pa_.pos_offsets[ia + 1]
+    bp = pb_.pos_offsets[ib].copy()
+    be = pb_.pos_offsets[ib + 1]
+    A, B = pa_.positions, pb_.positions
+
+    active = np.arange(len(common))
+    out_rows: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    while len(active):
+        ca = A[ap[active]]
+        cb = B[bp[active]]
+        b_behind = cb <= ca
+        fail = (~b_behind) & (cb - ca > dist)
+        match = ~(b_behind | fail)
+        if match.any():
+            out_rows.append(active[match])
+            out_pos.append(cb[match])
+        ap[active] += (fail | match).astype(np.int64)
+        bp[active] += (b_behind | match).astype(np.int64)
+        alive = (ap[active] < ae[active]) & (bp[active] < be[active])
+        active = active[alive]
+    if not out_rows:
+        return EMPTY_POSTINGS
+    rows = np.concatenate(out_rows)
+    poss = np.concatenate(out_pos)
+    order = np.argsort(rows, kind="stable")
+    rows, poss = rows[order], poss[order]
+    doc_rows, tfs = np.unique(rows, return_counts=True)
+    pos_offsets = np.zeros(len(doc_rows) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(common[doc_rows], tfs.astype(np.int64), pos_offsets, poss)
 
 
 def _near_positions(plists: list[np.ndarray], dist: int) -> list[int]:
@@ -140,27 +267,6 @@ def _near_positions(plists: list[np.ndarray], dist: int) -> list[int]:
             out.append(int(plists[k - 1][ptr[k - 1]]))
             for i in range(k):
                 ptr[i] += 1
-    return out
-
-
-def _window_positions(plists: list[np.ndarray], dist: int) -> list[int]:
-    """Exact `QryIopWindow.java:27-77` min/max sweep."""
-    k = len(plists)
-    ptr = [0] * k
-    lens = [len(p) for p in plists]
-    out: list[int] = []
-    while all(ptr[i] < lens[i] for i in range(k)):
-        locs = [int(plists[i][ptr[i]]) for i in range(k)]
-        mn, mx = min(locs), max(locs)
-        if mx - mn < dist:  # STRICT, unlike #NEAR's <= (reference quirk)
-            out.append(mx)
-            for i in range(k):
-                ptr[i] += 1
-        else:
-            for i in range(k):
-                pi = plists[i]
-                while ptr[i] < lens[i] and pi[ptr[i]] <= mn:
-                    ptr[i] += 1
     return out
 
 

@@ -29,6 +29,8 @@ QUERIES = [
     ("16", "#near/2( the fast )"),          # stopword vanishes inside near
     ("17", "py.keywords"),                  # keywords field
     ("18", "#sum( #near/1( unit test ) runner )"),
+    ("19", "#window/4( #syn( alloc alloc ) free )"),  # duplicate positions edge
+    ("20", "#window/8( read write buffer )"),          # 3-arg window
 ]
 
 MODELS = ["bm25", "indri", "rankedboolean", "unrankedboolean"]
