@@ -167,6 +167,35 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ctf
 FROM tok WHERE term NOT IN {_STOPLIST_SQL} GROUP BY term
 """
 
+_PRF_EXPANSION_SQL = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='dup' GROUP BY doc_id),
+qstats AS (SELECT count(*) AS df FROM tfq),
+top AS (SELECT tfq.doc_id,
+          greatest(0.0, ln((const.n - qstats.df + 0.5)/(qstats.df + 0.5)))
+            * tfq.tf/(tfq.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+        FROM tfq JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN qstats
+        ORDER BY s DESC, tfq.doc_id LIMIT 10),
+cand AS (SELECT DISTINCT term FROM tok JOIN top USING(doc_id)
+         WHERE term NOT IN {_STOPLIST_SQL}),
+ctf AS (SELECT term, count(*) AS ctf FROM tok
+        WHERE term IN (SELECT term FROM cand) GROUP BY term),
+tfd AS (SELECT tok.doc_id, term, count(*) AS tf FROM tok
+        JOIN top ON top.doc_id = tok.doc_id
+        WHERE term IN (SELECT term FROM cand) GROUP BY tok.doc_id, term),
+contrib AS (
+  SELECT c.term,
+         (coalesce(tfd.tf, 0) / (dl.dl + 0.0)) * top.s * ln(const.clen / ctf.ctf) AS x
+  FROM cand c
+  CROSS JOIN top
+  JOIN dl ON dl.doc_id = top.doc_id
+  JOIN ctf ON ctf.term = c.term
+  LEFT JOIN tfd ON tfd.doc_id = top.doc_id AND tfd.term = c.term
+  CROSS JOIN const)
+SELECT term, round(sum(x), 6) AS score_r FROM contrib
+GROUP BY term ORDER BY sum(x) DESC, term LIMIT 10
+"""
+
 _DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
 """
@@ -350,6 +379,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_docmap": gate.se_docmap,
         "se_lexicon": gate.se_lexicon,
+        # retrieval pipelines (PRF / diversification / LeToR / DRMM)
+        "prf_expansion": gate.prf_expansion,
+        "div_xquad": gate.div_xquad,
+        "div_pm2": gate.div_pm2,
+        "ltr_rerank": gate.ltr_rerank,
+        "drmm_rerank": gate.drmm_rerank,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -388,6 +423,9 @@ def oracle_sql() -> dict[str, str]:
         "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
         "se_docmap": _SE_DOCMAP_SQL,
         "se_lexicon": _SE_LEXICON_SQL,
+        "prf_expansion": _PRF_EXPANSION_SQL,
+        # div_xquad / div_pm2 / ltr_rerank / drmm_rerank: iterative greedy /
+        # trained-model pipelines -> rows-only; pytest covers the formulas.
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
         # dedup_minhash / dedup_simhash / ann_ivf: hash/centroid state is not

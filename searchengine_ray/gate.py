@@ -130,6 +130,145 @@ def se_lexicon(sf_dir: str):
     return t.select(["term", "df", "ctf"])
 
 
+def _ranking(sf_dir: str, model: str, query: str, k: int) -> list[tuple[int, float]]:
+    """Top-k by (score desc, doc_id asc) — gate-deterministic ranking."""
+    t = engine_for(sf_dir, model).search("q", query).to_pandas()
+    t = t.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    return list(zip(t["doc_id"].astype(int), t["score"].astype(float)))
+
+
+def prf_expansion(sf_dir: str):
+    """PRF expansion terms for 'dup' over its BM25 top-10 (fbMu=0)."""
+    from .expand import ExpandConfig, doc_tokens_from_sf, expansion_terms
+
+    eng = engine_for(sf_dir, "bm25")
+    ranking = _ranking(sf_dir, "bm25", "dup", 10)
+    toks = doc_tokens_from_sf(sf_dir, [d for d, _ in ranking])
+    cfg = ExpandConfig(fb="indri", fb_docs=10, fb_terms=10, fb_mu=0.0)
+    terms = expansion_terms(eng.index, ranking, toks, cfg)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in terms], type=pa.string()),
+            "score_r": pa.array([round(s, 6) for _, s in terms], type=pa.float64()),
+        }
+    )
+
+
+def div_xquad(sf_dir: str):
+    """xQuAD over the 'spark join' RankedBoolean ranking with intents
+    spark / join. Iterative greedy -> rows-only check (pytest covers the
+    formula); returns (doc_id, rank)."""
+    from .diversity import DiversityConfig, xquad
+
+    orig = _ranking(sf_dir, "rankedboolean", "#or( spark join )", 100)
+    intents = {
+        "i1": _ranking(sf_dir, "rankedboolean", "spark", 100),
+        "i2": _ranking(sf_dir, "rankedboolean", "join", 100),
+    }
+    out = xquad(orig, intents, DiversityConfig(lam=0.5, max_result_ranking_length=20))
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], type=pa.int64()),
+            "rank": pa.array(list(range(1, len(out) + 1)), type=pa.int32()),
+        }
+    )
+
+
+def div_pm2(sf_dir: str):
+    from .diversity import DiversityConfig, pm2
+
+    orig = _ranking(sf_dir, "rankedboolean", "#or( spark join )", 100)
+    intents = {
+        "i1": _ranking(sf_dir, "rankedboolean", "spark", 100),
+        "i2": _ranking(sf_dir, "rankedboolean", "join", 100),
+    }
+    out = pm2(orig, intents, DiversityConfig(lam=0.5, max_result_ranking_length=20))
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], type=pa.int64()),
+            "rank": pa.array(list(range(1, len(out) + 1)), type=pa.int32()),
+        }
+    )
+
+
+def _docmap_extra(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    langs = sorted(set(t.column("lang").to_pylist()))
+    lmap = {lg: i for i, lg in enumerate(langs)}
+    out = {}
+    for d, lg, src in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("lang").to_pylist(),
+        t.column("source").to_pylist(),
+    ):
+        out[int(d)] = {
+            "path": f"src/{lg}/doc_{d:08d}.txt",
+            "repo": src,
+            "lang_ord": lmap[lg],
+        }
+    return out
+
+
+def ltr_rerank(sf_dir: str):
+    """LeToR: train the pairwise linear ranker on synthetic qrels (docs
+    containing 'dup' are relevant), rerank the BM25 'dup spark' top-50.
+    Deterministic (seeded); rows-only check."""
+    from .letor import Featurizer, LetorConfig, LinearRanker, normalize_per_query, rerank
+
+    eng = engine_for(sf_dir, "bm25")
+    cfg = LetorConfig(seed=42, epochs=10)
+    fz = Featurizer(eng.index, _docmap_extra(sf_dir))
+    # synthetic training: query 'dup', relevance = tf of dup > 0
+    train_q = "dup"
+    ranking = _ranking(sf_dir, "rankedboolean", "#or( dup spark )", 60)
+    docs = np.array([d for d, _ in ranking], dtype=np.int64)
+    p = eng.index.postings("body", "dup")
+    rel = np.isin(docs, p.doc_ids).astype(int)
+    F = normalize_per_query(fz.features(train_q, docs, cfg))
+    ranker = LinearRanker(cfg)
+    ranker.fit([(F, rel)])
+    initial = _ranking(sf_dir, "bm25", "dup spark", 50)
+    out = rerank(eng.index, fz, ranker, "dup spark", initial, cfg)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], type=pa.int64()),
+            "rank": pa.array(list(range(1, len(out) + 1)), type=pa.int32()),
+        }
+    )
+
+
+def drmm_rerank(sf_dir: str):
+    """DRMM-style rerank of the BM25 'dup' top-30 with a seeded MLP trained
+    on synthetic qrels. Deterministic; rows-only check."""
+    import pyarrow.parquet as pq
+
+    from .drmm import DrmmConfig, DrmmScorer
+
+    eng = engine_for(sf_dir, "bm25")
+    scorer = DrmmScorer(eng.index, DrmmConfig(seed=7, epochs=5, n_pairs=100))
+    initial = _ranking(sf_dir, "bm25", "dup", 30)
+    need = [d for d, _ in initial]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = {
+        int(d): x
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if int(d) in set(need)
+    }
+    qrels = {"1": {d: (1 if i < 10 else 0) for i, (d, _) in enumerate(initial)}}
+    scorer.train({"1": "dup"}, qrels, texts)
+    out = scorer.rerank("1", "dup", initial, texts)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], type=pa.int64()),
+            "rank": pa.array(list(range(1, len(out) + 1)), type=pa.int32()),
+        }
+    )
+
+
 def _walk_parquet(d: str) -> list[str]:
     out = []
     for root, _dirs, names in os.walk(d):

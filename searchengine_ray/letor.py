@@ -1,0 +1,222 @@
+"""Learning-to-rank (reference HW4 ``RetrievalModelLeToR``,
+`Homeworks/HW6/QryEval/RetrievalModelLeToR.java`).
+
+The reference builds an 18-slot feature vector per (query, judged doc)
+(`RetrievalModelLeToR.java:42-96`), min-max normalizes per query with a
+missing-value marker (`:213-244`), shells out to svm_rank to train/score,
+and re-sorts the BM25 top-N by model score (`:365-484`).
+
+Re-homed on the code corpus and in-repo:
+
+- the external svm_rank binaries are replaced by an in-repo pairwise linear
+  ranker (RankSVM-style hinge objective, seeded SGD) — same pipeline shape,
+  no external process;
+- document attributes that don't exist for code (spamScore, PageRank,
+  wikipedia flag, date) become corpus-derivable analogs (body length, path
+  depth, test-path flag, repo-name length, lang ordinal) — slot-compatible,
+  feature registry below;
+- f5..f16 are exactly the reference's BM25 / Indri / term-overlap scores
+  per field (body,title,url,keywords), computed vectorized from the index;
+- f18 is the reference's posStd (stddev of query-term positions, with its
+  ``+0.1`` denominator quirk, `RetrievalModelLeToR.java:98-123`).
+
+Missing features use NaN (the reference's Double.MIN_VALUE marker): skipped
+by min/max, then treated as absent (0) by the linear model — matching the
+svm_light line-skipping behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .analyze import analyze_query_token
+from .config import ModelParams
+from .indexio import InvertedIndex
+
+FIELDS = ("body", "title", "url", "keywords")
+N_FEATURES = 18
+
+
+@dataclass
+class LetorConfig:
+    k1: float = 1.2
+    b: float = 0.75
+    mu: float = 1500.0
+    lam: float = 0.01
+    epochs: int = 30
+    lr: float = 0.05
+    seed: int = 42
+    feature_disable: frozenset = field(default_factory=frozenset)  # 1-based ids
+
+
+def _query_terms(query: str) -> list[str]:
+    out = []
+    for tok in query.split():
+        out.extend(analyze_query_token(tok))
+    return out
+
+
+class Featurizer:
+    def __init__(self, index: InvertedIndex, docmap_extra: dict | None = None):
+        self.index = index
+        #: optional doc_id -> dict with 'path', 'repo', 'lang' for the
+        #: attribute-analog features (from the corpus/docmap)
+        self.extra = docmap_extra or {}
+
+    def _scores_for_field(self, terms, docs, fld, cfg: LetorConfig):
+        """(bm25, indri, overlap) arrays over candidate docs, vectorized."""
+        idx = self.index
+        n_cand = len(docs)
+        bm25 = np.zeros(n_cand)
+        indri = np.ones(n_cand)
+        matched = np.zeros(n_cand)
+        any_posting = False
+        dl = idx.doclen(fld, docs).astype(np.float64)
+        N = float(idx.num_docs)
+        dc = idx.doc_count(fld)
+        if dc == 0:
+            return np.full(n_cand, np.nan), np.full(n_cand, np.nan), np.full(n_cand, np.nan)
+        ave = float(idx.sum_field_lengths(fld)) / float(dc)
+        clen = float(idx.sum_field_lengths(fld))
+        for t in terms:
+            p = idx.postings(fld, t)
+            tf = np.zeros(n_cand)
+            if p.df:
+                any_posting = True
+                pos = np.searchsorted(p.doc_ids, docs)
+                pos_c = np.clip(pos, 0, p.df - 1)
+                hit = p.doc_ids[pos_c] == docs
+                tf[hit] = p.tfs[pos_c[hit]].astype(np.float64)
+            idf = max(0.0, math.log((N - p.df + 0.5) / (p.df + 0.5)))
+            bm25 += idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / ave))
+            ctf_eff = float(p.ctf) if p.ctf >= 1 else 0.5
+            prob = ctf_eff / clen
+            indri *= (1 - cfg.lam) * (tf + cfg.mu * prob) / (dl + cfg.mu) + cfg.lam * prob
+            matched += (tf > 0).astype(np.float64)
+        k = max(1, len(terms))
+        indri = np.power(indri, 1.0 / k)
+        overlap = matched / k
+        if not any_posting:
+            return np.full(n_cand, np.nan), np.full(n_cand, np.nan), np.zeros(n_cand)
+        # docs with NO matching term: reference's score fns return 0 for
+        # bm25/overlap; indri still produces the default-product
+        return bm25, indri, overlap
+
+    def _pos_std(self, terms, docs) -> np.ndarray:
+        """stddev of query-term positions in body, with the reference's
+        ``/(n+0.1)`` quirk (`RetrievalModelLeToR.java:98-123`)."""
+        idx = self.index
+        out = np.zeros(len(docs))
+        per_doc_pos: dict[int, list] = {int(d): [] for d in docs}
+        for t in set(terms):
+            p = idx.postings("body", t)
+            if not p.df:
+                continue
+            pos = np.searchsorted(p.doc_ids, docs)
+            pos_c = np.clip(pos, 0, p.df - 1)
+            hit = p.doc_ids[pos_c] == docs
+            for j in np.flatnonzero(hit):
+                i = pos_c[j]
+                per_doc_pos[int(docs[j])].extend(
+                    p.positions[p.pos_offsets[i] : p.pos_offsets[i + 1]].tolist()
+                )
+        for j, d in enumerate(docs):
+            pos = per_doc_pos[int(d)]
+            n = len(pos)
+            mean = sum(pos) / (n + 0.1)
+            var = sum((x - mean) ** 2 for x in pos) / (n + 0.1)
+            out[j] = math.sqrt(var)
+        return out
+
+    def features(self, query: str, docs: np.ndarray, cfg: LetorConfig) -> np.ndarray:
+        terms = _query_terms(query)
+        n = len(docs)
+        F = np.full((n, N_FEATURES), np.nan)
+        dl_body = self.index.doclen("body", docs).astype(np.float64)
+        F[:, 0] = dl_body  # f1: body length (spamScore analog)
+        for j, d in enumerate(docs):
+            ex = self.extra.get(int(d), {})
+            path = ex.get("path", "")
+            F[j, 1] = path.count("/")  # f2: path depth (url-slash analog)
+            F[j, 2] = 1.0 if "test" in path else 0.0  # f3: wikipedia analog
+            F[j, 3] = float(len(ex.get("repo", "")))  # f4: PageRank analog
+            F[j, 16] = float(ex.get("lang_ord", np.nan))  # f17: date analog
+        for i, fld in enumerate(FIELDS):
+            b, ind, ov = self._scores_for_field(terms, docs, fld, cfg)
+            F[:, 4 + 3 * i] = b
+            F[:, 5 + 3 * i] = ind
+            F[:, 6 + 3 * i] = ov
+        F[:, 17] = self._pos_std(terms, docs)  # f18
+        return F
+
+
+def normalize_per_query(F: np.ndarray) -> np.ndarray:
+    """Per-query min-max to [0,1]; NaN = missing, skipped then zeroed
+    (`RetrievalModelLeToR.java:213-244` + svm_line skipping)."""
+    out = F.copy()
+    with np.errstate(all="ignore"):
+        mn = np.nanmin(F, axis=0)
+        mx = np.nanmax(F, axis=0)
+    span = mx - mn
+    for j in range(F.shape[1]):
+        col = out[:, j]
+        if np.isnan(mn[j]) or span[j] == 0:
+            continue
+        mask = ~np.isnan(col)
+        col[mask] = (col[mask] - mn[j]) / span[j]
+    return np.nan_to_num(out, nan=0.0)
+
+
+class LinearRanker:
+    """Pairwise hinge-loss linear ranker (in-repo svm_rank replacement)."""
+
+    def __init__(self, cfg: LetorConfig):
+        self.cfg = cfg
+        self.w = np.zeros(N_FEATURES)
+
+    def fit(self, groups: list[tuple[np.ndarray, np.ndarray]]) -> None:
+        """groups: per query (features NxF normalized, relevance labels N)."""
+        rng = np.random.default_rng(self.cfg.seed)
+        pairs = []
+        for F, y in groups:
+            for i in range(len(y)):
+                for j in range(len(y)):
+                    if y[i] > y[j]:
+                        pairs.append(F[i] - F[j])
+        if not pairs:
+            return
+        X = np.vstack(pairs)
+        w = np.zeros(X.shape[1])
+        for _ in range(self.cfg.epochs):
+            order = rng.permutation(len(X))
+            for i in order:
+                if X[i] @ w < 1.0:  # hinge margin
+                    w += self.cfg.lr * X[i]
+        disable = {d - 1 for d in self.cfg.feature_disable}
+        for d in disable:
+            w[d] = 0.0
+        self.w = w
+
+    def score(self, F: np.ndarray) -> np.ndarray:
+        return F @ self.w
+
+
+def rerank(
+    index: InvertedIndex,
+    featurizer: Featurizer,
+    ranker: LinearRanker,
+    query: str,
+    initial: list[tuple[int, float]],
+    cfg: LetorConfig,
+) -> list[tuple[int, float]]:
+    """Re-sort the initial ranking by model score (desc, extid asc on ties,
+    `RetrievalModelLeToR.java:461-484`)."""
+    docs = np.array([d for d, _ in initial], dtype=np.int64)
+    F = normalize_per_query(featurizer.features(query, docs, cfg))
+    scores = ranker.score(F)
+    ext = index.external_ids(docs)
+    order = np.lexsort((ext.astype(str), -scores))
+    return [(int(docs[i]), float(scores[i])) for i in order]

@@ -1,0 +1,202 @@
+"""PRF expansion, diversification, LeToR, DRMM — formula fixtures and
+end-to-end checks over the built synthetic index."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from searchengine_ray.config import ModelParams
+from searchengine_ray.diversity import DiversityConfig, pm2, xquad
+from searchengine_ray.engine import SearchEngine
+from searchengine_ray.expand import (
+    ExpandConfig,
+    expand_query_line,
+    expansion_query,
+    expansion_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    return SearchEngine(built_index, ModelParams(model="bm25", top_k=50))
+
+
+# ---------------------------------------------------------------------------
+# PRF
+# ---------------------------------------------------------------------------
+
+
+def test_expansion_score_formula(engine):
+    """Hand-check score(t) = sum ptd * doc_score * idf on one term/doc."""
+    idx = engine.index
+    ranking = [(0, 2.0)]
+    doc_tokens = {0: Counter({"mutex": 3})}
+    cfg = ExpandConfig(fb="indri", fb_docs=1, fb_terms=5, fb_mu=0.0)
+    terms = expansion_terms(idx, ranking, doc_tokens, cfg)
+    got = dict(terms)["mutex"]
+    C = idx.sum_field_lengths("body")
+    ctf = idx.postings("body", "mutex").ctf
+    dl = float(idx.doclen("body", np.array([0]))[0])
+    want = (3.0 / dl) * 2.0 * math.log(C / ctf)
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_expansion_query_format():
+    q = expansion_query([("alpha", 0.51236), ("beta", 0.2)], ExpandConfig(fb="indri"))
+    assert q == "#wand(0.5124 alpha 0.2000 beta )"
+    line = expand_query_line("7", "orig query", q, ExpandConfig(fb_orig_weight=0.4), "indri")
+    assert line.startswith("7: #wand(0.400000 #and(orig query) 0.600000 #wand(")
+
+
+def test_expanded_query_parses_and_runs(engine, built_index):
+    """End-to-end: expansion output must be valid query language."""
+    from searchengine_ray.engine import SearchEngine
+
+    idx = engine.index
+    initial = engine.search("1", "mutex lock").to_pandas()
+    ranking = list(zip(initial["doc_id"], initial["score"]))[:5]
+    doc_tokens = {
+        int(d): Counter({"mutex": 1, "lock": 2, "pool": 1}) for d, _ in ranking
+    }
+    terms = expansion_terms(idx, ranking, doc_tokens, ExpandConfig(fb_mu=0.0))
+    fbq = expansion_query(terms, ExpandConfig())
+    line = expand_query_line("1", "mutex lock", fbq, ExpandConfig(), "indri")
+    qid, expanded = line.split(":", 1)
+    eng_i = SearchEngine(built_index, ModelParams(model="indri", top_k=10))
+    res = eng_i.search(qid.strip(), expanded.strip())
+    assert res.num_rows > 0
+
+
+# ---------------------------------------------------------------------------
+# Diversification
+# ---------------------------------------------------------------------------
+
+ORIG = [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6)]
+INTENTS = {
+    "a": [(1, 0.9), (2, 0.1)],
+    "b": [(3, 0.8), (4, 0.7)],
+}
+
+
+def test_xquad_first_pick_is_greedy_argmax():
+    cfg = DiversityConfig(lam=0.5, max_result_ranking_length=4)
+    out = xquad(ORIG, INTENTS, cfg)
+    # base = max(sum_orig=3.0, ...) = 3.0; first pick maximizes
+    # 0.5*rel + 0.25*(rel_a + rel_b) -> doc 1: 0.5*.3+0.25*.3=0.225 beats others
+    assert out[0][0] == 1
+    assert len(out) == 4
+    # scores descending after final sort
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_xquad_diversifies():
+    """After picking intent-a's doc, intent-b docs get boosted."""
+    cfg = DiversityConfig(lam=1.0, max_result_ranking_length=3)
+    out = xquad(ORIG, INTENTS, cfg)
+    picked = [d for d, _ in out]
+    # with lam=1 pure diversity: doc1 (a), then a b-doc must appear by rank 2
+    assert 3 in picked[:2] or 4 in picked[:2]
+
+
+def test_pm2_alternates_intents():
+    cfg = DiversityConfig(lam=1.0, max_result_ranking_length=4)
+    out = pm2(ORIG, INTENTS, cfg)
+    picked = [d for d, _ in out]
+    a_docs, b_docs = {1, 2}, {3, 4}
+    # proportionality: both intents represented in the top 2 picks
+    top2 = set(picked[:2])
+    assert top2 & a_docs and top2 & b_docs
+
+
+def test_pm2_deterministic():
+    cfg = DiversityConfig(lam=0.5, max_result_ranking_length=4)
+    assert pm2(ORIG, INTENTS, cfg) == pm2(ORIG, INTENTS, cfg)
+
+
+# ---------------------------------------------------------------------------
+# LeToR
+# ---------------------------------------------------------------------------
+
+
+def test_letor_features_and_rerank(engine):
+    from searchengine_ray.letor import (
+        Featurizer,
+        LetorConfig,
+        LinearRanker,
+        normalize_per_query,
+        rerank,
+    )
+
+    idx = engine.index
+    cfg = LetorConfig(seed=3, epochs=20)
+    fz = Featurizer(idx)
+    p = idx.postings("body", "mutex")
+    some = idx.all_doc_ids()[:40]
+    F = fz.features("mutex lock", some, cfg)
+    assert F.shape == (40, 18)
+    Fn = normalize_per_query(F)
+    assert np.nanmax(Fn) <= 1.0 + 1e-12 and np.nanmin(Fn) >= -1e-12
+
+    # relevance = contains 'mutex'; the ranker must learn to rank those higher
+    rel = np.isin(some, p.doc_ids).astype(int)
+    if rel.sum() == 0 or rel.sum() == len(rel):
+        pytest.skip("degenerate fixture")
+    ranker = LinearRanker(cfg)
+    ranker.fit([(Fn, rel)])
+    scores = ranker.score(Fn)
+    # pairwise accuracy above chance
+    correct = total = 0
+    for i in range(len(rel)):
+        for j in range(len(rel)):
+            if rel[i] > rel[j]:
+                total += 1
+                correct += scores[i] > scores[j]
+    assert correct / total > 0.7
+
+    initial = [(int(d), 1.0) for d in some]
+    out = rerank(idx, fz, ranker, "mutex lock", initial, cfg)
+    assert len(out) == len(initial)
+    assert {d for d, _ in out} == {d for d, _ in initial}
+
+
+# ---------------------------------------------------------------------------
+# DRMM
+# ---------------------------------------------------------------------------
+
+
+def test_drmm_histogram_binning():
+    from searchengine_ray.drmm import histogram
+
+    h = histogram(np.array([1.0, 0.999999, -1.0, 0.0]), 10)
+    # two sims >= 0.99999 -> top bin count 2 -> log(2)
+    assert h[9] == pytest.approx(math.log(2))
+    assert h[0] == 0.0  # count 1 -> log(1) = 0
+    assert h.shape == (10,)
+
+
+def test_drmm_train_reduces_loss_and_is_deterministic(engine):
+    from searchengine_ray.drmm import DrmmConfig, DrmmScorer
+
+    texts = {
+        0: "mutex lock guard mutex",
+        1: "apple banana fruit salad",
+        2: "mutex semaphore lock",
+        3: "weather sunny rain cloud",
+    }
+    qrels = {"1": {0: 1, 1: 0, 2: 1, 3: 0}}
+    queries = {"1": "mutex lock"}
+    cfg = DrmmConfig(seed=11, epochs=15, n_pairs=40)
+    s1 = DrmmScorer(engine.index, cfg)
+    losses = s1.train(queries, qrels, texts)
+    assert losses[-1] <= losses[0]
+    out1 = s1.rerank("1", "mutex lock", [(d, 1.0) for d in texts], texts)
+    s2 = DrmmScorer(engine.index, cfg)
+    s2.train(queries, qrels, texts)
+    out2 = s2.rerank("1", "mutex lock", [(d, 1.0) for d in texts], texts)
+    assert out1 == out2
+    # relevant (mutex-y) docs should outrank the off-topic ones
+    ranks = {d: i for i, (d, _) in enumerate(out1)}
+    assert ranks[0] < ranks[3] and ranks[2] < ranks[1]

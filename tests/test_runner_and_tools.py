@@ -1,0 +1,155 @@
+"""End-to-end runner (param file -> trec output), sharded two-phase
+evaluation, inspector, readers, multimodal plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from searchengine_ray.config import ModelParams
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_runner_param_file_end_to_end(built_index, tmp_path):
+    from searchengine_ray.runner import main as runner_main  # noqa: F401  (import check)
+    from searchengine_ray.runner import run
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("1:mutex lock\n2:#near/1( unit test )\n3:nosuchterm\n")
+    out = tmp_path / "run.trec"
+    params = {
+        "indexPath": built_index,
+        "queryFilePath": str(qfile),
+        "trecEvalOutputPath": str(out),
+        "retrievalAlgorithm": "BM25",
+        "BM25:k_1": "1.2",
+        "BM25:b": "0.75",
+        "BM25:k_3": "0",
+        "trecEvalOutputLength": "10",
+    }
+    run(params)
+    lines = out.read_text().strip().splitlines()
+    assert any(l.startswith("1 Q0 ") for l in lines)
+    assert any(l.startswith("3 Q0 dummy 1 ") for l in lines)  # empty-result dummy
+    # format: qid Q0 extid rank score runid with %.18f score
+    parts = lines[0].split()
+    assert parts[1] == "Q0" and parts[5] == "reference"
+    assert len(parts[4].split(".")[1]) == 18
+
+
+def test_runner_diversity_mode(built_index, tmp_path):
+    from searchengine_ray.runner import run
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("1:mutex lock\n")
+    intents = tmp_path / "intents.txt"
+    intents.write_text("1.1:mutex\n1.2:lock\n")
+    out = tmp_path / "div.trec"
+    params = {
+        "indexPath": built_index,
+        "queryFilePath": str(qfile),
+        "trecEvalOutputPath": str(out),
+        "retrievalAlgorithm": "BM25",
+        "diversity": "true",
+        "diversity:algorithm": "xquad",
+        "diversity:lambda": "0.5",
+        "diversity:intentsFile": str(intents),
+        "diversity:maxInputRankingsLength": "50",
+        "diversity:maxResultRankingLength": "10",
+    }
+    run(params)
+    assert len(out.read_text().strip().splitlines()) > 0
+
+
+def test_sharded_two_phase_matches_full_index(built_index):
+    """The at-scale path: derived-list stats all-reduced across doc shards
+    must reproduce the single-index evaluation exactly (BM25 scores a
+    derived #near list with GLOBAL df)."""
+    from searchengine_ray.engine import SearchEngine, evaluate_sharded
+
+    full = SearchEngine(built_index, ModelParams(model="bm25", top_k=20))
+    for q in ("#near/1( unit test )", "mutex lock", "#sum( #syn( error fault ) check )"):
+        want = full.search("q", q).to_pandas()
+        got = evaluate_sharded(
+            built_index, "q", q, parts=[0, 1],
+            params=ModelParams(model="bm25", top_k=20),
+        ).to_pandas()
+        assert list(got["external_id"]) == list(want["external_id"]), q
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-12
+        )
+
+
+def test_inspect_tool(built_index, capsys):
+    from searchengine_ray import inspect_tool
+
+    inspect_tool.main([built_index, "-list-stats"])
+    out = capsys.readouterr().out
+    assert "numDocs:" in out and "field 'body'" in out
+    inspect_tool.main([built_index, "-list-postings", "mutex", "body", "3"])
+    out = capsys.readouterr().out
+    assert "mutex.body: df=" in out
+    inspect_tool.main([built_index, "-list-metadata"])
+    assert "fingerprint" in capsys.readouterr().out
+
+
+def test_trec_and_qrels_readers(tmp_path):
+    from searchengine_ray.runner import read_qrels, read_trec_rankings
+
+    f = tmp_path / "r.trec"
+    f.write_text("1 Q0 docA 1 2.5 run\n1 Q0 docB 2 1.5 run\n2 Q0 docC 1 9.0 run\n")
+    r = read_trec_rankings(str(f))
+    assert r["1"] == [("docA", 2.5), ("docB", 1.5)] and len(r["2"]) == 1
+    g = tmp_path / "qrels.txt"
+    g.write_text("1 0 docA 2\n1 0 docB 0\n")
+    q = read_qrels(str(g))
+    assert q["1"] == {"docA": 2, "docB": 0}
+
+
+def test_multimodal_plumbing():
+    import ray.data
+
+    from searchengine_ray.multimodal import (
+        AudioFeatures,
+        VideoFrameSample,
+        image_pipeline,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(30))
+    img = image_pipeline(media, concurrency=2).to_pandas()
+    assert len(img) == 10  # 30 rows, kind cycles image/audio/video
+    assert set(img.columns) >= {"media_id", "mean_r", "embedding"}
+    assert len(img["embedding"].iloc[0]) == 64
+
+    audio = (
+        media.filter(lambda r: r["kind"] == "audio")
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=2)
+        .to_pandas()
+    )
+    assert (audio["rms"] > 0).all()
+
+    frames = (
+        media.filter(lambda r: r["kind"] == "video")
+        .map_batches(VideoFrameSample, batch_format="pyarrow", batch_size=8, concurrency=2)
+        .to_pandas()
+    )
+    assert len(frames) == 10 * 3  # n_frames per video
+
+    # determinism: the fake backend is payload-seeded
+    img2 = image_pipeline(ray.data.from_arrow(synth_media_table(30)), 2).to_pandas()
+    assert np.allclose(
+        np.vstack(img["embedding"].map(np.asarray)),
+        np.vstack(img2["embedding"].map(np.asarray)),
+    )
+
+
+def test_real_backend_raises():
+    from searchengine_ray.multimodal import DecodeBackend
+
+    with pytest.raises(NotImplementedError):
+        DecodeBackend().decode_image(b"x", 4, 4)
