@@ -21,7 +21,12 @@ def replicated_corpus_factory(sf_dir: str, factor: int, n_base: int | None = Non
         n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def factory():
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        # one small parquet file = ONE input block; split it so the
+        # replicate/tokenize stages fan out across cores instead of running
+        # in a single task
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", override_num_blocks=64
+        )
 
         def replicate(t: pa.Table) -> pa.Table:
             parts = []

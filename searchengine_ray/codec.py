@@ -51,21 +51,26 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes | memoryview, dtype=np.int64) -> np.ndarray:
-    """Decode LEB128 varbytes back to an int array."""
+    """Decode LEB128 varbytes back to an int array.
+
+    Byte-position-class decoding: at most ``max_len`` (<=10) vectorized
+    passes, one per significance position — no per-element scatter
+    (np.add.at is ~50x slower on multi-MB posting lists)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=dtype)
     is_last = (b & 0x80) == 0
-    n = int(is_last.sum())
-    gid = np.zeros(b.size, dtype=np.int64)
-    gid[1:] = np.cumsum(is_last[:-1])
-    # first byte index of each group
-    group_starts = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        group_starts[1:] = np.flatnonzero(is_last)[:-1] + 1
-    k = np.arange(b.size, dtype=np.int64) - group_starts[gid]
+    ends = np.flatnonzero(is_last)
+    n = len(ends)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
     vals = np.zeros(n, dtype=np.uint64)
-    np.add.at(vals, gid, (b & np.uint8(0x7F)).astype(np.uint64) << k.astype(np.uint64) * np.uint64(7))
+    for k in range(int(lens.max())):
+        sel = lens > k
+        vals[sel] |= payload[starts[sel] + k] << np.uint64(7 * k)
     return vals.astype(dtype)
 
 

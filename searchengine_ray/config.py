@@ -35,6 +35,8 @@ class ModelParams:
     mu: float = 1500.0
     lam: float = 0.01  # Indri:lambda
     top_k: int = 100  # trecEvalOutputLength
+    #: flat-BM25 MaxScore/block-max pruning fast path (exact; auto-fallback)
+    use_maxscore: bool = True
 
     @classmethod
     def from_params(cls, params: dict[str, str]) -> "ModelParams":
@@ -89,7 +91,11 @@ class BuildConfig:
     #: per-group dispatch overhead.
     merge_partitions: int = 64
     #: materialize each build partition's corpus once so the docmap and
-    #: postings passes share a single read (always on for multi-partition
-    #: builds).
-    materialize_partition: bool = True
+    #: postings passes share a single read. Default OFF: re-reading Parquet
+    #: streams with backpressure, while a materialized 100k+-doc corpus pins
+    #: the object store and its async GC steals cycles from the next stage
+    #: (measured: the query pool ran 6x slower right after a materialized
+    #: build). Multi-partition builds still materialize their (bounded)
+    #: slice to avoid re-reading the whole input per partition.
+    materialize_partition: bool = False
     tokenize_batch_size: int = 1024

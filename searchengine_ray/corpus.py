@@ -62,10 +62,15 @@ def derive_corpus_batch(batch: pa.Table) -> pa.Table:
 
 
 def corpus_from_documents(sf_dir: str):
-    """Ray Dataset of the derived corpus (streaming; content stays in Arrow)."""
+    """Ray Dataset of the derived corpus (streaming; content stays in Arrow).
+
+    The single small parquet file would otherwise be one block -> one task
+    for every downstream map stage; split it so tokenize parallelizes."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=16
+    )
     return ds.map_batches(derive_corpus_batch, batch_format="pyarrow")
 
 

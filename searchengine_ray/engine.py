@@ -58,21 +58,30 @@ def top_k(
 
 def select_top_k(index: InvertedIndex, docs, scores, k):
     """Top-k with the exact comparator, but cheap at large result sets:
-    partial-select candidates by score first (keeping ALL score ties at the
-    boundary), then do the expensive string tie-break sort and external-id
-    lookup only on the candidates."""
+    partial-select candidates by score first, and when the k-th score ties
+    massively (e.g. idf-clamped all-zero scores over 10^5+ docs) partial-
+    select the tie set by external id too — the full string sort runs on
+    O(k) candidates, never the whole result."""
     n = len(docs)
     if n == 0:
         return docs, scores, np.empty(0, dtype=object)
     if n > 4 * k and k > 0:
         kth = np.partition(scores, n - k)[n - k]  # k-th largest score
-        cand = np.flatnonzero(scores >= kth)  # ties at the boundary included
+        strictly = np.flatnonzero(scores > kth)
+        need = k - len(strictly)
+        ties = np.flatnonzero(scores == kth)
+        if need > 0 and len(ties) > 4 * need:
+            # smallest `need` tie-break ranks among the ties (integer select)
+            rank_t = index.ext_ranks(docs[ties])
+            sel_t = np.argpartition(rank_t, need - 1)[:need]
+            cand = np.concatenate([strictly, ties[sel_t]])
+        else:
+            cand = np.concatenate([strictly, ties])
     else:
         cand = np.arange(n)
-    ext = index.external_ids(docs[cand])
-    order = np.lexsort((ext.astype(str), -scores[cand]))[:k]
+    order = np.lexsort((index.ext_ranks(docs[cand]), -scores[cand]))[:k]
     sel = cand[order]
-    return docs[sel], scores[sel], ext[order]
+    return docs[sel], scores[sel], index.external_ids(docs[sel])
 
 
 class SearchEngine:
@@ -89,8 +98,18 @@ class SearchEngine:
 
     def search(self, qid: str, query: str) -> pa.Table:
         tree = self.parse(query)
-        ev = Evaluator(self.index, self.params)
-        docs, scores = ev.evaluate(tree)
+        docs = scores = None
+        if self.params.model == "bm25" and self.params.use_maxscore:
+            from .wand import flat_bm25_terms, flat_bm25_topk
+
+            terms = flat_bm25_terms(tree) if tree is not None else None
+            if terms:
+                fast = flat_bm25_topk(self.index, terms, self.params)
+                if fast is not None:
+                    docs, scores = fast
+        if docs is None:
+            ev = Evaluator(self.index, self.params)
+            docs, scores = ev.evaluate(tree)
         docs, scores, ext = select_top_k(self.index, docs, scores, self.params.top_k)
         n = len(docs)
         return pa.table(

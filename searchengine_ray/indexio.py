@@ -31,8 +31,8 @@ class Postings:
 
     doc_ids: np.ndarray  # int64, ascending
     tfs: np.ndarray  # int64
-    pos_offsets: np.ndarray  # int64, len = df + 1
-    positions: np.ndarray  # int64, flat
+    pos_offsets: "np.ndarray | None"  # int64, len = df + 1 (lazy)
+    positions: "np.ndarray | None"  # int64, flat (lazy; see postings())
     df: int
     ctf: int
 
@@ -93,6 +93,12 @@ class InvertedIndex:
         self._doc_ids = dm_ids[dorder]
         self._external_ids = np.asarray(dm.column("external_id").to_pylist(), dtype=object)[dorder]
         self._sha256 = np.asarray(dm.column("sha256").to_pylist(), dtype=object)[dorder]
+        # integer rank of each doc's external_id in lexicographic order:
+        # the score tie-break (`ScoreList.java:90-97`) becomes integer
+        # comparisons instead of per-query wide-string sorts
+        eorder = np.argsort(self._external_ids.astype(str), kind="stable")
+        self._ext_rank = np.empty(len(eorder), dtype=np.int64)
+        self._ext_rank[eorder] = np.arange(len(eorder), dtype=np.int64)
         self._doclens = {
             name.removeprefix("len_"): dm.column(name).to_numpy()[dorder]
             for name in dm.schema.names
@@ -123,44 +129,68 @@ class InvertedIndex:
     def external_ids(self, doc_ids: np.ndarray) -> np.ndarray:
         return self._external_ids[self._rows_for(np.asarray(doc_ids, np.int64))]
 
+    def ext_ranks(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Lexicographic rank of external_id (int64) — tie-break key."""
+        return self._ext_rank[self._rows_for(np.asarray(doc_ids, np.int64))]
+
     def all_doc_ids(self) -> np.ndarray:
         return self._doc_ids
 
     # ---- postings ----
-    def postings(self, field: str, term: str) -> Postings:
+    def postings(
+        self, field: str, term: str, need_positions: bool = True
+    ) -> Postings:
+        """Decoded postings, cached. Position decoding is LAZY: pure scoring
+        paths (BM25/Indri/Boolean over tf) pass ``need_positions=False`` and
+        skip the most expensive decode; a later positional request upgrades
+        the cached entry in place."""
         key = (field, term)
-        if key in self._cache:
-            return self._cache[key]
+        p = self._cache.get(key)
+        if p is not None and (not need_positions or p.positions is not None):
+            return p
         rows = self._key_rows.get(key)
         if not rows:
             self._cache[key] = EMPTY_POSTINGS
             return EMPTY_POSTINGS
-        docs_parts, tfs_parts, pos_parts, off_parts = [], [], [], []
-        base = 0
-        for r in rows:
-            docs = decode_sorted(self._postings_tbl.column("docs_vb")[r].as_py())
-            tfs = varbyte_decode(self._postings_tbl.column("tfs_vb")[r].as_py())
-            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-            np.cumsum(tfs, out=offs[1:])
-            pos = decode_segmented(self._postings_tbl.column("pos_vb")[r].as_py(), offs)
-            docs_parts.append(docs)
-            tfs_parts.append(tfs.astype(np.int64))
-            pos_parts.append(pos)
-            off_parts.append(offs[1:] + base)
-            base += len(pos)
-        doc_ids = np.concatenate(docs_parts)
-        tfs = np.concatenate(tfs_parts)
-        positions = np.concatenate(pos_parts)
-        pos_offsets = np.concatenate([np.zeros(1, np.int64)] + off_parts)
-        p = Postings(
-            doc_ids=doc_ids,
-            tfs=tfs,
-            pos_offsets=pos_offsets,
-            positions=positions,
-            df=len(doc_ids),
-            ctf=int(tfs.sum()),
-        )
-        self._cache[key] = p
+        if p is None:
+            docs_parts, tfs_parts = [], []
+            for r in rows:
+                docs_parts.append(
+                    decode_sorted(self._postings_tbl.column("docs_vb")[r].as_py())
+                )
+                tfs_parts.append(
+                    varbyte_decode(
+                        self._postings_tbl.column("tfs_vb")[r].as_py()
+                    ).astype(np.int64)
+                )
+            doc_ids = np.concatenate(docs_parts)
+            tfs = np.concatenate(tfs_parts)
+            p = Postings(
+                doc_ids=doc_ids,
+                tfs=tfs,
+                pos_offsets=None,
+                positions=None,
+                df=len(doc_ids),
+                ctf=int(tfs.sum()),
+            )
+            self._cache[key] = p
+        if need_positions and p.positions is None:
+            pos_parts, off_parts = [], []
+            base = i0 = 0
+            for r in rows:
+                n_docs_row = int(self._postings_tbl.column("df")[r].as_py())
+                tfs_row = p.tfs[i0 : i0 + n_docs_row]
+                i0 += n_docs_row
+                offs = np.zeros(len(tfs_row) + 1, dtype=np.int64)
+                np.cumsum(tfs_row, out=offs[1:])
+                pos = decode_segmented(
+                    self._postings_tbl.column("pos_vb")[r].as_py(), offs
+                )
+                pos_parts.append(pos)
+                off_parts.append(offs[1:] + base)
+                base += len(pos)
+            p.positions = np.concatenate(pos_parts)
+            p.pos_offsets = np.concatenate([np.zeros(1, np.int64)] + off_parts)
         return p
 
     def block_metadata(self, field: str, term: str):

@@ -82,7 +82,7 @@ class Featurizer:
         ave = float(idx.sum_field_lengths(fld)) / float(dc)
         clen = float(idx.sum_field_lengths(fld))
         for t in terms:
-            p = idx.postings(fld, t)
+            p = idx.postings(fld, t, need_positions=False)
             tf = np.zeros(n_cand)
             if p.df:
                 any_posting = True

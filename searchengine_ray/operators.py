@@ -39,16 +39,22 @@ from .qryparse import Op, Term
 # ---------------------------------------------------------------------------
 
 
-def eval_iop(node, index: InvertedIndex) -> Postings:
+def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Postings:
+    """``need_positions=False`` lets pure-scoring consumers (#SCORE leaves —
+    tf/df/ctf only) skip position decode/merge; positional parents always
+    request their children's positions."""
     if isinstance(node, Term):
-        return index.postings(node.field, node.term)
+        return index.postings(node.field, node.term, need_positions=need_positions)
     if node.name == "#syn":
-        return _eval_syn([eval_iop(a, index) for a in node.args])
+        return _eval_syn(
+            [eval_iop(a, index, need_positions) for a in node.args],
+            need_positions,
+        )
     if node.name == "#near":
-        return _eval_near([eval_iop(a, index) for a in node.args], node.dist)
+        return _eval_near([eval_iop(a, index, True) for a in node.args], node.dist)
     if node.name == "#window":
         return _eval_window_vectorized(
-            [eval_iop(a, index) for a in node.args], node.dist
+            [eval_iop(a, index, True) for a in node.args], node.dist
         )
     raise ValueError(f"not an inverted-list operator: {node.name}")
 
@@ -124,14 +130,25 @@ def _make_postings(doc_ids, tfs, pos_offsets, positions) -> Postings:
     )
 
 
-def _eval_syn(parts: list[Postings]) -> Postings:
+def _eval_syn(parts: list[Postings], need_positions: bool = True) -> Postings:
     """Union; per-doc positions = concatenation of all args', sorted.
 
     One radix-friendly sort of packed (doc << 32 | pos) keys instead of a
-    two-key lexsort + gather (positions fit 32 bits by construction)."""
+    two-key lexsort + gather (positions fit 32 bits by construction). When
+    the caller only scores (tf/df/ctf), the position merge is skipped
+    entirely — a doc/tf union via bincount."""
     parts = [p for p in parts if p.df > 0]
     if not parts:
         return EMPTY_POSTINGS
+    if not need_positions:
+        doc_all = np.concatenate([p.doc_ids for p in parts])
+        tf_all = np.concatenate([p.tfs for p in parts])
+        docs, inv = np.unique(doc_all, return_inverse=True)
+        tfs = np.bincount(inv, weights=tf_all.astype(np.float64)).astype(np.int64)
+        return Postings(
+            doc_ids=docs, tfs=tfs, pos_offsets=None, positions=None,
+            df=len(docs), ctf=int(tfs.sum()),
+        )
     key = np.concatenate(
         [
             (np.repeat(p.doc_ids, p.tfs).astype(np.uint64) << np.uint64(32))
@@ -290,11 +307,15 @@ class Evaluator:
         self.stats_override: dict = {}
 
     # -- inverted lists (cached per tree node) --
-    def iop(self, node) -> Postings:
+    def iop(self, node, need_positions: bool = False) -> Postings:
+        """Score leaves only need (docs, tfs, df, ctf), so positions default
+        to lazy; a cached positionless entry upgrades on demand."""
         key = id(node)
-        if key not in self._iop_cache:
-            self._iop_cache[key] = eval_iop(node, self.index)
-        return self._iop_cache[key]
+        p = self._iop_cache.get(key)
+        if p is None or (need_positions and p.positions is None and p.df > 0):
+            p = eval_iop(node, self.index, need_positions)
+            self._iop_cache[key] = p
+        return p
 
     def _iop_stats(self, node) -> tuple[int, int]:
         """(df, ctf) of a (possibly derived) inverted list; the sharded path

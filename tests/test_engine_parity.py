@@ -120,3 +120,27 @@ def test_postings_invariants(built_index):
     dm = pads.dataset(f"{built_index}/docmap").to_table()
     sum_len = sum(dm.column("len_body").to_pylist())
     assert total_ctf < sum_len  # stopwords occupy positions but aren't indexed
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "memory buffer overflow",
+        "mutex lock",
+        "check",                      # clamped idf -> fallback path
+        "uniqueterm_only_here",
+        "mutex.title lock",           # multi-field flat
+        "alloc free memory buffer cache",
+    ],
+)
+def test_maxscore_fast_path_exact(built_index, q):
+    """Flat-BM25 MaxScore pruning must be rank- and score-identical to the
+    exhaustive evaluator, including tie-breaks and fallback cases."""
+    fast = SearchEngine(built_index, ModelParams(model="bm25", top_k=10))
+    slow = SearchEngine(
+        built_index, ModelParams(model="bm25", top_k=10, use_maxscore=False)
+    )
+    a = fast.search("q", q).to_pandas()
+    b = slow.search("q", q).to_pandas()
+    assert list(a["external_id"]) == list(b["external_id"])
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
