@@ -333,6 +333,13 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
 
+_REV_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
 _TOP_PARTS_SQL = """
 SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY l_partkey
@@ -406,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary,
         "rel_orders_by_nation": relational.orders_by_nation,
         "rel_top_parts": relational.top_parts,
+        "rel_join_revenue": relational.revenue_by_order_priority,
     }
 
 
@@ -442,4 +450,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_pricing_summary": _PRICING_SQL,
         "rel_orders_by_nation": _ORDERS_NATION_SQL,
         "rel_top_parts": _TOP_PARTS_SQL,
+        "rel_join_revenue": _REV_BY_PRIORITY_SQL,
     }

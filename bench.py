@@ -169,20 +169,27 @@ def run_scaling_worker() -> None:
     ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()  # warm cache
     factory = replicated_corpus_factory(SF_DIR, factor)
     idx_dir = f"/tmp/scaling_index_{ncpu}"
-    if os.path.exists(idx_dir):
-        shutil.rmtree(idx_dir)
-    t0 = time.time()
-    build_index(factory, idx_dir, BuildConfig(), n_docs=factory.n_docs)
-    build_sec = time.time() - t0
+    build_sec = float("inf")
+    for _ in range(2):  # best of 2: this VM has ±25% CPU-steal noise
+        if os.path.exists(idx_dir):
+            shutil.rmtree(idx_dir)
+        os.sync()
+        t0 = time.time()
+        build_index(factory, idx_dir, BuildConfig(), n_docs=factory.n_docs)
+        build_sec = min(build_sec, time.time() - t0)
+    os.sync()  # don't measure queries against the build's writeback
+    time.sleep(5)
 
     queries = make_queries(48) * 4
     svc = QueryService(
         idx_dir, ModelParams(model="bm25", top_k=100), num_actors=min(8, ncpu)
     )
     svc.search_batch(queries)  # warm pass (steady-state QPS is the metric)
-    t0 = time.time()
-    svc.search_batch(queries)
-    query_sec = time.time() - t0
+    query_sec = float("inf")
+    for _ in range(2):  # best of 2: guards against background writeback
+        t0 = time.time()
+        svc.search_batch(queries)
+        query_sec = min(query_sec, time.time() - t0)
     svc.shutdown()
     ray.shutdown()
     print(
@@ -218,7 +225,12 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     n_lo, n_hi = 2, 8
-    lo, hi = one(n_lo), one(n_hi)
+    lo = one(n_lo)
+    # settle: flush page cache writeback of the previous worker's index
+    # files so the next session isn't measured against leftover IO
+    os.sync()
+    time.sleep(10)
+    hi = one(n_hi)
     ratio = n_hi / n_lo
     total_lo = lo["build_sec"] + lo["query_sec"]
     total_hi = hi["build_sec"] + hi["query_sec"]

@@ -79,13 +79,46 @@ def _shingles(text: str, n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_term_hash_memo: dict[str, int] = {}
+
+
+def _term_hash64(term: str) -> int:
+    """FNV-1a 64 of a token, memoized (process-stable, vocabulary is tiny
+    relative to the token stream)."""
+    h = _term_hash_memo.get(term)
+    if h is None:
+        v = 14695981039346656037
+        for b in term.encode():
+            v = ((v ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        h = v
+        _term_hash_memo[term] = h
+    return h
+
+
+#: odd position-mixing constants for the n-gram combiner
+_POS_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64,
+)
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct shingles -> stable 64-bit ints (md5-based, process-stable)."""
-    hs = {
-        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-        for s in set(_shingles(text, n))
-    }
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    """Distinct n-gram shingle hashes, vectorized: hash each UNIQUE token
+    once (memoized FNV), then combine the n token-hash streams with odd
+    multipliers mod 2^64 — no per-shingle Python/md5 loop."""
+    toks = tokenize(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    seq = np.fromiter(
+        (_term_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    m = len(toks) - n + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        h = h * _POS_MIX[k % len(_POS_MIX)] + seq[k : k + m]  # wraps mod 2^64
+    return np.unique(h)
 
 
 class ShingleRows:
@@ -383,8 +416,8 @@ def _simhash64(text: str) -> int:
         return 0
     terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
     for term, tf in zip(terms, counts):
-        h = int.from_bytes(hashlib.md5(str(term).encode()).digest()[:8], "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        h = np.uint64(_term_hash64(str(term)))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, tf, -tf)
     out = 0
     for i in range(64):

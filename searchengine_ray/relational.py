@@ -111,6 +111,55 @@ def orders_by_nation(sf_dir: str):
     )
 
 
+def revenue_by_order_priority(sf_dir: str):
+    """Large-large hash join: lineitem ⨝ orders on orderkey, rolled up to
+    order priority. Uses Ray's hash-partitioned ``Dataset.join`` (both sides
+    too big to broadcast at scale); revenue quantized per row to cents so
+    the aggregate is order-independent. Returns
+    (o_orderpriority, n_items, revenue_cents)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(rev, 100.0), round_mode="half_towards_infinity"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_items"), Sum("rev_cents", alias_name="revenue_cents")
+        )
+    )
+
+
 def top_parts(sf_dir: str, k: int = 10):
     """Top-k partkeys by total shipped quantity: partial aggregation inside
     map_batches (combiner) -> small groupby -> sort desc -> limit. Returns

@@ -153,3 +153,27 @@ def test_real_backend_raises():
 
     with pytest.raises(NotImplementedError):
         DecodeBackend().decode_image(b"x", 4, 4)
+
+
+def test_query_service_pool(built_index):
+    from searchengine_ray.engine import QueryService, SearchEngine
+
+    svc = QueryService(
+        built_index, ModelParams(model="bm25", top_k=10), num_actors=2
+    )
+    items = [("1", "mutex lock"), ("2", "#near/1( unit test )"), ("3", "check")]
+    got = svc.search_batch(items).to_pandas()
+    svc.shutdown()
+    eng = SearchEngine(built_index, ModelParams(model="bm25", top_k=10))
+    want = eng.search_many(items).to_pandas()
+    want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_large_join_revenue(ray_session):
+    from searchengine_ray.relational import revenue_by_order_priority
+
+    df = revenue_by_order_priority("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 5  # TPC-H order priorities
+    assert (df["revenue_cents"] > 0).all()
