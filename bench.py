@@ -2,8 +2,10 @@
 """Benchmark harness: headline pipelines over $GRAFT_SF_DIR, one JSON line.
 
 Plain run:       python bench.py            (num_cpus = $RAY_GRAFT_CPUS or 32)
-Scaling run:     python bench.py --scaling  (fresh processes at 8 and 32 CPUs,
-                                             reports both + scaling efficiency)
+Scaling run:     python bench.py --scaling  (fresh processes at 2 and 8 CPUs —
+                                             N vs 4N within this host's real
+                                             parallelism; reports throughput at
+                                             both + scaling efficiency)
 
 Headline components:
 - index_build   : corpus (documents replicated to bench scale) -> tokenize ->
@@ -27,7 +29,6 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_FACTOR = int(os.environ.get("GRAFT_BENCH_FACTOR", "40"))
-N_BASE_DOCS = 500
 
 QUERY_SHAPES = [
     "dup {a}",
