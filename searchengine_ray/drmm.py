@@ -96,6 +96,16 @@ class MLP:
         self._g = [np.full_like(self.W1, 1e-8), np.full_like(self.b1, 1e-8),
                    np.full_like(self.W2, 1e-8), 1e-8]
 
+    def save(self, path: str) -> None:
+        """Weight checkpoint (the reference's text dump, `MLP.java:112-160`,
+        as an npz)."""
+        np.savez(path, W1=self.W1, b1=self.b1, W2=self.W2, b2=np.array(self.b2))
+
+    def load(self, path: str) -> None:
+        z = np.load(path)
+        self.W1, self.b1 = z["W1"], z["b1"]
+        self.W2, self.b2 = z["W2"], float(z["b2"])
+
     def forward(self, x: np.ndarray) -> float:
         h = np.tanh(x @ self.W1 + self.b1)
         return float(h @ self.W2 + self.b2)

@@ -200,3 +200,18 @@ def test_drmm_train_reduces_loss_and_is_deterministic(engine):
     # relevant (mutex-y) docs should outrank the off-topic ones
     ranks = {d: i for i, (d, _) in enumerate(out1)}
     assert ranks[0] < ranks[3] and ranks[2] < ranks[1]
+
+
+def test_mlp_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from searchengine_ray.drmm import MLP, DrmmConfig
+
+    m1 = MLP(DrmmConfig(seed=5))
+    x = np.random.default_rng(0).standard_normal(10)
+    y1 = m1.forward(x)
+    p = str(tmp_path / "mlp.npz")
+    m1.save(p)
+    m2 = MLP(DrmmConfig(seed=99))  # different init
+    m2.load(p)
+    assert m2.forward(x) == y1

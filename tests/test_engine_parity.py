@@ -144,3 +144,19 @@ def test_maxscore_fast_path_exact(built_index, q):
     b = slow.search("q", q).to_pandas()
     assert list(a["external_id"]) == list(b["external_id"])
     np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_ctf_doclen_stopword_invariant(built_index, fixture_corpus):
+    """FIXTURES.md §6: sum of body ctf == sum of body doclens minus the
+    number of stopword token instances, exactly."""
+    from searchengine_ray.analyze import STOPWORDS, tokenize
+    from searchengine_ray.indexio import InvertedIndex
+
+    idx = InvertedIndex(built_index)
+    total_ctf = sum(
+        idx.postings(f, t, need_positions=False).ctf
+        for f, t in idx.vocabulary("body")
+    )
+    texts = fixture_corpus.column("content").to_pylist()
+    n_stop = sum(1 for t in texts for w in tokenize(t) if w in STOPWORDS)
+    assert total_ctf == idx.sum_field_lengths("body") - n_stop
