@@ -310,11 +310,41 @@ class DocmapBatch:
         return pa.table(cols)
 
 
+def _partition_metrics(part_dir: str) -> dict:
+    """Rows / bytes / content fingerprint of one written partition (read
+    from the Parquet footers — no data scan except the hash, which covers
+    file names+sizes+row counts for cheap lineage auditing)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(part_dir)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    rows = 0
+    nbytes = 0
+    h = hashlib.sha256()
+    for f in files:
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        sz = os.path.getsize(f)
+        nbytes += sz
+        h.update(f"{os.path.basename(f)}:{md.num_rows}:{sz}".encode())
+    return {
+        "files": len(files),
+        "rows": int(rows),
+        "bytes": int(nbytes),
+        "fingerprint": h.hexdigest()[:16],
+    }
+
+
 def _atomic_write(ds, final_dir: str) -> None:
     tmp = final_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files at all
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     os.rename(tmp, final_dir)
@@ -391,6 +421,13 @@ def build_index(
         if manifest["partitions"].get(key, {}).get("status") == "done":
             continue
         lo, hi = p * per_part, (p + 1) * per_part
+        if lo >= n_docs:  # bucket-aligned rounding can overshoot the range
+            manifest["partitions"][key] = {
+                "status": "done", "doc_lo": lo, "doc_hi": hi, "empty": True,
+                "docmap": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
+                "postings": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
+            }
+            continue
         t0 = time.time()
 
         def in_range(t: pa.Table) -> pa.Table:
@@ -427,6 +464,16 @@ def build_index(
             "doc_lo": lo,
             "doc_hi": hi,
             "wall_s": round(time.time() - t0, 3),
+            # lineage + metrics (north_rule: per-partition checkpoints):
+            # output fingerprints let a resumed/retried build be audited
+            # against the original without re-reading the input
+            "docmap": _partition_metrics(
+                os.path.join(out_dir, "docmap", f"part_{p:05d}")
+            ),
+            "postings": _partition_metrics(
+                os.path.join(out_dir, "postings", f"part_{p:05d}")
+            ),
+            "source": source_desc,
         }
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=1)

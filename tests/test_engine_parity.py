@@ -160,3 +160,42 @@ def test_ctf_doclen_stopword_invariant(built_index, fixture_corpus):
     texts = fixture_corpus.column("content").to_pylist()
     n_stop = sum(1 for t in texts for w in tokenize(t) if w in STOPWORDS)
     assert total_ctf == idx.sum_field_lengths("body") - n_stop
+
+
+def test_hot_term_salting_splits_buckets(built_index):
+    """The shuffle key includes the doc bucket: a term spanning multiple
+    doc ranges must produce multiple postings ROWS (salting), and the
+    reader must reassemble them docid-ascending."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from searchengine_ray.indexio import InvertedIndex, _parquet_files
+
+    t = pads.dataset(_parquet_files([f"{built_index}/postings"])).to_table()
+    body = t.filter(pc.equal(t.column("field"), "body"))
+    import collections
+
+    rows_per_term = collections.Counter(body.column("term").to_pylist())
+    multi = [term for term, c in rows_per_term.items() if c > 1]
+    assert multi, "fixture bucket size should force multi-bucket terms"
+    idx = InvertedIndex(built_index)
+    for term in multi[:5]:
+        p = idx.postings("body", term)
+        assert np.all(np.diff(p.doc_ids) > 0)
+        assert p.df >= rows_per_term[term]  # each bucket row holds >=1 doc
+
+
+def test_manifest_lineage_metrics(built_index):
+    import json
+
+    with open(f"{built_index}/manifest.json") as f:
+        m = json.load(f)
+    assert m["complete"]
+    for part in m["partitions"].values():
+        assert part["status"] == "done"
+        if part.get("empty"):
+            continue
+        for side in ("docmap", "postings"):
+            assert part[side]["rows"] > 0
+            assert part[side]["bytes"] > 0
+            assert len(part[side]["fingerprint"]) == 16
