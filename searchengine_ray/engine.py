@@ -8,13 +8,13 @@ Two execution modes over the same operator library:
   reference's static ``Idx.INDEXREADER``, `Idx.java:32-37`, re-homed as
   actor state) and evaluates whole queries per batch. This is the
   high-QPS path when queries >> shards.
-- :func:`evaluate_sharded` — doc-parallel two-phase: each doc-range shard
-  evaluates the query tree locally, shards' derived-list df/ctf are
-  all-reduced, then scoring runs with GLOBAL statistics and per-shard
-  top-k heaps merge on the driver. This is the path a 10^12-doc corpus
-  needs (no single node holds the index), and the part a naive
-  shard-and-score design gets wrong: BM25/Indri score a derived
-  #NEAR/#WINDOW/#SYN list with its global df/ctf
+- :class:`ShardedQueryService` / :func:`evaluate_sharded` — doc-parallel
+  two-phase: each doc-range shard evaluates the query tree locally,
+  shards' derived-list df/ctf are all-reduced, then scoring runs with
+  GLOBAL statistics and per-shard top-k merges on the driver. This is the
+  path a 10^12-doc corpus needs (no single node holds the index), and the
+  part a naive shard-and-score design gets wrong: BM25/Indri score a
+  derived #NEAR/#WINDOW/#SYN list with its global df/ctf
   (`QrySopScore.java:123-124, 89-90`).
 
 Result ordering everywhere: score DESC, external_id ASC on ties
@@ -261,6 +261,9 @@ class _ShardWorker:
         self.index = InvertedIndex(index_dir, parts=[part])
         self.params = params
 
+    def ping(self) -> bool:
+        return True
+
     def local_stats(self, tree) -> list[tuple[int, int]]:
         ev = Evaluator(self.index, self.params)
         return [
@@ -285,6 +288,76 @@ class _ShardWorker:
         )
 
 
+class ShardedQueryService:
+    """Long-lived doc-sharded serving pool: one actor per doc-range shard,
+    created once; every query runs the TWO-PHASE protocol against the same
+    pool. This is the architecture for indexes too large for one node:
+    shard actors hold disjoint doc ranges, phase 1 all-reduces the derived
+    inverted lists' (df, ctf) so BM25/Indri score with GLOBAL statistics
+    (`QrySopScore.java:123-124, 89-90` — the thing a naive shard-and-score
+    gets wrong), phase 2 scores and returns per-shard top-k for the exact
+    k-way driver merge."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        parts: list[int],
+        params: ModelParams | None = None,
+    ):
+        import ray
+
+        self.params = params or ModelParams()
+        Worker = ray.remote(num_cpus=1)(_ShardWorker)
+        self.workers = [
+            Worker.remote(index_dir, p, self.params) for p in parts
+        ]
+        ray.get([w.ping.remote() for w in self.workers])
+
+    def search(self, qid: str, query: str) -> pa.Table:
+        import ray
+
+        params = self.params
+        tree = parse_query(query, DEFAULT_OP[params.model], analyze_query_token)
+        per_shard = ray.get(
+            [w.local_stats.remote(tree) for w in self.workers]
+        )
+        n_nodes = len(per_shard[0]) if per_shard else 0
+        merged = [
+            (
+                sum(s[i][0] for s in per_shard),
+                sum(s[i][1] for s in per_shard),
+            )
+            for i in range(n_nodes)
+        ]
+        shard_tables = ray.get(
+            [w.score_with.remote(tree, merged) for w in self.workers]
+        )
+        all_t = pa.concat_tables(
+            [t for t in shard_tables if t.num_rows] or shard_tables[:1]
+        )
+        docs = all_t.column("doc_id").to_numpy()
+        scores = all_t.column("score").to_numpy()
+        ext = np.asarray(all_t.column("external_id").to_pylist(), dtype=object)
+        docs, scores, ext = top_k(docs, scores, ext, params.top_k)
+        n = len(docs)
+        return pa.table(
+            {
+                "qid": pa.array([qid] * n, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "external_id": pa.array(ext.astype(str), type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+            }
+        )
+
+    def shutdown(self) -> None:
+        import ray
+
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []
+
+
 def evaluate_sharded(
     index_dir: str,
     qid: str,
@@ -292,49 +365,13 @@ def evaluate_sharded(
     parts: list[int],
     params: ModelParams | None = None,
 ) -> pa.Table:
-    """Two-phase doc-sharded evaluation via a pool of shard actors.
-
-    Phase 1: every shard evaluates the inverted-list subtrees locally and
-    reports (df, ctf) per derived list. Phase 2: stats are summed (the
-    all-reduce) and shards score with global statistics; per-shard top-k
-    results k-way merge on the driver with the exact comparator.
-    """
-    import ray
-
-    params = params or ModelParams()
-    tree = parse_query(query, DEFAULT_OP[params.model], analyze_query_token)
-
-    Worker = ray.remote(_ShardWorker)
-    workers = [
-        Worker.remote(index_dir, p, params) for p in parts
-    ]
-    per_shard = ray.get([w.local_stats.remote(tree) for w in workers])
-    n_nodes = len(per_shard[0]) if per_shard else 0
-    merged = [
-        (
-            sum(s[i][0] for s in per_shard),
-            sum(s[i][1] for s in per_shard),
-        )
-        for i in range(n_nodes)
-    ]
-    shard_tables = ray.get([w.score_with.remote(tree, merged) for w in workers])
-    for w in workers:
-        ray.kill(w)
-    all_t = pa.concat_tables([t for t in shard_tables if t.num_rows] or shard_tables[:1])
-    docs = all_t.column("doc_id").to_numpy()
-    scores = all_t.column("score").to_numpy()
-    ext = np.asarray(all_t.column("external_id").to_pylist(), dtype=object)
-    docs, scores, ext = top_k(docs, scores, ext, params.top_k)
-    n = len(docs)
-    return pa.table(
-        {
-            "qid": pa.array([qid] * n, type=pa.string()),
-            "doc_id": pa.array(docs, type=pa.int64()),
-            "external_id": pa.array(ext.astype(str), type=pa.string()),
-            "score": pa.array(scores, type=pa.float64()),
-            "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
-        }
-    )
+    """One-shot two-phase doc-sharded evaluation (see ShardedQueryService
+    for the long-lived pool)."""
+    svc = ShardedQueryService(index_dir, parts, params)
+    try:
+        return svc.search(qid, query)
+    finally:
+        svc.shutdown()
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,23 @@ def test_large_join_revenue(ray_session):
     df = revenue_by_order_priority("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 5  # TPC-H order priorities
     assert (df["revenue_cents"] > 0).all()
+
+
+def test_sharded_query_service_pool(built_index):
+    """Long-lived shard pool must match one-shot sharded and full-index."""
+    from searchengine_ray.engine import SearchEngine, ShardedQueryService
+
+    svc = ShardedQueryService(
+        built_index, parts=[0, 1], params=ModelParams(model="bm25", top_k=15)
+    )
+    full = SearchEngine(built_index, ModelParams(model="bm25", top_k=15))
+    try:
+        for q in ("#near/1( unit test )", "mutex lock", "#syn( error fault )"):
+            got = svc.search("q", q).to_pandas()
+            want = full.search("q", q).to_pandas()
+            assert list(got["external_id"]) == list(want["external_id"]), q
+            np.testing.assert_allclose(
+                got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-12
+            )
+    finally:
+        svc.shutdown()
