@@ -28,9 +28,42 @@ from dataclasses import dataclass, field as dc_field
 
 FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 
+# Operator registry — the extension surface the reference documents as "add
+# a case to QryParser.createOperator" (`QryParser.java:22-30, 99-130`,
+# `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
+# dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score"}
 IOP_NAMES = {"#syn", "#near", "#window"}
 WEIGHTED = {"#wand", "#wsum"}
+#: user-registered operators: lowercase name -> {"kind": "sop"|"iop",
+#: "weighted": bool, "alias_of": canonical name the evaluator understands}
+OPERATOR_REGISTRY: dict[str, dict] = {}
+
+
+def register_operator(
+    name: str,
+    kind: str,
+    weighted: bool = False,
+    alias_of: str | None = None,
+) -> None:
+    """Register a query-language operator (e.g. ``#uw`` as an alias of
+    ``#window``). ``alias_of`` maps the parsed node onto an operator the
+    evaluator implements; fully custom evaluation plugs in by extending
+    ``operators.eval_iop`` / ``Evaluator.sop`` on the aliased name."""
+    low = name.lower()
+    if not low.startswith("#"):
+        low = "#" + low
+    OPERATOR_REGISTRY[low] = {
+        "kind": kind,
+        "weighted": weighted,
+        "alias_of": (alias_of or low).lower(),
+    }
+    if kind == "iop":
+        IOP_NAMES.add(low)
+    else:
+        SOP_NAMES.add(low)
+    if weighted:
+        WEIGHTED.add(low)
 
 
 class QuerySyntaxError(ValueError):
@@ -93,6 +126,9 @@ def _create_operator(name: str) -> Op:
             raise QuerySyntaxError(f"Bad distance in {name}") from e
     if low not in SOP_NAMES | IOP_NAMES or low == "#score":
         raise QuerySyntaxError(f"Unknown query operator {name}")
+    reg = OPERATOR_REGISTRY.get(low)
+    if reg is not None:
+        low = reg["alias_of"]  # registered alias resolves to its evaluator
     return Op(low, dist=dist)
 
 

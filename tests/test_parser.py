@@ -93,3 +93,22 @@ def test_nested_structure():
 def test_case_insensitive_ops():
     t = parse("#AND( #SYN(station depot) track )", "#and")
     assert t.name == "#and"
+
+
+def test_operator_registry_extension():
+    """SURVEY §2.12 extension surface: register #uw as an unordered-window
+    alias; it parses and evaluates through the #window machinery."""
+    from searchengine_ray.qryparse import (
+        IOP_NAMES,
+        OPERATOR_REGISTRY,
+        register_operator,
+    )
+
+    register_operator("#uw", kind="iop", alias_of="#window")
+    try:
+        t = parse("#uw/8( read write )")
+        assert t.name == "#score"
+        assert t.args[0].name == "#window" and t.args[0].dist == 8
+    finally:
+        OPERATOR_REGISTRY.pop("#uw", None)
+        IOP_NAMES.discard("#uw")
