@@ -199,3 +199,44 @@ def test_manifest_lineage_metrics(built_index):
             assert part[side]["rows"] > 0
             assert part[side]["bytes"] > 0
             assert len(part[side]["fingerprint"]) == 16
+
+
+def test_crash_resume_content_identical(ray_session, tmp_path):
+    """FIXTURES.md §6: kill mid-build, resume -> index content identical to
+    an uninterrupted build (docmap/postings/lexicon/stats)."""
+    import glob
+    import json
+    import shutil
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.corpus import synthesize_corpus
+
+    tbl = synthesize_corpus(150, seed=23)
+    cfg = BuildConfig(doc_bucket_size=64, num_partitions=3)
+    fac = lambda: ray.data.from_arrow(tbl)  # noqa: E731
+    a, b = str(tmp_path / "ix_a"), str(tmp_path / "ix_b")
+    build_index(fac, a, cfg)
+    build_index(fac, b, cfg)
+    # simulate a crash: partition 1 outputs + manifest entry vanish
+    man = json.load(open(f"{b}/manifest.json"))
+    del man["partitions"]["1"]
+    man["complete"] = False
+    json.dump(man, open(f"{b}/manifest.json", "w"))
+    shutil.rmtree(f"{b}/postings/part_00001")
+    shutil.rmtree(f"{b}/docmap/part_00001")
+    build_index(fac, b, cfg)  # resume
+
+    def canon(d, sub):
+        t = pads.dataset(
+            sorted(glob.glob(f"{d}/{sub}/**/*.parquet", recursive=True))
+        ).to_table().to_pandas()
+        return t.sort_values(list(t.columns[:4])).reset_index(drop=True)
+
+    for sub in ("postings", "docmap", "lexicon"):
+        pd.testing.assert_frame_equal(canon(a, sub), canon(b, sub))
+    assert open(f"{a}/stats.json").read() == open(f"{b}/stats.json").read()
