@@ -150,6 +150,57 @@ CROSS JOIN const CROSS JOIN kconst CROSS JOIN kstats CROSS JOIN bstats
 WHERE k.tfk > 0
 """
 
+_SE_UNRANKED_AND_SQL = f"""
+WITH {_TOK},
+ta AS (SELECT DISTINCT doc_id FROM tok WHERE term='spark'),
+tb AS (SELECT DISTINCT doc_id FROM tok WHERE term='join')
+SELECT ta.doc_id FROM ta JOIN tb USING(doc_id)
+"""
+
+_SE_INDRI_WAND_SQL = f"""
+WITH {_TOK},
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('spark','join') GROUP BY doc_id, term),
+cstats AS (SELECT
+  (SELECT CAST(sum(tf) AS DOUBLE) FROM tf2 WHERE term='spark') AS ctfa,
+  (SELECT CAST(sum(tf) AS DOUBLE) FROM tf2 WHERE term='join') AS ctfb),
+u AS (SELECT DISTINCT doc_id FROM tf2),
+piv AS (SELECT u.doc_id, dl.dl,
+  coalesce((SELECT tf FROM tf2 WHERE tf2.doc_id=u.doc_id AND term='spark'), 0) AS tfa,
+  coalesce((SELECT tf FROM tf2 WHERE tf2.doc_id=u.doc_id AND term='join'), 0) AS tfb
+  FROM u JOIN dl USING(doc_id))
+SELECT doc_id, round(
+  pow((1 - 0.01)*(tfa + 1500*(cstats.ctfa/const.clen))/(dl + 1500) + 0.01*(cstats.ctfa/const.clen),
+      0.7/(0.7+0.3)) *
+  pow((1 - 0.01)*(tfb + 1500*(cstats.ctfb/const.clen))/(dl + 1500) + 0.01*(cstats.ctfb/const.clen),
+      0.3/(0.7+0.3)), 6) AS score_r
+FROM piv CROSS JOIN const CROSS JOIN cstats
+"""
+
+_SE_NEAR3_SQL = f"""
+WITH {_TOK}
+SELECT a.doc_id, count(*) AS score
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+WHERE a.term = 'spark' AND b.term = 'join' AND c.term = 'stream'
+GROUP BY a.doc_id
+"""
+
+_HOURLY_USERS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+  count(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+_TOP_BIGRAMS_SQL = f"""
+WITH {_TOK},
+bg AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER w AS bigram
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
 _SE_DOCMAP_SQL = """
 WITH d AS (SELECT doc_id, source, text,
   'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS p
@@ -370,7 +421,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from searchengine_ray import ann, dedup, gate, relational, textstats, windows
+    from searchengine_ray import (
+        ann, dedup, gate, relational, textextras, textstats, windows,
+    )
 
     return {
         # search engine (documents-derived corpus)
@@ -384,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_ranked_or": gate.se_ranked_or,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
+        "se_unranked_and": gate.se_unranked_and,
+        "se_indri_wand": gate.se_indri_wand,
+        "se_near3_tf": gate.se_near3_tf,
         "se_docmap": gate.se_docmap,
         "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR / DRMM)
@@ -409,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped
         "events_tumbling": windows.tumbling_counts,
         "events_sessionize": windows.sessionize,
+        "events_hourly_users": textextras.hourly_unique_users,
+        "text_top_bigrams": textextras.top_bigrams,
         # relational building blocks
         "rel_pricing_summary": relational.pricing_summary,
         "rel_orders_by_nation": relational.orders_by_nation,
@@ -429,6 +487,9 @@ def oracle_sql() -> dict[str, str]:
         "se_ranked_or": _SE_RANKED_OR_SQL,
         "se_indri_and": _SE_INDRI_AND_SQL,
         "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
+        "se_unranked_and": _SE_UNRANKED_AND_SQL,
+        "se_indri_wand": _SE_INDRI_WAND_SQL,
+        "se_near3_tf": _SE_NEAR3_SQL,
         "se_docmap": _SE_DOCMAP_SQL,
         "se_lexicon": _SE_LEXICON_SQL,
         "prf_expansion": _PRF_EXPANSION_SQL,
@@ -447,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": _WINNOW_SQL,
         "events_tumbling": _TUMBLING_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "events_hourly_users": _HOURLY_USERS_SQL,
+        "text_top_bigrams": _TOP_BIGRAMS_SQL,
         "rel_pricing_summary": _PRICING_SQL,
         "rel_orders_by_nation": _ORDERS_NATION_SQL,
         "rel_top_parts": _TOP_PARTS_SQL,

@@ -112,6 +112,25 @@ def se_bm25_wsum_fields(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#wsum( 0.4 en.keywords 0.6 dup.body )")
 
 
+def se_unranked_and(sf_dir: str):
+    """UnrankedBoolean #and: membership of the conjunction."""
+    t = engine_for(sf_dir, "unrankedboolean").search("q", "#and( spark join )")
+    return pa.table({"doc_id": t.column("doc_id")})
+
+
+def se_indri_wand(sf_dir: str):
+    """Indri #wand with non-uniform weights (geometric, default-score
+    fallback for unmatched args)."""
+    return _score_table(sf_dir, "indri", "#wand( 0.7 spark 0.3 join )")
+
+
+def se_near3_tf(sf_dir: str):
+    """3-arg #near/1 (the k-arg scalar sweep, not the 2-arg fast path)."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#near/1( spark join stream )", as_int=True
+    )
+
+
 def se_docmap(sf_dir: str):
     """The per-row sha256(content) invariant + external ids, from the BUILT
     index's docmap (not recomputed from the input)."""
