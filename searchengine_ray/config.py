@@ -61,6 +61,32 @@ DEFAULT_OP = {
     "unrankedboolean": "#and",
 }
 
+#: Retrieval-model registry — the extension surface the reference documents
+#: as "subclass RetrievalModel + extend the instanceof ladders"
+#: (`QrySopScore.java:33-52`, `ReadMe.txt:52-63`), re-expressed as hooks:
+#: no ladders to edit. A registered model supplies
+#:   score_leaf(tf, dl, stats, params) -> np.ndarray   (vectorized; stats
+#:     has .df .ctf .n_docs .doc_count .sum_len for the leaf's field/list)
+#: and per-operator combine reducers from {"sum","min","max"} (matching
+#: children only). The four built-in models keep their exact reference
+#: semantics in the evaluator; registered models ride the same machinery.
+MODEL_REGISTRY: dict[str, dict] = {}
+
+
+def register_model(
+    name: str,
+    score_leaf,
+    default_op: str = "#sum",
+    combine: dict[str, str] | None = None,
+) -> None:
+    low = name.lower()
+    MODEL_REGISTRY[low] = {
+        "score_leaf": score_leaf,
+        "combine": combine or {"#sum": "sum", "#and": "min", "#or": "max",
+                               "#wsum": "sum", "#wand": "min"},
+    }
+    DEFAULT_OP[low] = default_op
+
 
 @dataclass
 class BuildConfig:

@@ -338,6 +338,10 @@ class Evaluator:
         model = self.model
         if name == "#score":
             return self._score_leaf(node)
+        from .config import MODEL_REGISTRY
+
+        if model in MODEL_REGISTRY:
+            return self._sop_registered(node, MODEL_REGISTRY[model])
         # per-model operator support, matching the reference getScore
         # instanceof ladders (unsupported combinations throw there too)
         if name == "#sum" and model != "bm25":
@@ -414,6 +418,39 @@ class Evaluator:
 
         raise ValueError(f"unknown retrieval model {self.model}")
 
+    def _sop_registered(self, node, spec: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Registered-model combinator: generic reducer over children
+        ("min" -> conjunctive match, "sum"/"max" -> disjunctive)."""
+        reducer = spec["combine"].get(node.name)
+        if reducer is None:
+            raise ValueError(
+                f"model {self.model} doesn't support the {node.name} operator"
+            )
+        results = [self.sop(c) for c in node.args]
+        if reducer == "min":
+            docs = reduce(np.intersect1d, [r[0] for r in results])
+        else:
+            docs = reduce(np.union1d, [r[0] for r in results])
+        if len(docs) == 0:
+            return docs.astype(np.int64), np.empty(0, np.float64)
+        vals = [
+            self._align(child, docs, cdocs, cscores)
+            for child, (cdocs, cscores) in zip(node.args, results)
+        ]
+        if reducer == "min":
+            res = np.full(len(docs), np.finfo(np.float64).max)
+            for v, _ in vals:
+                res = np.minimum(res, v)
+        elif reducer == "max":
+            res = np.full(len(docs), -np.finfo(np.float64).max)
+            for v, matched in vals:
+                res[matched] = np.maximum(res[matched], v[matched])
+        else:  # sum over matching children
+            res = np.zeros(len(docs), np.float64)
+            for v, matched in vals:
+                res[matched] += v[matched]
+        return docs, res
+
     def _is_match_all(self, name: str) -> bool:
         # QrySop*.docIteratorHasMatch dispatch ladders
         if name in ("#or", "#sum"):
@@ -469,6 +506,23 @@ class Evaluator:
             prob = float(ctf) / clen
             tf = p.tfs.astype(np.float64)
             return docs, (1.0 - lam) * (tf + mu * prob) / (dl + mu) + lam * prob
+        from .config import MODEL_REGISTRY
+
+        if model in MODEL_REGISTRY:
+            from types import SimpleNamespace
+
+            df, ctf = self._iop_stats(iop_node)
+            stats = SimpleNamespace(
+                df=df,
+                ctf=ctf,
+                n_docs=self.index.num_docs,
+                doc_count=self.index.doc_count(field),
+                sum_len=self.index.sum_field_lengths(field),
+            )
+            scores = MODEL_REGISTRY[model]["score_leaf"](
+                p.tfs.astype(np.float64), dl, stats, self.p
+            )
+            return docs, np.asarray(scores, dtype=np.float64)
         raise ValueError(f"unknown retrieval model {model}")
 
     def default_scores(self, node, docs: np.ndarray) -> np.ndarray:

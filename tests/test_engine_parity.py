@@ -240,3 +240,47 @@ def test_crash_resume_content_identical(ray_session, tmp_path):
     for sub in ("postings", "docmap", "lexicon"):
         pd.testing.assert_frame_equal(canon(a, sub), canon(b, sub))
     assert open(f"{a}/stats.json").read() == open(f"{b}/stats.json").read()
+
+
+def test_model_registry_extension(built_index):
+    """SURVEY §2.12: plug in a new retrieval model via hooks (no ladders)."""
+    import math
+
+    from searchengine_ray.config import DEFAULT_OP, MODEL_REGISTRY, register_model
+
+    def tfidf_leaf(tf, dl, stats, params):
+        return math.log(stats.n_docs / max(1, stats.df)) * tf
+
+    register_model(
+        "tfidf", tfidf_leaf, default_op="#sum",
+        combine={"#sum": "sum", "#and": "min"},
+    )
+    try:
+        eng = SearchEngine(built_index, ModelParams(model="tfidf", top_k=5))
+        t = eng.search("q", "mutex lock").to_pandas()
+        assert len(t) == 5
+        # hand-check the top doc's score
+        idx = eng.index
+        d = int(t["doc_id"].iloc[0])
+        s = 0.0
+        for term in ("mutex", "lock"):
+            p = idx.postings("body", term, need_positions=False)
+            pos = int(np.searchsorted(p.doc_ids, d))
+            tf = float(p.tfs[pos]) if pos < p.df and p.doc_ids[pos] == d else 0.0
+            if tf:
+                import math as _m
+
+                s += _m.log(idx.num_docs / p.df) * tf
+        assert t["score"].iloc[0] == pytest.approx(s, rel=1e-12)
+        # structured ops route through the generic reducers
+        t2 = eng.search("q", "#and( mutex lock )").to_pandas()
+        assert len(t2) > 0
+        # positional derived lists score through the same leaf hook
+        t3 = eng.search("q", "#near/1( unit test )").to_pandas()
+        assert len(t3) > 0
+        # an op absent from this model's combine map raises cleanly
+        with pytest.raises(ValueError):
+            eng.search("q", "#or( mutex lock )")
+    finally:
+        MODEL_REGISTRY.pop("tfidf", None)
+        DEFAULT_OP.pop("tfidf", None)
