@@ -295,7 +295,8 @@ QUALIFY rank <= 10
 _TOKEN_STATS_SQL = f"""
 WITH {_TOK}
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
-  coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0) AS n_stop
+  CAST(coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0)
+       AS BIGINT) AS n_stop
 FROM tok GROUP BY doc_id
 """
 
@@ -324,8 +325,9 @@ SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {case} END AS lang_pred FROM c
 _QUALITY_SQL = f"""
 WITH {_TOK},
 c AS (SELECT doc_id, count(*) AS n,
-  coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0) AS n_stop,
-  sum(len(term)) AS n_chars
+  CAST(coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0)
+       AS BIGINT) AS n_stop,
+  CAST(sum(len(term)) AS BIGINT) AS n_chars
   FROM tok GROUP BY doc_id)
 SELECT doc_id, n AS n_tokens,
   (n_stop * 1000000) // n AS stop_ratio_micro,

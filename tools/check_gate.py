@@ -88,8 +88,11 @@ def main() -> None:
         ok = len(got) == len(want) and list(got.columns) == list(want.columns)
         if ok:
             try:
+                # dtype-strict: the driver hashes raw values, so an int64
+                # engine column vs a float64 oracle column (DuckDB HUGEINT
+                # via pandas) must FAIL here too, or local green lies.
                 pd.testing.assert_frame_equal(
-                    got, want, check_dtype=False, check_exact=True
+                    got, want, check_dtype=True, check_exact=True
                 )
             except AssertionError as e:
                 ok = False
