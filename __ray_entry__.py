@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_dup_pairs,
+        "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
         # similarity search
         "ann_topk": ann.brute_topk,
         "ann_ivf": ann.ivf_topk,
@@ -499,9 +500,10 @@ def oracle_sql() -> dict[str, str]:
         # trained-model pipelines -> rows-only; pytest covers the formulas.
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
-        # dedup_minhash / dedup_simhash / ann_ivf: hash/centroid state is not
-        # SQL-expressible -> rows-only check; pytest verifies them against
-        # the exact-Jaccard / brute-force baselines instead.
+        # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_ivf:
+        # hash/hyperplane/centroid state is not SQL-expressible -> rows-only
+        # check; pytest verifies them against the exact-Jaccard /
+        # brute-force baselines instead (no false positives + recall bound).
         "dedup_embedding": _DEDUP_EMB_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,

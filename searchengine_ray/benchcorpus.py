@@ -83,7 +83,14 @@ def replicated_corpus_factory(sf_dir: str, factor: int, n_base: int | None = Non
         n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     cache = materialize_replicated_corpus(sf_dir, factor, n_base)
 
-    def factory():
+    def factory(doc_range=None):
+        if doc_range is not None:
+            import pyarrow.compute as pc
+
+            lo, hi = doc_range
+            return ray.data.read_parquet(
+                cache, filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
+            )
         return ray.data.read_parquet(cache)  # 64 files -> 64 natural blocks
 
     factory.__name__ = f"replicated_corpus_{factor}x"

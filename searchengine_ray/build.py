@@ -39,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .analyze import analyze_batch, field_length
+from .analyze import analyze_batch
 from .config import BuildConfig
 from .corpus import corpus_from_documents
 
@@ -68,12 +68,51 @@ class TokenizeFields:
     Analyzer state (regex, stoplist) is module-level and cheap, but we keep
     this a callable class so heavier analyzers (stemmers, BPE vocabularies)
     plug in via ``__init__`` once per actor.
+
+    When ``docmap_dir`` is set, each call ALSO writes the batch's docmap
+    rows (external_id, sha256(content), per-field lengths) as one parquet
+    file named by the batch's doc-id range — the lengths fall out of the
+    tokenization already being done here, so fusing the docmap into this
+    stage removes an entire read+tokenize pass over the corpus. File names
+    are deterministic per batch and doc_ids are unique, so a retried task
+    overwrites its own file (idempotent).
     """
 
-    def __init__(self, fields: dict[str, str], doc_bucket_size: int, merge_partitions: int = 64):
+    def __init__(
+        self,
+        fields: dict[str, str],
+        doc_bucket_size: int,
+        merge_partitions: int = 64,
+        docmap_dir: str | None = None,
+    ):
         self.fields = fields
         self.doc_bucket_size = doc_bucket_size
         self.merge_partitions = merge_partitions
+        self.docmap_dir = docmap_dir
+
+    def _write_docmap(
+        self,
+        batch: pa.Table,
+        doc_ids: np.ndarray,
+        doc_lens: dict[str, np.ndarray],
+    ) -> None:
+        import pyarrow.parquet as pq
+
+        repo = batch.column("repo").to_pylist()
+        path = batch.column("path").to_pylist()
+        commit = batch.column("commit").to_pylist()
+        content = batch.column("content").to_pylist()
+        ext = [f"{r}/{p}@{c}" for r, p, c in zip(repo, path, commit)]
+        sha = [hashlib.sha256(t.encode()).hexdigest() for t in content]
+        cols = {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "external_id": pa.array(ext, type=pa.string()),
+            "sha256": pa.array(sha, type=pa.string()),
+        }
+        for field in self.fields:
+            cols[f"len_{field}"] = pa.array(doc_lens[field], type=pa.int64())
+        name = f"dm_{int(doc_ids.min()):012d}_{int(doc_ids.max()):012d}.parquet"
+        pq.write_table(pa.table(cols), os.path.join(self.docmap_dir, name))
 
     def _kh(self, field: str, terms: np.ndarray, bucket: np.ndarray) -> np.ndarray:
         """Stable hash-partition id per posting row; the shuffle key. Salting
@@ -92,9 +131,11 @@ class TokenizeFields:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
         out: list[pa.Table] = []
+        doc_lens: dict[str, np.ndarray] = {}
         for field, col in self.fields.items():
             texts = batch.column(col).to_pylist()
             ab = analyze_batch(texts)
+            doc_lens[field] = ab.doc_lens
             if len(ab.term) == 0:
                 continue
             g_doc = doc_ids[ab.doc_index]
@@ -118,6 +159,8 @@ class TokenizeFields:
                     }
                 )
             )
+        if self.docmap_dir is not None and batch.num_rows:
+            self._write_docmap(batch, doc_ids, doc_lens)
         if not out:
             return pa.table(
                 {
@@ -279,37 +322,6 @@ def _empty_postings_table() -> pa.Table:
     return pa.table(cols)
 
 
-class DocmapBatch:
-    """map_batches stage: corpus batch -> docmap rows.
-
-    Carries the per-row ``sha256(content)`` invariant demanded by
-    BASELINE.json plus per-field token lengths (incl. stopword positions,
-    the reference's doclen semantics, `Idx.java:94-116`).
-    """
-
-    def __init__(self, fields: dict[str, str]):
-        self.fields = fields
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        repo = batch.column("repo").to_pylist()
-        path = batch.column("path").to_pylist()
-        commit = batch.column("commit").to_pylist()
-        content = batch.column("content").to_pylist()
-        ext = [f"{r}/{p}@{c}" for r, p, c in zip(repo, path, commit)]
-        sha = [hashlib.sha256(t.encode()).hexdigest() for t in content]
-        cols = {
-            "doc_id": batch.column("doc_id"),
-            "external_id": pa.array(ext, type=pa.string()),
-            "sha256": pa.array(sha, type=pa.string()),
-        }
-        for field, col in self.fields.items():
-            texts = content if col == "content" else batch.column(col).to_pylist()
-            cols[f"len_{field}"] = pa.array(
-                [field_length(t) for t in texts], type=pa.int64()
-            )
-        return pa.table(cols)
-
-
 def _partition_metrics(part_dir: str) -> dict:
     """Rows / bytes / content fingerprint of one written partition (read
     from the Parquet footers — no data scan except the hash, which covers
@@ -337,6 +349,41 @@ def _partition_metrics(part_dir: str) -> dict:
         "bytes": int(nbytes),
         "fingerprint": h.hexdigest()[:16],
     }
+
+
+def _ensure_threadsafe_fs_imports() -> None:
+    """Ray Data's path resolution runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY read/write and only catches
+    ModuleNotFoundError (`ray/data/datasource/path_util.py:150-154`). With
+    aiohttp absent the import fails every time; when several builder
+    threads hit that first import concurrently, CPython's threaded-import
+    edge can surface a partially-initialized module as a plain ImportError
+    and kill a partition. Warm the import once; if it can never succeed,
+    register an inert stub so later imports are deterministic (fsspec-HTTP
+    is unusable in an offline environment either way — the stub class is
+    never instantiated, so the isinstance check it feeds just returns
+    False)."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations as fsi
+    except ImportError:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover — inert placeholder
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    fsi.http = mod
 
 
 def _atomic_write(ds, final_dir: str) -> None:
@@ -383,7 +430,9 @@ def build_index(
     cfg = cfg or BuildConfig()
     if isinstance(source, str):
         sf_dir = source
-        factory = lambda: corpus_from_documents(sf_dir)  # noqa: E731
+        factory = lambda doc_range=None: corpus_from_documents(  # noqa: E731
+            sf_dir, doc_range
+        )
         source_desc = os.path.abspath(sf_dir)
     else:
         factory = source
@@ -415,38 +464,61 @@ def build_index(
     per_part = -(-n_docs // cfg.num_partitions)
     per_part = -(-per_part // cfg.doc_bucket_size) * cfg.doc_bucket_size
 
-    tokenizer = TokenizeFields(cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions)
-    for p in range(cfg.num_partitions):
+    import threading
+
+    man_lock = threading.Lock()
+
+    def record(key: str, entry: dict) -> None:
+        with man_lock:
+            manifest["partitions"][key] = entry
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f, indent=1)
+
+    def run_partition(p: int) -> None:
         key = str(p)
-        if manifest["partitions"].get(key, {}).get("status") == "done":
-            continue
         lo, hi = p * per_part, (p + 1) * per_part
         if lo >= n_docs:  # bucket-aligned rounding can overshoot the range
-            manifest["partitions"][key] = {
+            record(key, {
                 "status": "done", "doc_lo": lo, "doc_hi": hi, "empty": True,
                 "docmap": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
                 "postings": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
-            }
-            continue
+            })
+            return
         t0 = time.time()
+        # Partition-pruned read: factories that support doc_range push the
+        # range into the parquet read (row-group predicate pushdown) so an
+        # N-partition build reads each input byte ~once, not N times.
+        # Zero-arg factories fall back to a post-read filter.
+        import inspect
 
-        def in_range(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id")
-            return t.filter(pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi)))
+        supports_range = "doc_range" in inspect.signature(factory).parameters
+        if cfg.num_partitions == 1:
+            corpus = factory()  # the single partition covers everything
+        elif supports_range:
+            corpus = factory(doc_range=(lo, hi))
+        else:
+            def in_range(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id")
+                return t.filter(
+                    pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
+                )
 
-        corpus = factory().map_batches(in_range, batch_format="pyarrow")
-        if cfg.num_partitions > 1 or cfg.materialize_partition:
-            # one read feeds both the docmap and postings passes; at cluster
-            # scale each partition's slice fits the object store by design
+            corpus = factory().map_batches(in_range, batch_format="pyarrow")
+        if cfg.materialize_partition:
             corpus = corpus.materialize()
 
-        docmap = corpus.map_batches(
-            DocmapBatch(cfg.fields),
-            batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
+        # ONE fused pass: tokenize emits posting rows downstream and writes
+        # the docmap (external_id/sha256/lengths) as a side output — the
+        # lengths are already computed by the tokenizer, so no second
+        # read+tokenize pass exists.
+        dm_final = os.path.join(out_dir, "docmap", f"part_{p:05d}")
+        dm_tmp = dm_final + ".tmp"
+        shutil.rmtree(dm_tmp, ignore_errors=True)
+        os.makedirs(dm_tmp, exist_ok=True)
+        tokenizer = TokenizeFields(
+            cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions,
+            docmap_dir=dm_tmp,
         )
-        _atomic_write(docmap, os.path.join(out_dir, "docmap", f"part_{p:05d}"))
-
         posts = corpus.map_batches(
             tokenizer,
             batch_format="pyarrow",
@@ -458,8 +530,11 @@ def build_index(
             EncodeMergePartition(cfg.skip_block_docs), batch_format="pyarrow"
         )
         _atomic_write(merged, os.path.join(out_dir, "postings", f"part_{p:05d}"))
+        if os.path.exists(dm_final):
+            shutil.rmtree(dm_final)
+        os.rename(dm_tmp, dm_final)
 
-        manifest["partitions"][key] = {
+        record(key, {
             "status": "done",
             "doc_lo": lo,
             "doc_hi": hi,
@@ -467,16 +542,29 @@ def build_index(
             # lineage + metrics (north_rule: per-partition checkpoints):
             # output fingerprints let a resumed/retried build be audited
             # against the original without re-reading the input
-            "docmap": _partition_metrics(
-                os.path.join(out_dir, "docmap", f"part_{p:05d}")
-            ),
+            "docmap": _partition_metrics(dm_final),
             "postings": _partition_metrics(
                 os.path.join(out_dir, "postings", f"part_{p:05d}")
             ),
             "source": source_desc,
-        }
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=1)
+        })
+
+    pending = [
+        p for p in range(cfg.num_partitions)
+        if manifest["partitions"].get(str(p), {}).get("status") != "done"
+    ]
+    if len(pending) <= 1:
+        for p in pending:
+            run_partition(p)
+    else:
+        # partitions are independent doc-range pipelines — overlap them so
+        # one partition's shuffle barrier doesn't idle the cluster
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ensure_threadsafe_fs_imports()
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+            for fut in [pool.submit(run_partition, p) for p in pending]:
+                fut.result()
 
     _finalize(out_dir, cfg)
     manifest["complete"] = True

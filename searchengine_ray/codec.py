@@ -133,6 +133,10 @@ def decode_segmented(buf: bytes | memoryview, offsets: np.ndarray) -> np.ndarray
     csum = np.cumsum(gaps)
     run_starts = offsets[:-1]
     run_starts = run_starts[(run_starts > 0) & (run_starts < gaps.size)]
+    # zero-length runs duplicate a start index; keep it once or the fancy
+    # assignment below drops all but the last write and the next run
+    # inherits the previous run's prefix
+    run_starts = np.unique(run_starts)
     if run_starts.size == 0:
         return csum
     seg_prefix = csum[run_starts - 1]

@@ -116,12 +116,11 @@ class BuildConfig:
     #: Size ~2x cluster cores so the merge stage saturates without
     #: per-group dispatch overhead.
     merge_partitions: int = 64
-    #: materialize each build partition's corpus once so the docmap and
-    #: postings passes share a single read. Default OFF: re-reading Parquet
-    #: streams with backpressure, while a materialized 100k+-doc corpus pins
-    #: the object store and its async GC steals cycles from the next stage
-    #: (measured: the query pool ran 6x slower right after a materialized
-    #: build). Multi-partition builds still materialize their (bounded)
-    #: slice to avoid re-reading the whole input per partition.
+    #: materialize each build partition's corpus before tokenizing. Default
+    #: OFF — the build is now a single fused pass (tokenize emits postings
+    #: and writes the docmap as a side output), so nothing re-reads the
+    #: corpus; a materialized 100k+-doc corpus just pins the object store
+    #: and its async GC steals cycles from the next stage (measured: the
+    #: query pool ran 6x slower right after a materialized build).
     materialize_partition: bool = False
     tokenize_batch_size: int = 1024

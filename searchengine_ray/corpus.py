@@ -61,15 +61,23 @@ def derive_corpus_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def corpus_from_documents(sf_dir: str):
+def corpus_from_documents(sf_dir: str, doc_range: tuple[int, int] | None = None):
     """Ray Dataset of the derived corpus (streaming; content stays in Arrow).
 
     The single small parquet file would otherwise be one block -> one task
-    for every downstream map stage; split it so tokenize parallelizes."""
+    for every downstream map stage; split it so tokenize parallelizes.
+    ``doc_range=(lo, hi)`` pushes a doc_id predicate into the parquet read
+    (row-group pruning) so a partitioned build reads only its slice."""
     import ray.data
 
+    kwargs = {}
+    if doc_range is not None:
+        import pyarrow.compute as pc
+
+        lo, hi = doc_range
+        kwargs["filter"] = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", override_num_blocks=16
+        f"{sf_dir}/documents.parquet", override_num_blocks=16, **kwargs
     )
     return ds.map_batches(derive_corpus_batch, batch_format="pyarrow")
 

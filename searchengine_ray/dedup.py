@@ -122,23 +122,27 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class ShingleRows:
-    """map_batches stage: doc -> distinct (doc_id, shingle) rows."""
+    """map_batches stage: doc -> distinct (doc_id, shingle, nsh) rows, where
+    nsh is the doc's distinct-shingle count (carried per row so downstream
+    pair scoring needs no driver-side size lookup)."""
 
     def __init__(self, n: int):
         self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids, shingles = [], []
+        doc_ids, shingles, nshs = [], [], []
         for d, text in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
             ss = set(_shingles(text, self.n))
             doc_ids.extend([d] * len(ss))
             shingles.extend(ss)
+            nshs.extend([len(ss)] * len(ss))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "shingle": pa.array(shingles, type=pa.string()),
+                "nsh": pa.array(nshs, type=pa.int64()),
             }
         )
 
@@ -167,42 +171,50 @@ def ngram_jaccard_pairs(
     ds = _read_docs(sf_dir)
     sh = ds.map_batches(ShingleRows(n), batch_format="pyarrow")
 
-    # per-doc distinct-shingle counts (small table -> broadcast)
-    sizes = dict(
-        (int(r["doc_id"]), int(r["count()"]))
-        for r in sh.groupby("doc_id").aggregate(Count()).iter_rows()
-    )
-
     # pair generation per HASH PARTITION of the shingle space (not per
     # shingle group: Ray's per-group dispatch would dominate at millions of
-    # distinct shingles) — each call handles all its shingles vectorized
+    # distinct shingles) — each call handles all its shingles vectorized.
+    # Per-doc sizes ride along as (sza, szb) columns so scoring needs no
+    # driver-side lookup (no O(N) driver memory).
     def pairs_of_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "sza": pa.array([], pa.int64()), "szb": pa.array([], pa.int64()),
+            }
+        )
         t = t.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
         shingles = t.column("shingle").combine_chunks().dictionary_encode()
         s_idx = shingles.indices.to_numpy()
         docs = t.column("doc_id").to_numpy()
-        change = np.empty(len(s_idx), dtype=bool)
+        szs = t.column("nsh").to_numpy()
         if len(s_idx) == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return empty
+        change = np.empty(len(s_idx), dtype=bool)
         change[0] = True
         change[1:] = s_idx[1:] != s_idx[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(s_idx))
-        out_a, out_b = [], []
+        out_a, out_b, out_sza, out_szb = [], [], [], []
         for s, e in zip(starts, ends):
             g = e - s
             if g < 2 or g > shingle_df_cap:
                 continue
             d = docs[s:e]
+            z = szs[s:e]
             ia, ib = np.triu_indices(g, k=1)
             out_a.append(d[ia])
             out_b.append(d[ib])
+            out_sza.append(z[ia])
+            out_szb.append(z[ib])
         if not out_a:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return empty
         return pa.table(
             {
                 "a": pa.array(np.concatenate(out_a), type=pa.int64()),
                 "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "sza": pa.array(np.concatenate(out_sza), type=pa.int64()),
+                "szb": pa.array(np.concatenate(out_szb), type=pa.int64()),
             }
         )
 
@@ -215,26 +227,25 @@ def ngram_jaccard_pairs(
         )
         return t.append_column("kh", pa.array(kh))
 
+    # sza/szb are functions of a/b, so grouping by them too is a no-op on
+    # group identity but keeps the sizes attached through the shuffle
     pair_counts = (
         sh.map_batches(add_partition, batch_format="pyarrow")
         .groupby("kh")
         .map_groups(pairs_of_partition, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .groupby(["a", "b", "sza", "szb"])
         .aggregate(Count(alias_name="inter"))
     )
 
-    import ray
-
-    sizes_ref = ray.put(sizes)
-
     def score(t: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
         a = t.column("a").to_numpy().astype(np.int64)
         b = t.column("b").to_numpy().astype(np.int64)
         inter = t.column("inter").to_numpy().astype(np.int64)
-        union = np.array(
-            [sz[x] + sz[y] for x, y in zip(a, b)], dtype=np.int64
-        ) - inter
+        union = (
+            t.column("sza").to_numpy().astype(np.int64)
+            + t.column("szb").to_numpy().astype(np.int64)
+            - inter
+        )
         jac = inter / union
         keep = jac >= threshold
         # integer micro-units (floor division) so the DuckDB oracle can
@@ -375,33 +386,126 @@ def minhash_lsh_pairs(
         .groupby("band")
         .map_groups(pairs_of_band, batch_format="pyarrow")
     )
-    cand_pairs = {
-        (int(r["a"]), int(r["b"])) for r in cand.iter_rows()
-    }
 
-    # verification: exact Jaccard on shingle-hash sets (broadcast at this
-    # scale; repartition-by-pair at cluster scale)
-    doc_sets = {}
-    for batch in _read_docs(sf_dir).iter_batches(batch_format="pyarrow"):
-        for d, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            doc_sets[int(d)] = set(_shingle_hashes(text, n).tolist())
-    rows = []
-    for a, b in sorted(cand_pairs):
-        sa, sb = doc_sets[a], doc_sets[b]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac = inter / union if union else 0.0
-        if jac >= threshold:
-            rows.append((a, b, round(jac, 6)))
-    return pa.table(
-        {
-            "doc_id_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "doc_id_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
-        }
+    # Verification, distributed: broadcast the candidate-pair INDEX only
+    # (two int64 arrays + a doc->pair-slots CSR — LSH-bounded, orders of
+    # magnitude smaller than per-doc shingle sets), stream the corpus once
+    # emitting (pair_id, shingle_hash) rows for candidate docs, then ONE
+    # narrow int64 shuffle keyed by hash(pair_id) counts per-pair duplicate
+    # hashes = |A∩B|; |A∪B| = rows_in_group − inter. No per-doc state ever
+    # sits on the driver. Partitioning assumption: the LSH candidate-pair
+    # set fits a broadcast object (true by construction — band buckets are
+    # capped at 200 docs).
+    cp = cand.to_pandas().drop_duplicates(["a", "b"])  # a pair fires in many bands
+    pa_arr = cp["a"].to_numpy().astype(np.int64)
+    pb_arr = cp["b"].to_numpy().astype(np.int64)
+    P = len(pa_arr)
+    if P == 0:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    # CSR: doc -> indices of pairs it participates in
+    docs_all = np.concatenate([pa_arr, pb_arr])
+    pidx_all = np.concatenate([np.arange(P), np.arange(P)])
+    order = np.argsort(docs_all, kind="stable")
+    docs_sorted = docs_all[order]
+    pidx_sorted = pidx_all[order]
+    uniq_docs, first = np.unique(docs_sorted, return_index=True)
+    offs = np.append(first, len(docs_sorted))
+    bcast = ray.put((uniq_docs, offs, pidx_sorted, pa_arr, pb_arr))
+
+    class PairShingleRows:
+        """doc batch -> (pair_id, sh) rows for every (pair containing doc,
+        distinct shingle of doc); non-candidate docs emit nothing."""
+
+        def __init__(self, nn: int):
+            self.nn = nn
+            self.idx = ray.get(bcast)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uniq, offs, pidx, _, _ = self.idx
+            out_p, out_h = [], []
+            for d, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                loc = np.searchsorted(uniq, d)
+                if loc >= len(uniq) or uniq[loc] != d:
+                    continue
+                h = _shingle_hashes(text, self.nn)  # distinct by construction
+                pairs = pidx[offs[loc] : offs[loc + 1]]
+                out_p.append(np.repeat(pairs, len(h)))
+                out_h.append(np.tile(h.astype(np.int64), len(pairs)))
+            if not out_p:
+                return pa.table(
+                    {"pid": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+                )
+            pid = np.concatenate(out_p).astype(np.int64)
+            return pa.table(
+                {
+                    "pid": pa.array(pid, type=pa.int64()),
+                    "sh": pa.array(np.concatenate(out_h), type=pa.int64()),
+                    "kp": pa.array((pid % 64).astype(np.int32)),
+                }
+            )
+
+    def verify_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        _, _, _, a_of, b_of = ray.get(bcast)
+        t = t.sort_by([("pid", "ascending"), ("sh", "ascending")])
+        pid = t.column("pid").to_numpy()
+        sh = t.column("sh").to_numpy()
+        new_pair = np.empty(len(pid), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = pid[1:] != pid[:-1]
+        starts = np.flatnonzero(new_pair)
+        ends = np.append(starts[1:], len(pid))
+        # a hash appears at most once per side -> a within-pair duplicate
+        # is exactly one shared shingle
+        dup = np.zeros(len(pid), dtype=np.int64)
+        dup[1:] = ((sh[1:] == sh[:-1]) & ~new_pair[1:]).astype(np.int64)
+        inter = np.add.reduceat(dup, starts)
+        union = (ends - starts) - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= threshold
+        sel = pid[starts][keep]
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_of[sel], type=pa.int64()),
+                "doc_id_b": pa.array(b_of[sel], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+            }
+        )
+
+    verified = (
+        _read_docs(sf_dir)
+        .map_batches(PairShingleRows(n), batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
+    # the verified pair list is output-sized (small); hand back a pa.Table
+    out = verified.to_pandas()
+    if out.empty:  # an all-empty Dataset loses its schema in to_pandas
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    out = out.sort_values(["doc_id_a", "doc_id_b"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -583,21 +687,139 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
         )
         bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
         sims = bm @ all_mat.T
-        rows_a, rows_b, rows_s = [], [], []
-        for i, a in enumerate(bids):
-            hit = np.flatnonzero(sims[i] >= threshold)
-            for j in hit:
-                b = int(all_ids[j])
-                if int(a) < b:  # dedupe the symmetric pair
-                    rows_a.append(int(a))
-                    rows_b.append(b)
-                    rows_s.append(round(float(sims[i, j]), 6))
+        # vectorized: a < b keeps each symmetric pair once
+        ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
         return pa.table(
             {
-                "vec_id_a": pa.array(rows_a, type=pa.int64()),
-                "vec_id_b": pa.array(rows_b, type=pa.int64()),
-                "cosine": pa.array(rows_s, type=pa.float64()),
+                "vec_id_a": pa.array(bids[ii], type=pa.int64()),
+                "vec_id_b": pa.array(all_ids[jj], type=pa.int64()),
+                "cosine": pa.array(np.round(sims[ii, jj], 6), type=pa.float64()),
             }
         )
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 314,
+):
+    """Scale path for cosine near-dup: random-hyperplane LSH bucketing.
+
+    sign(R @ v) gives an ``n_bits`` signature (R broadcast, n_bits x dim);
+    signatures split into ``bands`` bands — two vectors land in the same
+    band bucket iff all that band's bits agree, which happens with
+    probability (1 - theta/pi)^(bits/band) per band. Candidates verify with
+    exact cosine inside the bucket group; pairs dedupe on the driver
+    (output-sized). Nothing holds the full matrix: only R (tiny) is
+    broadcast and each bucket group sees just its own vectors.
+    """
+    import ray
+    import ray.data
+
+    bits_per_band = n_bits // bands
+    rng = np.random.default_rng(seed)
+    # hyperplanes drawn once; dim read from the parquet schema's first row
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0)
+    dim = len(first.column("embedding")[0].as_py())
+    R = rng.standard_normal((n_bits, dim))
+    rref = ray.put(R)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        Rm = ray.get(rref)
+        ids = t.column("vec_id").to_numpy()
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bits = (mat @ Rm.T) > 0  # (n, n_bits)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        out = []
+        for bi in range(bands):
+            chunk = bits[:, bi * bits_per_band : (bi + 1) * bits_per_band]
+            bh = chunk @ weights
+            out.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), bi, dtype=np.int32)),
+                        "bh": pa.array(bh, type=pa.int64()),
+                        "vec_id": pa.array(ids, type=pa.int64()),
+                        "embedding": t.column("embedding"),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def pairs_of_band(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("bh", "ascending"), ("vec_id", "ascending")])
+        bh = t.column("bh").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        change = np.empty(len(bh), dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(bh))
+        oa, ob, oc = [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2 or g > 1000:  # bucket skew guard
+                continue
+            sub = mat[s:e]
+            sims = sub @ sub.T
+            ia, ib = np.triu_indices(g, k=1)
+            keep = sims[ia, ib] >= threshold
+            oa.append(ids[s:e][ia[keep]])
+            ob.append(ids[s:e][ib[keep]])
+            oc.append(sims[ia[keep], ib[keep]])
+        if not oa:
+            return empty
+        return pa.table(
+            {
+                "vec_id_a": pa.array(np.concatenate(oa), type=pa.int64()),
+                "vec_id_b": pa.array(np.concatenate(ob), type=pa.int64()),
+                "cosine": pa.array(
+                    np.round(np.concatenate(oc), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    cand = (
+        ds.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(pairs_of_band, batch_format="pyarrow")
+    )
+    out = cand.to_pandas()
+    if out.empty:  # an all-empty Dataset loses its schema in to_pandas
+        return pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = (
+        out.drop_duplicates(["vec_id_a", "vec_id_b"])  # a pair fires in many bands
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

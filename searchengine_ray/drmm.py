@@ -110,31 +110,46 @@ class MLP:
         h = np.tanh(x @ self.W1 + self.b1)
         return float(h @ self.W2 + self.b2)
 
-    def forward_grad(self, x: np.ndarray):
-        h_in = x @ self.W1 + self.b1
-        h = np.tanh(h_in)
-        y = float(h @ self.W2 + self.b2)
-        return y, (x, h)
+    def score_terms(self, F: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-term forwards: F (n_terms x n_bins) -> (outputs, hidden)."""
+        H = np.tanh(F @ self.W1 + self.b1)
+        return H @ self.W2 + self.b2, H
 
-    def step_pair(self, x_pos: np.ndarray, x_neg: np.ndarray) -> float:
-        """Hinge: max(0, 1 - (s+ - s-)); adagrad update. Returns loss."""
-        yp, (xp, hp) = self.forward_grad(x_pos)
-        yn, (xn, hn) = self.forward_grad(x_neg)
-        loss = max(0.0, 1.0 - (yp - yn))
+    def step_pair(
+        self,
+        F_pos: np.ndarray,
+        g_pos: np.ndarray,
+        F_neg: np.ndarray,
+        g_neg: np.ndarray,
+    ) -> float:
+        """Hinge max(0, 1 - (s+ - s-)) where s = sum_i gate_i * mlp(F_i) —
+        the SAME per-term-forward + weighted-sum form used at rerank time
+        (the reference trains and tests through mlp.forward per term +
+        wtdSum, `RetrievalModelDRMM.java:101-112, 233-252, 270-275`);
+        backprop goes through every per-term forward. Adagrad update.
+        """
+        yp, Hp = self.score_terms(F_pos)
+        yn, Hn = self.score_terms(F_neg)
+        loss = max(0.0, 1.0 - (float(g_pos @ yp) - float(g_neg @ yn)))
         if loss <= 0.0:
             return 0.0
-        # d(s)/dW2 = h; d(s)/dW1 = x outer (W2 * (1-h^2))
-        gW2 = -(hp - hn)
-        gb2 = 0.0
-        dp = self.W2 * (1 - hp**2)
-        dn = self.W2 * (1 - hn**2)
-        gW1 = -(np.outer(xp, dp) - np.outer(xn, dn))
-        gb1 = -(dp - dn)
+
+        def grads(F, g, H):
+            # d s/dW2 = sum_i g_i h_i ; d s/dW1 = sum_i g_i x_i (W2*(1-h_i^2))
+            gW2 = g @ H
+            D = (g[:, None] * (1 - H**2)) * self.W2[None, :]
+            return F.T @ D, D.sum(axis=0), gW2
+
+        gW1p, gb1p, gW2p = grads(F_pos, g_pos, Hp)
+        gW1n, gb1n, gW2n = grads(F_neg, g_neg, Hn)
+        gW1 = -(gW1p - gW1n)
+        gb1 = -(gb1p - gb1n)
+        gW2 = -(gW2p - gW2n)
+        # b2's pairwise gradient is sum(g+) - sum(g-) = 0 (softmax gates)
         lr = self.cfg.lr
         self._g[0] += gW1**2
         self._g[1] += gb1**2
         self._g[2] += gW2**2
-        self._g[3] += gb2**2 + 1e-12
         self.W1 -= lr * gW1 / np.sqrt(self._g[0])
         self.b1 -= lr * gb1 / np.sqrt(self._g[1])
         self.W2 -= lr * gW2 / np.sqrt(self._g[2])
@@ -196,21 +211,13 @@ class DrmmScorer:
         """Sample (rel, nonrel) pairs per the reference's seeded rejection
         sampling, train the MLP; returns per-epoch mean losses."""
         rng = np.random.default_rng(self.cfg.seed)
-        feats_cache: dict[tuple[str, int], np.ndarray] = {}
-        gate_cache: dict[str, tuple[list[str], np.ndarray]] = {}
-
-        def feat(qid: str, d: int) -> np.ndarray:
-            key = (qid, d)
-            if key not in feats_cache:
-                terms, gates = gate_cache[qid]
-                F = self.features(terms, self.doc_term_matrix(doc_texts[d]))
-                feats_cache[key] = (gates[:, None] * F).sum(axis=0)
-            return feats_cache[key]
-
+        gate_cache = {
+            qid: self.query_terms_and_gates(queries[qid])
+            for qid in queries
+            if qid in qrels
+        }
         pairs: list[tuple[str, int, int]] = []
-        qids = sorted(q for q in queries if q in qrels)
-        for qid in qids:
-            gate_cache[qid] = self.query_terms_and_gates(queries[qid])
+        qids = sorted(gate_cache)
         tries = 0
         while len(pairs) < self.cfg.n_pairs and tries < self.cfg.n_pairs * 20:
             tries += 1
@@ -226,13 +233,75 @@ class DrmmScorer:
             if r1 < r2:
                 d1, d2 = d2, d1
             pairs.append((qid, d1, d2))
+        return self._run_epochs(pairs, gate_cache, doc_texts, rng)
+
+    def train_pairs_from_file(
+        self,
+        sample_file: str,
+        queries: dict[str, str],
+        qrels: dict[str, dict[int, int]],
+        doc_texts: dict[int, str],
+        ext2id: dict[str, int],
+    ) -> list[float]:
+        """The reference's ``drmm:sampleFile`` replay path
+        (`RetrievalModelDRMM.java:277-427`): each line is
+        ``qid,externalId1,externalId2`` (comma or space separated); the pair
+        is ordered by qrels relevance (missing -> 0), TIES keeping the
+        reference's `else` branch order (doc2 first). Training then runs the
+        usual seeded epoch shuffle, so a committed pair file reproduces
+        training exactly.
+        """
+        import re
+
+        rng = np.random.default_rng(self.cfg.seed)
+        gate_cache: dict[str, tuple[list[str], np.ndarray]] = {}
+        pairs: list[tuple[str, int, int]] = []
+        with open(sample_file) as f:
+            for line in f:
+                parts = [p for p in re.split(r"[,\s]+", line.strip()) if p]
+                if len(parts) < 3:
+                    continue
+                qid, e1, e2 = parts[0], parts[1], parts[2]
+                if qid not in queries or e1 not in ext2id or e2 not in ext2id:
+                    continue
+                d1, d2 = ext2id[e1], ext2id[e2]
+                if d1 not in doc_texts or d2 not in doc_texts:
+                    continue
+                rel = qrels.get(qid, {})
+                r1, r2 = rel.get(d1, 0), rel.get(d2, 0)
+                if qid not in gate_cache:
+                    gate_cache[qid] = self.query_terms_and_gates(queries[qid])
+                # reference: `if (rel1 > rel2) (d1,d2) else (d2,d1)` — a tie
+                # lands in the else branch (`RetrievalModelDRMM.java:392-398`)
+                pairs.append((qid, d1, d2) if r1 > r2 else (qid, d2, d1))
+        return self._run_epochs(pairs, gate_cache, doc_texts, rng)
+
+    def _run_epochs(
+        self,
+        pairs: list[tuple[str, int, int]],
+        gate_cache: dict[str, tuple[list[str], np.ndarray]],
+        doc_texts: dict[int, str],
+        rng: np.random.Generator,
+    ) -> list[float]:
+        feats_cache: dict[tuple[str, int], np.ndarray] = {}
+
+        def feat(qid: str, d: int) -> np.ndarray:
+            key = (qid, d)
+            if key not in feats_cache:
+                terms, _ = gate_cache[qid]
+                feats_cache[key] = self.features(
+                    terms, self.doc_term_matrix(doc_texts[d])
+                )
+            return feats_cache[key]
+
         losses = []
         for _ in range(self.cfg.epochs):
             order = rng.permutation(len(pairs))  # seeded epoch shuffle (:229)
             tot = 0.0
             for i in order:
                 qid, dp, dn = pairs[i]
-                tot += self.mlp.step_pair(feat(qid, dp), feat(qid, dn))
+                g = gate_cache[qid][1]
+                tot += self.mlp.step_pair(feat(qid, dp), g, feat(qid, dn), g)
             losses.append(tot / max(1, len(pairs)))
         return losses
 

@@ -185,7 +185,15 @@ def run_queries(
         concurrency=min(concurrency, max(1, n)),
         num_cpus=1,
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow")
+    ]
+    tbl = (
+        pa.concat_tables(parts, promote_options="default")
+        if parts
+        else RESULT_SCHEMA.empty_table()
+    )
     if tbl.num_rows:
         tbl = tbl.sort_by([("qid", "ascending"), ("rank", "ascending")])
     return tbl.cast(RESULT_SCHEMA)

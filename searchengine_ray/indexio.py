@@ -121,6 +121,12 @@ class InvertedIndex:
     def _rows_for(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._doc_ids, doc_ids)
         idx = np.clip(idx, 0, max(0, self.n_local_docs - 1))
+        if len(idx) and not (self._doc_ids[idx] == doc_ids).all():
+            missing = doc_ids[self._doc_ids[idx] != doc_ids]
+            raise KeyError(
+                f"doc_ids not in this index's docmap (first: {missing[:5]}); "
+                "callers must only pass ids present in the opened partitions"
+            )
         return idx
 
     def doclen(self, field: str, doc_ids: np.ndarray) -> np.ndarray:

@@ -177,7 +177,12 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
 def image_pipeline(media, concurrency: int = 2):
     """Dataset of MEDIA_SCHEMA -> image features via an actor pool (small
     batches: payloads are the block-size driver)."""
-    imgs = media.filter(lambda r: r["kind"] == "image")
+    import pyarrow.compute as pc
+
+    def only_images(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), "image"))
+
+    imgs = media.map_batches(only_images, batch_format="pyarrow")
     return imgs.map_batches(
         ImageFeatures,
         batch_format="pyarrow",

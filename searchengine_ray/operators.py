@@ -149,16 +149,26 @@ def _eval_syn(parts: list[Postings], need_positions: bool = True) -> Postings:
             doc_ids=docs, tfs=tfs, pos_offsets=None, positions=None,
             df=len(docs), ctf=int(tfs.sum()),
         )
-    key = np.concatenate(
-        [
-            (np.repeat(p.doc_ids, p.tfs).astype(np.uint64) << np.uint64(32))
-            | p.positions.astype(np.uint64)
-            for p in parts
-        ]
-    )
-    key.sort()
-    doc_all = (key >> np.uint64(32)).astype(np.int64)
-    pos_all = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    max_doc = max(int(p.doc_ids[-1]) for p in parts)
+    if max_doc < 1 << 32:
+        key = np.concatenate(
+            [
+                (np.repeat(p.doc_ids, p.tfs).astype(np.uint64) << np.uint64(32))
+                | p.positions.astype(np.uint64)
+                for p in parts
+            ]
+        )
+        key.sort()
+        doc_all = (key >> np.uint64(32)).astype(np.int64)
+        pos_all = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:
+        # shard-local ids normally fit 32 bits; past that the packed-key
+        # radix trick would truncate, so fall back to a two-key lexsort
+        doc_all = np.concatenate([np.repeat(p.doc_ids, p.tfs) for p in parts])
+        pos_all = np.concatenate([p.positions.astype(np.int64) for p in parts])
+        order = np.lexsort((pos_all, doc_all))
+        doc_all = doc_all[order]
+        pos_all = pos_all[order]
     change = np.empty(len(doc_all), dtype=bool)
     change[0] = True
     change[1:] = doc_all[1:] != doc_all[:-1]
@@ -170,40 +180,97 @@ def _eval_syn(parts: list[Postings], need_positions: bool = True) -> Postings:
 
 
 def _eval_near(parts: list[Postings], dist: int) -> Postings:
-    """#NEAR/n over common docs (per-doc greedy pointer sweep; the ordered
-    consume-once semantics resist full vectorization, so the inner loops run
-    on plain Python lists for scalar speed)."""
+    """#NEAR/n over common docs, lock-step vectorized for any arity (exact
+    `QryIopNear.java:27-83` state machine, one transition per round across
+    every active doc)."""
     if not parts or any(p.df == 0 for p in parts):
         return EMPTY_POSTINGS
     if len(parts) == 2:
         return _eval_near2_vectorized(parts, dist)
+    return _eval_neark_vectorized(parts, dist)
+
+
+def _eval_neark_vectorized(parts: list[Postings], dist: int) -> Postings:
+    """k-arg #NEAR/n, lock-step vectorized across all common docs.
+
+    Per-doc state is (k pointers, current stage s in 1..k-1, prev = the
+    position the stage must beat). Each round applies ONE transition of
+    `QryIopNear.java:27-83` to every active doc:
+      stage-arg exhausted      -> doc done (locIteratorFinish)
+      cur <= prev              -> advance stage arg one step
+      cur - prev > dist        -> advance arg0, restart at stage 1
+      else, stage+1 < k        -> prev = cur, next stage
+      else (stage+1 == k)      -> match: emit cur, advance ALL args,
+                                  restart at stage 1 (consume-once)
+    Docs group by stage inside a round so every gather is a flat numpy
+    fancy-index (k is small; the per-stage loop is O(k) python ops/round).
+    """
     common = reduce(np.intersect1d, [p.doc_ids for p in parts])
     if len(common) == 0:
         return EMPTY_POSTINGS
-    idx_per_arg = [np.searchsorted(p.doc_ids, common) for p in parts]
-    # plain Python lists: the greedy pointer sweeps do scalar indexing, which
-    # is several times faster on lists than on numpy arrays
-    pos_lists = [p.positions.tolist() for p in parts]
-    off_lists = [p.pos_offsets.tolist() for p in parts]
-    idx_lists = [ix.tolist() for ix in idx_per_arg]
-    out_docs, out_tfs, out_pos = [], [], []
-    for row, _doc in enumerate(common):
-        plists = [
-            pl[off[ix[row]] : off[ix[row] + 1]]
-            for pl, off, ix in zip(pos_lists, off_lists, idx_lists)
-        ]
-        matches = _near_positions(plists, dist)
-        if matches:
-            out_docs.append(_doc)
-            out_tfs.append(len(matches))
-            out_pos.extend(matches)
-    if not out_docs:
+    k = len(parts)
+    m = len(common)
+    idx = [np.searchsorted(p.doc_ids, common) for p in parts]
+    PTR = np.vstack([p.pos_offsets[ix] for p, ix in zip(parts, idx)]).astype(
+        np.int64
+    )  # (k, m), mutable
+    END = np.vstack([p.pos_offsets[ix + 1] for p, ix in zip(parts, idx)])
+    P = [p.positions for p in parts]
+
+    stage = np.ones(m, dtype=np.int64)
+    prev = P[0][PTR[0]].astype(np.int64)
+    active = np.arange(m)
+    out_rows: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    while len(active):
+        s_arr = stage[active]
+        cur_ptr = PTR[s_arr, active]
+        alive = cur_ptr < END[s_arr, active]  # stage arg exhausted -> done
+        active = active[alive]
+        if not len(active):
+            break
+        s_arr = s_arr[alive]
+        cur_ptr = cur_ptr[alive]
+        cur = np.empty(len(active), dtype=np.int64)
+        for s in range(1, k):
+            ms = s_arr == s
+            if ms.any():
+                cur[ms] = P[s][cur_ptr[ms]]
+        pv = prev[active]
+        behind = cur <= pv
+        fail = (~behind) & (cur - pv > dist)
+        passed = ~(behind | fail)
+        matched = passed & (s_arr + 1 == k)
+        ok = passed & ~matched
+        if matched.any():
+            out_rows.append(active[matched])
+            out_pos.append(cur[matched])
+            PTR[:, active[matched]] += 1
+        PTR[s_arr[behind], active[behind]] += 1
+        PTR[0, active[fail]] += 1
+        prev[active[ok]] = cur[ok]
+        stage[active[ok]] = s_arr[ok] + 1
+        restart = fail | matched
+        if restart.any():
+            d = active[restart]
+            a0_alive = PTR[0, d] < END[0, d]  # outer `while ptr0 < len0`
+            d = d[a0_alive]
+            stage[d] = 1
+            prev[d] = P[0][PTR[0, d]]
+            dead = active[restart][~a0_alive]
+            if len(dead):
+                keep = ~np.isin(active, dead, assume_unique=True)
+                active = active[keep]
+    if not out_rows:
         return EMPTY_POSTINGS
-    doc_ids = np.asarray(out_docs, dtype=np.int64)
-    tfs = np.asarray(out_tfs, dtype=np.int64)
-    pos_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+    rows = np.concatenate(out_rows)
+    poss = np.concatenate(out_pos)
+    order = np.argsort(rows, kind="stable")
+    rows, poss = rows[order], poss[order]
+    doc_rows, tfs = np.unique(rows, return_counts=True)
+    pos_offsets = np.zeros(len(doc_rows) + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
-    return _make_postings(doc_ids, tfs, pos_offsets, np.asarray(out_pos, np.int64))
+    return _make_postings(common[doc_rows], tfs.astype(np.int64), pos_offsets, poss)
 
 
 def _eval_near2_vectorized(parts: list[Postings], dist: int) -> Postings:

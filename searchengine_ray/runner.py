@@ -88,6 +88,11 @@ def run(params: dict[str, str]) -> str:
             fb_orig_weight=float(params.get("fbOrigWeight", 0.5)),
         )
         sf_dir = params.get("corpusPath")
+        if not sf_dir:
+            raise ValueError(
+                "fb expansion requires corpusPath (the expansion stage reads "
+                "candidate docs' terms from the corpus parquet)"
+            )
         initial = None
         if params.get("fbInitialRankingFile"):
             initial = read_trec_rankings(params["fbInitialRankingFile"])

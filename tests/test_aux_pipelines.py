@@ -202,6 +202,39 @@ def test_drmm_train_reduces_loss_and_is_deterministic(engine):
     assert ranks[0] < ranks[3] and ranks[2] < ranks[1]
 
 
+def test_drmm_sample_file_replay(engine, tmp_path):
+    """Reference `drmm:sampleFile` path (RetrievalModelDRMM.java:277-427):
+    training from a committed pair file is exactly reproducible."""
+    from searchengine_ray.drmm import DrmmConfig, DrmmScorer
+
+    texts = {
+        0: "mutex lock guard mutex",
+        1: "apple banana fruit salad",
+        2: "mutex semaphore lock",
+        3: "weather sunny rain cloud",
+    }
+    qrels = {"1": {0: 1, 1: 0, 2: 1, 3: 0}}
+    queries = {"1": "mutex lock"}
+    ids = list(engine.index.all_doc_ids())
+    ext = engine.index.external_ids(np.array(ids[:4]))
+    ext2id = {str(e): d for e, d in zip(ext, texts)}
+    pair_file = tmp_path / "pairs.txt"
+    lines = [
+        f"1,{list(ext2id)[0]},{list(ext2id)[1]}",
+        f"1 {list(ext2id)[3]} {list(ext2id)[2]}",  # space-separated variant
+        f"1,{list(ext2id)[0]},{list(ext2id)[2]}",  # tie -> else-branch order
+    ]
+    pair_file.write_text("\n".join(lines) + "\n")
+    cfg = DrmmConfig(seed=3, epochs=8)
+    s1 = DrmmScorer(engine.index, cfg)
+    l1 = s1.train_pairs_from_file(str(pair_file), queries, qrels, texts, ext2id)
+    s2 = DrmmScorer(engine.index, cfg)
+    l2 = s2.train_pairs_from_file(str(pair_file), queries, qrels, texts, ext2id)
+    assert l1 == l2 and len(l1) == 8
+    assert np.array_equal(s1.mlp.W1, s2.mlp.W1)
+    assert np.array_equal(s1.mlp.W2, s2.mlp.W2)
+
+
 def test_mlp_save_load_roundtrip(tmp_path):
     import numpy as np
 

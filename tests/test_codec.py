@@ -51,6 +51,17 @@ def test_segmented_roundtrip(n_runs):
     assert np.array_equal(out, values)
 
 
+def test_segmented_zero_length_runs():
+    # empty runs duplicate a run-start offset; the run after an empty run
+    # must NOT inherit the previous run's prefix (carry-adjustment bug)
+    runs = [[5, 9, 40], [], [3, 4], [], [], [7], []]
+    values = np.array([x for r in runs for x in r], dtype=np.int64)
+    offsets = np.zeros(len(runs) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([len(r) for r in runs])
+    out = decode_segmented(encode_segmented(values, offsets), offsets)
+    assert np.array_equal(out, values)
+
+
 def test_compression_is_compact():
     # dense ascending ids -> ~1 byte per gap
     v = np.arange(0, 100000, 3, dtype=np.int64)

@@ -57,6 +57,20 @@ def test_simhash_finds_near_dups():
     assert all(h <= 6 for h in t.column("hamming").to_pylist())
 
 
+def test_embedding_lsh_recall_vs_brute():
+    from searchengine_ray.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    exact = embedding_dup_pairs(SF, threshold=0.4).to_pandas()
+    exact_pairs = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    assert exact_pairs  # sf0.001 plants near-dup embeddings above 0.4
+    lsh = embedding_dup_pairs_lsh(SF, threshold=0.4).to_pandas()
+    lsh_pairs = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    # verified with exact cosine inside buckets -> no false positives
+    assert lsh_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(lsh_pairs & exact_pairs) >= 0.7 * len(exact_pairs)
+
+
 def test_ann_brute_matches_numpy():
     from searchengine_ray.ann import _load_matrix, brute_topk
 
