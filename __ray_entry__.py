@@ -247,6 +247,66 @@ SELECT term, round(sum(x), 6) AS score_r FROM contrib
 GROUP BY term ORDER BY sum(x) DESC, term LIMIT 10
 """
 
+# Full PRF rescore: the _PRF_EXPANSION_SQL pipeline continued through the
+# reference's combined query `#wand(0.5 #and(dup) 0.5 #wand(w_i t_i))`
+# under Indri (mu=1500, lambda=0.01). Weights go through printf('%.4f') —
+# the engine formats the expansion query the same way (QryExpand.java:137-142)
+# — and every leaf uses the unified Indri estimate with tf defaulting to 0
+# for absent docs (ctf >= 1 for every candidate term, so the ctf<1 -> 0.5
+# default-score quirk cannot trigger here). The doc universe is disjunctive:
+# docs matching 'dup' OR any expansion term.
+_PRF_E2E_SQL = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='dup' GROUP BY doc_id),
+qstats AS (SELECT count(*) AS df FROM tfq),
+top AS (SELECT tfq.doc_id,
+          greatest(0.0, ln((const.n - qstats.df + 0.5)/(qstats.df + 0.5)))
+            * tfq.tf/(tfq.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+        FROM tfq JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN qstats
+        ORDER BY s DESC, tfq.doc_id LIMIT 10),
+candt AS (SELECT DISTINCT term FROM tok JOIN top USING(doc_id)
+          WHERE term NOT IN {_STOPLIST_SQL}),
+cctf AS (SELECT term, count(*) AS ctf FROM tok
+         WHERE term IN (SELECT term FROM candt) GROUP BY term),
+ctfd AS (SELECT tok.doc_id, term, count(*) AS tf FROM tok
+         JOIN top ON top.doc_id = tok.doc_id
+         WHERE term IN (SELECT term FROM candt) GROUP BY tok.doc_id, term),
+contrib AS (
+  SELECT c.term,
+         (coalesce(ctfd.tf, 0) / (dl.dl + 0.0)) * top.s * ln(const.clen / cctf.ctf) AS x
+  FROM candt c
+  CROSS JOIN top
+  JOIN dl ON dl.doc_id = top.doc_id
+  JOIN cctf ON cctf.term = c.term
+  LEFT JOIN ctfd ON ctfd.doc_id = top.doc_id AND ctfd.term = c.term
+  CROSS JOIN const),
+fbw AS (SELECT term, CAST(printf('%.4f', sum(x)) AS DOUBLE) AS w FROM contrib
+        GROUP BY term ORDER BY sum(x) DESC, term LIMIT 10),
+wtot AS (SELECT sum(w) AS tw FROM fbw),
+terms11 AS (SELECT term FROM fbw UNION SELECT 'dup' AS term),
+tctf AS (SELECT term, CAST(count(*) AS DOUBLE) AS ctf FROM tok
+         WHERE term IN (SELECT term FROM terms11) GROUP BY term),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM terms11) GROUP BY doc_id, term),
+universe AS (SELECT DISTINCT doc_id FROM ttf),
+leaf AS (
+  SELECT u.doc_id, t11.term,
+    (1 - 0.01) * (coalesce(ttf.tf, 0) + 1500.0 * (tctf.ctf / const.clen))
+      / (dl.dl + 1500.0) + 0.01 * (tctf.ctf / const.clen) AS p
+  FROM universe u CROSS JOIN terms11 t11
+  JOIN dl ON dl.doc_id = u.doc_id
+  JOIN tctf ON tctf.term = t11.term
+  LEFT JOIN ttf ON ttf.doc_id = u.doc_id AND ttf.term = t11.term
+  CROSS JOIN const),
+fbscore AS (
+  SELECT leaf.doc_id, exp(sum((fbw.w / wtot.tw) * ln(leaf.p))) AS s_fb
+  FROM leaf JOIN fbw USING(term) CROSS JOIN wtot
+  GROUP BY leaf.doc_id),
+dupscore AS (SELECT doc_id, p AS s_dup FROM leaf WHERE term = 'dup')
+SELECT d.doc_id, round(pow(d.s_dup, 0.5) * pow(f.s_fb, 0.5), 6) AS score_r
+FROM dupscore d JOIN fbscore f USING(doc_id)
+"""
+
 _DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
 """
@@ -446,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR / DRMM)
         "prf_expansion": gate.prf_expansion,
+        "prf_e2e_rescore": gate.prf_e2e_rescore,
         "div_xquad": gate.div_xquad,
         "div_pm2": gate.div_pm2,
         "ltr_rerank": gate.ltr_rerank,
@@ -496,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "se_docmap": _SE_DOCMAP_SQL,
         "se_lexicon": _SE_LEXICON_SQL,
         "prf_expansion": _PRF_EXPANSION_SQL,
+        "prf_e2e_rescore": _PRF_E2E_SQL,
         # div_xquad / div_pm2 / ltr_rerank / drmm_rerank: iterative greedy /
         # trained-model pipelines -> rows-only; pytest covers the formulas.
         "dedup_exact": _DEDUP_EXACT_SQL,

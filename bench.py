@@ -216,14 +216,16 @@ def run_scaling() -> None:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, SCALING_NCPU=str(ncpu))
-        out = subprocess.run(
+        r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            raise RuntimeError(f"scaling worker ncpu={ncpu} failed")
+        return json.loads(r.stdout.strip().splitlines()[-1])
 
     n_lo, n_hi = 2, 8
     lo = one(n_lo)

@@ -42,14 +42,19 @@ def field_length(text: str) -> int:
     return len(tokenize(text))
 
 
-def analyze_query_token(token: str) -> list[str]:
+def analyze_query_token(token: str, stemmer=None) -> list[str]:
     """Query-side analysis of one raw token -> 0..k index terms.
 
     A token may split into several terms (e.g. ``near-death`` -> ``near``,
     ``death``) and stopword terms vanish (which can empty an operator; the
-    optimizer then deletes it, `QryParser.java:233-275`).
+    optimizer then deletes it, `QryParser.java:233-275`). ``stemmer`` (a
+    ``str -> str``, applied after the stoplist like Lucene's chain) must be
+    the one the target index was built with.
     """
-    return [t for t in tokenize(token) if t not in STOPWORDS]
+    terms = [t for t in tokenize(token) if t not in STOPWORDS]
+    if stemmer is not None:
+        terms = [stemmer(t) for t in terms]
+    return terms
 
 
 @dataclass
@@ -69,11 +74,16 @@ class AnalyzedBatch:
     doc_lens: np.ndarray  # int64, one per input row
 
 
-def analyze_batch(texts: list[str] | np.ndarray) -> AnalyzedBatch:
+def analyze_batch(
+    texts: "list[str] | np.ndarray", stemmer=None
+) -> AnalyzedBatch:
     """Tokenize a batch of documents into grouped (doc, term) postings.
 
     Vectorized across the whole batch: one lexsort over all token instances
-    instead of per-document dict building.
+    instead of per-document dict building. ``stemmer`` runs after the
+    stoplist and only over the UNIQUE vocabulary of the batch (not every
+    instance), then instances regroup under the stemmed terms — positions
+    and doc lengths are stemmer-independent.
     """
     n_docs = len(texts)
     doc_lens = np.zeros(n_docs, dtype=np.int64)
@@ -107,6 +117,13 @@ def analyze_batch(texts: list[str] | np.ndarray) -> AnalyzedBatch:
     term_ids = inv[keep]
     docs = docs[keep]
     poss = poss[keep]
+
+    if stemmer is not None and len(vocab):
+        # stem each unique surface form once; instances remap and merge
+        # under the stemmed vocabulary (e.g. runs/running -> run)
+        stemmed = np.array([stemmer(v) for v in vocab], dtype=object).astype(str)
+        vocab, remap = np.unique(stemmed, return_inverse=True)
+        term_ids = remap[term_ids]
 
     # Group by (term, doc); positions stay ascending within each group.
     order = np.lexsort((poss, docs, term_ids))

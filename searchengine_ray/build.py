@@ -84,11 +84,15 @@ class TokenizeFields:
         doc_bucket_size: int,
         merge_partitions: int = 64,
         docmap_dir: str | None = None,
+        stemmer: str = "none",
     ):
+        from .stem import get_stemmer
+
         self.fields = fields
         self.doc_bucket_size = doc_bucket_size
         self.merge_partitions = merge_partitions
         self.docmap_dir = docmap_dir
+        self.stemmer = get_stemmer(stemmer)  # once per actor/task
 
     def _write_docmap(
         self,
@@ -134,7 +138,7 @@ class TokenizeFields:
         doc_lens: dict[str, np.ndarray] = {}
         for field, col in self.fields.items():
             texts = batch.column(col).to_pylist()
-            ab = analyze_batch(texts)
+            ab = analyze_batch(texts, stemmer=self.stemmer)
             doc_lens[field] = ab.doc_lens
             if len(ab.term) == 0:
                 continue
@@ -405,6 +409,7 @@ def _fingerprint(cfg: BuildConfig, n_docs: int, source_desc: str) -> str:
             "skip": cfg.skip_block_docs,
             "parts": cfg.num_partitions,
             "merge": cfg.merge_partitions,
+            "stemmer": cfg.stemmer,
             "n_docs": n_docs,
             "source": source_desc,
         },
@@ -517,7 +522,7 @@ def build_index(
         os.makedirs(dm_tmp, exist_ok=True)
         tokenizer = TokenizeFields(
             cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions,
-            docmap_dir=dm_tmp,
+            docmap_dir=dm_tmp, stemmer=cfg.stemmer,
         )
         posts = corpus.map_batches(
             tokenizer,
@@ -604,7 +609,11 @@ def _finalize(out_dir: str, cfg: BuildConfig) -> None:
         return pa.table(cols)
 
     pdf = docmap.map_batches(partial, batch_format="pyarrow").to_pandas()
-    stats: dict = {"n_docs": int(pdf["n_docs"].sum()), "fields": {}}
+    stats: dict = {
+        "n_docs": int(pdf["n_docs"].sum()),
+        "stemmer": cfg.stemmer,
+        "fields": {},
+    }
     for f in fields:
         stats["fields"][f] = {
             "sum_len": int(pdf[f"sum_{f}"].sum()),

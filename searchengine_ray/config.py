@@ -124,3 +124,7 @@ class BuildConfig:
     #: query pool ran 6x slower right after a materialized build).
     materialize_partition: bool = False
     tokenize_batch_size: int = 1024
+    #: analyzer profile: "none" (HW6, `QryParser.java:48-50`) or "porter"
+    #: (the HW1-5 stemmed profiles, KSTEM there; see stem.py). Recorded in
+    #: stats.json so query-side analysis stems identically.
+    stemmer: str = "none"

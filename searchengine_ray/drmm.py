@@ -160,9 +160,17 @@ class DrmmScorer:
     """Featurize + score (query, doc) pairs; per-actor state is the term
     vectors, MLP weights, and idf source — loaded once."""
 
-    def __init__(self, index: InvertedIndex, cfg: DrmmConfig | None = None):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        cfg: DrmmConfig | None = None,
+        vectors=None,
+    ):
+        """``vectors``: any backend with ``.get(term) -> vec | None`` and
+        ``.matrix(terms)`` — the synthetic :class:`TermVectors` (default) or
+        a real :class:`searchengine_ray.wordvec.Word2VecFile` database."""
         self.cfg = cfg or DrmmConfig()
-        self.vectors = TermVectors(self.cfg.dim)
+        self.vectors = vectors if vectors is not None else TermVectors(self.cfg.dim)
         self.index = index
         self.mlp = MLP(self.cfg)
 
@@ -170,6 +178,9 @@ class DrmmScorer:
         terms: list[str] = []
         for tok in query.split():
             terms.extend(analyze_query_token(tok))
+        # terms without a vector drop out of the query matrix, like the
+        # reference's null checks (`RetrievalModelDRMM.java:295-303`)
+        terms = [t for t in terms if self.vectors.get(t) is not None]
         if not terms:
             return [], np.zeros(0)
         N = float(self.index.num_docs)

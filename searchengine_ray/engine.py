@@ -88,13 +88,15 @@ class SearchEngine:
     """Single-process engine over one built index (all shards)."""
 
     def __init__(self, index_dir: str, params: ModelParams | None = None):
+        from .stem import get_stemmer
+
         self.index = InvertedIndex(index_dir)
         self.params = params or ModelParams()
+        stemmer = get_stemmer(self.index.stemmer_name)
+        self._analyze = lambda tok: analyze_query_token(tok, stemmer)
 
     def parse(self, query: str):
-        return parse_query(
-            query, DEFAULT_OP[self.params.model], analyze_query_token
-        )
+        return parse_query(query, DEFAULT_OP[self.params.model], self._analyze)
 
     def search(self, qid: str, query: str) -> pa.Table:
         tree = self.parse(query)
@@ -312,9 +314,17 @@ class ShardedQueryService:
         parts: list[int],
         params: ModelParams | None = None,
     ):
+        import json as _json
+        import os as _os
+
         import ray
 
+        from .stem import get_stemmer
+
         self.params = params or ModelParams()
+        with open(_os.path.join(index_dir, "stats.json")) as f:
+            _stemmer = get_stemmer(_json.load(f).get("stemmer", "none"))
+        self._analyze = lambda tok: analyze_query_token(tok, _stemmer)
         Worker = ray.remote(num_cpus=1)(_ShardWorker)
         self.workers = [
             Worker.remote(index_dir, p, self.params) for p in parts
@@ -325,7 +335,7 @@ class ShardedQueryService:
         import ray
 
         params = self.params
-        tree = parse_query(query, DEFAULT_OP[params.model], analyze_query_token)
+        tree = parse_query(query, DEFAULT_OP[params.model], self._analyze)
         per_shard = ray.get(
             [w.local_stats.remote(tree) for w in self.workers]
         )
@@ -387,21 +397,34 @@ def evaluate_sharded(
 # ---------------------------------------------------------------------------
 
 
-def format_trec(results: pa.Table, run_id: str = "reference") -> str:
-    """`qid Q0 externalId rank score runid`, %.18f scores, rank from 1,
-    dummy row for empty result sets (`QryEval.java:212-232`)."""
+def format_trec(
+    results: pa.Table, run_id: str = "reference", style: str = "hw6"
+) -> str:
+    """trec_eval output.
+
+    ``style="hw6"`` (default): `qid Q0 extId rank score runid`
+    space-separated, %.18f scores, rank FROM 1, dummy row for empty result
+    sets (`Homeworks/HW6/QryEval/QryEval.java:212-232`).
+    ``style="hw1"``: TAB-separated, %f scores, rank FROM 0, dummy rank 1
+    (`Homeworks/HW1/QryEval/QryEval.java:226-243`).
+    """
+    hw1 = style == "hw1"
+    sep = "\t" if hw1 else " "
     df = results.to_pandas()
     lines: list[str] = []
+
+    def fmt(qid, ext, rank, score):
+        s = f"{score:f}" if hw1 else f"{score:.18f}"
+        return sep.join((str(qid), "Q0", str(ext), str(rank), s, run_id))
+
     for qid, g in df.groupby("qid", sort=True):
         if len(g) == 0:
-            lines.append(f"{qid} Q0 dummy 1 {0.0:.18f} {run_id}")
+            lines.append(fmt(qid, "dummy", 1, 0.0))
             continue
         g = g.sort_values("rank")
         for _, row in g.iterrows():
-            lines.append(
-                f"{qid} Q0 {row.external_id} {int(row['rank'])} "
-                f"{row.score:.18f} {run_id}"
-            )
+            rank = int(row["rank"]) - (1 if hw1 else 0)
+            lines.append(fmt(qid, row.external_id, rank, row.score))
     return "\n".join(lines) + "\n"
 
 
@@ -410,15 +433,20 @@ def write_trec(
     path: str,
     all_qids: list[str] | None = None,
     run_id: str = "reference",
+    style: str = "hw6",
 ) -> None:
-    text = format_trec(results, run_id)
+    text = format_trec(results, run_id, style=style)
     if all_qids:
         present = set(results.column("qid").to_pylist())
-        extra = [
-            f"{q} Q0 dummy 1 {0.0:.18f} {run_id}"
-            for q in all_qids
-            if q not in present
-        ]
+        if style == "hw1":
+            dummy = f"\tQ0\tdummy\t1\t{0.0:f}\t{run_id}"
+            extra = [f"{q}{dummy}" for q in all_qids if q not in present]
+        else:
+            extra = [
+                f"{q} Q0 dummy 1 {0.0:.18f} {run_id}"
+                for q in all_qids
+                if q not in present
+            ]
         if extra:
             text += "\n".join(extra) + "\n"
     with open(path, "w") as f:

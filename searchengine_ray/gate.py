@@ -173,6 +173,31 @@ def prf_expansion(sf_dir: str):
     )
 
 
+def prf_e2e_rescore(sf_dir: str):
+    """FULL PRF pipeline, end-to-end (`QryExpand.java:70-150`): BM25 'dup'
+    top-10 -> expansion-term scoring -> combined
+    ``#wand(0.5 #and(dup) 0.5 #wand(w1 t1 ... w10 t10))`` -> Indri rescore.
+    The %.4f weight formatting of the expansion query is part of the
+    semantics and is reproduced in the oracle SQL via printf."""
+    from .expand import ExpandConfig, expand
+
+    eng = engine_for(sf_dir, "bm25")
+    ranking = _ranking(sf_dir, "bm25", "dup", 10)
+    cfg = ExpandConfig(fb="indri", fb_docs=10, fb_terms=10, fb_mu=0.0,
+                       fb_orig_weight=0.5)
+    line, _terms = expand(
+        eng.index, sf_dir, "1", "dup", ranking, cfg, model="indri"
+    )
+    combined = line.split(":", 1)[1].strip()
+    t = engine_for(sf_dir, "indri").search("q", combined)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def div_xquad(sf_dir: str):
     """xQuAD over the 'spark join' RankedBoolean ranking with intents
     spark / join. Iterative greedy -> rows-only check (pytest covers the

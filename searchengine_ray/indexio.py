@@ -65,6 +65,9 @@ class InvertedIndex:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        #: analyzer profile the index was built with; query analysis must
+        #: stem identically (see stem.py)
+        self.stemmer_name: str = self.stats.get("stemmer", "none")
 
         post_dir = os.path.join(index_dir, "postings")
         doc_dir = os.path.join(index_dir, "docmap")
@@ -150,6 +153,15 @@ class InvertedIndex:
         paths (BM25/Indri/Boolean over tf) pass ``need_positions=False`` and
         skip the most expensive decode; a later positional request upgrades
         the cached entry in place."""
+        if field not in self.stats["fields"]:
+            # the parser's syntactic whitelist includes fields (e.g. inlink,
+            # `QryParser.java:162-167`) this index may not have been built
+            # with; fail loudly instead of silently matching nothing
+            raise ValueError(
+                f"field {field!r} is not in this index (built fields: "
+                f"{sorted(self.stats['fields'])}); map a corpus column to it "
+                "in BuildConfig.fields to serve it"
+            )
         key = (field, term)
         p = self._cache.get(key)
         if p is not None and (not need_positions or p.positions is not None):

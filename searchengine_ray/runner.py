@@ -175,7 +175,15 @@ def run(params: dict[str, str]) -> str:
     else:
         results = engine.search_many(queries)
 
-    write_trec(results, out_path, all_qids=[q for q, _ in queries])
+    # trecEvalOutputStyle=hw1 selects the HW1 profile's writer (tab-
+    # separated, %f, rank-from-0, `Homeworks/HW1/QryEval/QryEval.java:231`);
+    # default is the HW6 format
+    write_trec(
+        results,
+        out_path,
+        all_qids=[q for q, _ in queries],
+        style=params.get("trecEvalOutputStyle", "hw6"),
+    )
     return out_path
 
 

@@ -235,6 +235,45 @@ def test_drmm_sample_file_replay(engine, tmp_path):
     assert np.array_equal(s1.mlp.W2, s2.mlp.W2)
 
 
+def test_word2vec_file_reader(tmp_path, engine):
+    """IdxWordvec.java:107-144 format: map file + little-endian float32
+    binary, first-duplicate-wins, L2 normalize on read."""
+    from searchengine_ray.drmm import DrmmConfig, DrmmScorer
+    from searchengine_ray.wordvec import Word2VecFile, write_word2vec_db
+
+    rng = np.random.default_rng(4)
+    vecs = {
+        w: rng.standard_normal(8).astype(np.float32)
+        for w in ["mutex", "lock", "guard", "apple"]
+    }
+    db = write_word2vec_db(str(tmp_path / "w2v"), vecs)
+    # append a duplicate entry for 'mutex' pointing at apple's offset: the
+    # FIRST occurrence must win
+    import os
+    with open(os.path.join(db, "IdxWordvec.map"), encoding="iso-8859-1") as f:
+        lines = f.read().splitlines()
+    apple_off = [ln for ln in lines if ln.startswith("apple\t")][0].split("\t")[1]
+    lines[1] = f"vocabularySize {len(vecs) + 1}"
+    lines.append(f"mutex\t{apple_off}")
+    with open(os.path.join(db, "IdxWordvec.map"), "w", encoding="iso-8859-1") as f:
+        f.write("\n".join(lines) + "\n")
+
+    w = Word2VecFile(db)
+    assert w.dim == 8 and w.vocabulary_size == 5
+    got = w.get("mutex")
+    want = vecs["mutex"].astype(np.float32)
+    want = (want / np.float32(np.sqrt(np.dot(want, want)))).astype(np.float64)
+    assert np.allclose(got, want, atol=0)
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-6
+    assert w.get("zzz") is None
+    # the file backend slots straight into DrmmScorer
+    s = DrmmScorer(engine.index, DrmmConfig(dim=8), vectors=w)
+    terms, gates = s.query_terms_and_gates("mutex lock zzz")
+    assert terms == ["mutex", "lock"]  # no-vector terms drop (ref null checks)
+    assert abs(gates.sum() - 1.0) < 1e-12
+    w.close()
+
+
 def test_mlp_save_load_roundtrip(tmp_path):
     import numpy as np
 

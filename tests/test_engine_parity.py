@@ -201,6 +201,38 @@ def test_manifest_lineage_metrics(built_index):
             assert len(part[side]["fingerprint"]) == 16
 
 
+def test_partitioned_build_pruned_reads_same_content(ray_session, tmp_path):
+    """A 2-partition build over an sf_dir source (doc_range predicate
+    pushdown into read_parquet) produces content identical to the
+    1-partition build, and the pruned factory really prunes."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.corpus import corpus_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    half = corpus_from_documents(sf, doc_range=(0, 250))
+    assert half.count() == 250  # pushdown filter actually applies
+
+    a, b = str(tmp_path / "one"), str(tmp_path / "two")
+    build_index(sf, a, BuildConfig(doc_bucket_size=128, num_partitions=1))
+    build_index(sf, b, BuildConfig(doc_bucket_size=128, num_partitions=2))
+
+    def canon(d, sub):
+        t = pads.dataset(
+            sorted(glob.glob(f"{d}/{sub}/**/*.parquet", recursive=True))
+        ).to_table().to_pandas()
+        return t.sort_values(list(t.columns[:4])).reset_index(drop=True)
+
+    for sub in ("postings", "docmap", "lexicon"):
+        pd.testing.assert_frame_equal(canon(a, sub), canon(b, sub))
+    assert open(f"{a}/stats.json").read() == open(f"{b}/stats.json").read()
+
+
 def test_crash_resume_content_identical(ray_session, tmp_path):
     """FIXTURES.md §6: kill mid-build, resume -> index content identical to
     an uninterrupted build (docmap/postings/lexicon/stats)."""

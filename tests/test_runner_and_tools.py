@@ -97,6 +97,33 @@ def test_inspect_tool(built_index, capsys):
     assert "fingerprint" in capsys.readouterr().out
 
 
+def test_hw1_trec_output_style():
+    """HW1 writer variant (`Homeworks/HW1/QryEval/QryEval.java:231`):
+    tab-separated, %f, rank-from-0, dummy keeps rank 1."""
+    import pyarrow as pa
+
+    from searchengine_ray.engine import format_trec
+
+    t = pa.table(
+        {
+            "qid": ["1", "1"],
+            "doc_id": [5, 7],
+            "external_id": ["e5", "e7"],
+            "score": [2.5, 1.25],
+            "rank": [1, 2],
+        }
+    )
+    hw6 = format_trec(t)
+    assert hw6.splitlines()[0] == "1 Q0 e5 1 2.500000000000000000 reference"
+    hw1 = format_trec(t, style="hw1")
+    assert hw1.splitlines() == [
+        "1\tQ0\te5\t0\t2.500000\treference",
+        "1\tQ0\te7\t1\t1.250000\treference",
+    ]
+    empty = pa.table({c: t.column(c).slice(0, 0) for c in t.column_names})
+    assert format_trec(empty, style="hw1") == "\n"
+
+
 def test_trec_and_qrels_readers(tmp_path):
     from searchengine_ray.runner import read_qrels, read_trec_rankings
 

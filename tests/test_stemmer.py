@@ -1,0 +1,94 @@
+"""Pluggable stemmer profile (reference HW1-5 stem, HW6 none —
+`Homeworks/HW1/QryEval/QryParser.java:48` vs HW6 `QryParser.java:48-50`)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.stem import get_stemmer, porter, register_stemmer
+
+
+@pytest.mark.parametrize("word,expect", [
+    ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+    ("troubling", "troubl"), ("sized", "size"), ("hopping", "hop"),
+    ("falling", "fall"), ("hissing", "hiss"), ("failing", "fail"),
+    ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+    ("conditional", "condit"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"), ("feudalism", "feudal"),
+    ("decisiveness", "decis"), ("hopefulness", "hope"),
+    ("formaliti", "formal"), ("triplicate", "triplic"), ("formative", "form"),
+    ("formalize", "formal"), ("electriciti", "electr"),
+    ("electrical", "electr"), ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("adoption", "adopt"), ("probate", "probat"),
+    ("rate", "rate"), ("cease", "ceas"), ("controll", "control"),
+    ("roll", "roll"),
+])
+def test_porter_published_examples(word, expect):
+    # cases from the Porter 1980 paper's worked examples
+    assert porter(word) == expect
+
+
+def test_analyze_batch_merges_stemmed_variants():
+    from searchengine_ray.analyze import analyze_batch
+
+    ab = analyze_batch(["running runs run the runner"], stemmer=porter)
+    terms = dict(zip(ab.term.tolist(), ab.tf.tolist()))
+    # running/runs/run merge; 'the' is a stopword but holds position 3
+    assert terms["run"] == 3
+    assert terms["runner"] == 1
+    assert ab.doc_lens[0] == 5
+    i = ab.term.tolist().index("run")
+    assert ab.positions[ab.pos_offsets[i]:ab.pos_offsets[i + 1]].tolist() == [0, 1, 2]
+
+
+def test_stemmed_index_matches_variants(ray_session, tmp_path):
+    """A porter-profile index retrieves morphological variants for a
+    stemmed query; query-side analysis picks the profile from stats.json."""
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig, ModelParams
+    from searchengine_ray.engine import SearchEngine
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "repo": ["r"] * 4,
+        "path": [f"p{i}" for i in range(4)],
+        "commit": ["c"] * 4,
+        "lang": ["txt"] * 4,
+        "content": [
+            "connection pooling strategies",
+            "connected pools connect quickly",
+            "totally unrelated words here",
+            "connections connecting connectors",
+        ],
+    }
+    tbl = pa.table(
+        {
+            k: pa.array(v, type=pa.int64() if k == "doc_id" else pa.string())
+            for k, v in rows.items()
+        }
+    )
+    out = str(tmp_path / "stem_idx")
+    cfg = BuildConfig(stemmer="porter")
+    build_index(lambda: ray.data.from_arrow(tbl), out, cfg)
+    eng = SearchEngine(out, ModelParams(model="rankedboolean", top_k=10))
+    got = eng.search("q", "connects").to_pandas()
+    assert set(got["doc_id"]) == {0, 1, 3}
+
+    # no-stem profile on the same corpus: exact term only
+    out2 = str(tmp_path / "nostem_idx")
+    build_index(lambda: ray.data.from_arrow(tbl), out2, BuildConfig())
+    eng2 = SearchEngine(out2, ModelParams(model="rankedboolean", top_k=10))
+    got2 = eng2.search("q", "connected").to_pandas()
+    assert set(got2["doc_id"]) == {1}
+
+
+def test_register_stemmer_roundtrip():
+    register_stemmer("identity_test", lambda w: w)
+    assert get_stemmer("identity_test")("abc") == "abc"
+    with pytest.raises(ValueError):
+        get_stemmer("nope_not_registered")
