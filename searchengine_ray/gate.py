@@ -218,6 +218,31 @@ def div_xquad(sf_dir: str):
     )
 
 
+def div_xquad_first(sf_dir: str):
+    """xQuAD's FIRST pick is closed-form (empty selected set -> the novelty
+    product is 1): argmax (1-l)*orig_n + l/n * sum_i intent_n — fully
+    SQL-expressible including the normalization base
+    (`QryDiversity.java:100-133, 161-188`). score in floor-micro-units so
+    rounding-mode differences can't bite."""
+    import math
+
+    from .diversity import DiversityConfig, xquad
+
+    orig = _ranking(sf_dir, "rankedboolean", "#or( spark join )", 100)
+    intents = {
+        "i1": _ranking(sf_dir, "rankedboolean", "spark", 100),
+        "i2": _ranking(sf_dir, "rankedboolean", "join", 100),
+    }
+    out = xquad(orig, intents, DiversityConfig(lam=0.5, max_result_ranking_length=1))
+    d, s = out[0]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d)], type=pa.int64()),
+            "score_micro": pa.array([math.floor(s * 1_000_000)], type=pa.int64()),
+        }
+    )
+
+
 def div_pm2(sf_dir: str):
     from .diversity import DiversityConfig, pm2
 
