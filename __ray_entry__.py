@@ -283,6 +283,40 @@ SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_micro
 FROM scored ORDER BY s DESC, rk LIMIT 1
 """
 
+# PM2 first pick, closed-form (QryDiversity.java:192-246): all s_i = 0 so
+# every quotient is v = 1/n = 0.5 (result length 1, 2 intents), the
+# max-quotient intent is the first sorted intent (strict >), and
+# s = lam*v*rel_i1 + (1-lam)*v*rel_i2 over the same normalization base.
+_DIV_PM2_FIRST_SQL = f"""
+WITH {_TOK},
+tfa AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
+tfb AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='join' GROUP BY doc_id),
+orig0 AS (SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+            greatest(coalesce(tfa.tf, 0), coalesce(tfb.tf, 0)) AS s
+          FROM tfa FULL OUTER JOIN tfb USING(doc_id)),
+orig AS (SELECT doc_id, s,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+         FROM orig0 QUALIFY rk <= 100),
+ia AS (SELECT doc_id, tf AS s,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS rk
+       FROM tfa QUALIFY rk <= 100),
+ib AS (SELECT doc_id, tf AS s,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS rk
+       FROM tfb QUALIFY rk <= 100),
+base AS (SELECT greatest(
+    (SELECT CAST(sum(s) AS DOUBLE) FROM orig),
+    coalesce((SELECT CAST(sum(ia.s) AS DOUBLE) FROM ia JOIN orig USING(doc_id)), 0),
+    coalesce((SELECT CAST(sum(ib.s) AS DOUBLE) FROM ib JOIN orig USING(doc_id)), 0),
+    1.0) AS b),
+scored AS (SELECT orig.doc_id, orig.rk,
+    0.5 * 0.5 * coalesce(ia.s / base.b, 0)
+      + (1 - 0.5) * 0.5 * coalesce(ib.s / base.b, 0) AS s
+  FROM orig LEFT JOIN ia USING(doc_id) LEFT JOIN ib USING(doc_id)
+  CROSS JOIN base)
+SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_micro
+FROM scored ORDER BY s DESC, rk LIMIT 1
+"""
+
 # Full PRF rescore: the _PRF_EXPANSION_SQL pipeline continued through the
 # reference's combined query `#wand(0.5 #and(dup) 0.5 #wand(w_i t_i))`
 # under Indri (mu=1500, lambda=0.01). Weights go through printf('%.4f') —
@@ -546,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "div_xquad": gate.div_xquad,
         "div_xquad_first": gate.div_xquad_first,
         "div_pm2": gate.div_pm2,
+        "div_pm2_first": gate.div_pm2_first,
         "ltr_rerank": gate.ltr_rerank,
         "drmm_rerank": gate.drmm_rerank,
         # dedup
@@ -596,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "prf_expansion": _PRF_EXPANSION_SQL,
         "prf_e2e_rescore": _PRF_E2E_SQL,
         "div_xquad_first": _DIV_XQUAD_FIRST_SQL,
+        "div_pm2_first": _DIV_PM2_FIRST_SQL,
         # div_xquad / div_pm2 / ltr_rerank / drmm_rerank: iterative greedy /
         # trained-model pipelines -> rows-only; pytest covers the formulas.
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -260,6 +260,30 @@ def div_pm2(sf_dir: str):
     )
 
 
+def div_pm2_first(sf_dir: str):
+    """PM2's FIRST pick is closed-form too: all s_i are 0, so every
+    quotient is v = len/n, the max-quotient intent is the first in sorted
+    order (strict >), and the score is
+    ``lam*v*rel_i1 + (1-lam)*v*rel_i2`` (`QryDiversity.java:192-246`)."""
+    import math
+
+    from .diversity import DiversityConfig, pm2
+
+    orig = _ranking(sf_dir, "rankedboolean", "#or( spark join )", 100)
+    intents = {
+        "i1": _ranking(sf_dir, "rankedboolean", "spark", 100),
+        "i2": _ranking(sf_dir, "rankedboolean", "join", 100),
+    }
+    out = pm2(orig, intents, DiversityConfig(lam=0.5, max_result_ranking_length=1))
+    d, s = out[0]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d)], type=pa.int64()),
+            "score_micro": pa.array([math.floor(s * 1_000_000)], type=pa.int64()),
+        }
+    )
+
+
 def _docmap_extra(sf_dir: str) -> dict:
     import pyarrow.parquet as pq
 
