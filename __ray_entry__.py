@@ -317,6 +317,144 @@ SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_micro
 FROM scored ORDER BY s DESC, rk LIMIT 1
 """
 
+def _ltr_features_sql() -> str:
+    """18-feature LeToR matrix for query 'dup en' over docs matching 'dup'
+    (letor.Featurizer + normalize_per_query, `RetrievalModelLeToR.java:
+    42-123, 213-244`). Generated per field: BM25 (clamped idf, fixed term
+    order), Indri geometric mean (ctf<1 -> 0.5), term overlap; plus the
+    corpus-attribute analogs and the posStd /(n+0.1) quirk; then per-column
+    min-max with the engine's skip rules (NULL column or zero span keeps
+    raw values; missing -> 0)."""
+    terms = ["dup", "en"]
+    # field -> token-source expression over the documents table
+    fields = {
+        "body": "text",
+        "title": (
+            "'src/' || lang || '/doc_' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt'"
+        ),
+        "url": "source",
+        "keywords": "lang",
+    }
+    ctes = []
+    for f, expr in fields.items():
+        ctes.append(f"""
+tok_{f} AS (SELECT doc_id,
+  unnest(regexp_extract_all(lower({expr}), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl_{f} AS (SELECT doc_id, count(*) AS dl FROM tok_{f} GROUP BY doc_id),
+st_{f} AS (SELECT CAST(sum(dl) AS DOUBLE) AS clen,
+                  CAST(sum(dl) AS DOUBLE)/count(*) AS ave FROM dl_{f}),
+tf_{f} AS (SELECT doc_id, term, count(*) AS c FROM tok_{f}
+           WHERE term IN ({",".join(f"'{t}'" for t in terms)})
+           GROUP BY doc_id, term)""")
+        for t in terms:
+            ctes.append(f"""
+ts_{f}_{t} AS (SELECT
+  coalesce((SELECT count(*) FROM tf_{f} WHERE term='{t}'), 0) AS df,
+  coalesce((SELECT CAST(sum(c) AS BIGINT) FROM tf_{f} WHERE term='{t}'), 0) AS ctf)""")
+
+    # raw per-candidate features
+    field_feats = []
+    for i, f in enumerate(fields):
+        per_term_bm25 = " + ".join(
+            f"""(CASE WHEN coalesce(tfc_{f}_{t}.c, 0) > 0 THEN
+  greatest(0.0, ln((const.n - ts_{f}_{t}.df + 0.5)/(ts_{f}_{t}.df + 0.5)))
+    * tfc_{f}_{t}.c / (tfc_{f}_{t}.c
+        + 1.2*(1 - 0.75 + 0.75*coalesce(dl_{f}.dl, 0)/st_{f}.ave))
+  ELSE 0.0 END)"""
+            for t in terms
+        )
+        per_term_indri = " * ".join(
+            f"""((1 - 0.01) * (coalesce(tfc_{f}_{t}.c, 0)
+      + 1500.0 * ((CASE WHEN ts_{f}_{t}.ctf >= 1 THEN CAST(ts_{f}_{t}.ctf AS DOUBLE)
+                   ELSE 0.5 END) / st_{f}.clen))
+    / (coalesce(dl_{f}.dl, 0) + 1500.0)
+  + 0.01 * ((CASE WHEN ts_{f}_{t}.ctf >= 1 THEN CAST(ts_{f}_{t}.ctf AS DOUBLE)
+             ELSE 0.5 END) / st_{f}.clen))"""
+            for t in terms
+        )
+        overlap = " + ".join(
+            f"(CASE WHEN coalesce(tfc_{f}_{t}.c, 0) > 0 THEN 1 ELSE 0 END)"
+            for t in terms
+        )
+        any_post = " + ".join(f"ts_{f}_{t}.df" for t in terms)
+        field_feats.append(
+            f"""CASE WHEN {any_post} > 0 THEN {per_term_bm25} END AS r{5 + 3 * i},
+CASE WHEN {any_post} > 0 THEN pow({per_term_indri}, 0.5) END AS r{6 + 3 * i},
+CASE WHEN {any_post} > 0 THEN ({overlap}) / {len(terms)} ELSE 0.0 END AS r{7 + 3 * i}"""
+        )
+    tf_joins = "\n  ".join(
+        f"LEFT JOIN tf_{f} AS tfc_{f}_{t} "
+        f"ON tfc_{f}_{t}.doc_id = cand.doc_id AND tfc_{f}_{t}.term = '{t}'"
+        for f in fields
+        for t in terms
+    )
+    dl_joins = "\n  ".join(
+        f"LEFT JOIN dl_{f} ON dl_{f}.doc_id = cand.doc_id" for f in fields
+    )
+    st_cross = " ".join(
+        [f"CROSS JOIN st_{f}" for f in fields]
+        + [f"CROSS JOIN ts_{f}_{t}" for f in fields for t in terms]
+    )
+
+    norm_cols = ",\n  ".join(
+        f"""CASE WHEN max(r{j}) OVER () IS NULL
+          OR max(r{j}) OVER () = min(r{j}) OVER ()
+     THEN coalesce(r{j}, 0)
+     ELSE coalesce((r{j} - min(r{j}) OVER ())
+                   / (max(r{j}) OVER () - min(r{j}) OVER ()), 0)
+END AS n{j}"""
+        for j in range(1, 19)
+    )
+    out_cols = ",\n  ".join(
+        f"CAST(floor(n{j} * 1000000 + 0.0005) AS BIGINT) AS f{j}_micro"
+        for j in range(1, 19)
+    )
+
+    return f"""
+WITH {_TOK},
+{",".join(ctes)},
+cand AS (SELECT DISTINCT doc_id FROM tok_body WHERE term = 'dup'),
+lmap AS (SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS DOUBLE)
+           AS ord FROM (SELECT DISTINCT lang FROM documents)),
+pp AS (SELECT doc_id, pos FROM tok
+       WHERE term IN ({",".join(f"'{t}'" for t in terms)})),
+pstat AS (SELECT doc_id, count(*) AS np, CAST(sum(pos) AS DOUBLE) AS sp
+          FROM pp GROUP BY doc_id),
+pmean AS (SELECT doc_id, np, sp/(np + 0.1) AS mean FROM pstat),
+pvar AS (SELECT pp.doc_id,
+           sum((pp.pos - pmean.mean)*(pp.pos - pmean.mean)) AS sq,
+           any_value(pmean.np) AS np
+         FROM pp JOIN pmean USING(doc_id) GROUP BY pp.doc_id),
+raw AS (SELECT cand.doc_id,
+  CAST(coalesce(dl_body.dl, 0) AS DOUBLE) AS r1,
+  CAST(length(d.path_s) - length(replace(d.path_s, '/', '')) AS DOUBLE) AS r2,
+  CASE WHEN d.path_s LIKE '%test%' THEN 1.0 ELSE 0.0 END AS r3,
+  CAST(length(d.source) AS DOUBLE) AS r4,
+  {",".join(field_feats)},
+  lmap.ord AS r17,
+  coalesce(sqrt(pvar.sq/(pvar.np + 0.1)), 0.0) AS r18
+  FROM cand
+  JOIN (SELECT doc_id, source, lang,
+          'src/' || lang || '/doc_' ||
+          lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path_s
+        FROM documents) d ON d.doc_id = cand.doc_id
+  JOIN lmap ON lmap.lang = d.lang
+  LEFT JOIN pvar ON pvar.doc_id = cand.doc_id
+  {dl_joins}
+  {tf_joins}
+  {st_cross}
+  CROSS JOIN const),
+normed AS (SELECT doc_id,
+  {norm_cols}
+  FROM raw)
+SELECT doc_id,
+  {out_cols}
+FROM normed
+"""
+
+
 # Full PRF rescore: the _PRF_EXPANSION_SQL pipeline continued through the
 # reference's combined query `#wand(0.5 #and(dup) 0.5 #wand(w_i t_i))`
 # under Indri (mu=1500, lambda=0.01). Weights go through printf('%.4f') —
@@ -582,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "div_pm2": gate.div_pm2,
         "div_pm2_first": gate.div_pm2_first,
         "ltr_rerank": gate.ltr_rerank,
+        "ltr_features": gate.ltr_features,
         "drmm_rerank": gate.drmm_rerank,
         # dedup
         "dedup_exact": dedup.exact_dedup,
@@ -632,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
         "prf_e2e_rescore": _PRF_E2E_SQL,
         "div_xquad_first": _DIV_XQUAD_FIRST_SQL,
         "div_pm2_first": _DIV_PM2_FIRST_SQL,
+        "ltr_features": _ltr_features_sql(),
         # div_xquad / div_pm2 / ltr_rerank / drmm_rerank: iterative greedy /
         # trained-model pipelines -> rows-only; pytest covers the formulas.
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -306,6 +306,28 @@ def _docmap_extra(sf_dir: str) -> dict:
     return out
 
 
+def ltr_features(sf_dir: str):
+    """The 18-slot LeToR feature matrix (`RetrievalModelLeToR.java:42-123`
+    analogs, letor.py registry) for query 'dup en' over all docs matching
+    'dup', min-max normalized per query — the bulk of LeToR correctness,
+    fully SQL-expressible. floor-micro-units with a 5e-4 guard so exact
+    micro-multiples can't flip on last-ulp accumulation differences."""
+    from .letor import Featurizer, LetorConfig, normalize_per_query
+
+    eng = engine_for(sf_dir, "bm25")
+    docs = eng.index.postings("body", "dup", need_positions=False).doc_ids
+    fz = Featurizer(eng.index, _docmap_extra(sf_dir))
+    F = fz.features("dup en", docs, LetorConfig())
+    Nn = normalize_per_query(F)
+    cols: dict = {"doc_id": pa.array(docs, type=pa.int64())}
+    for j in range(Nn.shape[1]):
+        cols[f"f{j+1}_micro"] = pa.array(
+            np.floor(Nn[:, j] * 1_000_000 + 5e-4).astype(np.int64),
+            type=pa.int64(),
+        )
+    return pa.table(cols)
+
+
 def ltr_rerank(sf_dir: str):
     """LeToR: train the pairwise linear ranker on synthetic qrels (docs
     containing 'dup' are relevant), rerank the BM25 'dup spark' top-50.

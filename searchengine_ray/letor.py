@@ -111,7 +111,9 @@ class Featurizer:
         idx = self.index
         out = np.zeros(len(docs))
         per_doc_pos: dict[int, list] = {int(d): [] for d in docs}
-        for t in set(terms):
+        # sorted: python set order is hash-randomized per process, which
+        # would reorder the float accumulation below across runs
+        for t in sorted(set(terms)):
             p = idx.postings("body", t)
             if not p.df:
                 continue
