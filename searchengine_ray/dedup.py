@@ -330,7 +330,10 @@ def minhash_lsh_pairs(
         MinHashSignatures,
         fn_constructor_kwargs={"n": n, "num_perm": num_perm, "seed": seed},
         batch_format="pyarrow",
-        concurrency=2,
+        batch_size=256,
+        # autoscaling pool: signature hashing is the compute-heavy stage —
+        # a fixed 2-actor pool capped the whole pipeline at 2 cores
+        concurrency=(2, 8),
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:

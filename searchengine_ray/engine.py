@@ -87,10 +87,15 @@ def select_top_k(index: InvertedIndex, docs, scores, k):
 class SearchEngine:
     """Single-process engine over one built index (all shards)."""
 
-    def __init__(self, index_dir: str, params: ModelParams | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        params: ModelParams | None = None,
+        parts: list[int] | None = None,
+    ):
         from .stem import get_stemmer
 
-        self.index = InvertedIndex(index_dir)
+        self.index = InvertedIndex(index_dir, parts=parts)
         self.params = params or ModelParams()
         stemmer = get_stemmer(self.index.stemmer_name)
         self._analyze = lambda tok: analyze_query_token(tok, stemmer)
@@ -147,10 +152,7 @@ class QueryEvalActor:
         params: ModelParams | None = None,
         parts: list[int] | None = None,
     ):
-        p = params or ModelParams()
-        self.engine = SearchEngine.__new__(SearchEngine)
-        self.engine.index = InvertedIndex(index_dir, parts=parts)
-        self.engine.params = p
+        self.engine = SearchEngine(index_dir, params, parts=parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         items = list(

@@ -182,6 +182,30 @@ def test_real_backend_raises():
         DecodeBackend().decode_image(b"x", 4, 4)
 
 
+def test_run_queries_actor_pool(built_index):
+    """run_queries (the Ray Data map_batches actor-pool path used by
+    entry() and batch jobs) must agree with the in-process engine — this is
+    the path a constructor regression silently broke once."""
+    from searchengine_ray.engine import SearchEngine, run_queries
+
+    items = [("1", "mutex lock"), ("2", "#near/1( unit test )"), ("3", "check")]
+    got = (
+        run_queries(built_index, items, ModelParams(model="bm25", top_k=10),
+                    concurrency=2)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    eng = SearchEngine(built_index, ModelParams(model="bm25", top_k=10))
+    want = (
+        eng.search_many(items)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_query_service_pool(built_index):
     from searchengine_ray.engine import QueryService, SearchEngine
 
