@@ -49,22 +49,26 @@ def _read_docs(sf_dir: str):
 
 
 def exact_dedup(sf_dir: str):
-    """One row per distinct content: (doc_id = min over the group, n_dups)."""
+    """One row per distinct content: (doc_id = min over the group, n_dups).
+
+    Built-in Min/Count aggregates, not per-group map_groups: the group
+    count is O(distinct contents) ~ O(N), and Ray's per-group dispatch at
+    that cardinality would dominate; aggregates combine inside each block
+    before the shuffle."""
+    from ray.data.aggregate import Count, Min
+
     ds = _read_docs(sf_dir)
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = [hashlib.sha256(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
         return pa.table({"doc_id": t.column("doc_id"), "h": pa.array(h)})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].min())], "n_dups": [len(g)]}
-        )
-
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+        )
         .select_columns(["doc_id", "n_dups"])
     )
 

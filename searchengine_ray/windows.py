@@ -2,9 +2,10 @@
 
 Ray Data has no event-time windows; per the Ray guide we treat events as a
 partitioned log: tumbling windows are a `map_batches` timestamp-truncate +
-groupby aggregate, sessionization is `groupby(user).map_groups` over the
-ts-sorted group (the ordering assumption: each group is sorted in-group
-before gap detection — no cross-group ordering is needed).
+groupby aggregate, sessionization hash-partitions users into 64 buckets and
+gap-detects every user in a partition vectorized after an in-partition
+(user, ts) sort — no cross-partition ordering is needed, and the group
+count (hence Ray dispatch count) stays bounded regardless of user count.
 """
 
 from __future__ import annotations
@@ -61,22 +62,50 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     )
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        if len(ts) == 0:
-            return pd.DataFrame(
-                {"user_id": [], "n_sessions": [], "max_session_events": []}
-            )
-        new_sess = np.ones(len(ts), dtype=bool)
-        new_sess[1:] = (ts[1:] - ts[:-1]) > gap
-        sess_id = np.cumsum(new_sess)
-        sizes = np.bincount(sess_id)[1:]
-        return pd.DataFrame(
+    # one call per HASH PARTITION of the user space, all users inside it
+    # vectorized — per-user map_groups would pay Ray's per-group dispatch
+    # O(distinct users) times, which dominates at web scale
+    def add_ku(t: pa.Table) -> pa.Table:
+        ku = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return t.append_column("ku", pa.array(ku))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sess_id[-1])],
-                "max_session_events": [int(sizes.max())],
+                "user_id": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "max_session_events": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap
+        sess_starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.append(sess_starts, len(u)))
+        user_starts = np.flatnonzero(new_user)
+        # session index owned by each user's first session; sessions are
+        # contiguous per user, so counts/maxes are reduceat slices
+        sess_of = np.cumsum(new_sess) - 1
+        s0 = sess_of[user_starts]
+        n_sessions = np.diff(np.append(s0, len(sess_starts)))
+        max_size = np.maximum.reduceat(sizes, s0)
+        return pa.table(
+            {
+                "user_id": pa.array(u[user_starts], type=pa.int64()),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+                "max_session_events": pa.array(max_size, type=pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_ku, batch_format="pyarrow")
+        .groupby("ku")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
