@@ -76,6 +76,12 @@ class TokenizeFields:
     stage removes an entire read+tokenize pass over the corpus. File names
     are deterministic per batch and doc_ids are unique, so a retried task
     overwrites its own file (idempotent).
+
+    Storage assumption (multi-node): tasks run on workers, so
+    ``docmap_dir`` must be visible to every worker AND the driver (shared
+    fs or object storage) — the exact same requirement the pipeline's
+    ``Dataset.write_parquet(out_dir)`` already imposes on ``out_dir``; on
+    one node (this sandbox) local /tmp satisfies both.
     """
 
     def __init__(

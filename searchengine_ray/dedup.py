@@ -403,11 +403,8 @@ def minhash_lsh_pairs(
     # sits on the driver. Partitioning assumption: the LSH candidate-pair
     # set fits a broadcast object (true by construction — band buckets are
     # capped at 200 docs).
-    cp = cand.to_pandas().drop_duplicates(["a", "b"])  # a pair fires in many bands
-    pa_arr = cp["a"].to_numpy().astype(np.int64)
-    pb_arr = cp["b"].to_numpy().astype(np.int64)
-    P = len(pa_arr)
-    if P == 0:
+    cp = cand.to_pandas()
+    if cp.empty:  # an all-empty Dataset loses its schema in to_pandas
         return pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
@@ -415,6 +412,10 @@ def minhash_lsh_pairs(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
+    cp = cp.drop_duplicates(["a", "b"])  # a pair fires in many bands
+    pa_arr = cp["a"].to_numpy().astype(np.int64)
+    pb_arr = cp["b"].to_numpy().astype(np.int64)
+    P = len(pa_arr)
     # CSR: doc -> indices of pairs it participates in
     docs_all = np.concatenate([pa_arr, pb_arr])
     pidx_all = np.concatenate([np.arange(P), np.arange(P)])
@@ -425,39 +426,40 @@ def minhash_lsh_pairs(
     offs = np.append(first, len(docs_sorted))
     bcast = ray.put((uniq_docs, offs, pidx_sorted, pa_arr, pb_arr))
 
-    class PairShingleRows:
-        """doc batch -> (pair_id, sh) rows for every (pair containing doc,
-        distinct shingle of doc); non-candidate docs emit nothing."""
-
-        def __init__(self, nn: int):
-            self.nn = nn
-            self.idx = ray.get(bcast)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            uniq, offs, pidx, _, _ = self.idx
-            out_p, out_h = [], []
-            for d, text in zip(
-                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-            ):
-                loc = np.searchsorted(uniq, d)
-                if loc >= len(uniq) or uniq[loc] != d:
-                    continue
-                h = _shingle_hashes(text, self.nn)  # distinct by construction
-                pairs = pidx[offs[loc] : offs[loc + 1]]
-                out_p.append(np.repeat(pairs, len(h)))
-                out_h.append(np.tile(h.astype(np.int64), len(pairs)))
-            if not out_p:
-                return pa.table(
-                    {"pid": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
-                )
-            pid = np.concatenate(out_p).astype(np.int64)
+    def pair_shingle_rows(t: pa.Table) -> pa.Table:
+        """doc batch -> (pair_id, sh, kp) rows for every (pair containing
+        doc, distinct shingle of doc); non-candidate docs emit nothing.
+        ray.get of the broadcast runs WORKER-side per batch (a local object
+        store lookup after the first), so the pair index ships once per
+        node, not inside the pickled transform."""
+        uniq, offs, pidx, _, _ = ray.get(bcast)
+        out_p, out_h = [], []
+        for d, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            loc = np.searchsorted(uniq, d)
+            if loc >= len(uniq) or uniq[loc] != d:
+                continue
+            h = _shingle_hashes(text, n)  # distinct by construction
+            pairs = pidx[offs[loc] : offs[loc + 1]]
+            out_p.append(np.repeat(pairs, len(h)))
+            out_h.append(np.tile(h.astype(np.int64), len(pairs)))
+        if not out_p:
             return pa.table(
                 {
-                    "pid": pa.array(pid, type=pa.int64()),
-                    "sh": pa.array(np.concatenate(out_h), type=pa.int64()),
-                    "kp": pa.array((pid % 64).astype(np.int32)),
+                    "pid": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.int64()),
+                    "kp": pa.array([], pa.int32()),
                 }
             )
+        pid = np.concatenate(out_p).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(pid, type=pa.int64()),
+                "sh": pa.array(np.concatenate(out_h), type=pa.int64()),
+                "kp": pa.array((pid % 64).astype(np.int32)),
+            }
+        )
 
     def verify_partition(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -497,7 +499,7 @@ def minhash_lsh_pairs(
 
     verified = (
         _read_docs(sf_dir)
-        .map_batches(PairShingleRows(n), batch_format="pyarrow")
+        .map_batches(pair_shingle_rows, batch_format="pyarrow")
         .groupby("kp")
         .map_groups(verify_partition, batch_format="pyarrow")
     )

@@ -169,15 +169,20 @@ class DrmmScorer:
         """``vectors``: any backend with ``.get(term) -> vec | None`` and
         ``.matrix(terms)`` — the synthetic :class:`TermVectors` (default) or
         a real :class:`searchengine_ray.wordvec.Word2VecFile` database."""
+        from .stem import get_stemmer
+
         self.cfg = cfg or DrmmConfig()
         self.vectors = vectors if vectors is not None else TermVectors(self.cfg.dim)
         self.index = index
         self.mlp = MLP(self.cfg)
+        # analysis must match the index's analyzer profile (stemmed index
+        # -> stemmed query terms and doc-term vectors)
+        self._stemmer = get_stemmer(index.stemmer_name)
 
     def query_terms_and_gates(self, query: str) -> tuple[list[str], np.ndarray]:
         terms: list[str] = []
         for tok in query.split():
-            terms.extend(analyze_query_token(tok))
+            terms.extend(analyze_query_token(tok, self._stemmer))
         # terms without a vector drop out of the query matrix, like the
         # reference's null checks (`RetrievalModelDRMM.java:295-303`)
         terms = [t for t in terms if self.vectors.get(t) is not None]
@@ -193,6 +198,8 @@ class DrmmScorer:
 
     def doc_term_matrix(self, text: str) -> np.ndarray:
         toks = [t for t in tokenize(text) if t not in STOPWORDS]
+        if self._stemmer is not None:
+            toks = [self._stemmer(t) for t in toks]
         return self.vectors.matrix(toks)
 
     def features(self, query_terms: list[str], doc_mat: np.ndarray) -> np.ndarray:

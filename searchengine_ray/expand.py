@@ -49,8 +49,12 @@ class ExpandConfig:
         return "#wand" if self.fb == "indri" else "#wsum"
 
 
-def doc_tokens_from_sf(sf_dir: str, doc_ids: list[int]) -> dict[int, Counter]:
-    """Gather body term frequencies for a small doc set (filtered read)."""
+def doc_tokens_from_sf(
+    sf_dir: str, doc_ids: list[int], stemmer=None
+) -> dict[int, Counter]:
+    """Gather body term frequencies for a small doc set (filtered read).
+    ``stemmer`` must be the target index's profile so candidate terms match
+    its vocabulary (ctf lookups)."""
     import pyarrow.dataset as pads
 
     ds = pads.dataset(f"{sf_dir}/documents.parquet")
@@ -60,7 +64,10 @@ def doc_tokens_from_sf(sf_dir: str, doc_ids: list[int]) -> dict[int, Counter]:
     )
     out: dict[int, Counter] = {}
     for d, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
-        out[int(d)] = Counter(t for t in tokenize(text) if t not in STOPWORDS)
+        toks = (t for t in tokenize(text) if t not in STOPWORDS)
+        if stemmer is not None:
+            toks = (stemmer(t) for t in toks)
+        out[int(d)] = Counter(toks)
     return out
 
 
@@ -127,9 +134,13 @@ def expand(
     model: str = "indri",
 ) -> tuple[str, list[tuple[str, float]]]:
     """Full PRF step: returns (expanded qLine, the expansion terms)."""
+    from .stem import get_stemmer
+
     cfg = cfg or ExpandConfig()
     doc_ids = [d for d, _ in ranking[: cfg.fb_docs]]
-    toks = doc_tokens_from_sf(sf_dir, doc_ids)
+    toks = doc_tokens_from_sf(
+        sf_dir, doc_ids, stemmer=get_stemmer(index.stemmer_name)
+    )
     terms = expansion_terms(index, ranking, toks, cfg)
     fb_query = expansion_query(terms, cfg)
     return expand_query_line(qid, query, fb_query, cfg, model), terms

@@ -52,19 +52,24 @@ class LetorConfig:
     feature_disable: frozenset = field(default_factory=frozenset)  # 1-based ids
 
 
-def _query_terms(query: str) -> list[str]:
+def _query_terms(query: str, stemmer=None) -> list[str]:
     out = []
     for tok in query.split():
-        out.extend(analyze_query_token(tok))
+        out.extend(analyze_query_token(tok, stemmer))
     return out
 
 
 class Featurizer:
     def __init__(self, index: InvertedIndex, docmap_extra: dict | None = None):
+        from .stem import get_stemmer
+
         self.index = index
         #: optional doc_id -> dict with 'path', 'repo', 'lang' for the
         #: attribute-analog features (from the corpus/docmap)
         self.extra = docmap_extra or {}
+        #: query analysis must use the index's analyzer profile, or every
+        #: term-dependent feature silently zeroes on a stemmed index
+        self._stemmer = get_stemmer(index.stemmer_name)
 
     def _scores_for_field(self, terms, docs, fld, cfg: LetorConfig):
         """(bm25, indri, overlap) arrays over candidate docs, vectorized."""
@@ -134,7 +139,7 @@ class Featurizer:
         return out
 
     def features(self, query: str, docs: np.ndarray, cfg: LetorConfig) -> np.ndarray:
-        terms = _query_terms(query)
+        terms = _query_terms(query, self._stemmer)
         n = len(docs)
         F = np.full((n, N_FEATURES), np.nan)
         dl_body = self.index.doclen("body", docs).astype(np.float64)

@@ -57,6 +57,35 @@ def test_simhash_finds_near_dups():
     assert all(h <= 6 for h in t.column("hamming").to_pylist())
 
 
+def test_minhash_empty_candidates(ray_session, tmp_path):
+    """A corpus with no near-dups must return an empty typed table, not
+    crash on the schema-less empty candidate Dataset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(4000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40, replace=False)) for _ in range(40)
+    ]
+    d = tmp_path / "nodup"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    t = minhash_lsh_pairs(str(d))
+    assert t.num_rows == 0
+    assert t.column_names == ["doc_id_a", "doc_id_b", "jaccard"]
+
+
 def test_embedding_lsh_recall_vs_brute():
     from searchengine_ray.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
 

@@ -87,6 +87,50 @@ def test_stemmed_index_matches_variants(ray_session, tmp_path):
     assert set(got2["doc_id"]) == {1}
 
 
+def test_stemmed_profile_reaches_letor_and_drmm(ray_session, tmp_path):
+    """letor/drmm/expand analyze queries and doc text with the INDEX's
+    stemmer profile — on a porter index, unstemmed lookups would silently
+    zero every term-dependent feature."""
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.drmm import DrmmConfig, DrmmScorer
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.letor import Featurizer, LetorConfig
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "repo": ["r"] * 4,
+        "path": ["a", "b", "c", "d"],
+        "commit": ["c"] * 4,
+        "lang": ["t"] * 4,
+        # 4 docs so df=1 stays below N/2 and the BM25 idf clamp doesn't zero
+        "content": [
+            "connections pooling connecting",
+            "unrelated words here",
+            "more filler text",
+            "yet other filler",
+        ],
+    }
+    tbl = pa.table(
+        {
+            k: pa.array(v, type=pa.int64() if k == "doc_id" else pa.string())
+            for k, v in rows.items()
+        }
+    )
+    out = str(tmp_path / "sidx")
+    build_index(lambda: ray.data.from_arrow(tbl), out, BuildConfig(stemmer="porter"))
+    eng = SearchEngine(out)
+    fz = Featurizer(eng.index)
+    F = fz.features("connected pools", np.array([0, 1, 2, 3]), LetorConfig())
+    assert F[0, 4] > 0  # body BM25 found the stemmed matches
+    assert F[0, 6] == 1.0  # both query terms overlap doc 0
+    s = DrmmScorer(eng.index, DrmmConfig(dim=8))
+    terms, gates = s.query_terms_and_gates("connected pools")
+    assert terms == ["connect", "pool"]
+
+
 def test_register_stemmer_roundtrip():
     register_stemmer("identity_test", lambda w: w)
     assert get_stemmer("identity_test")("abc") == "abc"
