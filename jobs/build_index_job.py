@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=1, help="resume granularity")
     ap.add_argument("--bucket-size", type=int, default=1 << 16)
     ap.add_argument("--merge-partitions", type=int, default=64)
+    ap.add_argument("--stemmer", default="none", help="analyzer profile (none|porter)")
     ap.add_argument("--queries", help="optional qid:query file to run after build")
     ap.add_argument("--trec-out", help="trec output path (with --queries)")
     ap.add_argument("--model", default="bm25")
@@ -59,6 +60,7 @@ def main() -> None:
         num_partitions=args.partitions,
         doc_bucket_size=args.bucket_size,
         merge_partitions=args.merge_partitions,
+        stemmer=args.stemmer,
     )
     build_index(args.corpus, args.index, cfg)
     with open(os.path.join(args.index, "manifest.json")) as f:

@@ -68,8 +68,15 @@ def run(params: dict[str, str]) -> str:
                 f"no index at {index_dir} and no corpusPath to build from"
             )
         from .build import build_index
+        from .config import BuildConfig
 
-        build_index(corpus, index_dir)
+        # stemmer=porter selects the stemmed analyzer profile (HW1-5,
+        # `Homeworks/HW1/QryEval/QryParser.java:48`); default HW6 no-stem
+        build_index(
+            corpus,
+            index_dir,
+            BuildConfig(stemmer=params.get("stemmer", "none")),
+        )
 
     mp = ModelParams.from_params(params)
     queries = read_queries_file(params["queryFilePath"])

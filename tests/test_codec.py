@@ -51,6 +51,42 @@ def test_segmented_roundtrip(n_runs):
     assert np.array_equal(out, values)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=10**6),
+                min_size=0, max_size=20,
+            ),
+            min_size=1, max_size=12,
+        )
+    )
+    def test_segmented_roundtrip_property(raw_runs):
+        runs = [np.unique(np.asarray(r, dtype=np.int64)) for r in raw_runs]
+        values = (
+            np.concatenate(runs) if runs else np.empty(0, dtype=np.int64)
+        ).astype(np.int64)
+        offsets = np.zeros(len(runs) + 1, dtype=np.int64)
+        offsets[1:] = np.cumsum([len(r) for r in runs])
+        out = decode_segmented(encode_segmented(values, offsets), offsets)
+        assert np.array_equal(out, values)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**45), max_size=200)
+    )
+    def test_varbyte_roundtrip_property(xs):
+        v = np.asarray(xs, dtype=np.int64)
+        assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+except ImportError:  # pragma: no cover — hypothesis is in the image
+    pass
+
+
 def test_segmented_zero_length_runs():
     # empty runs duplicate a run-start offset; the run after an empty run
     # must NOT inherit the previous run's prefix (carry-adjustment bug)
