@@ -341,22 +341,36 @@ def minhash_lsh_pairs(
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        out_band, out_hash, out_doc = [], [], []
-        for d, sig in zip(ids, t.column("sig").to_pylist()):
-            s = np.asarray(sig, dtype=np.uint64)
-            for bi in range(bands):
-                chunk = s[bi * rows_per_band : (bi + 1) * rows_per_band]
-                out_band.append(bi)
-                out_hash.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-                out_doc.append(d)
-        return pa.table(
-            {
-                "band": pa.array(out_band, type=pa.int32()),
-                "bh": pa.array(out_hash, type=pa.string()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-            }
-        )
+        """Vectorized banding: every doc's signature rows reshape to a
+        (n_docs, num_perm) matrix; a band's bucket key is a multiplicative
+        mix of its rows_per_band minhash values (mod 2^64) — any stable
+        hash of the band vector works for LSH bucketing, and this one needs
+        no per-doc Python/md5 loop and ships an int64 key, not a hex
+        string, through the shuffle."""
+        n_docs = t.num_rows
+        col = t.column("sig").combine_chunks()
+        sig = col.values.to_numpy().view(np.uint64).reshape(n_docs, num_perm)
+        ids = t.column("doc_id").to_numpy()
+        mix = (
+            np.arange(1, rows_per_band + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) | np.uint64(1)
+        out = []
+        for bi in range(bands):
+            chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            bh = (chunk * mix[None, :]).sum(axis=1)  # wraps mod 2^64
+            out.append(
+                pa.table(
+                    {
+                        "band": pa.array(
+                            np.full(n_docs, bi, dtype=np.int32)
+                        ),
+                        "bh": pa.array(bh.view(np.int64), type=pa.int64()),
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
     def pairs_of_band(t: pa.Table) -> pa.Table:
         # one call per band: bucket by band-hash, vectorized pair expansion
