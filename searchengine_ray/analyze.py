@@ -87,42 +87,69 @@ def analyze_batch(
     """
     n_docs = len(texts)
     doc_lens = np.zeros(n_docs, dtype=np.int64)
-    tok_chunks: list[list[str]] = []
+    # Incremental dict vocabulary: hashing each surface form once beats the
+    # former object-array np.unique (a string SORT over every instance —
+    # profiled as the hottest part of the build's tokenize stage). -1 marks
+    # stopword instances (they already counted toward doc_lens/positions).
+    vocab_ids: dict[str, int] = {}  # raw token -> final term id (or -1 stop)
+    term_id_of: dict[str, int] = {}  # final (post-stem) term -> id
+    vocab_list: list[str] = []
+    id_chunks: list[list[int]] = []
     doc_chunks: list[np.ndarray] = []
     pos_chunks: list[np.ndarray] = []
+    stop = STOPWORDS
     for i in range(n_docs):
         toks = tokenize(texts[i])
         doc_lens[i] = len(toks)
-        if toks:
-            tok_chunks.append(toks)
-            doc_chunks.append(np.full(len(toks), i, dtype=np.int64))
-            pos_chunks.append(np.arange(len(toks), dtype=np.int32))
-    if not tok_chunks:
+        if not toks:
+            continue
+        ids = []
+        for tok in toks:
+            tid = vocab_ids.get(tok)
+            if tid is None:
+                if tok in stop:
+                    tid = -1
+                else:
+                    # term_ids maps FINAL terms (post-stem) so distinct
+                    # surface forms merge; raw tokens and final terms live
+                    # in separate dicts, so a stem that equals a stopword
+                    # token can't collide with its -1 marker
+                    term = tok if stemmer is None else stemmer(tok)
+                    tid = term_id_of.get(term)
+                    if tid is None:
+                        tid = len(vocab_list)
+                        vocab_list.append(term)
+                        term_id_of[term] = tid
+                vocab_ids[tok] = tid
+            ids.append(tid)
+        id_chunks.append(ids)
+        doc_chunks.append(np.full(len(toks), i, dtype=np.int64))
+        pos_chunks.append(np.arange(len(toks), dtype=np.int32))
+    if not id_chunks:
         empty_i = np.empty(0, dtype=np.int64)
         return AnalyzedBatch(
             empty_i, np.empty(0, dtype=object), empty_i,
             np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32), doc_lens,
         )
 
-    toks = np.concatenate([np.asarray(c, dtype=object) for c in tok_chunks])
+    term_ids = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in id_chunks]
+    )
     docs = np.concatenate(doc_chunks)
     poss = np.concatenate(pos_chunks)
-
-    # Drop stopword instances (they already counted toward doc_lens/positions).
-    vocab, inv = np.unique(toks.astype(str), return_inverse=True)
-    stop_hit = np.searchsorted(_STOP_SORTED, vocab)
-    stop_hit = np.clip(stop_hit, 0, len(_STOP_SORTED) - 1)
-    vocab_is_stop = _STOP_SORTED[stop_hit] == vocab
-    keep = ~vocab_is_stop[inv]
-    term_ids = inv[keep]
+    keep = term_ids >= 0
+    term_ids = term_ids[keep]
     docs = docs[keep]
     poss = poss[keep]
 
-    if stemmer is not None and len(vocab):
-        # stem each unique surface form once; instances remap and merge
-        # under the stemmed vocabulary (e.g. runs/running -> run)
-        stemmed = np.array([stemmer(v) for v in vocab], dtype=object).astype(str)
-        vocab, remap = np.unique(stemmed, return_inverse=True)
+    # canonicalize to the sorted vocabulary (insertion order -> lexical),
+    # preserving the exact group ordering of the previous implementation
+    vocab = np.asarray(vocab_list, dtype=object).astype(str)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    remap = np.empty(len(order), dtype=np.int64)
+    remap[order] = np.arange(len(order))
+    if len(term_ids):
         term_ids = remap[term_ids]
 
     # Group by (term, doc); positions stay ascending within each group.
