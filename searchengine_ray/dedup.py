@@ -537,19 +537,23 @@ def minhash_lsh_pairs(
 
 
 def _simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over tf-weighted term hashes, fully vectorized (one
+    (n_terms x 64) unpack + signed sum; integer math, order-independent)."""
     toks = tokenize(text)
     if not toks:
         return 0
-    terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-    for term, tf in zip(terms, counts):
-        h = np.uint64(_term_hash64(str(term)))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, tf, -tf)
+    counter: dict[str, int] = {}
+    for t in toks:
+        counter[t] = counter.get(t, 0) + 1
+    hs = np.fromiter(
+        (_term_hash64(t) for t in counter), dtype=np.uint64, count=len(counter)
+    )
+    tf = np.fromiter(counter.values(), dtype=np.int64, count=len(counter))
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = ((2 * bits.astype(np.int64) - 1) * tf[:, None]).sum(axis=0)
     out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.flatnonzero(acc > 0):
+        out |= 1 << int(i)
     return out
 
 

@@ -27,9 +27,17 @@ from .qryparse import Op, Term, parse_query
 
 
 class Oracle:
-    def __init__(self, corpus: pa.Table, fields: dict[str, str] | None = None):
+    def __init__(
+        self,
+        corpus: pa.Table,
+        fields: dict[str, str] | None = None,
+        stemmer: str = "none",
+    ):
+        from .stem import get_stemmer
+
         fields = fields or DEFAULT_FIELDS
         self.fields = fields
+        self._stemmer = get_stemmer(stemmer)
         n = corpus.num_rows
         ids = corpus.column("doc_id").to_pylist()
         repo = corpus.column("repo").to_pylist()
@@ -51,6 +59,8 @@ class Oracle:
                 m: dict[str, list[int]] = {}
                 for i, t in enumerate(toks):
                     if t not in STOPWORDS:
+                        if self._stemmer is not None:
+                            t = self._stemmer(t)
                         m.setdefault(t, []).append(i)
                 per_doc[d] = m
             self.positions[field] = per_doc
@@ -259,7 +269,11 @@ class Oracle:
         raise ValueError(node.name)
 
     def search(self, qid: str, query: str, params: ModelParams) -> pd.DataFrame:
-        tree = parse_query(query, DEFAULT_OP[params.model], analyze_query_token)
+        tree = parse_query(
+            query,
+            DEFAULT_OP[params.model],
+            lambda tok: analyze_query_token(tok, self._stemmer),
+        )
         rows = []
         if tree is not None:
             cache: dict = {}

@@ -201,6 +201,47 @@ def test_manifest_lineage_metrics(built_index):
             assert len(part[side]["fingerprint"]) == 16
 
 
+def test_parity_stemmed_profile(ray_session, tmp_path):
+    """Engine vs oracle under the Porter profile: same rank-identity bar as
+    the no-stem parity suite, on queries whose surface forms differ from
+    the indexed stems."""
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.corpus import synthesize_corpus
+    from searchengine_ray.oracle import Oracle
+
+    tbl = synthesize_corpus(120, seed=7)
+    out = str(tmp_path / "stemmed_idx")
+    build_index(
+        lambda: ray.data.from_arrow(tbl), out,
+        BuildConfig(doc_bucket_size=64, stemmer="porter"),
+    )
+    oracle = Oracle(tbl, stemmer="porter")
+    queries = [
+        ("1", "pointers overflows"),          # plural query, singular docs
+        ("2", "#near/1( units testing )"),    # stemmed adjacency
+        ("3", "#syn( errors faults failures )"),
+        ("4", "checking"),                    # stems to the idf-clamped term
+        ("5", "#window/8( reads writes )"),
+    ]
+    for model in ("bm25", "indri", "rankedboolean"):
+        eng = SearchEngine(out, _params(model))
+        for qid, q in queries:
+            got = eng.search(qid, q).to_pandas()
+            want = oracle.search(qid, q, _params(model))
+            assert list(got["external_id"]) == list(want["external_id"]), (
+                f"{model} q{qid}"
+            )
+            assert np.allclose(
+                got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-10
+            ), f"{model} q{qid}"
+        # a stemmed query must actually match morphological variants
+        if model == "rankedboolean":
+            assert len(eng.search("x", "pointers").to_pandas()) > 0
+
+
 def test_partitioned_build_pruned_reads_same_content(ray_session, tmp_path):
     """A 2-partition build over an sf_dir source (doc_range predicate
     pushdown into read_parquet) produces content identical to the
