@@ -623,6 +623,20 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
+# hopping windows: 60-min windows hopping every 30 min -> each event lands
+# in k=2 windows (hop-aligned bucket, then 0..k-1 backward shifts)
+_HOPPING_SQL = """
+WITH e AS (SELECT event_type,
+  time_bucket(INTERVAL '30 minutes', ts) AS base,
+  CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+x AS (SELECT event_type, base - k * (INTERVAL '30 minutes') AS window_start,
+        cents
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) s)
+SELECT event_type, window_start, count(*) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM x GROUP BY event_type, window_start
+"""
+
 _SESSIONIZE_SQL = """
 WITH e AS (SELECT user_id, ts,
   CASE WHEN lag(ts) OVER w IS NULL
@@ -692,7 +706,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, dedup, gate, relational, textextras, textstats, windows,
+        ann, dedup, gate, multimodal, relational, textextras, textstats,
+        windows,
     )
 
     return {
@@ -739,9 +754,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow": textstats.winnow_fingerprints,
         # stream-shaped
         "events_tumbling": windows.tumbling_counts,
+        "events_hopping": windows.hopping_counts,
         "events_sessionize": windows.sessionize,
         "events_hourly_users": textextras.hourly_unique_users,
         "text_top_bigrams": textextras.top_bigrams,
+        # multimodal (deterministic synthetic media; decode backends are
+        # documented fakes — the Ray plumbing is the deliverable). sf_dir
+        # is unused: no real media bytes exist in this environment.
+        "mm_image_features": lambda sf_dir: multimodal.image_pipeline(
+            multimodal.media_dataset()
+        ),
+        "mm_audio_features": lambda sf_dir: multimodal.audio_pipeline(
+            multimodal.media_dataset()
+        ),
+        "mm_video_frames": lambda sf_dir: multimodal.video_pipeline(
+            multimodal.media_dataset()
+        ),
         # relational building blocks
         "rel_pricing_summary": relational.pricing_summary,
         "rel_orders_by_nation": relational.orders_by_nation,
@@ -787,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _QUALITY_SQL,
         "text_winnow": _WINNOW_SQL,
         "events_tumbling": _TUMBLING_SQL,
+        "events_hopping": _HOPPING_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "events_hourly_users": _HOURLY_USERS_SQL,
         "text_top_bigrams": _TOP_BIGRAMS_SQL,

@@ -174,19 +174,56 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
     )
 
 
+def _only_kind(media, kind: str):
+    import pyarrow.compute as pc
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), kind))
+
+    return media.map_batches(flt, batch_format="pyarrow")
+
+
 def image_pipeline(media, concurrency: int = 2):
     """Dataset of MEDIA_SCHEMA -> image features via an actor pool (small
     batches: payloads are the block-size driver)."""
-    import pyarrow.compute as pc
-
-    def only_images(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("kind"), "image"))
-
-    imgs = media.map_batches(only_images, batch_format="pyarrow")
-    return imgs.map_batches(
+    return _only_kind(media, "image").map_batches(
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=16,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+def audio_pipeline(media, concurrency: int = 2):
+    """Dataset of MEDIA_SCHEMA -> audio features via an actor pool."""
+    return _only_kind(media, "audio").map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def video_pipeline(media, concurrency: int = 2, n_frames: int = 3):
+    """Dataset of MEDIA_SCHEMA -> sampled-frame features via an actor pool
+    (one output row per sampled frame)."""
+    return _only_kind(media, "video").map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_dataset(n: int = 64, seed: int = 5, num_blocks: int = 4):
+    """Deterministic synthetic media Dataset (the queries() entry point —
+    no real image/audio bytes exist in this environment)."""
+    import ray.data
+
+    return ray.data.from_arrow(synth_media_table(n, seed)).repartition(
+        num_blocks
     )

@@ -51,6 +51,62 @@ def tumbling_counts(sf_dir: str, unit: str = "hour"):
     )
 
 
+def hopping_counts(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 30
+):
+    """Hopping (sliding) windows: each event lands in
+    ``window/hop`` overlapping windows; per (event_type, window_start):
+    count + integer-cent value total. Flat-map duplication inside
+    ``map_batches`` (vectorized repeat) then one groupby aggregate — the
+    streaming-window analog Ray Data lacks natively.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    assert window_minutes % hop_minutes == 0
+    k = window_minutes // hop_minutes
+    hop = np.timedelta64(hop_minutes * 60, "s")
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("value"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        # hop-aligned truncation, then k backward-shifted window starts
+        ts = t.column("ts").to_numpy().astype("datetime64[us]")
+        base = (
+            (ts.astype("datetime64[s]").astype(np.int64) // (hop_minutes * 60))
+            * (hop_minutes * 60)
+        ).astype("datetime64[s]").astype("datetime64[us]")
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        starts = np.concatenate(
+            [base - np.uint64(i) * hop for i in range(k)]
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(np.tile(et, k)),
+                "window_start": pa.array(starts.astype("datetime64[us]")),
+                "cents": pa.array(np.tile(cents, k), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents")
+        )
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Per user: session count + max session size, sessions split on
     inactivity gaps > ``gap_minutes``. Returns (user_id, n_sessions,

@@ -139,6 +139,27 @@ def test_token_stats_and_quality():
     assert (q["stop_ratio_micro"] <= 1_000_000).all()
 
 
+def test_hopping_window_invariants():
+    """Each event lands in exactly window/hop = 2 hopping windows, so the
+    hopping totals are exactly 2x the per-type event counts."""
+    from ray.data.aggregate import Count
+
+    import ray.data
+
+    from searchengine_ray.windows import hopping_counts
+
+    hop = hopping_counts(SF).to_pandas()
+    ev = (
+        ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    got = hop.groupby("event_type")["n_events"].sum().sort_index()
+    want = (ev.set_index("event_type")["n"] * 2).sort_index()
+    assert got.equals(want.astype(got.dtype))
+
+
 def test_sessionize_invariants():
     from searchengine_ray.windows import sessionize
 
