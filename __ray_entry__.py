@@ -515,6 +515,26 @@ SELECT d.doc_id, round(pow(d.s_dup, 0.5) * pow(f.s_fb, 0.5), 6) AS score_r
 FROM dupscore d JOIN fbscore f USING(doc_id)
 """
 
+# TPC-H-Q3-shaped 3-table join: segment semi-join + date filters + grouped
+# revenue + top-k; revenue quantized to cents per ROW before summing (the
+# engine does the same, so integer sums match bit-exactly)
+_SHIPPING_PRIORITY_SQL = """
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+    CAST(round(l.l_extendedprice * 100.0 * (1.0 - l.l_discount))
+         AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01')
+SELECT l_orderkey, o_orderdate,
+  CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
 _DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
 """
@@ -775,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_nation": relational.orders_by_nation,
         "rel_top_parts": relational.top_parts,
         "rel_join_revenue": relational.revenue_by_order_priority,
+        "rel_shipping_priority": relational.shipping_priority,
     }
 
 
@@ -823,4 +844,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_orders_by_nation": _ORDERS_NATION_SQL,
         "rel_top_parts": _TOP_PARTS_SQL,
         "rel_join_revenue": _REV_BY_PRIORITY_SQL,
+        "rel_shipping_priority": _SHIPPING_PRIORITY_SQL,
     }

@@ -191,3 +191,80 @@ def top_parts(sf_dir: str, k: int = 10):
         .limit(k)
     )
     return out
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """TPC-H-Q3-shaped composition: broadcast semi-join (customer segment)
+    -> large-large hash join (orders x lineitem) -> grouped revenue ->
+    top-k. Revenue per row is quantized to integer cents BEFORE summing so
+    the aggregate is order-independent and bit-exact vs the SQL oracle.
+    Returns (l_orderkey, o_orderdate, revenue_cents) for the k highest-
+    revenue urgent orders (o_orderdate < 1998-01-01 < l_shipdate).
+    """
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1998-01-01T00:00:00", "us")
+
+    # small side: the segment's customer keys, broadcast once
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), segment)
+    ).column("c_custkey").to_numpy()
+    keys_ref = ray.put(np.sort(keys))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        date_ok = pc.less(t.column("o_orderdate"), pa.scalar(cutoff))
+        cust_ok = pa.array(
+            np.isin(t.column("o_custkey").to_numpy(), ks, assume_unique=False)
+        )
+        return t.filter(pc.and_(date_ok, cust_ok)).select(
+            ["o_orderkey", "o_orderdate"]
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t.column("l_extendedprice"), 100.0),
+                    pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_cents": rev}
+        )
+
+    joined = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
