@@ -29,9 +29,6 @@ STOPWORDS = frozenset(
     "that the their then there these they this to was will with".split()
 )
 
-_STOP_SORTED = np.array(sorted(STOPWORDS))
-
-
 def tokenize(text: str) -> list[str]:
     """All tokens (stopwords included), lowercased. Position i = token i."""
     return TOKEN_RE.findall(text.lower())

@@ -63,7 +63,11 @@ def hopping_counts(
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    assert window_minutes % hop_minutes == 0
+    if window_minutes % hop_minutes != 0:
+        raise ValueError(
+            f"window ({window_minutes}m) must be a multiple of the hop "
+            f"({hop_minutes}m)"
+        )
     k = window_minutes // hop_minutes
     hop = np.timedelta64(hop_minutes * 60, "s")
 

@@ -51,7 +51,8 @@ def test_segmented_roundtrip(n_runs):
     assert np.array_equal(out, values)
 
 
-try:
+hypothesis = pytest.importorskip("hypothesis")
+if hypothesis:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -82,9 +83,6 @@ try:
     def test_varbyte_roundtrip_property(xs):
         v = np.asarray(xs, dtype=np.int64)
         assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
-
-except ImportError:  # pragma: no cover — hypothesis is in the image
-    pass
 
 
 def test_segmented_zero_length_runs():

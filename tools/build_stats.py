@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import re
-import shutil
 import sys
 import time
 
@@ -35,8 +34,6 @@ def one_build(sf_dir: str, factor: int, ncpu: int) -> dict:
 
     cfg = BuildConfig()
     factory = replicated_corpus_factory(sf_dir, factor)
-    out = f"/tmp/build_stats_idx_{factor}"
-    shutil.rmtree(out, ignore_errors=True)
 
     tokenizer = TokenizeFields(cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions)
     t0 = time.time()
