@@ -535,6 +535,19 @@ FROM j GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """
 
+# windowed ranking: top-2 orders per customer by integer-cent price
+_TOP_ORDERS_PER_CUST_SQL = """
+WITH o AS (SELECT o_custkey, o_orderkey,
+  CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_price_cents
+  FROM orders),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY total_price_cents DESC, o_orderkey) AS rn
+      FROM o)
+SELECT o_custkey, o_orderkey, total_price_cents, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 2
+"""
+
 _DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
 """
@@ -726,8 +739,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, dedup, gate, multimodal, relational, textextras, textstats,
-        windows,
+        ann, dedup, gate, multimodal, relational, sketch, textextras,
+        textstats, windows,
     )
 
     return {
@@ -777,6 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": windows.hopping_counts,
         "events_sessionize": windows.sessionize,
         "events_hourly_users": textextras.hourly_unique_users,
+        # approximate distinct-count sketch (HLL registers through the
+        # shuffle; see sketch.py) — rows-only: estimates can't hash-match
+        # an exact SQL oracle; pytest bounds the per-window relative error
+        "events_hourly_users_hll": sketch.hll_distinct_users,
         "text_top_bigrams": textextras.top_bigrams,
         # multimodal (deterministic synthetic media; decode backends are
         # documented fakes — the Ray plumbing is the deliverable). sf_dir
@@ -796,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts": relational.top_parts,
         "rel_join_revenue": relational.revenue_by_order_priority,
         "rel_shipping_priority": relational.shipping_priority,
+        "rel_top_orders_per_cust": relational.top_orders_per_customer,
     }
 
 
@@ -845,4 +863,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_parts": _TOP_PARTS_SQL,
         "rel_join_revenue": _REV_BY_PRIORITY_SQL,
         "rel_shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "rel_top_orders_per_cust": _TOP_ORDERS_PER_CUST_SQL,
     }

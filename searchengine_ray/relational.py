@@ -268,3 +268,77 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 2):
+    """Windowed ranking: the k highest-value orders per customer
+    (row_number() OVER (PARTITION BY custkey ORDER BY price DESC) <= k).
+    Ray Data has no window functions; customers hash-partition into 64
+    buckets and every customer in a partition ranks vectorized after one
+    in-partition sort — bounded dispatch regardless of customer count.
+    Prices quantize to integer cents BEFORE ranking so the order (and the
+    SQL oracle's) is exact. Returns (o_custkey, o_orderkey,
+    total_price_cents, rn).
+    """
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("o_totalprice"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        kc = (t.column("o_custkey").to_numpy() % 64).astype(np.int32)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_price_cents": cents,
+                "kc": pa.array(kc),
+            }
+        )
+
+    def rank_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "total_price_cents": pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("total_price_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        cust = t.column("o_custkey").to_numpy()
+        new_c = np.empty(len(cust), dtype=bool)
+        new_c[0] = True
+        new_c[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new_c)
+        rn = np.arange(len(cust), dtype=np.int64)
+        rn -= np.repeat(starts, np.diff(np.append(starts, len(cust))))
+        keep = rn < k
+        out = t.filter(pa.array(keep)).drop_columns(["kc"])
+        return out.append_column(
+            "rn", pa.array(rn[keep] + 1, type=pa.int64())
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("kc")
+        .map_groups(rank_partition, batch_format="pyarrow")
+    )

@@ -1,0 +1,126 @@
+"""Cardinality sketches: HyperLogLog distinct counting as a Ray Data
+aggregate — the approximate path for distinct-count-per-window at scales
+where exact dedup-then-count (textextras.hourly_unique_users) would shuffle
+every (window, user) pair.
+
+Flajolet et al.'s HyperLogLog with the standard bias corrections: m = 2^p
+registers; each value's 64-bit hash splits into a register index (low p
+bits) and rho = leading-zero rank of the remaining bits. Registers merge by
+elementwise max, so per-batch partial register blocks combine associatively
+— the exact shape Ray Data's map_batches + groupby wants:
+
+    map_batches: (window, user) -> per-(batch, window) register arrays
+    groupby(window).map_groups: elementwise-max merge -> estimate
+
+Per-window state is m bytes (4 KiB at p=12) regardless of user count; the
+shuffle moves one register block per (batch, window), not one row per
+distinct user. Standard error ~= 1.04/sqrt(m) (~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """splitmix64 over int64/uint64 input values (vectorized)."""
+    v = values.astype(np.uint64) + np.uint64(seed) + np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def registers_of(values: np.ndarray, p: int) -> np.ndarray:
+    """Per-value HLL update collapsed to one register array (uint8, 2^p)."""
+    m = 1 << p
+    h = _hash64(values)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rho = position of the first 1-bit in the remaining 64-p bits (1-based)
+    nbits = 64 - p
+    rho = np.full(len(h), nbits + 1, dtype=np.uint8)
+    found = np.zeros(len(h), dtype=bool)
+    for b in range(nbits):
+        hit = (~found) & ((rest >> np.uint64(b)) & np.uint64(1) == 1)
+        rho[hit] = b + 1
+        found |= hit
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def estimate(regs: np.ndarray) -> float:
+    """HLL estimate with small-range (linear counting) correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12):
+    """Per hour: approximate distinct users via HLL registers.
+
+    Returns (window_start, n_users_approx int64). The shuffle carries one
+    2^p-byte register block per (batch, window) — constant per window, not
+    per distinct user. Compare textextras.hourly_unique_users (exact, two
+    row-level shuffles); pytest bounds the relative error.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t.column("ts"), unit="hour").to_numpy()
+        users = t.column("user_id").to_numpy()
+        order = np.argsort(win, kind="mergesort")
+        win, users = win[order], users[order]
+        change = np.empty(len(win), dtype=bool)
+        if len(win) == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "regs": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        change[0] = True
+        change[1:] = win[1:] != win[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(win))
+        blocks = [registers_of(users[s:e], p) for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                "window_start": pa.array(win[starts]),
+                "regs": pa.array(
+                    [b for b in blocks], type=pa.list_(pa.uint8())
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        col = g.column("regs").combine_chunks()
+        m = 1 << p
+        mat = col.values.to_numpy().reshape(g.num_rows, m)
+        regs = mat.max(axis=0)
+        return pa.table(
+            {
+                "window_start": g.column("window_start").slice(0, 1),
+                "n_users_approx": pa.array(
+                    [int(round(estimate(regs)))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .map_groups(merge, batch_format="pyarrow")
+    )

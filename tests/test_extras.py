@@ -139,6 +139,34 @@ def test_token_stats_and_quality():
     assert (q["stop_ratio_micro"] <= 1_000_000).all()
 
 
+def test_hll_sketch_accuracy():
+    """HLL register math on known cardinalities + the windowed pipeline vs
+    the exact distinct-count operator (per-window relative error bounded)."""
+    from searchengine_ray.sketch import estimate, registers_of
+    from searchengine_ray.textextras import hourly_unique_users
+    from searchengine_ray.sketch import hll_distinct_users
+
+    # pure register math: 3 disjoint cardinalities, merged = union
+    for n in (50, 1000, 20000):
+        vals = np.arange(n, dtype=np.int64) * 7919 + 13
+        est = estimate(registers_of(vals, p=12))
+        assert abs(est - n) / n < 0.06, (n, est)
+    a = registers_of(np.arange(0, 5000, dtype=np.int64), 12)
+    b = registers_of(np.arange(2500, 7500, dtype=np.int64), 12)
+    merged = np.maximum(a, b)
+    assert abs(estimate(merged) - 7500) / 7500 < 0.06
+
+    exact = hourly_unique_users(SF).to_pandas().set_index("window_start")
+    approx = hll_distinct_users(SF).to_pandas().set_index("window_start")
+    assert set(exact.index) == set(approx.index)
+    joined = exact.join(approx)
+    rel = (
+        (joined["n_users_approx"] - joined["n_users"]).abs()
+        / joined["n_users"]
+    )
+    assert rel.max() < 0.1  # p=12 -> ~1.6% typical; generous bound
+
+
 def test_hopping_window_invariants():
     """Each event lands in exactly window/hop = 2 hopping windows, so the
     hopping totals are exactly 2x the per-type event counts."""
