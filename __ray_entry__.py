@@ -670,6 +670,17 @@ SELECT event_type, window_start, count(*) AS n_events,
 FROM x GROUP BY event_type, window_start
 """
 
+# as-of join: each purchase -> same user's most recent strictly-earlier
+# click (DuckDB's native ASOF JOIN with the > comparator)
+_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
 _SESSIONIZE_SQL = """
 WITH e AS (SELECT user_id, ts,
   CASE WHEN lag(ts) OVER w IS NULL
@@ -789,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": windows.tumbling_counts,
         "events_hopping": windows.hopping_counts,
         "events_sessionize": windows.sessionize,
+        "events_asof_join": windows.asof_join_purchase_click,
         "events_hourly_users": textextras.hourly_unique_users,
         # approximate distinct-count sketch (HLL registers through the
         # shuffle; see sketch.py) — rows-only: estimates can't hash-match
@@ -856,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _TUMBLING_SQL,
         "events_hopping": _HOPPING_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "events_asof_join": _ASOF_SQL,
         "events_hourly_users": _HOURLY_USERS_SQL,
         "text_top_bigrams": _TOP_BIGRAMS_SQL,
         "rel_pricing_summary": _PRICING_SQL,

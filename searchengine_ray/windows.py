@@ -169,3 +169,98 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         .groupby("ku")
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def asof_join_purchase_click(sf_dir: str):
+    """As-of join, the classic event-stream operator Ray Data lacks: each
+    'purchase' event joins to the SAME USER's most recent 'click' with a
+    STRICTLY earlier timestamp (inner — unmatched purchases drop).
+
+    Shape: hash-partition users into 64 buckets; inside a partition one
+    (user, ts, event_id) sort + a running maximum over click row positions
+    gives every row its as-of match in O(n) — per-group dispatch stays
+    bounded regardless of user count. The strict-inequality semantics are
+    handled exactly (equal-timestamp runs look up the running maximum just
+    before their run starts). Returns
+    (event_id, user_id, click_event_id, gap_us).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array(["purchase", "click"]),
+        )
+        t = t.filter(keep)
+        ku = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return t.append_column("ku", pa.array(ku))
+
+    def asof_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "click_event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy()
+        eid = t.column("event_id").to_numpy()
+        is_click = pc.equal(t.column("event_type"), "click").to_numpy(
+            zero_copy_only=False
+        )
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        user_start = np.repeat(
+            np.flatnonzero(new_user),
+            np.diff(np.append(np.flatnonzero(new_user), n)),
+        )
+        # last click position at-or-before each row (in sort order)
+        acc = np.maximum.accumulate(
+            np.where(is_click, np.arange(n), -1)
+        )
+        # strict ts inequality: look up acc just BEFORE this (user, ts) run
+        new_run = new_user.copy()
+        new_run[1:] |= ts[1:] != ts[:-1]
+        run_start = np.repeat(
+            np.flatnonzero(new_run),
+            np.diff(np.append(np.flatnonzero(new_run), n)),
+        )
+        prev = run_start - 1
+        cand = np.where(prev >= 0, acc[np.clip(prev, 0, None)], -1)
+        is_purchase = ~is_click
+        ok = is_purchase & (cand >= 0) & (cand >= user_start)
+        rows = np.flatnonzero(ok)
+        c = cand[rows]
+        gap = (ts[rows] - ts[c]).astype("timedelta64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[rows], type=pa.int64()),
+                "user_id": pa.array(u[rows], type=pa.int64()),
+                "click_event_id": pa.array(eid[c], type=pa.int64()),
+                "gap_us": pa.array(gap, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ku")
+        .map_groups(asof_partition, batch_format="pyarrow")
+    )

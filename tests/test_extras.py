@@ -139,6 +139,36 @@ def test_token_stats_and_quality():
     assert (q["stop_ratio_micro"] <= 1_000_000).all()
 
 
+def test_asof_join_semantics():
+    """Every purchase matches its user's most recent STRICTLY-earlier
+    click; verified per-row against a pandas merge_asof oracle."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.windows import asof_join_purchase_click
+
+    got = (
+        asof_join_purchase_click(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    p = ev[ev.event_type == "purchase"].sort_values("ts")
+    c = ev[ev.event_type == "click"].sort_values("ts")
+    want = pd.merge_asof(
+        p, c, on="ts", by="user_id", suffixes=("", "_c"),
+        allow_exact_matches=False,
+    ).dropna(subset=["event_id_c"])
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["click_event_id"].tolist() == want["event_id_c"].astype(int).tolist()
+    assert (got["gap_us"] > 0).all()
+
+
 def test_hll_sketch_accuracy():
     """HLL register math on known cardinalities + the windowed pipeline vs
     the exact distinct-count operator (per-window relative error bounded)."""
