@@ -681,6 +681,18 @@ SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
 FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
 """
 
+# range join: every error paired with the same user's clicks in the
+# strictly-preceding 60-minute window
+_RANGE_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id AS error_event_id, c.event_id AS click_event_id,
+  e.user_id, CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM e JOIN c ON e.user_id = c.user_id
+  AND c.ts < e.ts AND c.ts >= e.ts - INTERVAL '60 minutes'
+"""
+
 _SESSIONIZE_SQL = """
 WITH e AS (SELECT user_id, ts,
   CASE WHEN lag(ts) OVER w IS NULL
@@ -801,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": windows.hopping_counts,
         "events_sessionize": windows.sessionize,
         "events_asof_join": windows.asof_join_purchase_click,
+        "events_range_join": windows.range_join_error_click,
         "events_hourly_users": textextras.hourly_unique_users,
         # approximate distinct-count sketch (HLL registers through the
         # shuffle; see sketch.py) — rows-only: estimates can't hash-match
@@ -869,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping": _HOPPING_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "events_asof_join": _ASOF_SQL,
+        "events_range_join": _RANGE_JOIN_SQL,
         "events_hourly_users": _HOURLY_USERS_SQL,
         "text_top_bigrams": _TOP_BIGRAMS_SQL,
         "rel_pricing_summary": _PRICING_SQL,

@@ -264,3 +264,95 @@ def asof_join_purchase_click(sf_dir: str):
         .groupby("ku")
         .map_groups(asof_partition, batch_format="pyarrow")
     )
+
+
+def range_join_error_click(sf_dir: str, window_minutes: int = 60):
+    """Range join, the interval cousin of the as-of join: every 'error'
+    event pairs with ALL of the same user's 'click' events in the
+    preceding ``window_minutes`` (strictly earlier, within the window).
+
+    Shape: 64-way user hash partitions; inside a partition clicks sort by
+    a packed (user, relative-ts) uint64 key, each error binary-searches its
+    window bounds (two vectorized searchsorted calls), and pair expansion
+    is the standard repeat+range gather — no per-row Python. Returns
+    (error_event_id, click_event_id, user_id, gap_us).
+    """
+    import ray.data
+
+    win = np.int64(window_minutes * 60 * 1_000_000)  # us
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["error", "click"])
+        )
+        t = t.filter(keep)
+        ku = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return t.append_column("ku", pa.array(ku))
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "error_event_id": pa.array([], pa.int64()),
+                "click_event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = t.column("event_id").to_numpy()
+        is_click = pc.equal(t.column("event_type"), "click").to_numpy(
+            zero_copy_only=False
+        )
+        rel = ts - ts.min()  # fits well under 2^42 for any sane span
+        if rel.max() >= 1 << 42:
+            raise ValueError("time span too large for the packed range key")
+        key = (u.astype(np.uint64) << np.uint64(42)) | rel.astype(np.uint64)
+
+        ck = np.sort(key[is_click])
+        c_order = np.argsort(key[is_click], kind="stable")
+        c_eid = eid[is_click][c_order]
+        e_key = key[~is_click]
+        e_eid = eid[~is_click]
+        e_u = u[~is_click]
+        if len(ck) == 0 or len(e_key) == 0:
+            return empty
+        # window = (ts - win, ts) strictly earlier; clamp lo at the user's
+        # own key space (rel can't go below the user's << 42 boundary)
+        lo_key = np.maximum(
+            e_key - np.uint64(win), (e_u.astype(np.uint64) << np.uint64(42))
+        )
+        lo = np.searchsorted(ck, lo_key, side="left")
+        hi = np.searchsorted(ck, e_key, side="left")  # strict: clicks < ts
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            return empty
+        # repeat+range gather: click index for every emitted pair
+        within = np.arange(tot) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        c_idx = np.repeat(lo, counts) + within
+        e_rep = np.repeat(np.arange(len(e_key)), counts)
+        gap = (e_key[e_rep] - ck[c_idx]).astype(np.int64)
+        return pa.table(
+            {
+                "error_event_id": pa.array(e_eid[e_rep], type=pa.int64()),
+                "click_event_id": pa.array(c_eid[c_idx], type=pa.int64()),
+                "user_id": pa.array(e_u[e_rep], type=pa.int64()),
+                "gap_us": pa.array(gap, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ku")
+        .map_groups(join_partition, batch_format="pyarrow")
+    )
