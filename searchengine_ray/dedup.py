@@ -10,29 +10,28 @@ All Ray-Data-first over the documents table `(doc_id, text, ...)`:
 - :func:`simhash_pairs` — 64-bit SimHash, 4x16-bit block blocking,
   Hamming-distance verification.
 - :func:`embedding_dup_pairs` — cosine near-dup over the embeddings table
-  (broadcast matrix, per-batch matmul).
+  (broadcast matrix, per-batch matmul; exact baseline).
+- :func:`embedding_dup_pairs_lsh` — random-hyperplane-bucketed cosine
+  near-dup, the scale path.
 
 Scale notes (10^12-file ambitions): every candidate generator here is a
 ``groupby`` on a bounded-cardinality key (hash / band / block), the classic
 skew hazard being ubiquitous shingles — handled by a df cap that drops
 shingles occurring in more than ``shingle_df_cap`` docs (mirrored in the
-oracle SQL so results stay comparable). Verification joins broadcast the
-per-doc signatures at test scale; at cluster scale they become a
-repartition-by-pair co-location (documented, not needed at 500-5000 rows).
+oracle SQL so results stay comparable). MinHash verification is fully
+distributed: only the candidate-pair CSR index broadcasts (LSH-bounded),
+per-doc shingle sets stream through one narrow int64 shuffle keyed by
+pair — no per-doc state ever sits on the driver.
 """
 
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .analyze import tokenize
-
-MERSENNE = (1 << 61) - 1
 
 
 def _read_docs(sf_dir: str):
@@ -78,13 +77,6 @@ def exact_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text: str, n: int) -> list[str]:
-    toks = tokenize(text)
-    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-
-
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
 _term_hash_memo: dict[str, int] = {}
 
 
@@ -126,27 +118,60 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class ShingleRows:
-    """map_batches stage: doc -> distinct (doc_id, shingle, nsh) rows, where
-    nsh is the doc's distinct-shingle count (carried per row so downstream
-    pair scoring needs no driver-side size lookup)."""
+    """map_batches stage: doc -> distinct (doc_id, shingle, nsh, kh) rows.
 
-    def __init__(self, n: int):
+    nsh is the doc's distinct-shingle count (carried per row so downstream
+    pair scoring needs no driver-side size lookup); kh is the shuffle
+    partition, derived from the shingle's vectorized token-hash combine —
+    the same string always hashes the same, so a shingle's posting rows
+    co-locate, and no separate per-row crc32 pass is needed."""
+
+    def __init__(self, n: int, partitions: int = 64):
         self.n = n
+        self.partitions = partitions
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids, shingles, nshs = [], [], []
+        n = self.n
+        doc_ids, shingles, nshs, khs = [], [], [], []
         for d, text in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
-            ss = set(_shingles(text, self.n))
-            doc_ids.extend([d] * len(ss))
-            shingles.extend(ss)
-            nshs.extend([len(ss)] * len(ss))
+            toks = tokenize(text)
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            seq = np.fromiter(
+                (_term_hash64(x) for x in toks), dtype=np.uint64,
+                count=len(toks),
+            )
+            h = np.zeros(m, dtype=np.uint64)
+            for k in range(n):
+                h = h * _POS_MIX[k % len(_POS_MIX)] + seq[k : k + m]
+            first: dict[str, int] = {}
+            for i in range(m):
+                s = " ".join(toks[i : i + n])
+                if s not in first:
+                    first[s] = i
+            idx = np.fromiter(first.values(), dtype=np.int64, count=len(first))
+            doc_ids.extend([d] * len(first))
+            shingles.extend(first.keys())
+            nshs.extend([len(first)] * len(first))
+            khs.append((h[idx] % np.uint64(self.partitions)).astype(np.int32))
+        if not doc_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.string()),
+                    "nsh": pa.array([], pa.int64()),
+                    "kh": pa.array([], pa.int32()),
+                }
+            )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "shingle": pa.array(shingles, type=pa.string()),
                 "nsh": pa.array(nshs, type=pa.int64()),
+                "kh": pa.array(np.concatenate(khs)),
             }
         )
 
@@ -222,20 +247,10 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def add_partition(t: pa.Table) -> pa.Table:
-        import zlib
-
-        kh = np.array(
-            [zlib.crc32(s.encode()) % 64 for s in t.column("shingle").to_pylist()],
-            dtype=np.int32,
-        )
-        return t.append_column("kh", pa.array(kh))
-
     # sza/szb are functions of a/b, so grouping by them too is a no-op on
     # group identity but keeps the sizes attached through the shuffle
     pair_counts = (
-        sh.map_batches(add_partition, batch_format="pyarrow")
-        .groupby("kh")
+        sh.groupby("kh")
         .map_groups(pairs_of_partition, batch_format="pyarrow")
         .groupby(["a", "b", "sza", "szb"])
         .aggregate(Count(alias_name="inter"))
