@@ -570,6 +570,32 @@ FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
 """
 
+# connected components over the >=0.6-Jaccard pair graph: rep = min doc id
+# reachable (recursive CTE over the symmetric edge set)
+_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_TOK},
+sh0 AS (SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM sh x JOIN keep USING(shingle) JOIN sh y USING(shingle)
+          WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id),
+good AS (SELECT a, b FROM pairs
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+edges AS (SELECT a, b FROM good UNION SELECT b, a FROM good),
+reach AS (
+  SELECT a AS node, b AS other FROM edges
+  UNION
+  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other
+)
+SELECT node AS doc_id, least(node, min(other)) AS rep_id
+FROM reach GROUP BY node
+"""
+
 _DEDUP_EMB_SQL = """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -798,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
+        "dedup_components": dedup.dedup_components,
         "dedup_embedding": dedup.embedding_dup_pairs,
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
         # similarity search
@@ -872,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         # hash/hyperplane/centroid state is not SQL-expressible -> rows-only
         # check; pytest verifies them against the exact-Jaccard /
         # brute-force baselines instead (no false positives + recall bound).
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,

@@ -865,3 +865,50 @@ def embedding_dup_pairs_lsh(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_components(sf_dir: str, n: int = 3, threshold: float = 0.6):
+    """The "so what" of near-dup detection: connected components over the
+    exact n-gram-Jaccard pair graph, one row per clustered doc with its
+    canonical representative (min doc_id in the component).
+
+    The pair list is output-scale (near-dups are a small fraction of any
+    corpus), so components resolve with a vectorized hash-min iteration
+    over the pair arrays — each pass is pure numpy; convergence needs
+    O(component diameter) passes. At extreme scale the same hash-min
+    update runs as an iterative Ray aggregate; the pair graph itself is
+    produced fully distributed by :func:`ngram_jaccard_pairs`. Returns
+    (doc_id, rep_id) for docs in components of size >= 2.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold).to_pandas()
+    if pairs.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "rep_id": pa.array([], pa.int64()),
+            }
+        )
+    a = pairs["doc_id_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_id_b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    label = nodes.copy()  # start: own id
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    while True:
+        # hash-min: every edge pulls both endpoints to the smaller label
+        m = np.minimum(label[ia], label[ib])
+        new = label.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        # pointer-jump: labels are always node ids, so chase one hop
+        # (label <- label of the label's node) to halve long chains
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "rep_id": pa.array(label, type=pa.int64()),
+        }
+    )

@@ -30,6 +30,20 @@ def test_ngram_jaccard_finds_planted_dups():
     assert (df["jaccard_micro"] >= 600000).all()
 
 
+def test_dedup_components_invariants():
+    from searchengine_ray.dedup import dedup_components, ngram_jaccard_pairs
+
+    comp = dedup_components(SF).to_pandas()
+    pairs = ngram_jaccard_pairs(SF).to_pandas()
+    rep = dict(zip(comp["doc_id"], comp["rep_id"]))
+    # both endpoints of every dup pair share a representative
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        assert rep[a] == rep[b]
+    # the representative is a member of its own component
+    assert (comp["rep_id"] <= comp["doc_id"]).all()
+    assert set(comp["rep_id"]) <= set(comp["doc_id"])
+
+
 def test_minhash_recall_vs_exact():
     from searchengine_ray.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
