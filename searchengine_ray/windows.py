@@ -276,6 +276,9 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
     window bounds (two vectorized searchsorted calls), and pair expansion
     is the standard repeat+range gather — no per-row Python. Returns
     (error_event_id, click_event_id, user_id, gap_us).
+
+    Equal-timestamp clicks both emit (the window is a set, not a pick);
+    the strict upper bound excludes clicks at exactly the error's ts.
     """
     import ray.data
 
@@ -314,20 +317,28 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
         rel = ts - ts.min()  # fits well under 2^42 for any sane span
         if rel.max() >= 1 << 42:
             raise ValueError("time span too large for the packed range key")
+        if u.max() >= 1 << 22:
+            raise ValueError(
+                "user_id too large for the packed range key (>= 2^22); "
+                "widen the key layout or pre-bucket users"
+            )
         key = (u.astype(np.uint64) << np.uint64(42)) | rel.astype(np.uint64)
 
-        ck = np.sort(key[is_click])
         c_order = np.argsort(key[is_click], kind="stable")
+        ck = key[is_click][c_order]
         c_eid = eid[is_click][c_order]
         e_key = key[~is_click]
         e_eid = eid[~is_click]
         e_u = u[~is_click]
+        e_rel = rel[~is_click].astype(np.uint64)
         if len(ck) == 0 or len(e_key) == 0:
             return empty
-        # window = (ts - win, ts) strictly earlier; clamp lo at the user's
-        # own key space (rel can't go below the user's << 42 boundary)
-        lo_key = np.maximum(
-            e_key - np.uint64(win), (e_u.astype(np.uint64) << np.uint64(42))
+        # window = (ts - win, ts) strictly earlier; clamp at the user's own
+        # key-space base BEFORE subtracting — uint64 e_key - win would wrap
+        # for errors within `win` of the span start and poison searchsorted
+        user_base = e_u.astype(np.uint64) << np.uint64(42)
+        lo_key = np.where(
+            e_rel >= np.uint64(win), e_key - np.uint64(win), user_base
         )
         lo = np.searchsorted(ck, lo_key, side="left")
         hi = np.searchsorted(ck, e_key, side="left")  # strict: clicks < ts

@@ -183,6 +183,38 @@ def test_asof_join_semantics():
     assert (got["gap_us"] > 0).all()
 
 
+def test_range_join_vs_bruteforce():
+    """Every (error, click) pair within the strictly-preceding window, per
+    user — verified row-for-row against a pandas brute-force oracle on the
+    smoke-scale data (which includes errors near the span start, the
+    uint64-underflow edge)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.windows import range_join_error_click
+
+    got = (
+        range_join_error_click(SF, window_minutes=60)
+        .to_pandas()
+        .sort_values(["error_event_id", "click_event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    e = ev[ev.event_type == "error"]
+    c = ev[ev.event_type == "click"]
+    m = e.merge(c, on="user_id", suffixes=("", "_c"))
+    win = pd.Timedelta(minutes=60)
+    m = m[(m.ts_c < m.ts) & (m.ts_c >= m.ts - win)]
+    want = m.sort_values(["event_id", "event_id_c"]).reset_index(drop=True)
+    assert got["error_event_id"].tolist() == want["event_id"].tolist()
+    assert got["click_event_id"].tolist() == want["event_id_c"].tolist()
+    gap = ((want["ts"] - want["ts_c"]).dt.total_seconds() * 1e6).round().astype(int)
+    assert got["gap_us"].tolist() == gap.tolist()
+
+
 def test_hll_sketch_accuracy():
     """HLL register math on known cardinalities + the windowed pipeline vs
     the exact distinct-count operator (per-window relative error bounded)."""
