@@ -697,11 +697,15 @@ FROM x GROUP BY event_type, window_start
 """
 
 # as-of join: each purchase -> same user's most recent strictly-earlier
-# click (DuckDB's native ASOF JOIN with the > comparator)
+# click (DuckDB's native ASOF JOIN with the > comparator). Clicks dedupe
+# to max(event_id) per (user, ts) FIRST: that is exactly the engine's
+# running-max tie rule, and it removes ASOF's unspecified pick among
+# equal-timestamp rows, making the comparison deterministic on any data.
 _ASOF_SQL = """
 WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
-c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
 FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
