@@ -62,6 +62,32 @@ def test_range_join_fuzz(ray_session, tmp_path, seed):
     assert got["click_event_id"].tolist() == want["event_id_c"].tolist()
 
 
+def test_asof_join_click_tie_rule(ray_session, tmp_path):
+    """Two clicks by the same user at the SAME microsecond: the engine (and
+    the deduped SQL oracle) must pick the max event_id."""
+    from searchengine_ray.windows import asof_join_purchase_click
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2, 3], dtype=np.int64),
+            "ts": [base, base, base + np.timedelta64(60, "s"), base],
+            "user_id": np.array([7, 7, 7, 7], dtype=np.int64),
+            # click ids 0 and 1 tie on ts; purchase id 2 later; a decoy view
+            "event_type": ["click", "click", "purchase", "view"],
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    d = tmp_path / "ties"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    got = asof_join_purchase_click(str(d)).to_pandas()
+    assert got["event_id"].tolist() == [2]
+    assert got["click_event_id"].tolist() == [1]  # max event_id wins the tie
+
+
 @pytest.mark.parametrize("seed", [4, 5])
 def test_asof_join_fuzz(ray_session, tmp_path, seed):
     from searchengine_ray.windows import asof_join_purchase_click
