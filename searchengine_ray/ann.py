@@ -71,7 +71,8 @@ def _sample_matrix(sf_dir: str, seed: int, sample_rows: int = 4096) -> np.ndarra
     if total <= sample_rows:
         thresh = np.uint64(0xFFFFFFFF)
     else:
-        thresh = np.uint64(int(sample_rows / total * 0xFFFFFFFF))
+        # clamp >=1: at extreme scale the ratio can floor to 0 and keep ~no rows
+        thresh = np.uint64(max(1, int(sample_rows / total * 0xFFFFFFFF)))
 
     def pick(t: pa.Table) -> pa.Table:
         v = t.column("vec_id").to_numpy().astype(np.uint64) + np.uint64(seed)
@@ -85,6 +86,11 @@ def _sample_matrix(sf_dir: str, seed: int, sample_rows: int = 4096) -> np.ndarra
         pick, batch_format="pyarrow"
     )
     rows = ds.take_all()  # bounded: ~sample_rows rows by construction
+    if not rows:
+        # unlucky thin sample: fall back to the first sample_rows rows
+        rows = ray.data.read_parquet(
+            path, columns=["vec_id", "embedding"]
+        ).take(sample_rows)
     mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 

@@ -73,9 +73,11 @@ class TokenizeFields:
     rows (external_id, sha256(content), per-field lengths) as one parquet
     file named by the batch's doc-id range — the lengths fall out of the
     tokenization already being done here, so fusing the docmap into this
-    stage removes an entire read+tokenize pass over the corpus. File names
-    are deterministic per batch and doc_ids are unique, so a retried task
-    overwrites its own file (idempotent).
+    stage removes an entire read+tokenize pass over the corpus. Retry
+    idempotence: doc_ids are a deterministic function of the input rows, so
+    before writing, any stale dm_* file overlapping the batch's doc range is
+    removed — a retried task that re-chunks into different batch boundaries
+    still converges to non-overlapping coverage.
 
     Storage assumption (multi-node): tasks run on workers, so
     ``docmap_dir`` must be visible to every worker AND the driver (shared
@@ -121,7 +123,26 @@ class TokenizeFields:
         }
         for field in self.fields:
             cols[f"len_{field}"] = pa.array(doc_lens[field], type=pa.int64())
-        name = f"dm_{int(doc_ids.min()):012d}_{int(doc_ids.max()):012d}.parquet"
+        lo, hi = int(doc_ids.min()), int(doc_ids.max())
+        # Idempotence under retry does NOT assume Ray re-chunks a retried
+        # task into identical batch boundaries: doc_ids are a deterministic
+        # function of the input rows, so any stale dm_* file whose doc range
+        # overlaps this batch covers (a subset of) the same rows — drop it
+        # before writing. Same-named files simply overwrite.
+        for fn in os.listdir(self.docmap_dir):
+            if not (fn.startswith("dm_") and fn.endswith(".parquet")):
+                continue
+            try:
+                s, e = fn[3:-8].split("_")
+                s, e = int(s), int(e)
+            except ValueError:
+                continue
+            if s <= hi and e >= lo and not (s == lo and e == hi):
+                try:
+                    os.remove(os.path.join(self.docmap_dir, fn))
+                except FileNotFoundError:
+                    pass
+        name = f"dm_{lo:012d}_{hi:012d}.parquet"
         pq.write_table(pa.table(cols), os.path.join(self.docmap_dir, name))
 
     def _kh(self, field: str, terms: np.ndarray, bucket: np.ndarray) -> np.ndarray:

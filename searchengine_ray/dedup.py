@@ -364,7 +364,8 @@ def minhash_lsh_pairs(
         string, through the shuffle."""
         n_docs = t.num_rows
         col = t.column("sig").combine_chunks()
-        sig = col.values.to_numpy().view(np.uint64).reshape(n_docs, num_perm)
+        # flatten() honors a sliced block's offset; .values would not.
+        sig = col.flatten().to_numpy().view(np.uint64).reshape(n_docs, num_perm)
         ids = t.column("doc_id").to_numpy()
         mix = (
             np.arange(1, rows_per_band + 1, dtype=np.uint64)
@@ -767,7 +768,16 @@ def embedding_dup_pairs_lsh(
     # hyperplanes drawn once; dim read from the parquet schema's first row
     import pyarrow.parquet as pq
 
-    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    if pf.metadata.num_rows == 0:  # mirror the exact path: empty in, empty out
+        return pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    first = pf.read_row_group(0)
     dim = len(first.column("embedding")[0].as_py())
     R = rng.standard_normal((n_bits, dim))
     rref = ray.put(R)

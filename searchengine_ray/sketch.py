@@ -108,7 +108,8 @@ def hll_distinct_users(sf_dir: str, p: int = 12):
     def merge(g: pa.Table) -> pa.Table:
         col = g.column("regs").combine_chunks()
         m = 1 << p
-        mat = col.values.to_numpy().reshape(g.num_rows, m)
+        # flatten() honors a sliced block's offset; .values would not.
+        mat = col.flatten().to_numpy().reshape(g.num_rows, m)
         regs = mat.max(axis=0)
         return pa.table(
             {

@@ -61,8 +61,14 @@ class Word2VecFile:
         if off is None:
             self._cache[term] = None
             return None
-        self._bin.seek(off)
-        raw = self._bin.read(4 * self.dim)
+        # os.pread: positional read — no shared seek state, so concurrent
+        # get() calls on one instance can't interleave seek/read.
+        raw = os.pread(self._bin.fileno(), 4 * self.dim, off)
+        if len(raw) != 4 * self.dim:
+            raise IOError(
+                f"word2vec binary truncated/mis-offset for {term!r}: wanted "
+                f"{4 * self.dim} bytes at {off}, got {len(raw)}"
+            )
         v = np.frombuffer(raw, dtype="<f4").astype(np.float32)
         n = np.float32(np.sqrt(np.dot(v, v)))
         if n > 0:
