@@ -2,25 +2,33 @@
 
 - :func:`brute_topk` — exact cosine top-k: broadcast the query matrix once
   (``ray.put``), every batch does one float64 matmul emitting per-batch
-  candidates, final per-query top-k reduced by a ``groupby(query_id)``
-  inside the pipeline. The correctness baseline.
-- :func:`ivf_topk` — IVF variant: a seeded k-means trained on a BOUNDED
-  deterministic sample (hash-thinned, never the full matrix) partitions
-  vectors into cells; queries probe the ``nprobe`` closest cells. The scale
-  path (prunes the scan to a cell subset).
+  candidates (top-k per query selected vectorized along the query axis),
+  final per-query top-k reduced by a ``groupby(query_id)`` inside the
+  pipeline. The correctness baseline.
+- :func:`ivf_build` / :func:`ivf_search` / :func:`ivf_topk` — IVF that
+  actually PRUNES: a seeded k-means trained on a BOUNDED deterministic
+  sample assigns every vector to a cell; the index is written as
+  cell-partitioned parquet (``cell=<c>/`` directories), and a search reads
+  ONLY the union of the queries' ``nprobe`` probed cells — I/O pruning —
+  and computes similarities only for (query, row) pairs whose cell the
+  query probes — FLOP pruning, ~``nprobe/n_cells`` of brute force.
+  ``tools/bench_ivf.py`` measures both ratios.
 
 Scale shape: only the query matrix (n_queries × dim), the centroids
 (n_cells × dim) and the training sample (≤ ``sample_rows`` × dim) ever sit
 on the driver / in the broadcast; the data matrix streams through
 ``map_batches`` and the merge is a per-query groupby whose output is
 exactly n_queries × k rows. All math in float64 on L2-normalized vectors;
-ties broken by ascending id.
+ties broken by ascending id. Batches decode the list<float> column
+zero-copy-ish via ``flatten().to_numpy().reshape`` — no per-row Python.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -34,14 +42,26 @@ _TOPK_SCHEMA = pa.schema(
 )
 
 
+def batch_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Vectorized list<float> column -> L2-normalized (n, dim) float64
+    matrix. flatten() honors sliced-block offsets; assumes fixed-length
+    lists (the embedding contract)."""
+    c = t.column(col).combine_chunks()
+    flat = c.flatten().to_numpy()
+    n = t.num_rows
+    if n == 0:
+        return np.zeros((0, 0))
+    mat = flat.reshape(n, -1).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
 def _load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Full-matrix driver load — TEST ORACLE ONLY, never on the query path."""
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = tbl.column("vec_id").to_numpy()
-    mat = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
-    )
-    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, batch_matrix(tbl)
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -52,12 +72,9 @@ def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
         filters=[("vec_id", "<", n_queries)],
     )
     ids = tbl.column("vec_id").to_numpy()
-    mat = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
-    )
+    mat = batch_matrix(tbl)
     order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids[order], mat[order]
 
 
 def _sample_matrix(sf_dir: str, seed: int, sample_rows: int = 4096) -> np.ndarray:
@@ -88,35 +105,76 @@ def _sample_matrix(sf_dir: str, seed: int, sample_rows: int = 4096) -> np.ndarra
     rows = ds.take_all()  # bounded: ~sample_rows rows by construction
     if not rows:
         # unlucky thin sample: fall back to the first sample_rows rows
-        rows = ray.data.read_parquet(
-            path, columns=["vec_id", "embedding"]
-        ).take(sample_rows)
+        rows = ray.data.read_parquet(path, columns=["vec_id", "embedding"]).take(
+            sample_rows
+        )
     mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _candidate_rows(
+    qi: np.ndarray, sims: np.ndarray, bids: np.ndarray, k: int
+) -> pa.Table:
+    """(nq_sub x nb) sims -> per-query top-k candidate rows, vectorized along
+    the query axis (argpartition axis=1; no per-query Python loop)."""
+    nq, nb = sims.shape
+    if nq == 0 or nb == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    kk = min(k, nb)
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+    vals = np.take_along_axis(sims, top, axis=1)
+    keep = np.isfinite(vals).ravel()
+    return pa.table(
+        {
+            "query_id": pa.array(
+                np.repeat(qi.astype(np.int64), kk)[keep], type=pa.int64()
+            ),
+            "neighbor_id": pa.array(
+                bids[top].ravel().astype(np.int64)[keep], type=pa.int64()
+            ),
+            "cosine": pa.array(vals.ravel()[keep], type=pa.float64()),
+        }
+    )
 
 
 def _merge_topk(cand, k: int) -> pa.Table:
     """Per-batch candidate Dataset -> final per-query top-k (score desc,
     id asc), reduced inside the pipeline; only n_queries*k rows reach the
-    driver."""
+    driver. Arrow-native map_groups (numpy lexsort), no pandas."""
 
-    def topk_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
-        df["cosine"] = df["cosine"].round(6)
-        return df
+    def topk_of_group(t: pa.Table) -> pa.Table:
+        s = t.column("cosine").to_numpy()
+        nid = t.column("neighbor_id").to_numpy()
+        sel = np.lexsort((nid, -s))[:k]
+        return pa.table(
+            {
+                "query_id": t.column("query_id").take(pa.array(sel)),
+                "neighbor_id": pa.array(nid[sel], type=pa.int64()),
+                "cosine": pa.array(np.round(s[sel], 6), type=pa.float64()),
+                "rank": pa.array(
+                    np.arange(1, len(sel) + 1, dtype=np.int32), type=pa.int32()
+                ),
+            }
+        )
 
-    out = (
-        cand.groupby("query_id")
-        .map_groups(topk_of_group, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["query_id", "rank"])
-        .reset_index(drop=True)
+    import ray
+
+    merged = cand.groupby("query_id").map_groups(
+        topk_of_group, batch_format="pyarrow"
     )
-    return pa.Table.from_pandas(out, preserve_index=False).cast(_TOPK_SCHEMA)
+    tbls = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return _TOPK_SCHEMA.empty_table()
+    out = pa.concat_tables([t.cast(_TOPK_SCHEMA) for t in tbls])
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
 def brute_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
@@ -128,37 +186,17 @@ def brute_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     qref = ray.put((q_ids, q_mat))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
     def batch_topk(t: pa.Table) -> pa.Table:
         qi, qm = ray.get(qref)
         bids = t.column("vec_id").to_numpy()
-        bm = np.vstack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in t.column("embedding").to_pylist()
-            ]
-        )
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        bm = batch_matrix(t)
         sims = qm @ bm.T  # (n_queries x batch)
-        rows_q, rows_n, rows_s = [], [], []
-        kk = min(k, sims.shape[1])
-        for i, q in enumerate(qi):
-            s = sims[i].copy()
-            s[bids == q] = -np.inf  # exclude self
-            top = np.argpartition(-s, kk - 1)[:kk]
-            for j in top:
-                if np.isfinite(s[j]):
-                    rows_q.append(int(q))
-                    rows_n.append(int(bids[j]))
-                    rows_s.append(float(s[j]))
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q, type=pa.int64()),
-                "neighbor_id": pa.array(rows_n, type=pa.int64()),
-                "cosine": pa.array(rows_s, type=pa.float64()),
-            }
-        )
+        sims[qi[:, None] == bids[None, :]] = -np.inf  # exclude self
+        return _candidate_rows(qi, sims, bids, k)
 
     return _merge_topk(ds.map_batches(batch_topk, batch_format="pyarrow"), k)
 
@@ -176,6 +214,147 @@ def _kmeans(mat: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.nda
     return centers
 
 
+def ivf_build(
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 16,
+    seed: int = 99,
+    sample_rows: int = 4096,
+) -> np.ndarray:
+    """Build a cell-partitioned IVF index under ``index_dir``.
+
+    Centroids train driver-side on a seeded hash-thinned sample (bounded —
+    never the full matrix); assignment streams through ``map_batches`` with
+    the centroids broadcast once; vectors land as parquet partitioned by
+    ``cell=<c>/`` so a search can open only probed cells. Returns the
+    centroid matrix (also saved to ``index_dir/centroids.npy``).
+    """
+    import ray
+    import ray.data
+
+    centers = _kmeans(_sample_matrix(sf_dir, seed, sample_rows), n_cells, seed)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centers)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_cells": int(len(centers)), "seed": seed}, f)
+    cref = ray.put(centers)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        bm = batch_matrix(t)
+        cells = (
+            np.argmax(bm @ cen.T, axis=1).astype(np.int32)
+            if len(bm)
+            else np.zeros(0, dtype=np.int32)
+        )
+        return t.append_column("cell", pa.array(cells, type=pa.int32()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow")
+    ds.write_parquet(os.path.join(index_dir, "vectors"), partition_cols=["cell"])
+    return centers
+
+
+def ivf_search(
+    index_dir: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Search a built IVF index: read ONLY the probed cells' partitions.
+
+    Each query scores only rows whose cell it probes (FLOP pruning); the
+    read lists only ``cell=<c>`` directories in the union of probed cells
+    (I/O pruning — unprobed partitions never leave storage).
+    """
+    import ray
+    import ray.data
+
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+        PathPartitionParser,
+    )
+
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_cells = len(centers)
+    nprobe = min(nprobe, n_cells)
+    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
+    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
+    probed = set(int(c) for c in np.flatnonzero(probe_mask.any(axis=0)))
+    ref = ray.put((q_ids, q_mat, probe_mask))
+
+    # ONE read over the hive-partitioned index; the partition filter prunes
+    # unprobed cell=<c>/ directories at file-listing time, so their bytes
+    # never leave storage. The hive "cell" column comes back typed int32.
+    vec_dir = os.path.join(index_dir, "vectors")
+    part = Partitioning("hive", base_dir=vec_dir, field_types={"cell": int})
+    ds = ray.data.read_parquet(
+        vec_dir,
+        columns=["vec_id", "embedding", "cell"],
+        partitioning=part,
+        partition_filter=PathPartitionFilter(
+            PathPartitionParser(part),
+            lambda kv: int(kv.get("cell", -1)) in probed,
+        ),
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        qi, qm, pmask = ray.get(ref)
+        cells = np.asarray(t.column("cell").to_numpy(), dtype=np.int64)
+        outs = []
+        # a block is normally single-cell (one partition dir per file), but
+        # handle mixed batches generally
+        for c in np.unique(cells):
+            qsel = np.flatnonzero(pmask[:, c])
+            if len(qsel) == 0:
+                continue
+            sub = t.filter(pa.array(cells == c))
+            bids = sub.column("vec_id").to_numpy()
+            bm = batch_matrix(sub)
+            sims = qm[qsel] @ bm.T  # only probing queries x only this cell
+            sims[qi[qsel][:, None] == bids[None, :]] = -np.inf  # exclude self
+            outs.append(_candidate_rows(qi[qsel], sims, bids, k))
+        if not outs:
+            return _candidate_rows(
+                np.zeros(0, dtype=np.int64), np.zeros((0, 0)), np.zeros(0), k
+            )
+        return pa.concat_tables(outs)
+
+    return _merge_topk(ds.map_batches(scan, batch_format="pyarrow"), k)
+
+
+def ivf_scan_stats(
+    index_dir: str, q_mat: np.ndarray, nprobe: int = 4
+) -> dict[str, int]:
+    """Footer-only accounting for the pruning micro-bench: rows the search
+    will read (union of probed cells) and (query, row) pairs it will score,
+    vs brute force's n_queries * total_rows."""
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_cells = len(centers)
+    nprobe = min(nprobe, n_cells)
+    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
+    sizes = np.zeros(n_cells, dtype=np.int64)
+    for c in range(n_cells):
+        cdir = os.path.join(index_dir, "vectors", f"cell={c}")
+        if os.path.isdir(cdir):
+            for fn in os.listdir(cdir):
+                if fn.endswith(".parquet"):
+                    sizes[c] += pq.ParquetFile(os.path.join(cdir, fn)).metadata.num_rows
+    total = int(sizes.sum())
+    union = np.zeros(n_cells, dtype=bool)
+    union[probe.ravel()] = True
+    return {
+        "total_rows": total,
+        "rows_read": int(sizes[union].sum()),
+        "pairs_scored": int(sizes[probe].sum()),
+        "pairs_brute": total * len(q_mat),
+    }
+
+
 def ivf_topk(
     sf_dir: str,
     n_queries: int = 10,
@@ -185,57 +364,17 @@ def ivf_topk(
     seed: int = 99,
     sample_rows: int = 4096,
 ) -> pa.Table:
-    """IVF-style ANN: scan only the ``nprobe`` cells closest to each query.
+    """IVF ANN gate entry: build (cached per input+params) then search.
 
-    Centroids are trained driver-side on a seeded hash-thinned sample of at
-    most ``sample_rows`` vectors (deterministic, bounded — never the full
-    matrix); cell assignment + the pruned scan run inside the Ray pipeline
-    with centroids and query matrix broadcast once. Recall vs
+    The index lands under /tmp keyed by the input file's identity and the
+    build parameters, so repeated gate runs reuse it; recall vs
     :func:`brute_topk` is pytest-checked.
     """
-    import ray
-    import ray.data
-
-    centers = _kmeans(_sample_matrix(sf_dir, seed, sample_rows), n_cells, seed)
+    path = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(path)
+    key = f"{abs(hash((os.path.abspath(path), st.st_mtime_ns, st.st_size, n_cells, seed, sample_rows))):x}"
+    index_dir = os.path.join("/tmp", "se_ray_ivf", key)
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ivf_build(sf_dir, index_dir, n_cells=n_cells, seed=seed, sample_rows=sample_rows)
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
-    # (n_queries x n_cells) probe mask for vectorized cell filtering
-    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
-    probe_mask = np.zeros((len(q_ids), len(centers)), dtype=bool)
-    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
-    ref = ray.put((q_ids, q_mat, centers, probe_mask))
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-
-    def batch_scan(t: pa.Table) -> pa.Table:
-        qi, qm, cen, pmask = ray.get(ref)
-        bids = t.column("vec_id").to_numpy()
-        bm = np.vstack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in t.column("embedding").to_pylist()
-            ]
-        )
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-        cells = np.argmax(bm @ cen.T, axis=1)
-        sims = qm @ bm.T
-        rows_q, rows_n, rows_s = [], [], []
-        for i, q in enumerate(qi):
-            ok = pmask[i, cells] & (bids != q)
-            cand = np.flatnonzero(ok)
-            if len(cand) == 0:
-                continue
-            kk = min(k, len(cand))
-            s = sims[i]
-            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
-            rows_q.extend([int(q)] * len(top))
-            rows_n.extend(int(x) for x in bids[top])
-            rows_s.extend(float(x) for x in s[top])
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q, type=pa.int64()),
-                "neighbor_id": pa.array(rows_n, type=pa.int64()),
-                "cosine": pa.array(rows_s, type=pa.float64()),
-            }
-        )
-
-    return _merge_topk(ds.map_batches(batch_scan, batch_format="pyarrow"), k)
+    return ivf_search(index_dir, q_ids, q_mat, k=k, nprobe=nprobe)
