@@ -118,60 +118,51 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class ShingleRows:
-    """map_batches stage: doc -> distinct (doc_id, shingle, nsh, kh) rows.
+    """map_batches stage: doc -> distinct (doc_id, sh, nsh, kh) rows.
 
-    nsh is the doc's distinct-shingle count (carried per row so downstream
-    pair scoring needs no driver-side size lookup); kh is the shuffle
-    partition, derived from the shingle's vectorized token-hash combine —
-    the same string always hashes the same, so a shingle's posting rows
-    co-locate, and no separate per-row crc32 pass is needed."""
+    ``sh`` is the 64-bit shingle hash (the vectorized token-hash combine
+    from :func:`_shingle_hashes`) — the SHUFFLE KEY IS THE HASH, never the
+    joined shingle string: an int64 is ~10x narrower than the string it
+    replaces and needs no per-position Python dict. 64-bit collisions are
+    negligible at any realistic shingle-universe size (and the DuckDB
+    oracle, which builds pairs from the actual strings, would catch one).
+    ``nsh`` is the doc's distinct-shingle count (carried per row so pair
+    scoring needs no driver-side size lookup); ``kh`` is the bounded
+    shuffle partition of the shingle space."""
 
     def __init__(self, n: int, partitions: int = 64):
         self.n = n
         self.partitions = partitions
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n = self.n
-        doc_ids, shingles, nshs, khs = [], [], [], []
+        doc_ids, shs, nshs = [], [], []
         for d, text in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
-            toks = tokenize(text)
-            m = len(toks) - n + 1
-            if m <= 0:
+            h = _shingle_hashes(text, self.n)  # distinct, vectorized
+            if len(h) == 0:
                 continue
-            seq = np.fromiter(
-                (_term_hash64(x) for x in toks), dtype=np.uint64,
-                count=len(toks),
-            )
-            h = np.zeros(m, dtype=np.uint64)
-            for k in range(n):
-                h = h * _POS_MIX[k % len(_POS_MIX)] + seq[k : k + m]
-            first: dict[str, int] = {}
-            for i in range(m):
-                s = " ".join(toks[i : i + n])
-                if s not in first:
-                    first[s] = i
-            idx = np.fromiter(first.values(), dtype=np.int64, count=len(first))
-            doc_ids.extend([d] * len(first))
-            shingles.extend(first.keys())
-            nshs.extend([len(first)] * len(first))
-            khs.append((h[idx] % np.uint64(self.partitions)).astype(np.int32))
+            doc_ids.append(np.full(len(h), d, dtype=np.int64))
+            shs.append(h)
+            nshs.append(np.full(len(h), len(h), dtype=np.int64))
         if not doc_ids:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
-                    "shingle": pa.array([], pa.string()),
+                    "sh": pa.array([], pa.int64()),
                     "nsh": pa.array([], pa.int64()),
                     "kh": pa.array([], pa.int32()),
                 }
             )
+        sh = np.concatenate(shs)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "shingle": pa.array(shingles, type=pa.string()),
-                "nsh": pa.array(nshs, type=pa.int64()),
-                "kh": pa.array(np.concatenate(khs)),
+                "doc_id": pa.array(np.concatenate(doc_ids), type=pa.int64()),
+                "sh": pa.array(sh.view(np.int64), type=pa.int64()),
+                "nsh": pa.array(np.concatenate(nshs), type=pa.int64()),
+                "kh": pa.array(
+                    (sh % np.uint64(self.partitions)).astype(np.int32)
+                ),
             }
         )
 
@@ -197,8 +188,15 @@ def ngram_jaccard_pairs(
     import ray.data
     from ray.data.aggregate import Count
 
+    from .partitioning import partition_count
+
     ds = _read_docs(sf_dir)
-    sh = ds.map_batches(ShingleRows(n), batch_format="pyarrow")
+    # shingle rows are ~(28 bytes x token count) — wider than the text they
+    # come from, hence expansion > 1; bucket count scales with input bytes
+    nparts = partition_count(
+        f"{sf_dir}/documents.parquet", ("doc_id", "text"), expansion=4.0
+    )
+    sh = ds.map_batches(ShingleRows(n, partitions=nparts), batch_format="pyarrow")
 
     # pair generation per HASH PARTITION of the shingle space (not per
     # shingle group: Ray's per-group dispatch would dominate at millions of
@@ -212,9 +210,8 @@ def ngram_jaccard_pairs(
                 "sza": pa.array([], pa.int64()), "szb": pa.array([], pa.int64()),
             }
         )
-        t = t.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
-        shingles = t.column("shingle").combine_chunks().dictionary_encode()
-        s_idx = shingles.indices.to_numpy()
+        t = t.sort_by([("sh", "ascending"), ("doc_id", "ascending")])
+        s_idx = t.column("sh").to_numpy()
         docs = t.column("doc_id").to_numpy()
         szs = t.column("nsh").to_numpy()
         if len(s_idx) == 0:
@@ -333,12 +330,21 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.6,
     seed: int = 1234,
+    max_candidates: int = 2_000_000,
 ):
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     shingle -> 128-perm MinHash signature (actor pool) -> explode to
     (band_id, band_hash, doc_id) -> groupby band bucket -> candidate pairs
     -> exact-Jaccard verify (broadcast shingle-hash sets) -> pairs >= t.
+
+    ``max_candidates`` guards the one driver touch point: the DISTINCT
+    candidate-pair set must fit a broadcast object (band buckets capped at
+    200 docs bound it by construction, but an adversarial all-dup corpus
+    can still blow it up). Band-fired duplicates dedupe DISTRIBUTED (a
+    groupby inside the same pipeline), so driver memory is bounded by the
+    distinct count alone, and exceeding ``max_candidates`` raises with the
+    partitioning assumption spelled out instead of OOMing.
     """
     import ray
     import ray.data
@@ -430,11 +436,24 @@ def minhash_lsh_pairs(
     # emitting (pair_id, shingle_hash) rows for candidate docs, then ONE
     # narrow int64 shuffle keyed by hash(pair_id) counts per-pair duplicate
     # hashes = |A∩B|; |A∪B| = rows_in_group − inter. No per-doc state ever
-    # sits on the driver. Partitioning assumption: the LSH candidate-pair
-    # set fits a broadcast object (true by construction — band buckets are
-    # capped at 200 docs).
-    cp = cand.to_pandas()
-    if cp.empty:  # an all-empty Dataset loses its schema in to_pandas
+    # sits on the driver. Partitioning assumption: the DISTINCT LSH
+    # candidate-pair set fits a broadcast object; band-fired duplicates
+    # (up to `bands` copies per pair) dedupe in a distributed groupby
+    # before any row reaches the driver, and the distinct count is
+    # explicitly bounded by `max_candidates`.
+    from ray.data.aggregate import Count as _Count
+
+    distinct = cand.groupby(["a", "b"]).aggregate(_Count(alias_name="_nb"))
+    rows = distinct.select_columns(["a", "b"]).take(max_candidates + 1)
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"MinHash-LSH produced more than max_candidates={max_candidates} "
+            "distinct candidate pairs; the broadcast verify index no longer "
+            "fits the driver. Tighten the LSH (more rows per band / higher "
+            "threshold), raise the band-bucket cap guard, or raise "
+            "max_candidates if the driver has the memory."
+        )
+    if not rows:
         return pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
@@ -442,9 +461,8 @@ def minhash_lsh_pairs(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    cp = cp.drop_duplicates(["a", "b"])  # a pair fires in many bands
-    pa_arr = cp["a"].to_numpy().astype(np.int64)
-    pb_arr = cp["b"].to_numpy().astype(np.int64)
+    pa_arr = np.array([r["a"] for r in rows], dtype=np.int64)
+    pb_arr = np.array([r["b"] for r in rows], dtype=np.int64)
     P = len(pa_arr)
     # CSR: doc -> indices of pairs it participates in
     docs_all = np.concatenate([pa_arr, pb_arr])
@@ -455,6 +473,22 @@ def minhash_lsh_pairs(
     uniq_docs, first = np.unique(docs_sorted, return_index=True)
     offs = np.append(first, len(docs_sorted))
     bcast = ray.put((uniq_docs, offs, pidx_sorted, pa_arr, pb_arr))
+
+    # verify-shuffle bucket count scales with the candidate set: each pair
+    # ships ~2 docs' worth of (pid, sh) rows (~3-7x the raw text bytes)
+    import pyarrow.parquet as pq
+
+    from .partitioning import partition_count_for_rows, table_column_bytes
+
+    n_docs_total = max(
+        1, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    )
+    avg_doc_bytes = table_column_bytes(
+        f"{sf_dir}/documents.parquet", ("text",)
+    ) // n_docs_total
+    nparts_v = partition_count_for_rows(
+        P, bytes_per_row=max(64, 7 * avg_doc_bytes)
+    )
 
     def pair_shingle_rows(t: pa.Table) -> pa.Table:
         """doc batch -> (pair_id, sh, kp) rows for every (pair containing
@@ -487,7 +521,7 @@ def minhash_lsh_pairs(
             {
                 "pid": pa.array(pid, type=pa.int64()),
                 "sh": pa.array(np.concatenate(out_h), type=pa.int64()),
-                "kp": pa.array((pid % 64).astype(np.int32)),
+                "kp": pa.array((pid % nparts_v).astype(np.int32)),
             }
         )
 

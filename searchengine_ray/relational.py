@@ -70,31 +70,40 @@ def orders_by_nation(sf_dir: str):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
+    import numpy as np
+
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    cmap = {
-        int(c): nmap[int(n)]
-        for c, n in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
-        )
-    }
-    cref = ray.put(cmap)
+    # broadcast sorted numpy key/code arrays, not a Python dict: a dict of
+    # 150k*sf boxed entries is slow to (de)serialize and to probe per row;
+    # searchsorted over the sorted custkey array is one vectorized pass
+    # (same pattern as shipping_priority's semi-join)
+    order = np.argsort(cust.column("c_custkey").to_numpy())
+    ckeys = cust.column("c_custkey").to_numpy()[order]
+    cnation = cust.column("c_nationkey").to_numpy()[order].astype(np.int64)
+    names = nation.column("n_name").to_numpy(zero_copy_only=False)
+    nkeys = nation.column("n_nationkey").to_numpy()
+    # nation codes indexed by position after an argsort lookup
+    norder = np.argsort(nkeys)
+    cref = ray.put((ckeys, cnation, nkeys[norder], names[norder]))
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(cref)
-        names = [m[int(c)] for c in t.column("o_custkey").to_pylist()]
+        ck, cn, nk, nm = ray.get(cref)
+        c = t.column("o_custkey").to_numpy()
+        loc = np.searchsorted(ck, c)
+        if np.any((loc >= len(ck)) | (ck[np.clip(loc, 0, len(ck) - 1)] != c)):
+            raise KeyError("order references unknown custkey")
+        nat = cn[loc]
+        nloc = np.searchsorted(nk, nat)
         return pa.table(
             {
-                "n_name": pa.array(names, type=pa.string()),
+                "n_name": pa.array(nm[nloc], type=pa.string()),
                 "price_cents": pc.cast(
                     pc.round(pc.multiply(t.column("o_totalprice"), 100.0), round_mode="half_towards_infinity"), pa.int64()
                 ),
@@ -273,19 +282,25 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 def top_orders_per_customer(sf_dir: str, k: int = 2):
     """Windowed ranking: the k highest-value orders per customer
     (row_number() OVER (PARTITION BY custkey ORDER BY price DESC) <= k).
-    Ray Data has no window functions; customers hash-partition into 64
-    buckets and every customer in a partition ranks vectorized after one
-    in-partition sort — bounded dispatch regardless of customer count.
-    Prices quantize to integer cents BEFORE ranking so the order (and the
-    SQL oracle's) is exact. Returns (o_custkey, o_orderkey,
-    total_price_cents, rn).
+    Ray Data has no window functions; customers hash-partition into
+    input-scaled buckets (``partitioning.partition_count``) and every
+    customer in a partition ranks vectorized after one in-partition sort —
+    bounded dispatch regardless of customer count, and a bucket fits one
+    worker at any input size. Prices quantize to integer cents BEFORE
+    ranking so the order (and the SQL oracle's) is exact. Returns
+    (o_custkey, o_orderkey, total_price_cents, rn).
     """
     import numpy as np
     import ray.data
 
+    from .partitioning import partition_count
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    nparts = partition_count(
+        f"{sf_dir}/orders.parquet", ("o_custkey", "o_orderkey", "o_totalprice")
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -296,7 +311,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 2):
             ),
             pa.int64(),
         )
-        kc = (t.column("o_custkey").to_numpy() % 64).astype(np.int32)
+        kc = (t.column("o_custkey").to_numpy() % nparts).astype(np.int32)
         return pa.table(
             {
                 "o_custkey": t.column("o_custkey"),

@@ -2,10 +2,12 @@
 
 Ray Data has no event-time windows; per the Ray guide we treat events as a
 partitioned log: tumbling windows are a `map_batches` timestamp-truncate +
-groupby aggregate, sessionization hash-partitions users into 64 buckets and
-gap-detects every user in a partition vectorized after an in-partition
-(user, ts) sort — no cross-partition ordering is needed, and the group
-count (hence Ray dispatch count) stays bounded regardless of user count.
+groupby aggregate, sessionization hash-partitions users into input-scaled buckets
+(``partitioning.partition_count``: parquet-footer bytes / target bucket
+size, floor 64) and gap-detects every user in a partition vectorized after
+an in-partition (user, ts) sort — no cross-partition ordering is needed,
+the Ray dispatch count stays bounded, and a bucket fits one worker at any
+input size.
 """
 
 from __future__ import annotations
@@ -117,6 +119,8 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     max_session_events)."""
     import ray.data
 
+    from .partitioning import partition_count
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
@@ -124,9 +128,12 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
 
     # one call per HASH PARTITION of the user space, all users inside it
     # vectorized — per-user map_groups would pay Ray's per-group dispatch
-    # O(distinct users) times, which dominates at web scale
+    # O(distinct users) times, which dominates at web scale. The bucket
+    # count scales with input bytes (footer-only) so a bucket fits a worker.
+    nparts = partition_count(f"{sf_dir}/events.parquet", ("user_id", "ts"))
+
     def add_ku(t: pa.Table) -> pa.Table:
-        ku = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
         return t.append_column("ku", pa.array(ku))
 
     def per_partition(t: pa.Table) -> pa.Table:
@@ -176,7 +183,7 @@ def asof_join_purchase_click(sf_dir: str):
     'purchase' event joins to the SAME USER's most recent 'click' with a
     STRICTLY earlier timestamp (inner — unmatched purchases drop).
 
-    Shape: hash-partition users into 64 buckets; inside a partition one
+    Shape: hash-partition users into input-scaled buckets; in each, one
     (user, ts, event_id) sort + a running maximum over click row positions
     gives every row its as-of match in O(n) — per-group dispatch stays
     bounded regardless of user count. The strict-inequality semantics are
@@ -186,9 +193,18 @@ def asof_join_purchase_click(sf_dir: str):
     """
     import ray.data
 
+    from .partitioning import partition_count
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    # input-scaled bucket count (footer bytes of the carried columns; the
+    # type filter keeps ~2 of the event types, folded in as selectivity)
+    nparts = partition_count(
+        f"{sf_dir}/events.parquet",
+        ("event_id", "ts", "user_id", "event_type"),
+        selectivity=0.5,
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -197,7 +213,7 @@ def asof_join_purchase_click(sf_dir: str):
             value_set=pa.array(["purchase", "click"]),
         )
         t = t.filter(keep)
-        ku = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
         return t.append_column("ku", pa.array(ku))
 
     def asof_partition(t: pa.Table) -> pa.Table:
@@ -271,7 +287,7 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
     event pairs with ALL of the same user's 'click' events in the
     preceding ``window_minutes`` (strictly earlier, within the window).
 
-    Shape: 64-way user hash partitions; inside a partition clicks sort by
+    Shape: input-scaled user hash partitions; per partition clicks sort by
     a packed (user, relative-ts) uint64 key, each error binary-searches its
     window bounds (two vectorized searchsorted calls), and pair expansion
     is the standard repeat+range gather — no per-row Python. Returns
@@ -284,9 +300,19 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
 
     win = np.int64(window_minutes * 60 * 1_000_000)  # us
 
+    from .partitioning import partition_count
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    # input-scaled buckets; expansion > 1 because each error fans out to
+    # every in-window click downstream of the shuffle
+    nparts = partition_count(
+        f"{sf_dir}/events.parquet",
+        ("event_id", "ts", "user_id", "event_type"),
+        selectivity=0.5,
+        expansion=2.0,
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -294,7 +320,7 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
             t.column("event_type"), value_set=pa.array(["error", "click"])
         )
         t = t.filter(keep)
-        ku = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
         return t.append_column("ku", pa.array(ku))
 
     def join_partition(t: pa.Table) -> pa.Table:
