@@ -663,12 +663,42 @@ SELECT doc_id, n AS n_tokens,
 FROM c
 """
 
+# Winnowing fingerprints = the engine's vectorized FNV-1a-64 token hash +
+# positional combine (dedup._shingle_hashes machinery), reproduced exactly:
+# per-token FNV via list_reduce over codepoints, k-gram combine
+# h = (h*M + f) mod 2^64 with the same _POS_MIX multipliers, where each
+# (a*M) mod 2^64 splits M into hi/lo 32-bit halves so the HUGEINT products
+# never overflow 128 bits. Fingerprints render as 16-hex-digit strings so
+# lexicographic MIN == uint64 MIN on both sides.
+_WINNOW_T = "18446744073709551616"  # 2^64
 _WINNOW_SQL = f"""
 WITH {_TOK},
-g0 AS (SELECT doc_id, pos,
-        md5(term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w) AS h
-       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-g AS (SELECT doc_id, pos, h FROM g0 WHERE h IS NOT NULL),
+f AS (SELECT doc_id, pos,
+      list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(string_split(term, ''),
+                         c -> CAST(unicode(c) AS HUGEINT))),
+        (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                          AS HUGEINT) * 1099511628211) % {_WINNOW_T}
+      ) AS fh
+      FROM tok),
+g1 AS (SELECT doc_id, pos, fh AS f0, lead(fh, 1) OVER w AS f1,
+        lead(fh, 2) OVER w AS f2
+       FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+-- (f0 * 0xC2B2AE3D27D4EB4F) mod 2^64, hi/lo split: hi=3266489917 lo=668265295
+g2 AS (SELECT doc_id, pos, f1, f2,
+        ((f0 * 668265295) % {_WINNOW_T}
+         + ((f0 * 3266489917) % 4294967296) * 4294967296) % {_WINNOW_T} AS p1
+       FROM g1 WHERE f2 IS NOT NULL),
+g3 AS (SELECT doc_id, pos, f2, (p1 + f1) % {_WINNOW_T} AS h2 FROM g2),
+-- (h2 * 0x165667B19E3779F9) mod 2^64, hi/lo split: hi=374761393 lo=2654435833
+g4 AS (SELECT doc_id, pos, f2,
+        ((h2 * 2654435833) % {_WINNOW_T}
+         + ((h2 * 374761393) % 4294967296) * 4294967296) % {_WINNOW_T} AS p2
+       FROM g3),
+g AS (SELECT doc_id, pos,
+       lpad(lower(hex(CAST((p2 + f2) % {_WINNOW_T} AS UBIGINT))), 16, '0') AS h
+      FROM g4),
 m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
 sel AS (SELECT DISTINCT doc_id, fp FROM m)

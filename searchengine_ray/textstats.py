@@ -2,17 +2,24 @@
 winnowing fingerprints. All vectorized `map_batches` stages over the
 documents table, each with an exact DuckDB-SQL oracle formulation
 (tokenization = the engine's shared analyzer regex `[a-z0-9_]+`).
+
+Vectorization shape: ONE Arrow-kernel tokenization per batch
+(`utf8_lower` + `split_pattern_regex` — no per-doc Python regex), then
+every statistic is a numpy `bincount`/`lexsort`/`reduceat` over the flat
+token stream. Winnowing replaces the former per-k-gram `hashlib.md5`
+Python loop with the SAME vectorized FNV-1a-64 token hash + positional
+combine the dedup shinglers use (`dedup._shingle_hashes` machinery); the
+DuckDB oracle reproduces that hash exactly with a
+`list_reduce`-over-codepoints FNV and HUGEINT mod-2^64 arithmetic.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .analyze import STOPWORDS, tokenize
+from .analyze import STOPWORDS
 
 #: per-language marker words for the n-gram-free language-id heuristic
 #: (deterministic; ties broken by this ordering)
@@ -33,21 +40,53 @@ def _read_docs(sf_dir: str):
     )
 
 
+def _flat_tokens(t: pa.Table) -> tuple[int, np.ndarray, pa.Array]:
+    """Batch -> (n_docs, doc_idx int64 per token, flat token StringArray).
+
+    One Arrow lowercase + regex-split over the whole column; empty splits
+    (leading/trailing/consecutive separators) are dropped, making the token
+    stream identical to ``TOKEN_RE.findall`` per doc.
+    """
+    n = t.num_rows
+    low = pc.utf8_lower(t.column("text"))
+    lists = pc.split_pattern_regex(low, pattern="[^a-z0-9_]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy()
+    offsets = offsets - offsets[0]  # slice-offset-safe
+    flat = lists.flatten()
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return n, doc_idx[keep_np], flat.filter(keep)
+
+
 def token_stats(sf_dir: str):
     """(doc_id, n_tokens, n_unique, n_stop) — exact integers."""
     ds = _read_docs(sf_dir)
+    stop_arr = pa.array(sorted(STOPWORDS))
 
     def stats(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        n_tok, n_uniq, n_stop = [], [], []
-        for text in t.column("text").to_pylist():
-            toks = tokenize(text)
-            n_tok.append(len(toks))
-            n_uniq.append(len(set(toks)))
-            n_stop.append(sum(1 for x in toks if x in STOPWORDS))
+        n, doc_idx, flat = _flat_tokens(t)
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        stop_np = pc.is_in(flat, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(doc_idx[stop_np], minlength=n).astype(np.int64)
+        # distinct per doc: dictionary codes, one lexsort, boundary count
+        codes = flat.dictionary_encode().indices.to_numpy()
+        if len(codes):
+            order = np.lexsort((codes, doc_idx))
+            dd, cc = doc_idx[order], codes[order]
+            first = np.empty(len(dd), dtype=bool)
+            first[0] = True
+            first[1:] = (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])
+            n_uniq = np.bincount(dd[first], minlength=n).astype(np.int64)
+        else:
+            n_uniq = np.zeros(n, dtype=np.int64)
         return pa.table(
             {
-                "doc_id": ids,
+                "doc_id": t.column("doc_id"),
                 "n_tokens": pa.array(n_tok, type=pa.int64()),
                 "n_unique": pa.array(n_uniq, type=pa.int64()),
                 "n_stop": pa.array(n_stop, type=pa.int64()),
@@ -62,18 +101,25 @@ def lang_id(sf_dir: str):
     tie order = LANG_MARKERS insertion order; 'und' when all counts are 0."""
     ds = _read_docs(sf_dir)
     langs = list(LANG_MARKERS)
-    marker_sets = {lg: frozenset(ws) for lg, ws in LANG_MARKERS.items()}
+    marker_arrs = [pa.array(sorted(LANG_MARKERS[lg])) for lg in langs]
 
     def classify(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        preds = []
-        for text in t.column("text").to_pylist():
-            toks = tokenize(text)
-            counts = [sum(1 for x in toks if x in marker_sets[lg]) for lg in langs]
-            best = max(counts)
-            preds.append(langs[counts.index(best)] if best > 0 else "und")
+        n, doc_idx, flat = _flat_tokens(t)
+        counts = np.zeros((len(langs), n), dtype=np.int64)
+        for li, arr in enumerate(marker_arrs):
+            hit = pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
+            counts[li] = np.bincount(doc_idx[hit], minlength=n)
+        best = counts.max(axis=0)
+        # argmax picks the FIRST max -> LANG_MARKERS insertion-order ties
+        pick = np.argmax(counts, axis=0)
+        preds = np.where(
+            best > 0, np.asarray(langs, dtype=object)[pick], "und"
+        )
         return pa.table(
-            {"doc_id": ids, "lang_pred": pa.array(preds, type=pa.string())}
+            {
+                "doc_id": t.column("doc_id"),
+                "lang_pred": pa.array(preds, type=pa.string()),
+            }
         )
 
     return ds.map_batches(classify, batch_format="pyarrow")
@@ -89,22 +135,27 @@ def quality_score(sf_dir: str, min_tokens: int = 20):
     (stopword ratio <= 0.5, integer comparison).
     """
     ds = _read_docs(sf_dir)
+    stop_arr = pa.array(sorted(STOPWORDS))
 
     def score(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        n_tok, ratio, mean_len, passes = [], [], [], []
-        for text in t.column("text").to_pylist():
-            toks = tokenize(text)
-            n = len(toks)
-            n_stop = sum(1 for x in toks if x in STOPWORDS)
-            n_chars = sum(len(x) for x in toks)
-            n_tok.append(n)
-            ratio.append((n_stop * 1_000_000) // n if n else 0)
-            mean_len.append((n_chars * 1_000_000) // n if n else 0)
-            passes.append(bool(n >= min_tokens and 2 * n_stop <= n))
+        n, doc_idx, flat = _flat_tokens(t)
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        stop_np = pc.is_in(flat, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(doc_idx[stop_np], minlength=n).astype(np.int64)
+        tlen = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        n_chars = np.bincount(doc_idx, weights=tlen, minlength=n).astype(
+            np.int64
+        )
+        nz = np.maximum(n_tok, 1)  # guard empty docs; ratios stay 0 via * 0
+        has = (n_tok > 0).astype(np.int64)
+        ratio = (n_stop * 1_000_000) // nz * has
+        mean_len = (n_chars * 1_000_000) // nz * has
+        passes = (n_tok >= min_tokens) & (2 * n_stop <= n_tok)
         return pa.table(
             {
-                "doc_id": ids,
+                "doc_id": t.column("doc_id"),
                 "n_tokens": pa.array(n_tok, type=pa.int64()),
                 "stop_ratio_micro": pa.array(ratio, type=pa.int64()),
                 "mean_token_len_micro": pa.array(mean_len, type=pa.int64()),
@@ -117,35 +168,76 @@ def quality_score(sf_dir: str, min_tokens: int = 20):
 
 def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4):
     """Winnowing document fingerprints (Schleimer et al. local fingerprinting):
-    md5 of each k-gram, minimum per sliding window of w, distinct minima.
+    FNV-combined hash of each k-gram, minimum per sliding window of w,
+    distinct minima.
 
-    Returns (doc_id, n_fingerprints, min_fp). The md5-hex minima compare
-    lexicographically, so the DuckDB oracle reproduces them with a windowed
-    MIN over the same hashes.
+    Returns (doc_id, n_fingerprints, min_fp). ``min_fp`` is the minimum
+    fingerprint as a 16-digit zero-padded hex string, so lexicographic and
+    numeric (uint64) order agree and the DuckDB oracle (same FNV-1a-64 per
+    token via list_reduce, same positional combine mod 2^64) reproduces it
+    bit-exactly. The per-k-gram hash is the dedup shingler's vectorized
+    combine — token hashes memoized per unique surface form, gram hashes and
+    window minima ONE numpy pass per batch (scatter into a doc-boundary
+    max-padded array + sliding_window_view; the former implementation
+    md5'd every k-gram in Python per doc).
     """
+    from .dedup import _POS_MIX, _term_hash64
+
     ds = _read_docs(sf_dir)
+    pad = np.iinfo(np.uint64).max
 
     def fp(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        n_fp, min_fp = [], []
-        for text in t.column("text").to_pylist():
-            toks = tokenize(text)
-            grams = [
-                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
-                for i in range(max(0, len(toks) - k + 1))
-            ]
-            if not grams:
-                n_fp.append(0)
-                min_fp.append("")
-                continue
-            sel = {
-                min(grams[i : i + w]) for i in range(len(grams))
-            }  # windows ROWS BETWEEN CURRENT AND w-1 FOLLOWING
-            n_fp.append(len(sel))
-            min_fp.append(min(sel))
+        n, doc_idx, flat = _flat_tokens(t)
+        n_fp = np.zeros(n, dtype=np.int64)
+        min_fp = np.full(n, "", dtype=object)
+        if len(doc_idx) >= k:
+            # hash only the UNIQUE surface forms, broadcast through codes
+            d = flat.dictionary_encode()
+            uniq = d.dictionary.to_pylist()
+            uh = np.fromiter(
+                (_term_hash64(x) for x in uniq), dtype=np.uint64,
+                count=len(uniq),
+            )
+            seq = uh[d.indices.to_numpy()]
+            # ONE global k-gram combine over the whole batch; grams that
+            # cross a doc boundary are computed then discarded (cheaper
+            # than segmenting the token stream first)
+            m = len(seq) - k + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                h = h * _POS_MIX[j % len(_POS_MIX)] + seq[j : j + m]
+            valid = doc_idx[:m] == doc_idx[k - 1 :]
+            gram_doc = doc_idx[:m][valid]
+            gh = h[valid]
+            if len(gh):
+                # per-doc truncated trailing windows via (w-1) max-pads
+                # between docs: gram i scatters to i + doc*(w-1);
+                # sliding_window_view minima at those positions == the
+                # oracle's ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING
+                # partitioned by doc_id
+                pos = (
+                    np.arange(len(gh), dtype=np.int64) + gram_doc * (w - 1)
+                )
+                padded = np.full(int(pos[-1]) + w, pad, dtype=np.uint64)
+                padded[pos] = gh
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    padded, w
+                ).min(axis=1)[pos]
+                # distinct minima per doc: one lexsort + boundary scan
+                order = np.lexsort((mins, gram_doc))
+                dd, mm = gram_doc[order], mins[order]
+                first = np.empty(len(dd), dtype=bool)
+                first[0] = True
+                first[1:] = (dd[1:] != dd[:-1]) | (mm[1:] != mm[:-1])
+                n_fp = np.bincount(dd[first], minlength=n).astype(np.int64)
+                doc_first = np.empty(len(dd), dtype=bool)
+                doc_first[0] = True
+                doc_first[1:] = dd[1:] != dd[:-1]
+                for di, v in zip(dd[doc_first], mm[doc_first]):
+                    min_fp[di] = f"{int(v):016x}"
         return pa.table(
             {
-                "doc_id": ids,
+                "doc_id": t.column("doc_id"),
                 "n_fingerprints": pa.array(n_fp, type=pa.int64()),
                 "min_fp": pa.array(min_fp, type=pa.string()),
             }
