@@ -147,34 +147,49 @@ def _candidate_rows(
 
 def _merge_topk(cand, k: int) -> pa.Table:
     """Per-batch candidate Dataset -> final per-query top-k (score desc,
-    id asc), reduced inside the pipeline; only n_queries*k rows reach the
-    driver. Arrow-native map_groups (numpy lexsort), no pandas."""
-
-    def topk_of_group(t: pa.Table) -> pa.Table:
-        s = t.column("cosine").to_numpy()
-        nid = t.column("neighbor_id").to_numpy()
-        sel = np.lexsort((nid, -s))[:k]
-        return pa.table(
-            {
-                "query_id": t.column("query_id").take(pa.array(sel)),
-                "neighbor_id": pa.array(nid[sel], type=pa.int64()),
-                "cosine": pa.array(np.round(s[sel], 6), type=pa.float64()),
-                "rank": pa.array(
-                    np.arange(1, len(sel) + 1, dtype=np.int32), type=pa.int32()
-                ),
-            }
+    id asc), via a STREAMING driver reduce: iterate candidate batches
+    (each block already reduced to <= n_queries*k rows by its producer)
+    and fold into a running best-of table that never exceeds n_queries*k
+    rows. Bounded driver memory at any input size; no all-to-all shuffle —
+    a groupby(query_id) here costs seconds of fixed AllToAll setup to sort
+    what is already output-sized data. Driver ingest is n_blocks*nq*k rows,
+    streamed with backpressure."""
+    q_run = np.empty(0, dtype=np.int64)
+    n_run = np.empty(0, dtype=np.int64)
+    s_run = np.empty(0, dtype=np.float64)
+    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        if batch.num_rows == 0:
+            continue
+        q = np.concatenate([q_run, batch.column("query_id").to_numpy()])
+        nid = np.concatenate([n_run, batch.column("neighbor_id").to_numpy()])
+        s = np.concatenate([s_run, batch.column("cosine").to_numpy()])
+        order = np.lexsort((nid, -s, q))  # query asc, score desc, id asc
+        q, nid, s = q[order], nid[order], s[order]
+        newq = np.empty(len(q), dtype=bool)
+        newq[0] = True
+        newq[1:] = q[1:] != q[:-1]
+        rank = np.arange(len(q)) - np.repeat(
+            np.flatnonzero(newq), np.diff(np.append(np.flatnonzero(newq), len(q)))
         )
-
-    import ray
-
-    merged = cand.groupby("query_id").map_groups(
-        topk_of_group, batch_format="pyarrow"
-    )
-    tbls = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
-    if not tbls:
+        keep = rank < k
+        q_run, n_run, s_run = q[keep], nid[keep], s[keep]
+    if len(q_run) == 0:
         return _TOPK_SCHEMA.empty_table()
-    out = pa.concat_tables([t.cast(_TOPK_SCHEMA) for t in tbls])
-    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    newq = np.empty(len(q_run), dtype=bool)
+    newq[0] = True
+    newq[1:] = q_run[1:] != q_run[:-1]
+    starts = np.flatnonzero(newq)
+    rank = np.arange(len(q_run)) - np.repeat(
+        starts, np.diff(np.append(starts, len(q_run)))
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(q_run, type=pa.int64()),
+            "neighbor_id": pa.array(n_run, type=pa.int64()),
+            "cosine": pa.array(np.round(s_run, 6), type=pa.float64()),
+            "rank": pa.array((rank + 1).astype(np.int32), type=pa.int32()),
+        }
+    ).cast(_TOPK_SCHEMA)
 
 
 def brute_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:

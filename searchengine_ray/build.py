@@ -74,10 +74,10 @@ class TokenizeFields:
     file named by the batch's doc-id range — the lengths fall out of the
     tokenization already being done here, so fusing the docmap into this
     stage removes an entire read+tokenize pass over the corpus. Retry
-    idempotence: doc_ids are a deterministic function of the input rows, so
-    before writing, any stale dm_* file overlapping the batch's doc range is
-    removed — a retried task that re-chunks into different batch boundaries
-    still converges to non-overlapping coverage.
+    idempotence: files are content-keyed (doc range + count + id crc), so an
+    identically-chunked retry overwrites itself; a differently-chunked retry
+    leaves overlapping-but-identical rows that the docmap READER dedupes on
+    doc_id (see ``_write_docmap`` and ``indexio.InvertedIndex``).
 
     Storage assumption (multi-node): tasks run on workers, so
     ``docmap_dir`` must be visible to every worker AND the driver (shared
@@ -123,26 +123,19 @@ class TokenizeFields:
         }
         for field in self.fields:
             cols[f"len_{field}"] = pa.array(doc_lens[field], type=pa.int64())
+        import zlib
+
         lo, hi = int(doc_ids.min()), int(doc_ids.max())
-        # Idempotence under retry does NOT assume Ray re-chunks a retried
-        # task into identical batch boundaries: doc_ids are a deterministic
-        # function of the input rows, so any stale dm_* file whose doc range
-        # overlaps this batch covers (a subset of) the same rows — drop it
-        # before writing. Same-named files simply overwrite.
-        for fn in os.listdir(self.docmap_dir):
-            if not (fn.startswith("dm_") and fn.endswith(".parquet")):
-                continue
-            try:
-                s, e = fn[3:-8].split("_")
-                s, e = int(s), int(e)
-            except ValueError:
-                continue
-            if s <= hi and e >= lo and not (s == lo and e == hi):
-                try:
-                    os.remove(os.path.join(self.docmap_dir, fn))
-                except FileNotFoundError:
-                    pass
-        name = f"dm_{lo:012d}_{hi:012d}.parquet"
+        # Content-keyed name: doc_ids are a deterministic function of the
+        # input rows, so an identically-chunked retry overwrites its own
+        # file. A retry that re-chunks into DIFFERENT batch boundaries
+        # writes differently-named files whose doc sets may overlap the
+        # stale ones — the docmap reader (indexio.InvertedIndex) dedupes on
+        # doc_id at load (rows for the same id are identical), so coverage
+        # stays correct either way. Batch ranges legitimately interleave
+        # (doc_ids aren't contiguous per batch), so no range-based cleanup.
+        crc = zlib.crc32(np.ascontiguousarray(doc_ids, dtype=np.int64).tobytes())
+        name = f"dm_{lo:012d}_{hi:012d}_{len(doc_ids)}_{crc:08x}.parquet"
         pq.write_table(pa.table(cols), os.path.join(self.docmap_dir, name))
 
     def _kh(self, field: str, terms: np.ndarray, bucket: np.ndarray) -> np.ndarray:
@@ -620,6 +613,10 @@ def _finalize(out_dir: str, cfg: BuildConfig) -> None:
     _atomic_write(lexicon, os.path.join(out_dir, "lexicon"))
 
     fields = list(cfg.fields)
+    # NOTE: assumes one docmap row per doc. A retried build that re-chunked
+    # its tokenize batches can leave duplicate rows (identical content);
+    # the index READER dedupes them, but these corpus sums would inflate —
+    # resume from the partition manifest (the normal path) never hits this.
     docmap = ray.data.read_parquet(
         os.path.join(out_dir, "docmap"), columns=[f"len_{f}" for f in fields]
     )

@@ -351,14 +351,14 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_perm // bands
     ds = _read_docs(sf_dir)
+    # TASK pool, not actors: the stage's only state is 2*num_perm seeded
+    # ints (cheap to pickle per task), so an actor pool would pay ~1.5s of
+    # pool startup for nothing and cap concurrency at its size; tasks use
+    # every free core immediately
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"n": n, "num_perm": num_perm, "seed": seed},
+        MinHashSignatures(n=n, num_perm=num_perm, seed=seed),
         batch_format="pyarrow",
         batch_size=256,
-        # autoscaling pool: signature hashing is the compute-heavy stage —
-        # a fixed 2-actor pool capped the whole pipeline at 2 cores
-        concurrency=(2, 8),
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
@@ -438,22 +438,33 @@ def minhash_lsh_pairs(
     # hashes = |A∩B|; |A∪B| = rows_in_group − inter. No per-doc state ever
     # sits on the driver. Partitioning assumption: the DISTINCT LSH
     # candidate-pair set fits a broadcast object; band-fired duplicates
-    # (up to `bands` copies per pair) dedupe in a distributed groupby
-    # before any row reaches the driver, and the distinct count is
-    # explicitly bounded by `max_candidates`.
-    from ray.data.aggregate import Count as _Count
-
-    distinct = cand.groupby(["a", "b"]).aggregate(_Count(alias_name="_nb"))
-    rows = distinct.select_columns(["a", "b"]).take(max_candidates + 1)
-    if len(rows) > max_candidates:
-        raise ValueError(
-            f"MinHash-LSH produced more than max_candidates={max_candidates} "
-            "distinct candidate pairs; the broadcast verify index no longer "
-            "fits the driver. Tighten the LSH (more rows per band / higher "
-            "threshold), raise the band-bucket cap guard, or raise "
-            "max_candidates if the driver has the memory."
-        )
-    if not rows:
+    # (up to `bands` copies per pair) fold out in a STREAMING driver
+    # dedupe — batches arrive with backpressure, the running unique set
+    # never exceeds max_candidates (checked each fold; a groupby here
+    # would pay seconds of all-to-all setup to sort output-sized data).
+    a_run = np.empty(0, dtype=np.int64)
+    b_run = np.empty(0, dtype=np.int64)
+    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        if batch.num_rows == 0:
+            continue
+        a = np.concatenate([a_run, batch.column("a").to_numpy()])
+        b = np.concatenate([b_run, batch.column("b").to_numpy()])
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a_run, b_run = a[first], b[first]
+        if len(a_run) > max_candidates:
+            raise ValueError(
+                f"MinHash-LSH produced more than max_candidates="
+                f"{max_candidates} distinct candidate pairs; the broadcast "
+                "verify index no longer fits the driver. Tighten the LSH "
+                "(more rows per band / higher threshold), raise the "
+                "band-bucket cap guard, or raise max_candidates if the "
+                "driver has the memory."
+            )
+    if len(a_run) == 0:
         return pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
@@ -461,8 +472,7 @@ def minhash_lsh_pairs(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    pa_arr = np.array([r["a"] for r in rows], dtype=np.int64)
-    pb_arr = np.array([r["b"] for r in rows], dtype=np.int64)
+    pa_arr, pb_arr = a_run, b_run
     P = len(pa_arr)
     # CSR: doc -> indices of pairs it participates in
     docs_all = np.concatenate([pa_arr, pb_arr])

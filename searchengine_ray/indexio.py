@@ -93,6 +93,15 @@ class InvertedIndex:
         dm = pads.dataset(_parquet_files(doc_paths)).to_table()
         dm_ids = dm.column("doc_id").to_numpy()
         dorder = np.argsort(dm_ids)
+        # dedupe: a build retry that re-chunked its batches can leave the
+        # same doc in two dm_* files with identical rows (build.py
+        # _write_docmap); keep the first
+        if len(dm_ids) > 1:
+            sorted_ids = dm_ids[dorder]
+            keep = np.empty(len(sorted_ids), dtype=bool)
+            keep[0] = True
+            keep[1:] = sorted_ids[1:] != sorted_ids[:-1]
+            dorder = dorder[keep]
         self._doc_ids = dm_ids[dorder]
         self._external_ids = np.asarray(dm.column("external_id").to_pylist(), dtype=object)[dorder]
         self._sha256 = np.asarray(dm.column("sha256").to_pylist(), dtype=object)[dorder]
