@@ -846,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_unranked_and": gate.se_unranked_and,
         "se_indri_wand": gate.se_indri_wand,
         "se_near3_tf": gate.se_near3_tf,
+        "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         "se_docmap": gate.se_docmap,
         "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR)
@@ -927,6 +928,9 @@ def oracle_sql() -> dict[str, str]:
         "se_unranked_and": _SE_UNRANKED_AND_SQL,
         "se_indri_wand": _SE_INDRI_WAND_SQL,
         "se_near3_tf": _SE_NEAR3_SQL,
+        # KSTEM profile: query 'joins' -> stem 'join'; corpus vocabulary is
+        # KSTEM-invariant (pytest), so the oracle scores the stem directly
+        "se_bm25_term_kstem": _bm25_terms_sql(["join"]),
         "se_docmap": _SE_DOCMAP_SQL,
         "se_lexicon": _SE_LEXICON_SQL,
         "prf_expansion": _PRF_EXPANSION_SQL,

@@ -131,6 +131,40 @@ def se_near3_tf(sf_dir: str):
     )
 
 
+def _kstem_index_for(sf_dir: str) -> str:
+    key = "kstem::" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        out = os.path.join(
+            "/tmp/se_ray_index", hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        build_index(sf_dir, out, BuildConfig(stemmer="kstem"))
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def se_bm25_term_kstem(sf_dir: str):
+    """BM25 'joins' against a KSTEM-profile index (the reference's HW1-HW5
+    analyzer, `Homeworks/HW1/QryEval/QryParser.java:48`): the query token
+    stems to 'join' on the query side, and every corpus token is
+    stem-invariant under KSTEM (pytest-asserted), so the DuckDB oracle is
+    plain BM25 for 'join' — a mismatch in EITHER build-side or query-side
+    stemming breaks the hash."""
+    from .engine import SearchEngine
+
+    key = (os.path.abspath(sf_dir), "bm25:kstem")
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = SearchEngine(
+            _kstem_index_for(sf_dir), ModelParams(model="bm25", top_k=1 << 30)
+        )
+    t = _ENGINE_CACHE[key].search("q", "joins")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def se_docmap(sf_dir: str):
     """The per-row sha256(content) invariant + external ids, from the BUILT
     index's docmap (not recomputed from the input)."""

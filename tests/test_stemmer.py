@@ -136,3 +136,61 @@ def test_register_stemmer_roundtrip():
     assert get_stemmer("identity_test")("abc") == "abc"
     with pytest.raises(ValueError):
         get_stemmer("nope_not_registered")
+
+
+# ---------------------------------------------------------------------------
+# KSTEM (Krovetz 1993) — the reference's HW1-HW5 profile
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("word,expect", [
+    # plural -> singular
+    ("dogs", "dog"), ("flies", "fly"), ("policies", "policy"),
+    ("churches", "church"), ("boxes", "box"), ("tables", "table"),
+    ("values", "value"), ("queries", "query"), ("hashes", "hash"),
+    ("keys", "key"), ("streams", "stream"), ("batches", "batch"),
+    # past tense / aspect with e-restoration and un-doubling
+    ("running", "run"), ("sitting", "sit"), ("hoping", "hope"),
+    ("hopping", "hop"), ("using", "use"), ("used", "use"),
+    ("agreed", "agree"), ("freed", "free"), ("applied", "apply"),
+    ("studied", "study"), ("committed", "commit"), ("planned", "plan"),
+    ("stopped", "stop"), ("sorted", "sort"), ("merging", "merge"),
+    ("filtering", "filter"), ("grouped", "group"), ("scanning", "scan"),
+    # dictionary words and -ing nouns never stem
+    ("thing", "thing"), ("king", "king"), ("spring", "spring"),
+    ("data", "data"), ("index", "index"),
+    # irregular direct conflations
+    ("feet", "foot"), ("indices", "index"), ("matrices", "matrix"),
+    ("children", "child"), ("took", "take"), ("was", "be"), ("said", "say"),
+])
+def test_kstem_published_examples(word, expect):
+    from searchengine_ray.stem import kstem
+
+    assert kstem(word) == expect
+
+
+def test_kstem_registered_and_corpus_invariant():
+    """The gate entry se_bm25_term_kstem relies on the testdata vocabulary
+    being KSTEM-invariant; pin that here (and the registry lookup)."""
+    from searchengine_ray.stem import get_stemmer
+
+    ks = get_stemmer("kstem")
+    vocab = (
+        "a agg batch big column customer data dup fast filter group hash "
+        "join key line merge order part query row scan slow small sort "
+        "spark stream table the value vector window"
+    ).split()
+    assert {w: ks(w) for w in vocab} == {w: w for w in vocab}
+
+
+def test_kstem_lexicon_plug_point():
+    """kstem_with_lexicon: a supplied lexicon licenses removals the
+    built-in list doesn't know about."""
+    from searchengine_ray.stem import kstem, kstem_with_lexicon
+
+    k2 = kstem_with_lexicon({"house", "gas"})
+    assert k2("houses") == "house"
+    assert k2("gases") == "gas"
+    # and known words never stem
+    assert k2("house") == "house"
+    assert kstem("sitting") == k2("sitting") == "sit"
