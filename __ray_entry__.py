@@ -887,13 +887,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "div_xquad": gate.div_xquad,
         "div_pm2": gate.div_pm2,
         "ltr_rerank": gate.ltr_rerank,
-        "drmm_rerank": gate.drmm_rerank,
         # hash/hyperplane/centroid state isn't SQL-expressible; pytest
         # checks no-false-positives + recall vs the exact baselines
+        "ann_ivf": ann.ivf_topk,
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
-        "ann_ivf": ann.ivf_topk,
+        # trained-model reranker (determinism pytest); last rows-only entry
+        # inside/outside the window boundary by registry size
+        "drmm_rerank": gate.drmm_rerank,
         # approximate distinct-count sketch (HLL registers through the
         # shuffle; see sketch.py): estimates can't hash-match an exact
         # SQL oracle; pytest bounds the per-window relative error
