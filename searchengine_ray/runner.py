@@ -191,6 +191,29 @@ def run(params: dict[str, str]) -> str:
         all_qids=[q for q, _ in queries],
         style=params.get("trecEvalOutputStyle", "hw6"),
     )
+
+    # Offline effectiveness scoring (the reference POSTed runs to CMU's
+    # trec_eval/ndeval CGIs, `Homeworks/HW6/test.py:24-77`; evalmetrics
+    # replicates those conventions locally). Param: trecEvalQrels=<path>
+    # (adhoc qrels) and/or ndevalQrels=<path> (diversity qrels).
+    if params.get("trecEvalQrels") or params.get("ndevalQrels"):
+        from . import evalmetrics as em
+
+        run_dict = em.read_trec_run(out_path)
+        if params.get("trecEvalQrels"):
+            m = em.trec_eval_run(run_dict, read_qrels(params["trecEvalQrels"]))
+            row = "  ".join(
+                f"{k}={m[k]:.4f}" for k in sorted(m) if k != "per_query"
+            )
+            print(f"trec_eval [{out_path}]: {row}")
+        if params.get("ndevalQrels"):
+            m = em.ndeval_run(
+                run_dict, em.read_diversity_qrels(params["ndevalQrels"])
+            )
+            row = "  ".join(
+                f"{k}={m[k]:.4f}" for k in sorted(m) if k != "per_query"
+            )
+            print(f"ndeval [{out_path}]: {row}")
     return out_path
 
 
