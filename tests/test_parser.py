@@ -112,3 +112,51 @@ def test_operator_registry_extension():
     finally:
         OPERATOR_REGISTRY.pop("#uw", None)
         IOP_NAMES.discard("#uw")
+
+
+# ---------------------------------------------------------------------------
+# SDM query generator (Homeworks/HW4/DonMetzler.pl — Metzler & Croft 2005)
+# ---------------------------------------------------------------------------
+
+
+def test_sdm_matches_reference_generated_queries():
+    """Byte-identical to strings from the reference's own generated file
+    (Homeworks/HW4/QryEval/HW4-Exp-1c.qry)."""
+    from searchengine_ray.sdm import formulate_query
+
+    ref = {
+        "french lick resort and casino": "#wand( 0.8 #and( french lick resort and casino ) 0.1 #and( #near/1( and casino )  #near/1( resort and )  #near/1( lick resort )  #near/1( french lick ) ) 0.1 #and( #window/8( and casino )  #window/8( resort and )  #window/8( lick resort )  #window/8( french lick ) ) )",
+        "toilet": "#and( toilet )",
+        "air travel information": "#wand( 0.8 #and( air travel information ) 0.1 #and( #near/1( travel information )  #near/1( air travel ) ) 0.1 #and( #window/8( travel information )  #window/8( air travel ) ) )",
+        "used car parts": "#wand( 0.8 #and( used car parts ) 0.1 #and( #near/1( car parts )  #near/1( used car ) ) 0.1 #and( #window/8( car parts )  #window/8( used car ) ) )",
+        "gmat prep classes": "#wand( 0.8 #and( gmat prep classes ) 0.1 #and( #near/1( prep classes )  #near/1( gmat prep ) ) 0.1 #and( #window/8( prep classes )  #window/8( gmat prep ) ) )",
+        "wedding budget calculator": "#wand( 0.8 #and( wedding budget calculator ) 0.1 #and( #near/1( budget calculator )  #near/1( wedding budget ) ) 0.1 #and( #window/8( budget calculator )  #window/8( wedding budget ) ) )",
+    }
+    for flat, want in ref.items():
+        assert formulate_query(flat, "sd", ("0.8", "0.1", "0.1")) == want
+
+
+def test_sdm_zero_weights_and_fd_subsets():
+    from searchengine_ray.sdm import formulate_query
+
+    # w_O = w_U = 0 collapses to the term #and
+    assert formulate_query("used car parts", "sd", (1.0, 0.0, 0.0)) == (
+        "#and( used car parts )"
+    )
+    # fd: every >=2 subset windows; only contiguous runs get #near
+    fd = formulate_query("a b c", "fd", (0.6, 0.2, 0.2))
+    assert "#near/1( a c )" not in fd
+    assert "#window/8( a c )" in fd
+    assert "#near/1( a b c )" in fd and "#window/12( a b c )" in fd
+
+
+def test_sdm_queries_run_through_the_engine(ray_session, built_index):
+    """Generated SDM queries parse and score (Indri #wand path)."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.sdm import formulate_query
+
+    q = formulate_query("spark join stream", "sd")
+    eng = SearchEngine(built_index, ModelParams(model="indri", top_k=10))
+    t = eng.search("1", q)
+    assert t.num_rows > 0
