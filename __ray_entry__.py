@@ -572,6 +572,47 @@ WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
 
 # connected components over the >=0.6-Jaccard pair graph: rep = min doc id
 # reachable (recursive CTE over the symmetric edge set)
+# SimHash = tf-weighted sign-sum of per-term FNV-1a-64 bits (the engine's
+# dedup._simhash64, bit-exact); candidate blocking (a pair must share at
+# least one equal 16-bit block) and the Hamming cutoff both reproduce in
+# SQL via xor + bit_count. The engine's 500-doc block-bucket skew cap
+# cannot trigger at gate scale (500 docs total), so the oracle omits it.
+_SIMHASH_FNV = """CAST(list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(string_split(term, ''),
+                         c -> CAST(unicode(c) AS HUGEINT))),
+        (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                          AS HUGEINT) * 1099511628211) % 18446744073709551616
+      ) AS UBIGINT)"""
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+fh AS (SELECT term, {_SIMHASH_FNV} AS h FROM (SELECT DISTINCT term FROM tf)),
+bits AS (SELECT doc_id, b,
+          sum(tf * (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS acc
+         FROM tf JOIN fh USING(term)
+         CROSS JOIN (SELECT unnest(range(64)) AS b) bb GROUP BY doc_id, b),
+sim0 AS (SELECT doc_id,
+          CAST(CAST(sum(CASE WHEN acc > 0
+            THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END)
+            AS HUGEINT) AS UBIGINT) AS h
+         FROM bits GROUP BY doc_id),
+-- docs with no tokens hash to 0 (the engine computes simhash for every doc)
+sim AS (SELECT d.doc_id, coalesce(s.h, CAST(0 AS UBIGINT)) AS h
+        FROM documents d LEFT JOIN sim0 s USING(doc_id))
+SELECT s1.doc_id AS doc_id_a, s2.doc_id AS doc_id_b,
+  CAST(bit_count(xor(s1.h, s2.h)) AS BIGINT) AS hamming
+FROM sim s1 JOIN sim s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.h, s2.h)) <= 6
+  AND ((s1.h & 65535) = (s2.h & 65535)
+    OR ((s1.h >> 16) & 65535) = ((s2.h >> 16) & 65535)
+    OR ((s1.h >> 32) & 65535) = ((s2.h >> 32) & 65535)
+    OR ((s1.h >> 48) & 65535) = ((s2.h >> 48) & 65535))
+"""
+
 _DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_TOK},
 sh0 AS (SELECT doc_id,
@@ -858,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
         "dedup_components": dedup.dedup_components,
         "dedup_embedding": dedup.embedding_dup_pairs,
         # similarity search
@@ -891,7 +933,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checks no-false-positives + recall vs the exact baselines
         "ann_ivf": ann.ivf_topk,
         "dedup_minhash": dedup.minhash_lsh_pairs,
-        "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
         # trained-model reranker (determinism pytest); last rows-only entry
         # inside/outside the window boundary by registry size
@@ -948,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         # hash/hyperplane/centroid state is not SQL-expressible -> rows-only
         # check; pytest verifies them against the exact-Jaccard /
         # brute-force baselines instead (no false positives + recall bound).
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "ann_topk": _ANN_TOPK_SQL,
