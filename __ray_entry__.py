@@ -746,6 +746,17 @@ sel AS (SELECT DISTINCT doc_id, fp FROM m)
 SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp FROM sel GROUP BY doc_id
 """
 
+# BPE-ish piece count: the engine and this oracle run the IDENTICAL
+# RE2 pattern (textstats.BPE_PIECE_RE) through count_substring_regex /
+# regexp_extract_all respectively.
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s'))
+       AS BIGINT) AS n_bpe_pieces
+FROM documents
+"""
+
 _TUMBLING_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
   count(*) AS n_events,
@@ -909,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality_score,
         "text_winnow": textstats.winnow_fingerprints,
+        "text_token_counts": textstats.token_counts,
         # stream-shaped
         "events_tumbling": windows.tumbling_counts,
         "events_hopping": windows.hopping_counts,
@@ -997,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_markers_sql(),
         "text_quality": _QUALITY_SQL,
         "text_winnow": _WINNOW_SQL,
+        "text_token_counts": _TOKEN_COUNTS_SQL,
         "events_tumbling": _TUMBLING_SQL,
         "events_hopping": _HOPPING_SQL,
         "events_sessionize": _SESSIONIZE_SQL,

@@ -166,6 +166,40 @@ def quality_score(sf_dir: str, min_tokens: int = 20):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+#: BPE-ish pre-tokenizer (GPT-2-style contraction/letter-run/digit-run/
+#: punctuation-run pieces, lookahead-free so RE2 — pyarrow AND DuckDB —
+#: and Python `re` agree on it exactly)
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s"
+
+
+def token_counts(sf_dir: str):
+    """(doc_id, n_ws_tokens, n_bpe_pieces): whitespace token count and a
+    BPE-ish piece count — the cheap length signals an LLM data pipeline
+    filters/buckets on before real tokenization.
+
+    Both counts are single Arrow ``count_substring_regex`` kernels (RE2),
+    and the DuckDB oracle runs the IDENTICAL patterns, so the gate is
+    bit-exact with zero per-row Python."""
+    ds = _read_docs(sf_dir)
+
+    def count(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        low = pc.utf8_lower(text)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, r"\S+"), pa.int64()
+                ),
+                "n_bpe_pieces": pc.cast(
+                    pc.count_substring_regex(low, BPE_PIECE_RE), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4):
     """Winnowing document fingerprints (Schleimer et al. local fingerprinting):
     FNV-combined hash of each k-gram, minimum per sliding window of w,

@@ -285,3 +285,41 @@ def test_driver_contract_shapes():
     assert len(qs) >= 25
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_token_counts_bpe_vs_ws(tmp_path, ray_session):
+    """BPE-ish piece count vs whitespace count on punctuation-rich text —
+    the engine's Arrow RE2 kernel must agree with Python re on the shared
+    pattern (and the DuckDB oracle runs the identical pattern)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.textstats import BPE_PIECE_RE, token_counts
+
+    texts = [
+        "Hello, world! It's a test-case with 42 numbers and  double spaces.",
+        "tab\tnewline\nmixed CASE and don't-stop... 3.14 x_y",
+        "plain lowercase words only",
+        "",
+    ]
+    d = tmp_path / "tc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = token_counts(str(d)).to_pandas().sort_values("doc_id")
+    for i, t in enumerate(texts):
+        assert out.iloc[i]["n_ws_tokens"] == len(t.split())
+        assert out.iloc[i]["n_bpe_pieces"] == len(
+            re.findall(BPE_PIECE_RE, t.lower())
+        )
+    # the two signals genuinely differ on punctuation-rich text
+    assert out.iloc[0]["n_bpe_pieces"] > out.iloc[0]["n_ws_tokens"]
