@@ -629,35 +629,70 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
     ds = _read_docs(sf_dir)
 
     def add_simhash(t: pa.Table) -> pa.Table:
-        hs = [_simhash64(x) for x in t.column("text").to_pylist()]
+        """ONE batch pass (bit-identical to _simhash64 per doc): Arrow
+        tokenize -> dictionary codes -> per-(doc,term) tf via lexsort ->
+        per-unique-term bit signs -> one scatter-add into a (n_docs, 64)
+        vote matrix."""
+        from .textstats import _flat_tokens
+
+        n, doc_idx, flat = _flat_tokens(t)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(doc_idx):
+            d = flat.dictionary_encode()
+            codes = d.indices.to_numpy()
+            uniq = d.dictionary.to_pylist()
+            uh = np.fromiter(
+                (_term_hash64(x) for x in uniq), dtype=np.uint64,
+                count=len(uniq),
+            )
+            order = np.lexsort((codes, doc_idx))
+            dd, cc = doc_idx[order], codes[order]
+            first = np.empty(len(dd), dtype=bool)
+            first[0] = True
+            first[1:] = (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])
+            starts = np.flatnonzero(first)
+            tf = np.diff(np.append(starts, len(dd))).astype(np.int64)
+            gd, gc = dd[starts], cc[starts]
+            shifts = np.arange(64, dtype=np.uint64)
+            sign = (
+                2 * ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                - 1
+            )  # (U, 64)
+            acc = np.zeros((n, 64), dtype=np.int64)
+            np.add.at(acc, gd, tf[:, None] * sign[gc])
+            out = (
+                (acc > 0).astype(np.uint64) << shifts[None, :]
+            ).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "simhash": pa.array(np.array(hs, dtype=np.uint64).astype(np.int64)),
+                "simhash": pa.array(out.astype(np.int64)),
             }
         )
 
     sh = ds.map_batches(add_simhash, batch_format="pyarrow")
 
     def explode_blocks(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        hs = t.column("simhash").to_pylist()
-        blk, val, doc, full = [], [], [], []
-        for d, h in zip(ids, hs):
-            uh = np.uint64(h).item() & ((1 << 64) - 1)
-            for bi in range(4):
-                blk.append(bi)
-                val.append((uh >> (16 * bi)) & 0xFFFF)
-                doc.append(d)
-                full.append(h)
-        return pa.table(
-            {
-                "blk": pa.array(blk, type=pa.int32()),
-                "val": pa.array(val, type=pa.int64()),
-                "doc_id": pa.array(doc, type=pa.int64()),
-                "simhash": pa.array(full, type=pa.int64()),
-            }
-        )
+        ids = t.column("doc_id").to_numpy()
+        hs = t.column("simhash").to_numpy()
+        uh = hs.view(np.uint64)
+        n = len(ids)
+        parts = []
+        for bi in range(4):
+            val = ((uh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "blk": pa.array(np.full(n, bi, dtype=np.int32)),
+                        "val": pa.array(val, type=pa.int64()),
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                        "simhash": pa.array(hs, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def pairs_of_block(t: pa.Table) -> pa.Table:
         # one call per 16-bit block position: bucket by value, vectorized
@@ -734,6 +769,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 6):
         )
 
     out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:  # an all-empty Dataset loses its schema in to_pandas
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
     out = out.drop_duplicates(["doc_id_a", "doc_id_b"]).sort_values(
         ["doc_id_a", "doc_id_b"]
     )
@@ -756,23 +799,23 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = tbl.column("vec_id").to_numpy()
-    mat = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    from .ann import batch_matrix
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = tbl.column("vec_id").to_numpy()
+    mat = batch_matrix(tbl)
     ref = ray.put((ids, mat))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
     def batch_pairs(t: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
         bids = t.column("vec_id").to_numpy()
-        bm = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
-        )
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        bm = batch_matrix(t)
         sims = bm @ all_mat.T
         # vectorized: a < b keeps each symmetric pair once
         ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
@@ -829,12 +872,11 @@ def embedding_dup_pairs_lsh(
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def explode_bands(t: pa.Table) -> pa.Table:
+        from .ann import batch_matrix
+
         Rm = ray.get(rref)
         ids = t.column("vec_id").to_numpy()
-        mat = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
-        )
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = batch_matrix(t)
         bits = (mat @ Rm.T) > 0  # (n, n_bits)
         weights = 1 << np.arange(bits_per_band, dtype=np.int64)
         out = []
@@ -863,13 +905,12 @@ def embedding_dup_pairs_lsh(
         )
         if t.num_rows == 0:
             return empty
+        from .ann import batch_matrix
+
         t = t.sort_by([("bh", "ascending"), ("vec_id", "ascending")])
         bh = t.column("bh").to_numpy()
         ids = t.column("vec_id").to_numpy()
-        mat = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
-        )
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = batch_matrix(t)
         change = np.empty(len(bh), dtype=bool)
         change[0] = True
         change[1:] = bh[1:] != bh[:-1]
