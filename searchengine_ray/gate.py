@@ -165,6 +165,41 @@ def se_bm25_term_kstem(sf_dir: str):
     )
 
 
+def eval_metrics(sf_dir: str):
+    """End-to-end effectiveness scoring through evalmetrics: a BM25
+    'dup spark' run scored against graded qrels derived from the corpus
+    itself (rel = contains-'spark' + contains-'dup', keyed by external_id),
+    P@10 / MAP / ndcg_cut_10 with trec_eval conventions (tie order
+    score-desc/docno-desc, /k, /R, graded gains). The DuckDB oracle
+    recomputes run AND qrels AND metrics from the raw table."""
+    from .evalmetrics import trec_eval_run
+
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.search("1", "dup spark")
+    docs = t.column("doc_id").to_numpy()
+    ext = eng.index.external_ids(docs).astype(str)
+    run = {"1": list(zip(ext, t.column("score").to_numpy()))}
+    ub = engine_for(sf_dir, "unrankedboolean")
+
+    def match_set(q: str) -> set:
+        mt = ub.search("q", q)
+        d = mt.column("doc_id").to_numpy()
+        return set(ub.index.external_ids(d).astype(str))
+
+    spark, dup = match_set("spark"), match_set("dup")
+    qrels = {"1": {e: int(e in spark) + int(e in dup) for e in spark | dup}}
+    m = trec_eval_run(run, qrels, ks=(10,))
+    names = ["MAP", "P@10", "ndcg_cut_10"]
+    return pa.table(
+        {
+            "metric": pa.array(names, type=pa.string()),
+            "value_r": pa.array(
+                [round(float(m[x]), 6) for x in names], type=pa.float64()
+            ),
+        }
+    )
+
+
 def se_docmap(sf_dir: str):
     """The per-row sha256(content) invariant + external ids, from the BUILT
     index's docmap (not recomputed from the input)."""
