@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_components": dedup.dedup_components,
+        "dedup_components_dist": dedup.dedup_components_distributed,
         "dedup_embedding": dedup.embedding_dup_pairs,
         # similarity search
         "ann_topk": ann.brute_topk,
@@ -1055,6 +1056,9 @@ def oracle_sql() -> dict[str, str]:
         # brute-force baselines instead (no false positives + recall bound).
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        # same oracle: the distributed hash-min must agree with the
+        # driver-side resolver bit-for-bit
+        "dedup_components_dist": _DEDUP_COMPONENTS_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "text_token_stats": _TOKEN_STATS_SQL,

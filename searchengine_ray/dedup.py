@@ -1007,3 +1007,101 @@ def dedup_components(sf_dir: str, n: int = 3, threshold: float = 0.6):
             "rep_id": pa.array(label, type=pa.int64()),
         }
     )
+
+
+def dedup_components_distributed(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_iters: int = 64,
+):
+    """Connected components with the label state DISTRIBUTED — the scale
+    path :func:`dedup_components` documents: iterative hash-min label
+    propagation where each round is two hash joins (attach both endpoints'
+    labels) + one ``groupby(node).min`` — no driver-side arrays at any
+    point; the edge list and per-round label table are Datasets.
+
+    Convergence: labels only decrease, so the label SUM is stationary iff
+    the round changed nothing (one cheap aggregate per round). Rounds
+    needed = O(component diameter) — near-dup components are dense and
+    shallow, so this is small; a pointer-jumping variant would cut it to
+    O(log d) at the cost of an extra self-join. Returns (doc_id, rep_id),
+    identical to :func:`dedup_components` (pytest + same SQL oracle).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .partitioning import partition_count_for_rows
+
+    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": t.column("doc_id_a"), "b": t.column("doc_id_b")}
+        )
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+    )
+    # the pair graph is output-scale; materialize it ONCE so iterations
+    # don't re-run the shingle pipeline
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+    nparts = max(2, min(64, partition_count_for_rows(n_edges, 16) // 8))
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate([t.column("a").to_numpy(), t.column("b").to_numpy()])
+        )
+        return pa.table({"node": pa.array(u, type=pa.int64())})
+
+    labels = (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+
+    def relabel_b(t: pa.Table) -> pa.Table:
+        return pa.table({"node_b": t.column("node"), "lb": t.column("label")})
+
+    def emit_min(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        m = np.minimum(t.column("label").to_numpy(), t.column("lb").to_numpy())
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "lab": pa.array(np.concatenate([m, m]), type=pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        lb = labels.map_batches(relabel_b, batch_format="pyarrow")
+        e2 = edges.join(
+            labels, "inner", nparts, on=("a",), right_on=("node",)
+        ).join(lb, "inner", nparts, on=("b",), right_on=("node_b",))
+        labels = (
+            e2.map_batches(emit_min, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("lab", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("node"), "rep_id": t.column("label")}
+        )
+
+    out = labels.map_batches(rename, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

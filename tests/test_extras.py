@@ -372,3 +372,26 @@ def test_simhash_batch_kernel_matches_scalar(tmp_path, ray_session):
         zip(out.column("doc_id_a").to_pylist(), out.column("doc_id_b").to_pylist())
     )
     assert got == expect and len(expect) > 0
+
+
+def test_dedup_components_distributed_equals_driver(ray_session):
+    """The fully-distributed hash-min label propagation returns exactly the
+    driver-side resolver's components."""
+    from searchengine_ray.dedup import (
+        dedup_components,
+        dedup_components_distributed,
+    )
+
+    a = (
+        dedup_components(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup_components_distributed(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0 and a.equals(b)
