@@ -301,6 +301,97 @@ GROUP BY term ORDER BY sum(x) DESC, term LIMIT 10
 # base = max(sum orig, per-intent sums restricted to orig docs, 1.0),
 # s = (1-l)*orig/base + l/n*(i1/base + i2/base) in sorted-intent order;
 # tie on s keeps the earliest ORIGINAL rank (strict > scan).
+# Full greedy diversifiers, recursive-CTE form (round 3): every input
+# score is an integer tf, so base and the normalized rel values are
+# bit-identical doubles on both sides, and each recursion step reproduces
+# the engine's exact accumulation order (strict-> tie-break = ORDER BY
+# score DESC, original rank; the novelty products / PM2 intent state ride
+# along as recursion columns updated in selection order). Final rank =
+# stable sort by score desc (selection step breaks ties), like the
+# engine's stable Python sort.
+_DIV_CAND_CTE = f"""
+{_TOK},
+tfa AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
+tfb AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='join' GROUP BY doc_id),
+orig0 AS (SELECT coalesce(tfa.doc_id, tfb.doc_id) AS doc_id,
+            greatest(coalesce(tfa.tf, 0), coalesce(tfb.tf, 0)) AS s
+          FROM tfa FULL OUTER JOIN tfb USING(doc_id)),
+orig AS (SELECT doc_id, s,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+         FROM orig0 QUALIFY rk <= 100),
+ia AS (SELECT doc_id, tf AS s,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS rk
+       FROM tfa QUALIFY rk <= 100),
+ib AS (SELECT doc_id, tf AS s,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS rk
+       FROM tfb QUALIFY rk <= 100),
+base AS (SELECT greatest(
+    (SELECT CAST(sum(s) AS DOUBLE) FROM orig),
+    coalesce((SELECT CAST(sum(ia.s) AS DOUBLE) FROM ia JOIN orig USING(doc_id)), 0),
+    coalesce((SELECT CAST(sum(ib.s) AS DOUBLE) FROM ib JOIN orig USING(doc_id)), 0),
+    1.0) AS b),
+cand AS (SELECT orig.doc_id, orig.rk, orig.s / base.b AS ro,
+           coalesce(ia.s / base.b, 0) AS ra, coalesce(ib.s / base.b, 0) AS rb
+         FROM orig LEFT JOIN ia USING(doc_id) LEFT JOIN ib USING(doc_id)
+         CROSS JOIN base)
+"""
+
+_DIV_XQUAD_FULL_SQL = f"""
+WITH RECURSIVE {_DIV_CAND_CTE},
+sel AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS doc_id, CAST(0 AS DOUBLE) AS score,
+         CAST(1.0 AS DOUBLE) AS pa, CAST(1.0 AS DOUBLE) AS pb,
+         CAST([] AS BIGINT[]) AS taken
+  UNION ALL
+  SELECT sel.step + 1, pick.doc_id, pick.s,
+         sel.pa * (1 - pick.ra), sel.pb * (1 - pick.rb),
+         list_append(sel.taken, pick.doc_id)
+  FROM sel, LATERAL (
+    SELECT c.doc_id, c.ra, c.rb,
+           0.5 * c.ro + 0.25 * c.ra * sel.pa + 0.25 * c.rb * sel.pb AS s
+    FROM cand c
+    WHERE NOT list_contains(sel.taken, c.doc_id)
+    ORDER BY s DESC, c.rk
+    LIMIT 1
+  ) pick
+  WHERE sel.step < 20
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, step) AS INTEGER) AS rank
+FROM sel WHERE step >= 1
+"""
+
+_DIV_PM2_FULL_SQL = f"""
+WITH RECURSIVE {_DIV_CAND_CTE},
+sel AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS doc_id, CAST(0 AS DOUBLE) AS score,
+         CAST(0.0 AS DOUBLE) AS sa, CAST(0.0 AS DOUBLE) AS sb,
+         CAST([] AS BIGINT[]) AS taken
+  UNION ALL
+  SELECT sel.step + 1, pick.doc_id, pick.s,
+         CASE WHEN pick.s != 0 THEN sel.sa + pick.ra / (pick.ra + pick.rb)
+              ELSE sel.sa END,
+         CASE WHEN pick.s != 0 THEN sel.sb + pick.rb / (pick.ra + pick.rb)
+              ELSE sel.sb END,
+         list_append(sel.taken, pick.doc_id)
+  FROM sel, LATERAL (
+    SELECT c.doc_id, c.ra, c.rb,
+           CASE WHEN (10.0 / (2 * sel.sb + 1)) > (10.0 / (2 * sel.sa + 1))
+                THEN 0.5 * (10.0 / (2 * sel.sb + 1)) * c.rb
+                   + 0.5 * (10.0 / (2 * sel.sa + 1)) * c.ra
+                ELSE 0.5 * (10.0 / (2 * sel.sa + 1)) * c.ra
+                   + 0.5 * (10.0 / (2 * sel.sb + 1)) * c.rb
+           END AS s
+    FROM cand c
+    WHERE NOT list_contains(sel.taken, c.doc_id)
+    ORDER BY s DESC, c.rk
+    LIMIT 1
+  ) pick
+  WHERE sel.step < 20
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, step) AS INTEGER) AS rank
+FROM sel WHERE step >= 1
+"""
+
 _DIV_XQUAD_FIRST_SQL = f"""
 WITH {_TOK},
 tfa AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
@@ -954,6 +1045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_expansion": gate.prf_expansion,
         "prf_e2e_rescore": gate.prf_e2e_rescore,
+        "div_xquad": gate.div_xquad,
+        "div_pm2": gate.div_pm2,
         "div_xquad_first": gate.div_xquad_first,
         "div_pm2_first": gate.div_pm2_first,
         "ltr_features": gate.ltr_features,
@@ -995,10 +1088,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.ivf_topk,
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
-        # iterative greedy / trained-model rerankers (their per-step
-        # formulas are hash-checked via div_*_first / ltr_features)
-        "div_xquad": gate.div_xquad,
-        "div_pm2": gate.div_pm2,
+        # trained-model rerankers (training loops aren't SQL; their
+        # feature/formula layers are hash-checked via ltr_features and
+        # the drmm determinism pytest)
         "ltr_rerank": gate.ltr_rerank,
         "drmm_rerank": gate.drmm_rerank,
         # approximate distinct-count sketch (HLL registers through the
@@ -1043,6 +1135,8 @@ def oracle_sql() -> dict[str, str]:
         "se_lexicon": _SE_LEXICON_SQL,
         "prf_expansion": _PRF_EXPANSION_SQL,
         "prf_e2e_rescore": _PRF_E2E_SQL,
+        "div_xquad": _DIV_XQUAD_FULL_SQL,
+        "div_pm2": _DIV_PM2_FULL_SQL,
         "div_xquad_first": _DIV_XQUAD_FIRST_SQL,
         "div_pm2_first": _DIV_PM2_FIRST_SQL,
         "ltr_features": _ltr_features_sql(),
