@@ -753,6 +753,97 @@ WHERE bit_count(xor(s1.h, s2.h)) <= 6
     OR ((s1.h >> 48) & 65535) = ((s2.h >> 48) & 65535))
 """
 
+def _minhash_sql(
+    n: int = 3, num_perm: int = 128, bands: int = 32, seed: int = 1234,
+    threshold: float = 0.6,
+) -> str:
+    """MinHash-LSH reproduced END-TO-END in DuckDB: the permutation
+    parameters come from the SAME seeded generator the engine uses
+    (dedup.MinHashSignatures), inlined as literals; shingle hashes are the
+    winnowing FNV+positional combine; each (a*h+b) mod 2^64 and each
+    band-hash multiply splits the multiplier into 32-bit halves so HUGEINT
+    products never overflow; banding, the 2..200 bucket cap, candidate
+    pairing and the exact-Jaccard >= threshold verification all mirror the
+    engine. Bit-exact through round(jaccard, 6)."""
+    import numpy as np
+
+    from searchengine_ray.dedup import MinHashSignatures
+
+    m = MinHashSignatures(n=n, num_perm=num_perm, seed=seed)
+    rpb = num_perm // bands
+    perm_rows = ",".join(
+        f"({i}, {int(b)}, {int(a) & 0xFFFFFFFF}, {int(a) >> 32})"
+        for i, (a, b) in enumerate(zip(m.a, m.b))
+    )
+    mix = (
+        np.arange(1, rpb + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+    T = "18446744073709551616"
+    terms = []
+    for j, mx in enumerate(mix):
+        ml, mh = int(mx) & 0xFFFFFFFF, int(mx) >> 32
+        terms.append(
+            f"((s{j} * {ml}) % {T} + ((s{j} * {mh}) % 4294967296)"
+            f" * 4294967296) % {T}"
+        )
+    bh_expr = "(" + " + ".join(terms) + f") % {T}"
+    band_cols = ",\n    ".join(
+        f"max(CASE WHEN i % {rpb} = {j} THEN sv END) AS s{j}"
+        for j in range(rpb)
+    )
+    fnv = """CAST(list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(string_split(term, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % 18446744073709551616) AS HUGEINT)"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+  FROM documents),
+th AS (SELECT term, {fnv} AS fh FROM (SELECT DISTINCT term FROM tok)),
+f AS (SELECT tok.doc_id, tok.pos, th.fh FROM tok JOIN th USING(term)),
+g1 AS (SELECT doc_id, pos, fh AS f0, lead(fh,1) OVER w AS f1, lead(fh,2) OVER w AS f2
+       FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g2 AS (SELECT doc_id, pos, f1, f2,
+        ((f0 * 668265295) % {T} + ((f0 * 3266489917) % 4294967296) * 4294967296) % {T} AS p1
+       FROM g1 WHERE f2 IS NOT NULL),
+g3 AS (SELECT doc_id, pos, f2, (p1 + f1) % {T} AS h2 FROM g2),
+g4 AS (SELECT doc_id, pos, f2,
+        ((h2 * 2654435833) % {T} + ((h2 * 374761393) % 4294967296) * 4294967296) % {T} AS p2
+       FROM g3),
+sh AS (SELECT DISTINCT doc_id, (p2 + f2) % {T} AS h FROM g4),
+nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+perms(i, b, al, ah) AS (VALUES {perm_rows}),
+sig AS (SELECT sh.doc_id, perms.i,
+    min(((sh.h * perms.al) % {T}
+         + ((sh.h * perms.ah) % 4294967296) * 4294967296
+         + perms.b) % {T}) AS sv
+  FROM sh CROSS JOIN perms GROUP BY sh.doc_id, perms.i),
+bands AS (SELECT doc_id, i // {rpb} AS band,
+    {band_cols}
+  FROM sig GROUP BY doc_id, i // {rpb}),
+bh AS (SELECT doc_id, band, {bh_expr} AS v FROM bands),
+bucketed AS (SELECT doc_id, band, v,
+    count(*) OVER (PARTITION BY band, v) AS bucket_n
+  FROM bh QUALIFY bucket_n BETWEEN 2 AND 200),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bucketed x JOIN bucketed y
+    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+    AND sa.h = sb.h
+  GROUP BY c.a, c.b)
+SELECT c.a AS doc_id_a, c.b AS doc_id_b,
+  round(CAST(coalesce(i.i,0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i,0)), 6) AS jaccard
+FROM cand c
+JOIN nsh na ON na.doc_id = c.a JOIN nsh nb ON nb.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+WHERE CAST(coalesce(i.i,0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i,0)) >= {threshold}
+"""
+
+
 _DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_TOK},
 sh0 AS (SELECT doc_id,
@@ -1053,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_components": dedup.dedup_components,
         "dedup_components_dist": dedup.dedup_components_distributed,
@@ -1086,7 +1178,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash/hyperplane/centroid state isn't SQL-expressible; pytest
         # checks no-false-positives + recall vs the exact baselines
         "ann_ivf": ann.ivf_topk,
-        "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
         # trained-model rerankers (training loops aren't SQL; their
         # feature/formula layers are hash-checked via ltr_features and
@@ -1149,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         # check; pytest verifies them against the exact-Jaccard /
         # brute-force baselines instead (no false positives + recall bound).
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_minhash": _minhash_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the
         # driver-side resolver bit-for-bit
