@@ -395,3 +395,23 @@ def test_dedup_components_distributed_equals_driver(ray_session):
         .reset_index(drop=True)
     )
     assert len(a) > 0 and a.equals(b)
+
+
+def test_ivf_scan_pruning(tmp_path, ray_session):
+    """The IVF index REALLY prunes: per-query scored pairs ~= nprobe/n_cells
+    of brute force, and the partitioned layout exposes per-cell row counts
+    that sum to the corpus."""
+    from searchengine_ray import ann
+
+    index_dir = str(tmp_path / "ivf")
+    ann.ivf_build(SF, index_dir, n_cells=8)
+    q_ids, q_mat = ann._query_matrix(SF, 10)
+    stats = ann.ivf_scan_stats(index_dir, q_mat, nprobe=2)
+    assert stats["total_rows"] == 500
+    assert stats["rows_read"] <= stats["total_rows"]
+    ratio = stats["pairs_scored"] / stats["pairs_brute"]
+    # expected nprobe/n_cells = 0.25; allow slack for uneven cells
+    assert ratio <= 0.6
+    # and the pruned search still returns full top-k rows
+    out = ann.ivf_search(index_dir, q_ids, q_mat, k=5, nprobe=2)
+    assert out.num_rows == 50
