@@ -1103,16 +1103,174 @@ def entry() -> Any:
     return run_queries(idx, queries, ModelParams(model="bm25", top_k=20), concurrency=2)
 
 
+# ---------------------------------------------------------------------------
+# Curation-operator oracles. Sampling decisions are splitmix64(key, seed)
+# (sketch._hash64), reproduced here in HUGEINT mod-2^64 arithmetic: each
+# multiply splits the constant into 32-bit halves so products never overflow
+# 128 bits; xor runs in UBIGINT; shifts are power-of-two floor-divides.
+_T64 = "18446744073709551616"
+
+
+def _mulmod64_sql(e: str, c: int) -> str:
+    cl, ch = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"((({e}) * {cl}) % {_T64} + ((({e}) * {ch}) % 4294967296)"
+        f" * 4294967296) % {_T64}"
+    )
+
+
+def _xorshift_sql(e: str, s: int) -> str:
+    return (
+        f"CAST(xor(CAST({e} AS UBIGINT), CAST(({e}) // {1 << s} AS UBIGINT))"
+        f" AS HUGEINT)"
+    )
+
+
+def _splitmix_ctes(prefix: str, src: str, keep: list[str], key: str, seed: int) -> str:
+    """CTE chain {prefix}0..{prefix}3 computing v = splitmix64(key, seed)
+    while carrying ``keep`` columns through (verified bit-equal to
+    sketch._hash64 in tests/test_curation.py)."""
+    kp = (", ".join(keep) + ", ") if keep else ""
+    c0 = (0x9E3779B97F4A7C15 + seed) % (1 << 64)
+    m1 = _mulmod64_sql(_xorshift_sql("v", 30), 0xBF58476D1CE4E5B9)
+    m2 = _mulmod64_sql(_xorshift_sql("v", 27), 0x94D049BB133111EB)
+    m3 = _xorshift_sql("v", 31)
+    return f"""{prefix}0 AS (SELECT {kp}(CAST({key} AS HUGEINT) + {c0}) % {_T64} AS v FROM {src}),
+{prefix}1 AS (SELECT {kp}({m1}) AS v FROM {prefix}0),
+{prefix}2 AS (SELECT {kp}({m2}) AS v FROM {prefix}1),
+{prefix}3 AS (SELECT {kp}({m3}) AS v FROM {prefix}2)"""
+
+
+def _split_sql() -> str:
+    from searchengine_ray.curation import SPLIT_SEED
+
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)}
+SELECT doc_id, CAST(v % 100 AS BIGINT) AS bucket,
+  CASE WHEN v % 100 < 80 THEN 'train' WHEN v % 100 < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM sx3
+"""
+
+
+def _strat_sql() -> str:
+    from searchengine_ray.curation import (
+        DEFAULT_RATE_MICRO, SAMPLE_SEED, STRATA_RATES_MICRO,
+    )
+
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES_MICRO.items()
+    )
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id', 'lang'], 'doc_id', SAMPLE_SEED)}
+SELECT doc_id, lang FROM sx3
+WHERE CAST(v % 1000000 AS BIGINT)
+      < CASE lang {case} ELSE {DEFAULT_RATE_MICRO} END
+"""
+
+
+def _reservoir_sql() -> str:
+    from searchengine_ray.curation import RESERVOIR_SEED
+
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id', 'source'], 'doc_id', RESERVOIR_SEED)},
+d AS (SELECT doc_id, source, CAST(v // 2 AS BIGINT) AS draw FROM sx3)
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY draw, doc_id)
+         AS BIGINT) AS rn
+  FROM d) t
+WHERE rn <= 3
+"""
+
+
+_CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+      AS rn
+  FROM documents) t
+WHERE rn <= 5
+"""
+
+
+def _pii_sql() -> str:
+    from searchengine_ray.curation import EMAIL_RE, IP_RE, PHONE_RE
+
+    red = "fl.f"
+    for pat, rep in ((EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>"), (IP_RE, "<IP>")):
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(fl.f, '{pat}')) AS BIGINT) AS {name}"
+        for pat, name in (
+            (EMAIL_RE, "n_email"), (PHONE_RE, "n_phone"), (IP_RE, "n_ip"),
+        )
+    )
+    return f"""
+WITH fl AS (SELECT doc_id,
+  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com phone +1-555-' || CAST(doc_id % 4096 AS VARCHAR)
+       || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' AS f
+  FROM documents)
+SELECT doc_id, {red} AS redacted,
+  {counts}
+FROM fl
+"""
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+  FROM documents),
+tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(max(c) AS BIGINT) AS top_token_count FROM tc GROUP BY 1),
+bg AS (SELECT a.doc_id, a.term || ' ' || b.term AS big
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
+bt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1)
+SELECT d.doc_id, coalesce(tt.n_tokens, 0) AS n_tokens,
+  coalesce(tt.top_token_count, 0) AS top_token_count,
+  coalesce(bt.n_bigrams, 0) AS n_bigrams,
+  coalesce(bt.top_bigram_count, 0) AS top_bigram_count
+FROM documents d LEFT JOIN tt ON tt.doc_id = d.doc_id
+LEFT JOIN bt ON bt.doc_id = d.doc_id
+"""
+
+
+def _hll_reg_sql(p: int = 12) -> str:
+    m = 1 << p
+    nbits = 64 - p
+    return f"""
+WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, user_id FROM events),
+{_splitmix_ctes('hx', 'ev', ['window_start'], 'user_id', 0)},
+r AS (SELECT window_start, CAST(v % {m} AS BIGINT) AS idx,
+             CAST(v // {m} AS BIGINT) AS rest FROM hx3),
+rr AS (SELECT window_start, idx,
+        CASE WHEN rest = 0 THEN {nbits + 1}
+             ELSE bit_count((rest & -rest) - 1) + 1 END AS rho FROM r),
+mreg AS (SELECT window_start, idx, max(rho) AS reg FROM rr GROUP BY 1, 2)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n_nonzero_registers,
+  CAST(sum(reg) AS BIGINT) AS register_sum, CAST(max(reg) AS BIGINT) AS max_rho
+FROM mreg GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, dedup, gate, multimodal, relational, sketch, textextras,
-        textstats, windows,
+        ann, curation, dedup, gate, multimodal, relational, sketch,
+        textextras, textstats, windows,
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries, so
-    # every entry with an oracle_sql() key (full rows+schema+hash check)
-    # comes FIRST; rows-only entries (no SQL oracle possible — pytest covers
-    # their semantics instead) follow, most informative first.
+    # entries with an oracle_sql() key (full rows+schema+hash check) come
+    # FIRST; positions 50+ hold FURTHER SQL-backed entries plus the
+    # rows-only ones (no SQL oracle possible — pytest covers their
+    # semantics) — all of them are verified by the same comparison in
+    # tools/check_gate.py, results recorded in BASELINE.md.
     return {
         # --- SQL-backed (hash-checked) --------------------------------
         # search engine (documents-derived corpus)
@@ -1172,6 +1330,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_join_revenue": relational.revenue_by_order_priority,
         "rel_shipping_priority": relational.shipping_priority,
         "rel_top_orders_per_cust": relational.top_orders_per_customer,
+        # --- SQL-backed, beyond the driver's 50-entry window (verified
+        # locally by tools/check_gate.py): training-data curation ---------
+        "cur_split_train_test": curation.split_train_test,
+        "cur_sample_stratified": curation.sample_stratified,
+        "cur_cap_per_source": curation.cap_per_source,
+        "cur_sample_per_source": curation.sample_per_source,
+        "cur_pii_redact": curation.pii_redact,
+        "cur_repetition_stats": curation.repetition_stats,
+        "hll_registers": sketch.hll_register_stats,
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
@@ -1265,4 +1432,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_join_revenue": _REV_BY_PRIORITY_SQL,
         "rel_shipping_priority": _SHIPPING_PRIORITY_SQL,
         "rel_top_orders_per_cust": _TOP_ORDERS_PER_CUST_SQL,
+        "cur_split_train_test": _split_sql(),
+        "cur_sample_stratified": _strat_sql(),
+        "cur_cap_per_source": _CAP_PER_SOURCE_SQL,
+        "cur_sample_per_source": _reservoir_sql(),
+        "cur_pii_redact": _pii_sql(),
+        "cur_repetition_stats": _REPETITION_SQL,
+        "hll_registers": _hll_reg_sql(),
     }

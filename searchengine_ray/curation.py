@@ -1,0 +1,346 @@
+"""Training-data curation operators: the selection / scrubbing passes a
+large-scale LLM data pipeline runs between dedup and tokenization —
+deterministic train/valid/test splitting, per-stratum sampling, per-source
+caps, PII redaction, and Gopher-style repetition statistics.
+
+All of them are single vectorized ``map_batches`` passes (Arrow / numpy
+kernels, no per-row Python) except the per-source cap, which is the
+bounded-dispatch hash-partition + in-partition vectorized rank pattern
+shared with ``relational.top_orders_per_customer``. Every operator has an
+exact DuckDB oracle in ``__ray_entry__.oracle_sql`` — randomness is
+replaced by the splitmix64 hash of a key column (``sketch._hash64``),
+which the oracle reproduces with HUGEINT mod-2^64 arithmetic, so sampling
+decisions are bit-reproducible AND embarrassingly parallel: a row's fate
+depends only on (key, seed), never on which worker or batch saw it. That
+is the property that makes the pass restartable and shardable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sketch import _hash64
+
+#: default per-language keep-rates (micro-units, 1e6 = keep everything) for
+#: stratified sampling — downsample the over-represented head language,
+#: keep the tail. Mirrored literally in the oracle SQL.
+STRATA_RATES_MICRO: dict[str, int] = {
+    "en": 100_000,
+    "fr": 500_000,
+    "es": 500_000,
+    "de": 500_000,
+    "zh": 250_000,
+}
+DEFAULT_RATE_MICRO = 1_000_000
+
+SPLIT_SEED = 7
+SAMPLE_SEED = 11
+
+#: PII patterns (RE2 — the SAME engine behind pyarrow.compute and DuckDB's
+#: regexp_* functions, so replacements and counts agree bit-exactly).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,4}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _read_docs(sf_dir: str, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def split_train_test(
+    sf_dir: str, train_pct: int = 80, valid_pct: int = 10,
+    seed: int = SPLIT_SEED,
+):
+    """Deterministic hash split: bucket = splitmix64(doc_id, seed) % 100;
+    train/valid/test by bucket range. Returns (doc_id, bucket, split).
+
+    Hash-of-key (not modulo-of-rowindex, not RNG) so the assignment is
+    stable under re-partitioning, resumption, and incremental reruns —
+    a document keeps its split forever, on any cluster layout.
+    """
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        bucket = (_hash64(ids, seed) % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            bucket < train_pct,
+            "train",
+            np.where(bucket < train_pct + valid_pct, "valid", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def sample_stratified(
+    sf_dir: str,
+    rates_micro: dict[str, int] | None = None,
+    seed: int = SAMPLE_SEED,
+):
+    """Per-stratum deterministic sampling: keep a row iff
+    splitmix64(doc_id, seed) % 1e6 < rate_micro[lang]. Returns the kept
+    (doc_id, lang) rows.
+
+    A pure filter — no shuffle, no state, no coordination; the expected
+    kept fraction per language is rate/1e6 and the decision replays
+    identically on any re-run or re-shard.
+    """
+    rates = STRATA_RATES_MICRO if rates_micro is None else rates_micro
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        draw = (_hash64(ids, seed) % np.uint64(1_000_000)).astype(np.int64)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        thresh = np.fromiter(
+            (rates.get(lg, DEFAULT_RATE_MICRO) for lg in langs),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        return t.filter(pa.array(draw < thresh))
+
+    return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def _ranked_per_source(sf_dir: str, k: int, order_col: str):
+    """Shared bounded-dispatch rank machinery: hash sources into
+    input-scaled buckets, ONE vectorized sort + run-length rank per bucket,
+    keep rows with rank <= k ordered by ``order_col`` (ties by doc_id).
+    Emits (doc_id, source, rn)."""
+    import ray.data  # noqa: F401
+
+    from .dedup import _term_hash64
+    from .partitioning import partition_count
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    nparts = partition_count(
+        f"{sf_dir}/documents.parquet", ("doc_id", "source")
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t.column("source").combine_chunks().dictionary_encode()
+        uh = np.fromiter(
+            (_term_hash64(s) for s in d.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(d.dictionary),
+        )
+        kc = (uh[d.indices.to_numpy()] % np.uint64(nparts)).astype(np.int32)
+        return t.append_column("kc", pa.array(kc))
+
+    def rank_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "rn": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [
+                ("source", "ascending"),
+                (order_col, "ascending"),
+                ("doc_id", "ascending"),
+            ]
+        )
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        new_s = np.empty(len(src), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new_s)
+        rn = np.arange(len(src), dtype=np.int64)
+        rn -= np.repeat(starts, np.diff(np.append(starts, len(src))))
+        sel = rn < k
+        out = t.filter(pa.array(sel)).select(["doc_id", "source"])
+        return out.append_column("rn", pa.array(rn[sel] + 1, type=pa.int64()))
+
+    return ds, prep, rank_partition
+
+
+def cap_per_source(sf_dir: str, k: int = 5):
+    """Per-source document cap (the C4/RefinedWeb "at most k documents per
+    domain" rule): keep the k lowest-doc_id docs of each source. Returns
+    (doc_id, source, rn) with rn in 1..k.
+
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) via the
+    bounded-dispatch pattern: sources hash into input-scaled buckets
+    (``partitioning.partition_count``), each bucket ranks every source it
+    owns in ONE vectorized sort + run-length pass.
+    """
+    ds, prep, rank_partition = _ranked_per_source(sf_dir, k, "doc_id")
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("kc")
+        .map_groups(rank_partition, batch_format="pyarrow")
+    )
+
+
+RESERVOIR_SEED = 13
+
+
+def sample_per_source(sf_dir: str, k: int = 3, seed: int = RESERVOIR_SEED):
+    """Deterministic per-source reservoir sample: k UNIFORM pseudo-random
+    docs per source — rank by splitmix64(doc_id, seed) instead of doc_id,
+    so the "random" pick is reproducible, subset-stable, and
+    coordination-free (the distributed equivalent of reservoir sampling
+    with a fixed seed). Returns (doc_id, source, rn); rn orders the sample
+    by draw value.
+    """
+    ds, _, rank_partition = _ranked_per_source(sf_dir, k, "draw")
+
+    from .dedup import _term_hash64
+    from .partitioning import partition_count
+
+    nparts = partition_count(
+        f"{sf_dir}/documents.parquet", ("doc_id", "source")
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        # int64-safe draw: clear the top bit so Arrow stores plain int64
+        draw = (_hash64(ids, seed) >> np.uint64(1)).astype(np.int64)
+        d = t.column("source").combine_chunks().dictionary_encode()
+        uh = np.fromiter(
+            (_term_hash64(s) for s in d.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(d.dictionary),
+        )
+        kc = (uh[d.indices.to_numpy()] % np.uint64(nparts)).astype(np.int32)
+        t = t.append_column("draw", pa.array(draw, type=pa.int64()))
+        return t.append_column("kc", pa.array(kc))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("kc")
+        .map_groups(rank_partition, batch_format="pyarrow")
+    )
+
+
+def _with_contact(t: pa.Table) -> pa.Array:
+    """text + a deterministic synthetic contact line derived from doc_id.
+
+    The sf corpora contain no real PII (closed 29-word vocabulary), so the
+    gate entry plants one email, one phone, and one IPv4 per document —
+    derived from doc_id, mirrored by `||`-concatenation in the oracle SQL —
+    and the redactor must find and replace exactly those.
+    """
+    ids = t.column("doc_id")
+    s = pc.cast(ids, pa.string())
+    s4 = pc.cast(pc.bit_wise_and(ids, pa.scalar(4095)), pa.string())
+    s8 = pc.cast(pc.bit_wise_and(ids, pa.scalar(255)), pa.string())
+    return pc.binary_join_element_wise(
+        t.column("text"),
+        " contact user", s, "@example.com phone +1-555-", s4,
+        " host 10.", s8, ".0.1 end",
+        "",
+    )
+
+
+def redact_batch(text: pa.Array) -> dict[str, pa.Array]:
+    """Redact emails, then phones, then IPv4s (fixed order — patterns are
+    applied to the output of the previous replacement). Counts are
+    non-overlapping leftmost matches on the ORIGINAL text. All four outputs
+    are single Arrow RE2 kernels."""
+    n_email = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+    n_phone = pc.cast(pc.count_substring_regex(text, PHONE_RE), pa.int64())
+    n_ip = pc.cast(pc.count_substring_regex(text, IP_RE), pa.int64())
+    red = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+    red = pc.replace_substring_regex(red, IP_RE, "<IP>")
+    return {
+        "redacted": red,
+        "n_email": n_email,
+        "n_phone": n_phone,
+        "n_ip": n_ip,
+    }
+
+
+def pii_redact(sf_dir: str):
+    """PII scrub over the documents table (with planted deterministic PII,
+    see _with_contact). Returns (doc_id, redacted, n_email, n_phone, n_ip).
+    """
+
+    def scrub(t: pa.Table) -> pa.Table:
+        full = _with_contact(t)
+        out = redact_batch(full)
+        return pa.table({"doc_id": t.column("doc_id"), **out})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals: per doc, the total and
+    most-frequent-element counts for unigrams and bigrams — the inputs to
+    "fraction of tokens in the top n-gram" repetition filters. Returns
+    (doc_id, n_tokens, top_token_count, n_bigrams, top_bigram_count), all
+    exact int64 (ratio thresholds are the consumer's choice; integers keep
+    the oracle bit-exact).
+
+    One flat-token pass per batch: dictionary codes + ONE lexsort for
+    unigram runs, adjacent-pair keys + ONE lexsort for bigram runs.
+    """
+    from .textstats import _flat_tokens
+
+    def stats(t: pa.Table) -> pa.Table:
+        n, doc_idx, flat = _flat_tokens(t)
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        top_tok = np.zeros(n, dtype=np.int64)
+        n_big = np.zeros(n, dtype=np.int64)
+        top_big = np.zeros(n, dtype=np.int64)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        if len(codes):
+            top_tok = _top_run_count(doc_idx, codes, n)
+        if len(codes) > 1:
+            adj = doc_idx[1:] == doc_idx[:-1]
+            big_doc = doc_idx[:-1][adj]
+            v = len(enc.dictionary)
+            big_key = codes[:-1][adj] * np.int64(v) + codes[1:][adj]
+            n_big = np.bincount(big_doc, minlength=n).astype(np.int64)
+            if len(big_key):
+                top_big = _top_run_count(big_doc, big_key, n)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "top_token_count": pa.array(top_tok, type=pa.int64()),
+                "n_bigrams": pa.array(n_big, type=pa.int64()),
+                "top_bigram_count": pa.array(top_big, type=pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def _top_run_count(doc_idx: np.ndarray, keys: np.ndarray, n: int) -> np.ndarray:
+    """max run length per doc after sorting by (doc, key) — i.e. the count
+    of the most frequent key within each doc. Vectorized: one lexsort, run
+    boundaries, scatter-max."""
+    order = np.lexsort((keys, doc_idx))
+    dd, kk = doc_idx[order], keys[order]
+    new = np.empty(len(dd), dtype=bool)
+    new[0] = True
+    new[1:] = (dd[1:] != dd[:-1]) | (kk[1:] != kk[:-1])
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.append(starts, len(dd)))
+    out = np.zeros(n, dtype=np.int64)
+    np.maximum.at(out, dd[starts], run_len)
+    return out

@@ -63,27 +63,16 @@ def estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_distinct_users(sf_dir: str, p: int = 12):
-    """Per hour: approximate distinct users via HLL registers.
-
-    Returns (window_start, n_users_approx int64). The shuffle carries one
-    2^p-byte register block per (batch, window) — constant per window, not
-    per distinct user. Compare textextras.hourly_unique_users (exact, two
-    row-level shuffles); pytest bounds the relative error.
-    """
+def _partial_fn(p: int):
+    """map_batches stage: (ts, user_id) rows -> one 2^p-byte register block
+    per (batch, window). Shared by the estimate and register-stats paths."""
     import pyarrow.compute as pc
-    import ray.data
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
 
     def partial(t: pa.Table) -> pa.Table:
         win = pc.floor_temporal(t.column("ts"), unit="hour").to_numpy()
         users = t.column("user_id").to_numpy()
         order = np.argsort(win, kind="mergesort")
         win, users = win[order], users[order]
-        change = np.empty(len(win), dtype=bool)
         if len(win) == 0:
             return pa.table(
                 {
@@ -91,6 +80,7 @@ def hll_distinct_users(sf_dir: str, p: int = 12):
                     "regs": pa.array([], pa.list_(pa.uint8())),
                 }
             )
+        change = np.empty(len(win), dtype=bool)
         change[0] = True
         change[1:] = win[1:] != win[:-1]
         starts = np.flatnonzero(change)
@@ -104,6 +94,71 @@ def hll_distinct_users(sf_dir: str, p: int = 12):
                 ),
             }
         )
+
+    return partial
+
+
+def hll_register_stats(sf_dir: str, p: int = 12):
+    """Per hour: the merged HLL REGISTER STATE as exact integers —
+    (window_start, n_nonzero_registers, register_sum, max_rho).
+
+    Same distributed pipeline as ``hll_distinct_users`` (per-batch partial
+    register blocks, elementwise-max merge per window), but the output is
+    the integer register summary instead of the float estimate, so a
+    DuckDB oracle can reproduce it BIT-EXACTLY (splitmix64 in HUGEINT
+    mod-2^64 arithmetic, rho via bit_count of the lowest-set-bit mask).
+    This hash-checks the whole approximate path — hash, register split,
+    rho, and the cross-batch max-merge — leaving only the final
+    registers->estimate formula to the pytest error-bound test.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    part = _partial_fn(p)
+
+    def stats(g: pa.Table) -> pa.Table:
+        col = g.column("regs").combine_chunks()
+        m = 1 << p
+        regs = col.flatten().to_numpy().reshape(g.num_rows, m).max(axis=0)
+        nz = regs[regs > 0]
+        return pa.table(
+            {
+                "window_start": g.column("window_start").slice(0, 1),
+                "n_nonzero_registers": pa.array(
+                    [int(len(nz))], type=pa.int64()
+                ),
+                "register_sum": pa.array(
+                    [int(nz.sum(dtype=np.int64))], type=pa.int64()
+                ),
+                "max_rho": pa.array(
+                    [int(regs.max(initial=0))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("window_start")
+        .map_groups(stats, batch_format="pyarrow")
+    )
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12):
+    """Per hour: approximate distinct users via HLL registers.
+
+    Returns (window_start, n_users_approx int64). The shuffle carries one
+    2^p-byte register block per (batch, window) — constant per window, not
+    per distinct user. Compare textextras.hourly_unique_users (exact, two
+    row-level shuffles); pytest bounds the relative error.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    partial = _partial_fn(p)
 
     def merge(g: pa.Table) -> pa.Table:
         col = g.column("regs").combine_chunks()

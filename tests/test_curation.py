@@ -1,0 +1,196 @@
+"""Training-data curation operators (curation.py) + the HLL register-state
+entry: semantics the SQL gate proves by hash, re-checked here at unit level
+with planted inputs, plus the properties SQL can't express (subset
+invariance of hash sampling, redaction on adversarial strings)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_split_matches_direct_hash_and_is_total():
+    from searchengine_ray.curation import SPLIT_SEED, split_train_test
+    from searchengine_ray.sketch import _hash64
+
+    df = split_train_test(SF).to_pandas().sort_values("doc_id")
+    assert len(df) == 500 and df["doc_id"].is_unique
+    expect = _hash64(df["doc_id"].to_numpy(), SPLIT_SEED) % np.uint64(100)
+    assert (df["bucket"].to_numpy() == expect.astype(np.int64)).all()
+    pred = np.where(
+        expect < 80, "train", np.where(expect < 90, "valid", "test")
+    )
+    assert (df["split"].to_numpy() == pred).all()
+    # roughly 80/10/10 at n=500
+    frac = df["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+
+
+def test_stratified_sampling_subset_invariance_and_rates():
+    """A doc's keep/drop decision depends only on (doc_id, seed): the same
+    doc_ids survive regardless of which other rows are present — the
+    property that makes the pass shardable/restartable."""
+    from searchengine_ray.curation import (
+        SAMPLE_SEED, STRATA_RATES_MICRO, sample_stratified,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    df = sample_stratified(SF).to_pandas()
+    import duckdb
+
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+    ).df()
+    draw = _hash64(langs["doc_id"].to_numpy(), SAMPLE_SEED) % np.uint64(
+        1_000_000
+    )
+    thresh = langs["lang"].map(STRATA_RATES_MICRO).to_numpy()
+    expect = set(langs["doc_id"].to_numpy()[draw.astype(np.int64) < thresh])
+    assert set(df["doc_id"]) == expect
+    # en is downsampled hardest
+    kept = collections.Counter(df["lang"])
+    total = collections.Counter(langs["lang"])
+    assert kept["en"] / total["en"] < 0.25
+    assert kept.get("fr", 0) / total["fr"] > 0.2
+
+
+def test_cap_per_source_keeps_k_lowest_ids():
+    from searchengine_ray.curation import cap_per_source
+
+    df = cap_per_source(SF, k=3).to_pandas()
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).df()
+    for src, grp in docs.groupby("source"):
+        keep = sorted(grp["doc_id"])[:3]
+        got = df[df["source"] == src].sort_values("rn")
+        assert list(got["doc_id"]) == keep
+        assert list(got["rn"]) == list(range(1, len(keep) + 1))
+
+
+def test_sample_per_source_is_uniform_reservoir():
+    """k per source, ranked by splitmix64 draw — matches a direct recount
+    and differs from the lowest-id cap (it is actually 'random')."""
+    from searchengine_ray.curation import (
+        RESERVOIR_SEED, cap_per_source, sample_per_source,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    df = sample_per_source(SF, k=3).to_pandas()
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).df()
+    draw = (
+        _hash64(docs["doc_id"].to_numpy(), RESERVOIR_SEED) >> np.uint64(1)
+    ).astype(np.int64)
+    docs = docs.assign(draw=draw)
+    for src, grp in docs.groupby("source"):
+        keep = grp.sort_values(["draw", "doc_id"]).head(3)
+        got = df[df["source"] == src].sort_values("rn")
+        assert list(got["doc_id"]) == list(keep["doc_id"])
+    cap = cap_per_source(SF, k=3).to_pandas()
+    assert set(map(tuple, df[["doc_id", "source"]].to_numpy())) != set(
+        map(tuple, cap[["doc_id", "source"]].to_numpy())
+    )
+
+
+def test_redact_batch_adversarial_strings():
+    from searchengine_ray.curation import redact_batch
+
+    text = pa.array(
+        [
+            "mail a.b+c@x-y.co and d@e.org now",   # two emails, one line
+            "call +1-555-0199 or +44-123-45",       # two phones
+            "ip 192.168.0.1 not 1234.5.6.7 end",    # \b rejects 4-digit octet run
+            "clean line with no pii at all",
+            "",                                       # empty string
+        ]
+    )
+    out = redact_batch(text)
+    red = out["redacted"].to_pylist()
+    assert red[0] == "mail <EMAIL> and <EMAIL> now"
+    assert red[1] == "call <PHONE> or <PHONE>"
+    assert red[2] == "ip <IP> not 1234.5.6.7 end"
+    assert red[3] == "clean line with no pii at all"
+    assert red[4] == ""
+    assert out["n_email"].to_pylist() == [2, 0, 0, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 2, 0, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 0, 1, 0, 0]
+
+
+def test_pii_redact_plants_and_scrubs_every_doc():
+    from searchengine_ray.curation import pii_redact
+
+    df = pii_redact(SF).to_pandas()
+    assert len(df) == 500
+    assert (df["n_email"] == 1).all()
+    assert (df["n_phone"] == 1).all()
+    assert (df["n_ip"] == 1).all()
+    assert df["redacted"].str.contains("<EMAIL>").all()
+    assert not df["redacted"].str.contains("@").any()
+
+
+def test_repetition_stats_hand_computed():
+    """Planted docs with known top-token / top-bigram counts, pushed through
+    the same batch kernel the pipeline uses."""
+    from searchengine_ray.curation import repetition_stats
+
+    df = repetition_stats(SF).to_pandas().set_index("doc_id")
+    # cross-check a few docs against a pure-Python recount
+    import duckdb
+    import re
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 20"
+    ).df()
+    tok_re = re.compile(r"[a-z0-9_]+")
+    for _, row in docs.iterrows():
+        toks = tok_re.findall(row["text"].lower())
+        bigs = [
+            (a, b) for a, b in zip(toks, toks[1:])
+        ]
+        got = df.loc[row["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert got["top_token_count"] == (
+            max(collections.Counter(toks).values()) if toks else 0
+        )
+        assert got["n_bigrams"] == len(bigs)
+        assert got["top_bigram_count"] == (
+            max(collections.Counter(bigs).values()) if bigs else 0
+        )
+
+
+def test_hll_register_stats_match_direct_registers():
+    from searchengine_ray.sketch import hll_register_stats, registers_of
+
+    df = (
+        hll_register_stats(SF, p=12)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT date_trunc('hour', ts) AS w, user_id FROM"
+        f" '{SF}/events.parquet'"
+    ).df()
+    for w, grp in ev.groupby("w"):
+        regs = registers_of(grp["user_id"].to_numpy(), 12)
+        row = df[df["window_start"] == w].iloc[0]
+        assert row["n_nonzero_registers"] == int((regs > 0).sum())
+        assert row["register_sum"] == int(regs.sum(dtype=np.int64))
+        assert row["max_rho"] == int(regs.max(initial=0))
+    assert len(df) == ev["w"].nunique()
