@@ -1218,6 +1218,25 @@ FROM fl
 """
 
 
+def _quantiles_sql() -> str:
+    from searchengine_ray.curation import QUANTILE_PCTS
+
+    picks = ",\n  ".join(
+        f"CAST(max(CASE WHEN rn = (n - 1) * {p} // 100 + 1 THEN n_chars END)"
+        f" AS BIGINT) AS p{p}_chars"
+        for p in QUANTILE_PCTS
+    )
+    return f"""
+WITH r AS (SELECT lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+  {picks}
+FROM r GROUP BY lang
+"""
+
+
 _REPETITION_SQL = """
 WITH tok AS (
   SELECT doc_id,
@@ -1338,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_sample_per_source": curation.sample_per_source,
         "cur_pii_redact": curation.pii_redact,
         "cur_repetition_stats": curation.repetition_stats,
+        "cur_length_quantiles": curation.length_quantiles,
         "hll_registers": sketch.hll_register_stats,
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
@@ -1438,5 +1458,6 @@ def oracle_sql() -> dict[str, str]:
         "cur_sample_per_source": _reservoir_sql(),
         "cur_pii_redact": _pii_sql(),
         "cur_repetition_stats": _REPETITION_SQL,
+        "cur_length_quantiles": _quantiles_sql(),
         "hll_registers": _hll_reg_sql(),
     }

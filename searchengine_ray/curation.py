@@ -330,6 +330,81 @@ def repetition_stats(sf_dir: str):
     )
 
 
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (p50/p90/p99 of n_chars) — the
+    corpus-profiling pass that sizes batch/token budgets downstream.
+
+    Scale-safe EXACT algorithm for integer-valued bounded-domain columns:
+    per-batch partial (lang, n_chars) counts (combiner BEFORE the shuffle)
+    -> one small groupby(lang, n_chars) Sum -> per-lang quantiles off the
+    value histogram. The shuffle carries at most |langs| x |distinct
+    lengths| rows regardless of corpus size — never a row per document.
+    Quantile definition (mirrored in the oracle): ascending value at index
+    (n-1)*pct//100 (lower interpolation, pure integers). Returns
+    (lang, n_docs, p50_chars, p90_chars, p99_chars).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        enc = t.column("lang").combine_chunks().dictionary_encode()
+        langs = enc.dictionary
+        lc = enc.indices.to_numpy().astype(np.int64)
+        nc = t.column("n_chars").to_numpy()
+        # combine (lang, n_chars) inside the batch: one lexsort + run count
+        order = np.lexsort((nc, lc))
+        ls, vs = lc[order], nc[order]
+        new = np.empty(len(ls), dtype=bool)
+        if len(ls) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        new[0] = True
+        new[1:] = (ls[1:] != ls[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(ls)))
+        return pa.table(
+            {
+                "lang": langs.take(pa.array(ls[starts])),
+                "n_chars": pa.array(vs[starts], type=pa.int64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("n_chars", "ascending")])
+        vals = g.column("n_chars").to_numpy()
+        cnt = g.column("cnt").to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out = {"lang": g.column("lang").slice(0, 1),
+               "n_docs": pa.array([n], type=pa.int64())}
+        for pct in QUANTILE_PCTS:
+            idx = (n - 1) * pct // 100
+            v = int(vals[np.searchsorted(cum, idx + 1)])
+            out[f"p{pct}_chars"] = pa.array([v], type=pa.int64())
+        return pa.table(out)
+
+    return hist.groupby("lang").map_groups(quantiles, batch_format="pyarrow")
+
+
 def _top_run_count(doc_idx: np.ndarray, keys: np.ndarray, n: int) -> np.ndarray:
     """max run length per doc after sorting by (doc, key) — i.e. the count
     of the most frequent key within each doc. Vectorized: one lexsort, run

@@ -172,6 +172,23 @@ def test_repetition_stats_hand_computed():
         )
 
 
+def test_length_quantiles_exact():
+    from searchengine_ray.curation import QUANTILE_PCTS, length_quantiles
+
+    df = length_quantiles(SF).to_pandas().set_index("lang")
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT lang, n_chars FROM '{SF}/documents.parquet'"
+    ).df()
+    for lang, grp in docs.groupby("lang"):
+        vals = np.sort(grp["n_chars"].to_numpy())
+        row = df.loc[lang]
+        assert row["n_docs"] == len(vals)
+        for pct in QUANTILE_PCTS:
+            assert row[f"p{pct}_chars"] == vals[(len(vals) - 1) * pct // 100]
+
+
 def test_hll_register_stats_match_direct_registers():
     from searchengine_ray.sketch import hll_register_stats, registers_of
 
