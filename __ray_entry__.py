@@ -1278,6 +1278,46 @@ FROM mreg GROUP BY 1
 """
 
 
+def _hll_estimate_sql(p: int = 12) -> str:
+    """Full HLL estimate (same register pipeline as `_hll_reg_sql`, then the
+    bias-corrected harmonic estimate). Bit-exact vs `sketch.estimate`: the
+    denominator sum(2^-reg) is an exact BIGINT sum of 2^(R-reg), the float
+    expression is written in the SAME left-assoc op order as the Python
+    side, `e0` literals force DOUBLE (plain decimals are DECIMAL in
+    DuckDB), ln == libm log == math.log, and floor(x+0.5) matches the
+    engine's rounding."""
+    m = 1 << p
+    nbits = 64 - p
+    return f"""
+WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, user_id FROM events),
+{_splitmix_ctes('hx', 'ev', ['window_start'], 'user_id', 0)},
+r AS (SELECT window_start, CAST(v % {m} AS BIGINT) AS idx,
+             CAST(v // {m} AS BIGINT) AS rest FROM hx3),
+rr AS (SELECT window_start, idx,
+        CASE WHEN rest = 0 THEN {nbits + 1}
+             ELSE bit_count((rest & -rest) - 1) + 1 END AS rho FROM r),
+mreg AS (SELECT window_start, idx, max(rho) AS reg FROM rr GROUP BY 1, 2),
+wr AS (SELECT window_start, CAST(count(*) AS BIGINT) AS nreg,
+              CAST(max(reg) AS BIGINT) AS r FROM mreg GROUP BY 1),
+dn AS (SELECT mr.window_start,
+         CAST(sum(CAST(1 AS BIGINT) << (w.r - mr.reg)) AS BIGINT) AS s_present
+       FROM mreg mr JOIN wr w USING (window_start) GROUP BY 1),
+raw AS (SELECT w.window_start, {m} - w.nreg AS zeros,
+   0.7213e0 / (1e0 + 1.079e0 / {m}e0) * {m}e0 * {m}e0
+     * power(2e0, CAST(w.r AS DOUBLE))
+     / CAST(dn.s_present + ({m} - w.nreg) * (CAST(1 AS BIGINT) << w.r)
+            AS DOUBLE) AS est
+   FROM wr w JOIN dn ON dn.window_start = w.window_start),
+fin AS (SELECT window_start,
+   CASE WHEN est <= 2.5e0 * {m}e0 AND zeros > 0
+        THEN {m}e0 * ln({m}e0 / CAST(zeros AS DOUBLE)) ELSE est END AS est
+   FROM raw)
+SELECT window_start,
+  CAST(floor(est + 0.5e0) AS BIGINT) AS n_users_approx
+FROM fin
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
         ann, curation, dedup, gate, multimodal, relational, sketch,
@@ -1359,6 +1399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_repetition_stats": curation.repetition_stats,
         "cur_length_quantiles": curation.length_quantiles,
         "hll_registers": sketch.hll_register_stats,
+        # full HLL estimate — SQL-checked since late round 3: exact-integer
+        # harmonic denominator + fixed float op order (see _hll_estimate_sql)
+        "events_hourly_users_hll": sketch.hll_distinct_users,
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
@@ -1371,10 +1414,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the drmm determinism pytest)
         "ltr_rerank": gate.ltr_rerank,
         "drmm_rerank": gate.drmm_rerank,
-        # approximate distinct-count sketch (HLL registers through the
-        # shuffle; see sketch.py): estimates can't hash-match an exact
-        # SQL oracle; pytest bounds the per-window relative error
-        "events_hourly_users_hll": sketch.hll_distinct_users,
         # multimodal (deterministic synthetic media; decode backends are
         # documented fakes — the Ray plumbing is the deliverable). sf_dir
         # is unused: no real media bytes exist in this environment.
@@ -1460,4 +1499,5 @@ def oracle_sql() -> dict[str, str]:
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_length_quantiles": _quantiles_sql(),
         "hll_registers": _hll_reg_sql(),
+        "events_hourly_users_hll": _hll_estimate_sql(),
     }

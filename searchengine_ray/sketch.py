@@ -53,14 +53,26 @@ def registers_of(values: np.ndarray, p: int) -> np.ndarray:
 
 
 def estimate(regs: np.ndarray) -> float:
-    """HLL estimate with small-range (linear counting) correction."""
-    m = float(len(regs))
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return float(est)
+    """HLL estimate with small-range (linear counting) correction.
+
+    The harmonic denominator sum(2^-reg) is computed EXACTLY as an integer
+    (sum of 2^(R-reg), R = max register) so the float operation sequence —
+    one cast, four multiplies, one divide, libm log for the small-range
+    branch — is fixed and reproducible bit-for-bit by the DuckDB oracle
+    (`events_hourly_users_hll`), independent of summation order.
+    """
+    import math
+
+    m = len(regs)
+    r = int(regs.max(initial=0))
+    cnt = np.bincount(regs.astype(np.int64), minlength=r + 1)
+    denom = sum(int(c) << (r - v) for v, c in enumerate(cnt) if c)
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    raw = alpha * float(m) * float(m) * (2.0 ** r) / float(denom)
+    zeros = int(cnt[0])
+    if raw <= 2.5 * float(m) and zeros:
+        return float(m) * math.log(float(m) / zeros)
+    return raw
 
 
 def _partial_fn(p: int):
@@ -169,8 +181,10 @@ def hll_distinct_users(sf_dir: str, p: int = 12):
         return pa.table(
             {
                 "window_start": g.column("window_start").slice(0, 1),
+                # floor(x+0.5): round-half-up, mirrored in the oracle
+                # (Python round() is half-even; DuckDB round() half-away)
                 "n_users_approx": pa.array(
-                    [int(round(estimate(regs)))], type=pa.int64()
+                    [int(np.floor(estimate(regs) + 0.5))], type=pa.int64()
                 ),
             }
         )
