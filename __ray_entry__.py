@@ -1278,6 +1278,35 @@ FROM mreg GROUP BY 1
 """
 
 
+def _decontam_sql() -> str:
+    """Benchmark decontamination: the engine matches 64-bit shingle-hash
+    combines; the oracle builds the same n-grams as STRINGS (lead-concat
+    over the shared tokenizer), so a pass also certifies hash-collision
+    freedom on this corpus. Test side = split_train_test's splitmix64
+    bucket >= train+valid, reproduced in HUGEINT mod-2^64 arithmetic."""
+    from searchengine_ray.curation import DECONTAM_N, SPLIT_SEED
+
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, DECONTAM_N)]
+    )
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)},
+test AS (SELECT doc_id FROM sx3 WHERE v % 100 >= 90),
+tok AS (SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+        FROM documents),
+sh0 AS (SELECT doc_id, {leads} AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+bench AS (SELECT DISTINCT shingle FROM sh JOIN test USING(doc_id))
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench USING(shingle)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM test)
+GROUP BY s.doc_id
+"""
+
+
 def _hll_estimate_sql(p: int = 12) -> str:
     """Full HLL estimate (same register pipeline as `_hll_reg_sql`, then the
     bias-corrected harmonic estimate). Bit-exact vs `sketch.estimate`: the
@@ -1398,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_pii_redact": curation.pii_redact,
         "cur_repetition_stats": curation.repetition_stats,
         "cur_length_quantiles": curation.length_quantiles,
+        "cur_decontaminate": curation.decontaminate,
         "hll_registers": sketch.hll_register_stats,
         # full HLL estimate — SQL-checked since late round 3: exact-integer
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
@@ -1498,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_pii_redact": _pii_sql(),
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_length_quantiles": _quantiles_sql(),
+        "cur_decontaminate": _decontam_sql(),
         "hll_registers": _hll_reg_sql(),
         "events_hourly_users_hll": _hll_estimate_sql(),
     }

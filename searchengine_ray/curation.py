@@ -405,6 +405,94 @@ def length_quantiles(sf_dir: str):
     return hist.groupby("lang").map_groups(quantiles, batch_format="pyarrow")
 
 
+DECONTAM_N = 8
+
+
+def decontaminate(sf_dir: str, n: int = DECONTAM_N,
+                  train_pct: int = 80, valid_pct: int = 10,
+                  seed: int = SPLIT_SEED):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM rule): flag
+    every non-test document that shares at least one n-gram with the held-out
+    test split, so evaluation data can be scrubbed from the training set.
+    Returns the contaminated docs as (doc_id, n_hits) where n_hits is the
+    doc's count of DISTINCT n-grams also present in the benchmark side.
+
+    Scale shape: the benchmark side is small BY CONSTRUCTION (it's an eval
+    set), so its distinct shingle hashes stream to a bounded driver fold
+    (per-batch ``np.unique`` partials -> one merge) and broadcast ONCE via
+    ``ray.put`` as a sorted int64 array; the 100-TB training side is then a
+    single embarrassingly-parallel ``map_batches`` scan — per-batch
+    vectorized ``searchsorted`` membership, no shuffle at all. Shingles are
+    the 64-bit token-hash combines from :func:`dedup._shingle_hashes`
+    (never strings); the oracle builds the same pairs from the actual
+    n-gram strings, which also guards against hash collisions.
+    Split assignment reuses :func:`split_train_test`'s splitmix64 bucket,
+    so a doc's benchmark/train side is stable under any re-partitioning.
+    """
+    import ray
+
+    from .dedup import _shingle_hashes
+
+    test_lo = np.uint64(train_pct + valid_pct)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        is_test = (_hash64(ids, seed) % np.uint64(100)) >= test_lo
+        hs = [
+            _shingle_hashes(x, n)
+            for x, k in zip(t.column("text").to_pylist(), is_test) if k
+        ]
+        u = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"sh": pa.array(u.view(np.int64), type=pa.int64())})
+
+    parts = [
+        b.column("sh").to_numpy()
+        for b in ds.map_batches(bench_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+    bench_ref = ray.put(bench)  # sorted; zero-copy reads in every task
+
+    def scan(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = t.column("doc_id").to_numpy()
+        nontest = (_hash64(ids, seed) % np.uint64(100)) < test_lo
+        hs, owner = [], []
+        for i, (text, k) in enumerate(
+            zip(t.column("text").to_pylist(), nontest)
+        ):
+            if not k:
+                continue
+            h = _shingle_hashes(text, n)
+            if len(h):
+                hs.append(h)
+                owner.append(np.full(len(h), i, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+        h = np.concatenate(hs).view(np.int64)
+        ow = np.concatenate(owner)
+        idx = np.searchsorted(bench, h)
+        ok = idx < len(bench)
+        hit = np.zeros(len(h), dtype=bool)
+        hit[ok] = bench[idx[ok]] == h[ok]
+        cnt = np.bincount(ow[hit], minlength=len(ids))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], type=pa.int64()),
+                "n_hits": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def _top_run_count(doc_idx: np.ndarray, keys: np.ndarray, n: int) -> np.ndarray:
     """max run length per doc after sorting by (doc, key) — i.e. the count
     of the most frequent key within each doc. Vectorized: one lexsort, run

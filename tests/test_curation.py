@@ -211,3 +211,39 @@ def test_hll_register_stats_match_direct_registers():
         assert row["register_sum"] == int(regs.sum(dtype=np.int64))
         assert row["max_rho"] == int(regs.max(initial=0))
     assert len(df) == ev["w"].nunique()
+
+
+def test_decontaminate_matches_bruteforce_sets():
+    """Brute-force oracle: python n-gram-string sets per doc, test side =
+    splitmix bucket >= 90; flagged docs and hit counts must match exactly
+    (also certifies the 64-bit shingle-hash combine is collision-free
+    here)."""
+    from searchengine_ray.analyze import tokenize
+    from searchengine_ray.curation import SPLIT_SEED, decontaminate
+    from searchengine_ray.sketch import _hash64
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).df()
+    n = 8
+    grams = {}
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        toks = tokenize(text)
+        grams[d] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    bucket = _hash64(docs["doc_id"].to_numpy(), SPLIT_SEED) % np.uint64(100)
+    is_test = bucket >= 90
+    bench = set().union(
+        *(g for d, g in zip(is_test, grams.values()) if d), set()
+    )
+    want = {
+        d: len(grams[d] & bench)
+        for d, t in zip(docs["doc_id"], is_test)
+        if not t and grams[d] & bench
+    }
+    got = decontaminate(SF).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert len(want) > 0  # planted near-dup groups straddle the split
