@@ -1439,6 +1439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checks no-false-positives + recall vs the exact baselines
         "ann_ivf": ann.ivf_topk,
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
+        # SemDeDup (arXiv:2303.09540): k-means centroid state isn't SQL;
+        # pytest checks independent-set/coverage properties + an exact
+        # reference re-implementation
+        "dedup_semantic": dedup.semantic_dedup,
         # trained-model rerankers (training loops aren't SQL; their
         # feature/formula layers are hash-checked via ltr_features and
         # the drmm determinism pytest)

@@ -830,6 +830,105 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
 
 
+def semantic_dedup(
+    sf_dir: str,
+    eps: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 99,
+    sample_rows: int = 4096,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within-cluster
+    near-duplicates, keeping the member FARTHEST from its centroid (the
+    paper's keep-low-centroid-similarity choice, which retains the most
+    diverse exemplar of each duplicate neighborhood).
+
+    Pipeline shape (the paper's own design, which is exactly the
+    partition-then-quadratic pattern that scales): centroids train
+    driver-side on a bounded hash-thinned sample (``ann._sample_matrix``);
+    one ``map_batches`` assigns (cell, centroid_sim) with the centroids
+    broadcast once; one ``groupby(cell).map_groups`` runs the deterministic
+    greedy per cluster. Within a cluster, members sorted by (centroid_sim
+    ASC, vec_id ASC) are scanned greedily: an item is KEPT iff its cosine
+    to every already-kept member is <= eps, else DROPPED as a duplicate of
+    its most-similar kept member. Cost is O(|cluster|^2) sims per cluster —
+    bounded by choosing ``n_cells`` proportional to N (the partitioning
+    assumption this operator relies on; the paper used 11k clusters for
+    LAION-440M).
+
+    Returns (vec_id, cell, kept, dup_of, centroid_sim) — ``dup_of`` = -1
+    for kept rows, else the kept representative's vec_id.
+    """
+    import ray
+    import ray.data
+
+    from .ann import _kmeans, _sample_matrix, batch_matrix
+
+    centers = _kmeans(_sample_matrix(sf_dir, seed, sample_rows), n_cells, seed)
+    cref = ray.put(centers)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        bm = batch_matrix(t)
+        if len(bm):
+            sims = bm @ cen.T
+            cells = np.argmax(sims, axis=1).astype(np.int32)
+            csim = sims[np.arange(len(bm)), cells]
+        else:
+            cells = np.zeros(0, dtype=np.int32)
+            csim = np.zeros(0, dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "embedding": t.column("embedding"),
+                "cell": pa.array(cells, type=pa.int32()),
+                "centroid_sim": pa.array(csim, type=pa.float64()),
+            }
+        )
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        csim = g.column("centroid_sim").to_numpy()
+        mat = batch_matrix(g)
+        order = np.lexsort((ids, csim))  # keep-priority: farthest first
+        ids, csim, mat = ids[order], csim[order], mat[order]
+        n = len(ids)
+        sims = mat @ mat.T
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            ki = np.flatnonzero(kept[:i])
+            if len(ki):
+                s = sims[i, ki]
+                j = int(np.argmax(s))
+                if s[j] > eps:
+                    dup_of[i] = ids[ki[j]]
+                    continue
+            kept[i] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(
+                    np.full(n, g.column("cell")[0].as_py(), dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "kept": pa.array(kept),
+                "dup_of": pa.array(dup_of, type=pa.int64()),
+                "centroid_sim": pa.array(np.round(csim, 6), type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+
+
 def embedding_dup_pairs_lsh(
     sf_dir: str,
     threshold: float = 0.4,

@@ -415,3 +415,51 @@ def test_ivf_scan_pruning(tmp_path, ray_session):
     # and the pruned search still returns full top-k rows
     out = ann.ivf_search(index_dir, q_ids, q_mat, k=5, nprobe=2)
     assert out.num_rows == 50
+
+
+def test_semantic_dedup_properties_and_reference():
+    """SemDeDup greedy: (a) kept set is an eps-independent set within each
+    cluster, (b) every dropped item is > eps similar to its recorded kept
+    representative, (c) the whole output matches a local reference
+    re-implementation (same centroids, same ordering) exactly."""
+    from searchengine_ray.ann import _kmeans, _load_matrix, _sample_matrix
+    from searchengine_ray.dedup import semantic_dedup
+
+    eps = 0.4
+    out = semantic_dedup(SF, eps=eps).to_pandas().sort_values("vec_id")
+    ids, mat = _load_matrix(SF)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    assert list(out["vec_id"]) == list(ids)
+
+    centers = _kmeans(_sample_matrix(SF, 99, 4096), 16, 99)
+    sims_c = mat @ centers.T
+    cell = np.argmax(sims_c, axis=1)
+    csim = sims_c[np.arange(len(ids)), cell]
+    assert list(out["cell"]) == list(cell.astype(np.int32))
+
+    by_id = out.set_index("vec_id")
+    for c in np.unique(cell):
+        m = cell == c
+        cids, cmat, ccs = ids[m], mat[m], csim[m]
+        o = np.lexsort((cids, ccs))
+        cids, cmat = cids[o], cmat[o]
+        S = cmat @ cmat.T
+        kept_idx = []
+        for i in range(len(cids)):
+            row = by_id.loc[cids[i]]
+            if kept_idx:
+                s = S[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] > eps:
+                    assert not row["kept"]
+                    assert row["dup_of"] == cids[kept_idx[j]]
+                    continue
+            assert row["kept"] and row["dup_of"] == -1
+            kept_idx.append(i)
+        # (a) independent set among kept
+        K = S[np.ix_(kept_idx, kept_idx)]
+        np.fill_diagonal(K, 0.0)
+        assert (K <= eps).all()
+    # at least one planted near-dup neighborhood collapses
+    assert (~out["kept"]).sum() > 0
