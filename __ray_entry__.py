@@ -1307,6 +1307,38 @@ GROUP BY s.doc_id
 """
 
 
+def _pack_sql() -> str:
+    """Sequence packing oracle: the greedy fill state (bin, fill) advances
+    one doc per recursion step within each hash shard — exact integer
+    recurrence, same over-budget-doc rule as the engine."""
+    from searchengine_ray.curation import PACK_BUDGET, PACK_SEED
+
+    return f"""
+WITH RECURSIVE
+{_splitmix_ctes('px', 'documents',
+                ['doc_id', 'text'], 'doc_id', PACK_SEED)},
+tc AS (SELECT doc_id, CAST(v % 8 AS INTEGER) AS part,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT)
+          AS n
+       FROM px3),
+ordered AS (SELECT part, doc_id, n,
+        row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+       FROM tc),
+rec AS (
+  SELECT part, rn, doc_id, n, CAST(0 AS BIGINT) AS bin,
+         CAST(0 AS BIGINT) AS tok_offset, n AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.doc_id, o.n,
+    CASE WHEN r.fill + o.n <= {PACK_BUDGET} THEN r.bin ELSE r.bin + 1 END,
+    CASE WHEN r.fill + o.n <= {PACK_BUDGET} THEN r.fill
+         ELSE CAST(0 AS BIGINT) END,
+    CASE WHEN r.fill + o.n <= {PACK_BUDGET} THEN r.fill + o.n ELSE o.n END
+  FROM rec r JOIN ordered o ON o.part = r.part AND o.rn = r.rn + 1)
+SELECT doc_id, part, bin AS bin_id, tok_offset, n AS n_tokens FROM rec
+"""
+
+
 def _hll_estimate_sql(p: int = 12) -> str:
     """Full HLL estimate (same register pipeline as `_hll_reg_sql`, then the
     bias-corrected harmonic estimate). Bit-exact vs `sketch.estimate`: the
@@ -1428,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_repetition_stats": curation.repetition_stats,
         "cur_length_quantiles": curation.length_quantiles,
         "cur_decontaminate": curation.decontaminate,
+        "cur_pack_sequences": curation.pack_sequences,
         "hll_registers": sketch.hll_register_stats,
         # full HLL estimate — SQL-checked since late round 3: exact-integer
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
@@ -1533,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),
+        "cur_pack_sequences": _pack_sql(),
         "hll_registers": _hll_reg_sql(),
         "events_hourly_users_hll": _hll_estimate_sql(),
     }

@@ -493,6 +493,84 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N,
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+PACK_SEED = 13
+PACK_BUDGET = 512
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET, parts: int = 8,
+                   seed: int = PACK_SEED):
+    """Sequence packing (the T5/GPT training-data step): greedily pack
+    documents into fixed ``budget``-token windows so training batches waste
+    no pad tokens. Returns (doc_id, part, bin_id, tok_offset, n_tokens).
+
+    Packing is sequential by nature (each placement depends on the running
+    fill), so the scale shape is hash-partition parallelism: docs shard by
+    splitmix64(doc_id) into ``parts`` independent packing streams, each
+    packed by a deterministic in-order greedy (doc_id ascending; a doc
+    opens a new bin iff it doesn't fit the current fill; over-budget docs
+    occupy a bin alone). Shard count is part of the OUTPUT contract (bin
+    ids are per-shard), so it is an explicit parameter, not input-derived:
+    at 100 TB you pick parts ~ cluster width and each stream stays an O(n)
+    integer scan. Only (doc_id, n_tokens, part) ever shuffles — token
+    counts come from one vectorized Arrow RE2 pass; text never leaves the
+    count stage.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_and_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        n = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), "[a-z0-9_]+"
+        ).to_numpy().astype(np.int64)
+        part = (_hash64(ids, seed) % np.uint64(parts)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "part": pa.array(part, type=pa.int32()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        n = g.column("n_tokens").to_numpy()
+        o = np.argsort(ids)
+        ids, n = ids[o], n[o]
+        bins = np.empty(len(ids), dtype=np.int64)
+        offs = np.empty(len(ids), dtype=np.int64)
+        b = 0
+        fill = 0
+        for i in range(len(ids)):  # O(n) int ops; sequential by definition
+            if i and fill + n[i] <= budget:
+                offs[i] = fill
+                fill += n[i]
+            else:
+                if i:
+                    b += 1
+                offs[i] = 0
+                fill = n[i]
+            bins[i] = b
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "part": pa.array(
+                    np.full(len(ids), g.column("part")[0].as_py(),
+                            dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "bin_id": pa.array(bins, type=pa.int64()),
+                "tok_offset": pa.array(offs, type=pa.int64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
 def _top_run_count(doc_idx: np.ndarray, keys: np.ndarray, n: int) -> np.ndarray:
     """max run length per doc after sorting by (doc, key) — i.e. the count
     of the most frequent key within each doc. Vectorized: one lexsort, run

@@ -247,3 +247,30 @@ def test_decontaminate_matches_bruteforce_sets():
     got = decontaminate(SF).to_pandas()
     assert dict(zip(got["doc_id"], got["n_hits"])) == want
     assert len(want) > 0  # planted near-dup groups straddle the split
+
+
+def test_pack_sequences_invariants():
+    """Every doc packed exactly once; per-bin fills never exceed the budget
+    unless the bin is a singleton over-budget doc; offsets are the exact
+    running prefix sums within each bin."""
+    from searchengine_ray.curation import PACK_BUDGET, pack_sequences
+
+    df = (
+        pack_sequences(SF)
+        .to_pandas()
+        .sort_values(["part", "bin_id", "tok_offset"])
+    )
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(df) == n_docs and df["doc_id"].is_unique
+    for (_, _), g in df.groupby(["part", "bin_id"]):
+        fills = g["n_tokens"].to_numpy()
+        offs = g["tok_offset"].to_numpy()
+        assert offs[0] == 0
+        assert (offs == np.concatenate([[0], np.cumsum(fills[:-1])])).all()
+        assert fills.sum() <= PACK_BUDGET or len(g) == 1
+        # docs are packed in doc_id order within a stream
+        assert (np.diff(g["doc_id"].to_numpy()) > 0).all()
