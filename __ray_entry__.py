@@ -1385,12 +1385,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textextras, textstats, windows,
     )
 
-    # ORDERING CONTRACT: the driver evaluates only the first 50 entries, so
-    # entries with an oracle_sql() key (full rows+schema+hash check) come
-    # FIRST; positions 50+ hold FURTHER SQL-backed entries plus the
-    # rows-only ones (no SQL oracle possible — pytest covers their
-    # semantics) — all of them are verified by the same comparison in
-    # tools/check_gate.py, results recorded in BASELINE.md.
+    # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
+    # The registry has 61 SQL-backed entries (full rows+schema+hash check
+    # possible), so 11 must sit beyond the window no matter the order. The
+    # window therefore holds the 50 SQL-backed entries that have NOT yet
+    # been driver-verified green plus every non-redundant operator family
+    # head; the 11 rotated past the window are variant entries that (a)
+    # were driver-verified hash-green in round 1 and/or round 2
+    # (CORRECTNESS_r01/r02.json) and (b) have a sibling exercising the
+    # same code path still inside the window. ALL entries — windowed,
+    # rotated, and rows-only — are verified by the identical comparison in
+    # tools/check_gate.py; the full run is committed as GATE_LOCAL_r03.txt.
     return {
         # --- SQL-backed (hash-checked) --------------------------------
         # search engine (documents-derived corpus)
@@ -1401,47 +1406,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_window_docs": gate.se_window_docs,
         "se_syn_tf": gate.se_syn_tf,
         "se_ranked_and": gate.se_ranked_and,
-        "se_ranked_or": gate.se_ranked_or,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
-        "se_unranked_and": gate.se_unranked_and,
-        "se_indri_wand": gate.se_indri_wand,
-        "se_near3_tf": gate.se_near3_tf,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         "eval_metrics": gate.eval_metrics,
         "se_docmap": gate.se_docmap,
         "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR)
-        "prf_expansion": gate.prf_expansion,
         "prf_e2e_rescore": gate.prf_e2e_rescore,
         "div_xquad": gate.div_xquad,
         "div_pm2": gate.div_pm2,
-        "div_xquad_first": gate.div_xquad_first,
-        "div_pm2_first": gate.div_pm2_first,
         "ltr_features": gate.ltr_features,
         # dedup
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
-        "dedup_components": dedup.dedup_components,
         "dedup_components_dist": dedup.dedup_components_distributed,
         "dedup_embedding": dedup.embedding_dup_pairs,
         # similarity search
         "ann_topk": ann.brute_topk,
         # text analysis
-        "text_token_stats": textstats.token_stats,
         "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality_score,
         "text_winnow": textstats.winnow_fingerprints,
         "text_token_counts": textstats.token_counts,
         # stream-shaped
         "events_tumbling": windows.tumbling_counts,
-        "events_hopping": windows.hopping_counts,
         "events_sessionize": windows.sessionize,
         "events_asof_join": windows.asof_join_purchase_click,
         "events_range_join": windows.range_join_error_click,
-        "events_hourly_users": textextras.hourly_unique_users,
+        # full HLL estimate — SQL-checked since late round 3: exact-integer
+        # harmonic denominator + fixed float op order (see _hll_estimate_sql)
+        "events_hourly_users_hll": sketch.hll_distinct_users,
+        "hll_registers": sketch.hll_register_stats,
         "text_top_bigrams": textextras.top_bigrams,
         # relational building blocks
         "rel_pricing_summary": relational.pricing_summary,
@@ -1450,8 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_join_revenue": relational.revenue_by_order_priority,
         "rel_shipping_priority": relational.shipping_priority,
         "rel_top_orders_per_cust": relational.top_orders_per_customer,
-        # --- SQL-backed, beyond the driver's 50-entry window (verified
-        # locally by tools/check_gate.py): training-data curation ---------
+        # training-data curation
         "cur_split_train_test": curation.split_train_test,
         "cur_sample_stratified": curation.sample_stratified,
         "cur_cap_per_source": curation.cap_per_source,
@@ -1461,10 +1458,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_length_quantiles": curation.length_quantiles,
         "cur_decontaminate": curation.decontaminate,
         "cur_pack_sequences": curation.pack_sequences,
-        "hll_registers": sketch.hll_register_stats,
-        # full HLL estimate — SQL-checked since late round 3: exact-integer
-        # harmonic denominator + fixed float op order (see _hll_estimate_sql)
-        "events_hourly_users_hll": sketch.hll_distinct_users,
+        # --- SQL-backed, rotated beyond the driver's 50-entry window ----
+        # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
+        # and has an in-window sibling on the same code path; all stay
+        # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        "se_ranked_or": gate.se_ranked_or,          # sibling: se_ranked_and
+        "se_unranked_and": gate.se_unranked_and,    # sibling: se_ranked_and
+        "se_indri_wand": gate.se_indri_wand,        # sibling: se_indri_and
+        "se_near3_tf": gate.se_near3_tf,            # sibling: se_near_tf
+        "prf_expansion": gate.prf_expansion,        # sibling: prf_e2e_rescore
+        "div_xquad_first": gate.div_xquad_first,    # sibling: div_xquad
+        "div_pm2_first": gate.div_pm2_first,        # sibling: div_pm2
+        "dedup_components": dedup.dedup_components, # sibling: dedup_components_dist
+        "text_token_stats": textstats.token_stats,  # sibling: text_token_counts
+        "events_hopping": windows.hopping_counts,   # sibling: events_tumbling
+        "events_hourly_users": textextras.hourly_unique_users,  # sibling: events_hourly_users_hll
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
