@@ -1400,7 +1400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-backed (hash-checked) --------------------------------
         # search engine (documents-derived corpus)
         "se_bm25_term": gate.se_bm25_term,
-        "se_bm25_flat": gate.se_bm25_flat,
+        # flat 'dup spark' BM25 served from a base-build + appended-segment
+        # index (build.add_documents), hash-checked vs the FULL-corpus SQL
+        "se_bm25_incremental": gate.se_bm25_incremental,
         "se_bm25_near": gate.se_bm25_near,
         "se_near_tf": gate.se_near_tf,
         "se_window_docs": gate.se_window_docs,
@@ -1462,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        "se_bm25_flat": gate.se_bm25_flat,          # sibling: se_bm25_incremental (same query, same SQL shape)
         "se_ranked_or": gate.se_ranked_or,          # sibling: se_ranked_and
         "se_unranked_and": gate.se_unranked_and,    # sibling: se_ranked_and
         "se_indri_wand": gate.se_indri_wand,        # sibling: se_indri_and
@@ -1508,6 +1511,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "se_bm25_term": _bm25_terms_sql(["dup"]),
         "se_bm25_flat": _bm25_terms_sql(["dup", "spark"]),
+        # same scoring as se_bm25_flat but keyed by external_id: the Ray
+        # side serves it from a two-stage (base + appended segment) index
+        "se_bm25_incremental": f"""
+SELECT e.external_id, b.score_r
+FROM ({_bm25_terms_sql(["dup", "spark"])}) b
+JOIN (
+  SELECT doc_id,
+         source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40)
+           AS external_id
+  FROM (SELECT doc_id, source,
+          'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            || '.txt' AS p
+        FROM documents)
+) e USING (doc_id)
+""",
         "se_bm25_near": _SE_BM25_NEAR_SQL,
         "se_near_tf": _SE_NEAR_TF_SQL,
         "se_window_docs": _SE_WINDOW_SQL,

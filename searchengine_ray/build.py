@@ -421,6 +421,93 @@ def _atomic_write(ds, final_dir: str) -> None:
     os.rename(tmp, final_dir)
 
 
+def _empty_partition_entry(lo: int, hi: int) -> dict:
+    return {
+        "status": "done", "doc_lo": lo, "doc_hi": hi, "empty": True,
+        "docmap": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
+        "postings": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
+    }
+
+
+def _build_one_partition(
+    p: int,
+    lo: int,
+    hi: int,
+    factory: Callable,
+    cfg: BuildConfig,
+    out_dir: str,
+    source_desc: str,
+    whole: bool,
+) -> dict:
+    """Build postings+docmap for one doc-range partition ``[lo, hi)`` into
+    ``part_{p:05d}``; returns its manifest entry. Shared by the initial
+    build and segment appends (:func:`add_documents`)."""
+    t0 = time.time()
+    # Partition-pruned read: factories that support doc_range push the
+    # range into the parquet read (row-group predicate pushdown) so an
+    # N-partition build reads each input byte ~once, not N times.
+    # Zero-arg factories fall back to a post-read filter.
+    import inspect
+
+    supports_range = "doc_range" in inspect.signature(factory).parameters
+    if whole:
+        corpus = factory()  # the single partition covers everything
+    elif supports_range:
+        corpus = factory(doc_range=(lo, hi))
+    else:
+        def in_range(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(
+                pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
+            )
+
+        corpus = factory().map_batches(in_range, batch_format="pyarrow")
+    if cfg.materialize_partition:
+        corpus = corpus.materialize()
+
+    # ONE fused pass: tokenize emits posting rows downstream and writes
+    # the docmap (external_id/sha256/lengths) as a side output — the
+    # lengths are already computed by the tokenizer, so no second
+    # read+tokenize pass exists.
+    dm_final = os.path.join(out_dir, "docmap", f"part_{p:05d}")
+    dm_tmp = dm_final + ".tmp"
+    shutil.rmtree(dm_tmp, ignore_errors=True)
+    os.makedirs(dm_tmp, exist_ok=True)
+    tokenizer = TokenizeFields(
+        cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions,
+        docmap_dir=dm_tmp, stemmer=cfg.stemmer,
+    )
+    posts = corpus.map_batches(
+        tokenizer,
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+    )
+    # THE shuffle: hash-partitioned by (field, term, doc-bucket); each
+    # partition encodes all its posting groups in one vectorized call
+    merged = posts.groupby("kh").map_groups(
+        EncodeMergePartition(cfg.skip_block_docs), batch_format="pyarrow"
+    )
+    _atomic_write(merged, os.path.join(out_dir, "postings", f"part_{p:05d}"))
+    if os.path.exists(dm_final):
+        shutil.rmtree(dm_final)
+    os.rename(dm_tmp, dm_final)
+
+    return {
+        "status": "done",
+        "doc_lo": lo,
+        "doc_hi": hi,
+        "wall_s": round(time.time() - t0, 3),
+        # lineage + metrics (north_rule: per-partition checkpoints):
+        # output fingerprints let a resumed/retried build be audited
+        # against the original without re-reading the input
+        "docmap": _partition_metrics(dm_final),
+        "postings": _partition_metrics(
+            os.path.join(out_dir, "postings", f"part_{p:05d}")
+        ),
+        "source": source_desc,
+    }
+
+
 def _fingerprint(cfg: BuildConfig, n_docs: int, source_desc: str) -> str:
     payload = json.dumps(
         {
@@ -436,6 +523,225 @@ def _fingerprint(cfg: BuildConfig, n_docs: int, source_desc: str) -> str:
         sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _structural_config(cfg: BuildConfig) -> dict:
+    """The build parameters a segment append MUST share with the base index
+    (anything that changes postings layout or token identity)."""
+    return {
+        "fields": cfg.fields,
+        "bucket": cfg.doc_bucket_size,
+        "skip": cfg.skip_block_docs,
+        "stemmer": cfg.stemmer,
+    }
+
+
+def index_partitions(index_dir: str) -> list[int]:
+    """Non-empty partition numbers of a built index (base + all appended
+    segments) — the list sharded serving passes as ``parts=``."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return sorted(
+        int(k)
+        for k, e in manifest["partitions"].items()
+        if e.get("status") == "done" and not e.get("empty")
+    )
+
+
+def add_documents(
+    index_dir: str,
+    source: "str | Callable[[], object]",
+    cfg: BuildConfig | None = None,
+    id_range: tuple[int, int] | None = None,
+    tag: str | None = None,
+) -> str:
+    """Append a corpus segment to a COMPLETE index — the Lucene
+    ``IndexWriter.addDocument`` / segment model the reference relies on (its
+    prebuilt Lucene index is append-built; ``Homeworks/HW6/QryEval/
+    Idx.java:237-260`` only ever opens the merged result).
+
+    Ray-Data-first incremental build: incoming docs are re-identified at a
+    bucket-aligned base ABOVE the existing doc-id space, so the new
+    partitions' (field, term, bucket) groups are disjoint from every
+    existing row and the unmodified reader (``indexio.InvertedIndex``
+    concatenates bucket rows in ascending-bucket order) serves the union
+    with no merge pass over old postings. New partitions continue the
+    global ``part_*`` numbering, so doc-sharded serving (``parts=``) and
+    per-partition lineage stay uniform; ``index_partitions()`` lists them.
+
+    After the segment's partitions land, the term-level lexicon and corpus
+    stats are re-derived over ALL partitions (`_finalize`) — a
+    metadata-only aggregate (columns field/term/df/ctf + docmap lengths,
+    never the posting payload bytes), kept as a full recompute because it
+    is idempotent under any crash point. At a scale where even that
+    aggregate hurts, swap `_finalize` for a generation-swapped incremental
+    fold (old lexicon ∪ new-segment partials, atomically renamed with the
+    folded-segment fingerprints recorded inside the directory).
+
+    Resumable like the base build: the segment gets a manifest entry keyed
+    by its fingerprint; re-running after a crash reuses its doc base and
+    finishes pending partitions. Re-adding an identical (source, cfg,
+    id_range, tag) segment to a complete index is a NO-OP
+    (resubmit-idempotent job semantics). The fingerprint of a CALLABLE
+    source only sees its ``__name__`` — two different anonymous factories
+    with the same (n_docs, lo) would collide, so pass a distinct ``tag``
+    per append when using factories (path sources self-distinguish).
+
+    ``id_range=(lo, hi)``: closed-open doc_id range of the incoming corpus
+    (pass it to skip the min/max discovery pass). Incoming ids only need to
+    be unique within the segment; they are shifted, not trusted.
+    """
+    cfg = cfg or BuildConfig()
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    # a segment entry can only exist if the base was complete when it was
+    # accepted, so a crashed append (complete=False, segments non-empty)
+    # still resumes here
+    if not (manifest.get("complete") or manifest.get("segments")):
+        raise ValueError(
+            f"{index_dir}: base index is incomplete; finish build_index() "
+            "(or resume it) before appending segments"
+        )
+    base_struct = manifest.get("config")
+    if base_struct is not None and base_struct != _structural_config(cfg):
+        raise ValueError(
+            "segment config is structurally incompatible with the index: "
+            f"index built with {base_struct}, append asked for "
+            f"{_structural_config(cfg)}"
+        )
+
+    if isinstance(source, str):
+        sf_dir = source
+        factory = lambda doc_range=None: corpus_from_documents(  # noqa: E731
+            sf_dir, doc_range
+        )
+        source_desc = os.path.abspath(sf_dir)
+    else:
+        factory = source
+        source_desc = getattr(source, "__name__", "factory")
+
+    if id_range is None:
+        ids = factory().select_columns(["doc_id"])
+        id_range = (int(ids.min("doc_id")), int(ids.max("doc_id")) + 1)
+    lo_in, hi_in = id_range
+    n_new = hi_in - lo_in
+    if n_new <= 0:
+        return index_dir
+
+    seg_fp = _fingerprint(
+        cfg, n_new, f"segment:{source_desc}:{lo_in}:{tag or ''}"
+    )
+    segments: list = manifest.setdefault("segments", [])
+    seg = next((s for s in segments if s["fingerprint"] == seg_fp), None)
+    if seg is not None and seg.get("complete"):
+        return index_dir
+    bucket = cfg.doc_bucket_size
+    if seg is None:
+        doc_hi_max = max(
+            (int(e["doc_hi"]) for e in manifest["partitions"].values()),
+            default=0,
+        )
+        seg = {
+            "fingerprint": seg_fp,
+            # bucket-aligned: a new doc must never share a (term, bucket)
+            # group with an old one
+            "doc_base": -(-doc_hi_max // bucket) * bucket,
+            "part_lo": max(
+                (int(k) for k in manifest["partitions"]), default=-1
+            ) + 1,
+            "n_docs": n_new,
+            "num_partitions": cfg.num_partitions,
+            "source": source_desc,
+            "complete": False,
+        }
+        segments.append(seg)
+        manifest["complete"] = False
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    doc_base, part_lo = int(seg["doc_base"]), int(seg["part_lo"])
+    shift = doc_base - lo_in
+
+    import inspect
+
+    inner_range = "doc_range" in inspect.signature(factory).parameters
+
+    def seg_factory(doc_range: tuple[int, int] | None = None):
+        """Global-id view of the incoming corpus: prune at the read when the
+        inner factory supports ranges (translated back to its ids), then
+        shift the doc_id column only — external_id/path/content are
+        untouched, so per-row invariants (sha256) are id-independent."""
+        rng = None
+        if doc_range is not None:
+            rng = (doc_range[0] - shift, doc_range[1] - shift)
+        ds = factory(doc_range=rng) if (rng is not None and inner_range) else factory()
+
+        def shift_ids(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("doc_id")
+            shifted = pc.add(pc.cast(t.column("doc_id"), pa.int64()), shift)
+            t = t.set_column(i, "doc_id", shifted)
+            if doc_range is not None and not inner_range:
+                ids = t.column("doc_id")
+                t = t.filter(
+                    pc.and_(
+                        pc.greater_equal(ids, doc_range[0]),
+                        pc.less(ids, doc_range[1]),
+                    )
+                )
+            return t
+
+        return ds.map_batches(shift_ids, batch_format="pyarrow")
+
+    per_part = -(-n_new // cfg.num_partitions)
+    per_part = -(-per_part // bucket) * bucket
+
+    import threading
+
+    man_lock = threading.Lock()
+
+    def record(key: str, entry: dict) -> None:
+        entry = dict(entry, segment=seg_fp)
+        with man_lock:
+            manifest["partitions"][key] = entry
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f, indent=1)
+
+    def run_partition(p: int) -> None:
+        gp = part_lo + p
+        lo = doc_base + p * per_part
+        hi = doc_base + (p + 1) * per_part
+        if lo >= doc_base + n_new:
+            record(str(gp), _empty_partition_entry(lo, hi))
+            return
+        entry = _build_one_partition(
+            gp, lo, hi, seg_factory, cfg, index_dir, source_desc,
+            whole=(cfg.num_partitions == 1),
+        )
+        record(str(gp), entry)
+
+    pending = [
+        p for p in range(cfg.num_partitions)
+        if manifest["partitions"].get(str(part_lo + p), {}).get("status")
+        != "done"
+    ]
+    if len(pending) <= 1:
+        for p in pending:
+            run_partition(p)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ensure_threadsafe_fs_imports()
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+            for fut in [pool.submit(run_partition, p) for p in pending]:
+                fut.result()
+
+    _finalize(index_dir, cfg)
+    seg["complete"] = True
+    manifest["complete"] = True
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return index_dir
 
 
 def build_index(
@@ -470,7 +776,13 @@ def build_index(
         n_docs = int(factory().max("doc_id")) + 1
     fp = _fingerprint(cfg, n_docs, source_desc)
 
-    manifest: dict = {"fingerprint": fp, "partitions": {}, "complete": False}
+    manifest: dict = {
+        "fingerprint": fp,
+        "config": _structural_config(cfg),
+        "partitions": {},
+        "segments": [],
+        "complete": False,
+    }
     if os.path.exists(manifest_path) and not overwrite:
         with open(manifest_path) as f:
             old = json.load(f)
@@ -500,79 +812,15 @@ def build_index(
                 json.dump(manifest, f, indent=1)
 
     def run_partition(p: int) -> None:
-        key = str(p)
         lo, hi = p * per_part, (p + 1) * per_part
         if lo >= n_docs:  # bucket-aligned rounding can overshoot the range
-            record(key, {
-                "status": "done", "doc_lo": lo, "doc_hi": hi, "empty": True,
-                "docmap": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
-                "postings": {"files": 0, "rows": 0, "bytes": 0, "fingerprint": ""},
-            })
+            record(str(p), _empty_partition_entry(lo, hi))
             return
-        t0 = time.time()
-        # Partition-pruned read: factories that support doc_range push the
-        # range into the parquet read (row-group predicate pushdown) so an
-        # N-partition build reads each input byte ~once, not N times.
-        # Zero-arg factories fall back to a post-read filter.
-        import inspect
-
-        supports_range = "doc_range" in inspect.signature(factory).parameters
-        if cfg.num_partitions == 1:
-            corpus = factory()  # the single partition covers everything
-        elif supports_range:
-            corpus = factory(doc_range=(lo, hi))
-        else:
-            def in_range(t: pa.Table) -> pa.Table:
-                ids = t.column("doc_id")
-                return t.filter(
-                    pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
-                )
-
-            corpus = factory().map_batches(in_range, batch_format="pyarrow")
-        if cfg.materialize_partition:
-            corpus = corpus.materialize()
-
-        # ONE fused pass: tokenize emits posting rows downstream and writes
-        # the docmap (external_id/sha256/lengths) as a side output — the
-        # lengths are already computed by the tokenizer, so no second
-        # read+tokenize pass exists.
-        dm_final = os.path.join(out_dir, "docmap", f"part_{p:05d}")
-        dm_tmp = dm_final + ".tmp"
-        shutil.rmtree(dm_tmp, ignore_errors=True)
-        os.makedirs(dm_tmp, exist_ok=True)
-        tokenizer = TokenizeFields(
-            cfg.fields, cfg.doc_bucket_size, cfg.merge_partitions,
-            docmap_dir=dm_tmp, stemmer=cfg.stemmer,
+        entry = _build_one_partition(
+            p, lo, hi, factory, cfg, out_dir, source_desc,
+            whole=(cfg.num_partitions == 1),
         )
-        posts = corpus.map_batches(
-            tokenizer,
-            batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-        )
-        # THE shuffle: hash-partitioned by (field, term, doc-bucket); each
-        # partition encodes all its posting groups in one vectorized call
-        merged = posts.groupby("kh").map_groups(
-            EncodeMergePartition(cfg.skip_block_docs), batch_format="pyarrow"
-        )
-        _atomic_write(merged, os.path.join(out_dir, "postings", f"part_{p:05d}"))
-        if os.path.exists(dm_final):
-            shutil.rmtree(dm_final)
-        os.rename(dm_tmp, dm_final)
-
-        record(key, {
-            "status": "done",
-            "doc_lo": lo,
-            "doc_hi": hi,
-            "wall_s": round(time.time() - t0, 3),
-            # lineage + metrics (north_rule: per-partition checkpoints):
-            # output fingerprints let a resumed/retried build be audited
-            # against the original without re-reading the input
-            "docmap": _partition_metrics(dm_final),
-            "postings": _partition_metrics(
-                os.path.join(out_dir, "postings", f"part_{p:05d}")
-            ),
-            "source": source_desc,
-        })
+        record(str(p), entry)
 
     pending = [
         p for p in range(cfg.num_partitions)

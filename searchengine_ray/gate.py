@@ -131,6 +131,67 @@ def se_near3_tf(sf_dir: str):
     )
 
 
+def _incremental_index_for(sf_dir: str) -> str:
+    """Index built in TWO stages — base build over the lower half of
+    documents.parquet, then ``add_documents`` of the upper half as an
+    appended segment (build.py segment model). Served results must be
+    indistinguishable from a full-corpus build except for internal doc ids,
+    which the gate entry therefore never exposes."""
+    import pyarrow.parquet as pq
+
+    from .build import add_documents
+    from .corpus import corpus_from_documents
+
+    key = "inc::" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        out = os.path.join(
+            "/tmp/se_ray_index", hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id")
+        n = int(pc.max(ids).as_py()) + 1
+        h = n // 2
+
+        def lower(doc_range=None):
+            lo, hi = doc_range if doc_range is not None else (0, h)
+            return corpus_from_documents(sf_dir, (lo, min(hi, h)))
+
+        def upper(doc_range=None):
+            return corpus_from_documents(
+                sf_dir, doc_range if doc_range is not None else (h, n)
+            )
+
+        build_index(lower, out, BuildConfig(), n_docs=h)
+        add_documents(out, upper, BuildConfig(), id_range=(h, n), tag="upper")
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def se_bm25_incremental(sf_dir: str):
+    """BM25 flat 'dup spark' (#SUM default-op wrap; 'spark' idf-clamps)
+    served from the incrementally-built index — hash-equality against the
+    FULL-corpus SQL oracle proves segment append changes nothing observable
+    (global df/idf, doclen normalization, tie-breaks). Keyed by external_id
+    because the appended half is re-identified at a bucket-aligned doc base
+    by design."""
+    from .engine import SearchEngine
+
+    key = (os.path.abspath(sf_dir), "bm25:incremental")
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = SearchEngine(
+            _incremental_index_for(sf_dir),
+            ModelParams(model="bm25", top_k=1 << 30),
+        )
+    t = _ENGINE_CACHE[key].search("q", "dup spark")
+    return pa.table(
+        {
+            "external_id": t.column("external_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def _kstem_index_for(sf_dir: str) -> str:
     key = "kstem::" + os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
