@@ -191,7 +191,7 @@ class DrmmScorer:
         N = float(self.index.num_docs)
         idfs = []
         for t in terms:
-            df = self.index.postings("body", t).df
+            df = self.index.postings("body", t).stat_df
             idfs.append(math.log((N + 1.0) / (df + 1.0)))
         e = np.exp(np.asarray(idfs))
         return terms, e / e.sum()

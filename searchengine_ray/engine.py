@@ -279,7 +279,10 @@ class _ShardWorker:
     def local_stats(self, tree) -> list[tuple[int, int]]:
         ev = Evaluator(self.index, self.params)
         return [
-            (p.df, p.ctf) for p in (ev.iop(n) for n in collect_iop_nodes(tree))
+            # stat_*: shard-summed statistics stay Lucene-stale under
+            # tombstoned deletes (see indexio.Postings)
+            (p.stat_df, p.stat_ctf)
+            for p in (ev.iop(n) for n in collect_iop_nodes(tree))
         ]
 
     def score_with(self, tree, merged: list[tuple[int, int]]) -> pa.Table:

@@ -90,7 +90,7 @@ def expansion_terms(
     }
     scores: dict[str, float] = {}
     for t in terms:
-        ctf = float(index.postings("body", t).ctf)
+        ctf = float(index.postings("body", t).stat_ctf)
         if ctf <= 0:
             continue
         idf = math.log(C / ctf)

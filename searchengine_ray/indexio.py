@@ -27,7 +27,15 @@ from .codec import decode_segmented, decode_sorted, varbyte_decode
 @dataclass
 class Postings:
     """Decoded positional posting list (reference ``InvList``):
-    docid-ascending, positions ascending within each doc."""
+    docid-ascending, positions ascending within each doc.
+
+    ``df``/``ctf`` are ALWAYS the live array invariants (len(doc_ids),
+    sum(tfs)) — code that clips/iterates arrays relies on that.
+    ``stat_df``/``stat_ctf`` are the STATISTICS scoring should use for
+    idf/priors; with tombstoned deletes they keep counting deleted docs
+    until ``expunge_deletes`` (Lucene semantics: ``docFreq`` ignores the
+    live-docs bitset until segments merge), so surviving docs' scores do
+    not drift as deletes accumulate. They default to df/ctf."""
 
     doc_ids: np.ndarray  # int64, ascending
     tfs: np.ndarray  # int64
@@ -35,6 +43,19 @@ class Postings:
     positions: "np.ndarray | None"  # int64, flat (lazy; see postings())
     df: int
     ctf: int
+    stat_df: int = -1
+    stat_ctf: int = -1
+    #: set only when tombstones removed rows: raw (pre-filter) tfs + keep
+    #: mask, needed by the lazy position decode (encoded runs cover deleted
+    #: docs too)
+    _raw_tfs: "np.ndarray | None" = None
+    _keep: "np.ndarray | None" = None
+
+    def __post_init__(self) -> None:
+        if self.stat_df < 0:
+            self.stat_df = self.df
+        if self.stat_ctf < 0:
+            self.stat_ctf = self.ctf
 
     def positions_for(self, i: int) -> np.ndarray:
         return self.positions[self.pos_offsets[i] : self.pos_offsets[i + 1]]
@@ -77,6 +98,18 @@ class InvertedIndex:
         else:
             post_paths = [os.path.join(post_dir, f"part_{p:05d}") for p in parts]
             doc_paths = [os.path.join(doc_dir, f"part_{p:05d}") for p in parts]
+
+        # tombstones (delete.py): sorted doc_ids removed from every decoded
+        # list below; global stats stay stale until expunge (Lucene
+        # live-docs semantics). Readers opened BEFORE a delete keep serving
+        # their snapshot — visibility is at open time, like a Lucene reopen.
+        del_dir = os.path.join(index_dir, "deletes")
+        del_files = _parquet_files([del_dir]) if os.path.isdir(del_dir) else []
+        if del_files:
+            dt = pads.dataset(del_files).to_table()
+            self._deleted = np.unique(dt.column("doc_id").to_numpy())
+        else:
+            self._deleted = np.empty(0, np.int64)
 
         self._postings_tbl = pads.dataset(_parquet_files(post_paths)).to_table()
         # (field, term) -> row indices ordered by ascending bucket; buckets are
@@ -192,33 +225,71 @@ class InvertedIndex:
                 )
             doc_ids = np.concatenate(docs_parts)
             tfs = np.concatenate(tfs_parts)
-            p = Postings(
-                doc_ids=doc_ids,
-                tfs=tfs,
-                pos_offsets=None,
-                positions=None,
-                df=len(doc_ids),
-                ctf=int(tfs.sum()),
-            )
+            raw_df, raw_ctf = len(doc_ids), int(tfs.sum())
+            keep = self._live_mask(doc_ids)
+            if keep is None:
+                p = Postings(
+                    doc_ids=doc_ids,
+                    tfs=tfs,
+                    pos_offsets=None,
+                    positions=None,
+                    df=raw_df,
+                    ctf=raw_ctf,
+                )
+            else:
+                p = Postings(
+                    doc_ids=doc_ids[keep],
+                    tfs=tfs[keep],
+                    pos_offsets=None,
+                    positions=None,
+                    df=int(keep.sum()),
+                    ctf=int(tfs[keep].sum()),
+                    # stale stats: deleted docs keep counting (Lucene docFreq)
+                    stat_df=raw_df,
+                    stat_ctf=raw_ctf,
+                    _raw_tfs=tfs,
+                    _keep=keep,
+                )
             self._cache[key] = p
         if need_positions and p.positions is None:
-            pos_parts, off_parts = [], []
-            base = i0 = 0
+            # decode the RAW per-doc runs (encoded offsets cover deleted
+            # docs), then drop deleted docs' spans in one flat mask
+            raw_tfs = p._raw_tfs if p._keep is not None else p.tfs
+            pos_parts = []
+            i0 = 0
             for r in rows:
                 n_docs_row = int(self._postings_tbl.column("df")[r].as_py())
-                tfs_row = p.tfs[i0 : i0 + n_docs_row]
+                tfs_row = raw_tfs[i0 : i0 + n_docs_row]
                 i0 += n_docs_row
                 offs = np.zeros(len(tfs_row) + 1, dtype=np.int64)
                 np.cumsum(tfs_row, out=offs[1:])
-                pos = decode_segmented(
-                    self._postings_tbl.column("pos_vb")[r].as_py(), offs
+                pos_parts.append(
+                    decode_segmented(
+                        self._postings_tbl.column("pos_vb")[r].as_py(), offs
+                    )
                 )
-                pos_parts.append(pos)
-                off_parts.append(offs[1:] + base)
-                base += len(pos)
-            p.positions = np.concatenate(pos_parts)
-            p.pos_offsets = np.concatenate([np.zeros(1, np.int64)] + off_parts)
+            flat = (
+                np.concatenate(pos_parts) if pos_parts
+                else np.empty(0, np.int64)
+            )
+            if p._keep is not None:
+                flat = flat[np.repeat(p._keep, raw_tfs)]
+            p.positions = flat
+            offs = np.zeros(p.df + 1, dtype=np.int64)
+            np.cumsum(p.tfs, out=offs[1:])
+            p.pos_offsets = offs
         return p
+
+    def _live_mask(self, doc_ids: np.ndarray) -> "np.ndarray | None":
+        """Boolean keep-mask vs the tombstone set, or None when untouched."""
+        if not len(self._deleted) or not len(doc_ids):
+            return None
+        idx = np.searchsorted(self._deleted, doc_ids)
+        idx_c = np.minimum(idx, len(self._deleted) - 1)
+        dead = self._deleted[idx_c] == doc_ids
+        if not dead.any():
+            return None
+        return ~dead
 
     def block_metadata(self, field: str, term: str):
         """Per-block (last_doc, max_tf, min_dl) skip metadata for block-max

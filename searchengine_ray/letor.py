@@ -95,9 +95,9 @@ class Featurizer:
                 pos_c = np.clip(pos, 0, p.df - 1)
                 hit = p.doc_ids[pos_c] == docs
                 tf[hit] = p.tfs[pos_c[hit]].astype(np.float64)
-            idf = max(0.0, math.log((N - p.df + 0.5) / (p.df + 0.5)))
+            idf = max(0.0, math.log((N - p.stat_df + 0.5) / (p.stat_df + 0.5)))
             bm25 += idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / ave))
-            ctf_eff = float(p.ctf) if p.ctf >= 1 else 0.5
+            ctf_eff = float(p.stat_ctf) if p.stat_ctf >= 1 else 0.5
             prob = ctf_eff / clen
             indri *= (1 - cfg.lam) * (tf + cfg.mu * prob) / (dl + cfg.mu) + cfg.lam * prob
             matched += (tf > 0).astype(np.float64)

@@ -398,7 +398,9 @@ class Evaluator:
         if id(node) in self.stats_override:
             return self.stats_override[id(node)]
         p = self.iop(node)
-        return p.df, p.ctf
+        # stat_* not df/ctf: with tombstoned deletes the scoring statistics
+        # stay stale until expunge (Lucene docFreq semantics)
+        return p.stat_df, p.stat_ctf
 
     # -- public entry --
     def evaluate(self, root) -> tuple[np.ndarray, np.ndarray]:

@@ -54,7 +54,7 @@ def flat_bm25_terms(tree) -> "list[Term] | None":
 
 
 def _idf(index: InvertedIndex, field: str, term: str) -> float:
-    df = index.postings(field, term, need_positions=False).df
+    df = index.postings(field, term, need_positions=False).stat_df
     N = float(index.num_docs)
     return max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
 
@@ -88,7 +88,7 @@ def _score_candidates(
         post = index.postings(t.field, t.term, need_positions=False)
         if post.df == 0:
             continue
-        idf = max(0.0, np.log((N - post.df + 0.5) / (post.df + 0.5)))
+        idf = max(0.0, np.log((N - post.stat_df + 0.5) / (post.stat_df + 0.5)))
         pos = np.searchsorted(post.doc_ids, cand)
         pos_c = np.clip(pos, 0, post.df - 1)
         hit = post.doc_ids[pos_c] == cand
@@ -129,7 +129,7 @@ def flat_bm25_topk(
         theta = 0.0
     else:
         N = float(index.num_docs)
-        idf0 = max(0.0, np.log((N - post0.df + 0.5) / (post0.df + 0.5)))
+        idf0 = max(0.0, np.log((N - post0.stat_df + 0.5) / (post0.stat_df + 0.5)))
         dl0 = index.doclen(t0.field, post0.doc_ids).astype(np.float64)
         ave0 = float(index.sum_field_lengths(t0.field)) / float(
             index.doc_count(t0.field)
