@@ -40,8 +40,27 @@ _STOPLIST_SQL = (
 )
 
 
-def _bm25_terms_sql(terms: list[str]) -> str:
-    """BM25 #SUM over terms, fixed accumulation order = query order."""
+def _bm25_terms_sql(
+    terms: list[str],
+    live_pred: "str | None" = None,
+    stale_stats: bool = False,
+) -> str:
+    """BM25 #SUM over terms, fixed accumulation order = query order.
+
+    ``live_pred`` marks surviving docs under deletion (gate._DELETE_PRED*).
+    With ``stale_stats`` (tombstone phase) df/N/avgdl stay full-corpus and
+    only the FINAL rows are filtered — the Lucene live-docs semantics the
+    engine reproduces; without it (post-expunge) every statistic is
+    recomputed over the surviving corpus only."""
+    tok = _TOK
+    final_where = ""
+    if live_pred and stale_stats:
+        final_where = f"WHERE {live_pred}"
+    elif live_pred:
+        tok = _TOK.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE {live_pred})",
+        )
     in_list = ",".join(f"'{t}'" for t in terms)
     piv = ",\n    ".join(
         f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
@@ -49,7 +68,7 @@ def _bm25_terms_sql(terms: list[str]) -> str:
     )
     add = " + ".join(f"coalesce(s_{i}, 0)" for i in range(len(terms)))
     return f"""
-WITH {_TOK},
+WITH {tok},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        WHERE term IN ({in_list}) GROUP BY doc_id, term),
 stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -59,7 +78,7 @@ scored AS (
            * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
   FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
 piv AS (SELECT doc_id, {piv} FROM scored GROUP BY doc_id)
-SELECT doc_id, round({add}, 6) AS score_r FROM piv
+SELECT doc_id, round({add}, 6) AS score_r FROM piv {final_where}
 """
 
 
@@ -1403,10 +1422,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flat 'dup spark' BM25 served from a base-build + appended-segment
         # index (build.add_documents), hash-checked vs the FULL-corpus SQL
         "se_bm25_incremental": gate.se_bm25_incremental,
+        # deletion (delete.py): tombstone phase (stale stats, dead docs
+        # filtered) and post-expunge phase (stats shrink to the survivors)
+        "se_bm25_deleted": gate.se_bm25_deleted,
+        "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_near": gate.se_bm25_near,
         "se_near_tf": gate.se_near_tf,
-        "se_window_docs": gate.se_window_docs,
-        "se_syn_tf": gate.se_syn_tf,
         "se_ranked_and": gate.se_ranked_and,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
@@ -1469,6 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_unranked_and": gate.se_unranked_and,    # sibling: se_ranked_and
         "se_indri_wand": gate.se_indri_wand,        # sibling: se_indri_and
         "se_near3_tf": gate.se_near3_tf,            # sibling: se_near_tf
+        "se_window_docs": gate.se_window_docs,      # twice driver-verified (r1+r2)
+        "se_syn_tf": gate.se_syn_tf,                # twice driver-verified (r1+r2)
         "prf_expansion": gate.prf_expansion,        # sibling: prf_e2e_rescore
         "div_xquad_first": gate.div_xquad_first,    # sibling: div_xquad
         "div_pm2_first": gate.div_pm2_first,        # sibling: div_pm2
@@ -1511,6 +1534,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "se_bm25_term": _bm25_terms_sql(["dup"]),
         "se_bm25_flat": _bm25_terms_sql(["dup", "spark"]),
+        # tombstone phase: full-corpus stats, survivors-only rows
+        "se_bm25_deleted": _bm25_terms_sql(
+            ["dup", "spark"], live_pred="doc_id % 7 <> 3", stale_stats=True
+        ),
+        # post-expunge: every statistic recomputed over the survivors
+        "se_bm25_expunged": _bm25_terms_sql(
+            ["dup", "spark"], live_pred="doc_id % 7 <> 3"
+        ),
         # same scoring as se_bm25_flat but keyed by external_id: the Ray
         # side serves it from a two-stage (base + appended segment) index
         "se_bm25_incremental": f"""

@@ -519,3 +519,70 @@ def _walk_parquet(d: str) -> list[str]:
     for root, _dirs, names in os.walk(d):
         out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
     return sorted(out)
+
+
+# --- document deletion (delete.py: tombstones + expunge) -------------------
+
+_DELETE_PRED_MOD, _DELETE_PRED_REM = 7, 3  # dead docs: doc_id % 7 == 3
+
+
+def _deleted_index_for(sf_dir: str, expunge: bool) -> str:
+    """Copy of the gate index with every doc_id % 7 == 3 tombstoned (and,
+    when ``expunge``, compacted away). Separate copies so the shared gate
+    index and the two phases stay independent."""
+    import shutil
+
+    key = (os.path.abspath(sf_dir), expunge)
+    if key not in _DELETE_CACHE:
+        from .delete import delete_documents, expunge_deletes
+
+        src = index_for(sf_dir)
+        dst = src + ("_expunged" if expunge else "_deleted")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        ids = (
+            pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+            .to_table(columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        dead = ids[ids % _DELETE_PRED_MOD == _DELETE_PRED_REM]
+        n = delete_documents(dst, doc_ids=dead)
+        assert n == len(dead)
+        if expunge:
+            assert expunge_deletes(dst) == len(dead)
+        _DELETE_CACHE[key] = dst
+    return _DELETE_CACHE[key]
+
+
+_DELETE_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _bm25_dup_spark_on(index_dir: str) -> pa.Table:
+    t = SearchEngine(index_dir, ModelParams(model="bm25", top_k=1 << 30)).search(
+        "q", "dup spark"
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
+def se_bm25_deleted(sf_dir: str):
+    """BM25 'dup spark' with doc_id%7==3 TOMBSTONED (not yet expunged):
+    dead docs vanish from every posting list, but term df/ctf, N and avgdl
+    stay stale (Lucene live-docs semantics, see delete.py) — so the oracle
+    is the FULL-corpus BM25 score table filtered to surviving doc_ids."""
+    return _bm25_dup_spark_on(_deleted_index_for(sf_dir, expunge=False))
+
+
+def se_bm25_expunged(sf_dir: str):
+    """Same query after ``expunge_deletes`` (forceMergeDeletes): stats
+    SHRINK to the surviving corpus, so the oracle recomputes df/N/avgdl
+    over ``documents WHERE doc_id % 7 <> 3`` — hash-equality proves the
+    compaction rewrote postings + lexicon + stats exactly like a fresh
+    build of the survivors."""
+    return _bm25_dup_spark_on(_deleted_index_for(sf_dir, expunge=True))
