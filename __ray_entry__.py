@@ -13,6 +13,8 @@ here (or the library) calls ray.init/ray.shutdown.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from typing import Any
 
@@ -896,6 +898,131 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
+def _emb_lsh_sql(
+    threshold: float = 0.4, n_bits: int = 32, bands: int = 8, seed: int = 314,
+    dim: int = 64,
+) -> str:
+    """Random-hyperplane LSH reproduced end-to-end in DuckDB: the
+    hyperplane matrix comes from the SAME seeded generator the engine
+    uses (dedup.embedding_dup_pairs_lsh), inlined as DOUBLE[] literals
+    (repr() round-trips each double bit-exactly). The sign bit uses the
+    raw list_dot_product — sign-invariant to the engine's L2
+    normalization, incl. the zero-vector case where both sides yield
+    all-zero bits. Band hashes weight local bit j by 2^j, buckets
+    outside the engine's 2..1000 cap are skipped, candidate pairs dedupe
+    across bands, and exact cosine >= threshold verifies, mirroring
+    dedup.pairs_of_band."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((n_bits, dim))
+    bpb = n_bits // bands
+    rows = ",\n    ".join(
+        "({}, {}, CAST([{}] AS DOUBLE[]))".format(
+            i // bpb, 1 << (i % bpb),
+            ", ".join(repr(float(x)) for x in R[i]),
+        )
+        for i in range(n_bits)
+    )
+    return f"""
+WITH r(band, w, v) AS (VALUES
+    {rows}),
+sig AS (
+  SELECT e.vec_id, r.band,
+    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), r.v) > 0
+             THEN r.w ELSE 0 END) AS BIGINT) AS bh
+  FROM embeddings e CROSS JOIN r GROUP BY e.vec_id, r.band),
+bkt AS (
+  SELECT band, bh FROM sig GROUP BY band, bh
+  HAVING count(*) BETWEEN 2 AND 1000),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bh = b.bh
+                       AND a.vec_id < b.vec_id
+  JOIN bkt ON bkt.band = a.band AND bkt.bh = a.bh)
+SELECT c.va AS vec_id_a, c.vb AS vec_id_b,
+  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.va
+JOIN embeddings eb ON eb.vec_id = c.vb
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+"""
+
+
+def _semdedup_sql(
+    sf_dir: str = "/root/testdata/sf0.01", eps: float = 0.4,
+    n_cells: int = 16, seed: int = 99,
+) -> str:
+    """SemDeDup (arXiv:2303.09540) reproduced in DuckDB. Centroids are the
+    engine's seeded-sample k-means inlined as literals (see _ivf_sql — same
+    seed/sample, so the matrices are identical); the SQL independently
+    re-derives the distributed steps: argmax cell assignment with the
+    max-sim as centroid_sim, then the per-cluster sequential greedy as a
+    recursive CTE over the (centroid_sim ASC, vec_id ASC) keep-priority
+    order — a row is kept iff its cosine to every already-kept member is
+    <= eps, else marked dup_of the most-similar kept member (ties -> the
+    earliest-kept, matching np.argmax), with the kept-set carried as a
+    BIGINT[] recursion column exactly like the div_pm2/xquad oracles carry
+    greedy state."""
+    import pyarrow.parquet as _pq
+
+    from searchengine_ray.ann import _kmeans, batch_matrix
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return "SELECT 1 WHERE 1=0"
+    tbl = _pq.read_table(path, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    centers = _kmeans(batch_matrix(tbl), n_cells, seed)
+    rows = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ", ".join(repr(float(x)) for x in centers[j])
+        )
+        for j in range(len(centers))
+    )
+    return f"""
+WITH RECURSIVE cent(cell, v) AS (VALUES
+    {rows}),
+asg AS (
+  SELECT vec_id, emb, cell, sim FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell,
+      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v) AS sim,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v)
+                 DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+m AS (
+  SELECT vec_id, emb, cell, sim,
+    CAST(row_number() OVER (PARTITION BY cell ORDER BY sim, vec_id)
+         AS BIGINT) AS rk
+  FROM asg),
+rec(cell, rk, kept, vec_id, is_kept, dup_of) AS (
+  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+         CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT cell FROM m)
+  UNION ALL
+  SELECT m.cell, m.rk,
+    CASE WHEN d.dup IS NULL THEN list_append(r.kept, m.vec_id)
+         ELSE r.kept END,
+    m.vec_id, d.dup IS NULL, coalesce(d.dup, -1)
+  FROM rec r
+  JOIN m ON m.cell = r.cell AND m.rk = r.rk + 1
+  LEFT JOIN LATERAL (
+    SELECT k.vec_id AS dup
+    FROM unnest(r.kept) AS u(kid)
+    JOIN m k ON k.cell = m.cell AND k.vec_id = u.kid
+    WHERE list_cosine_similarity(k.emb, m.emb) > {eps}
+    ORDER BY list_cosine_similarity(k.emb, m.emb) DESC,
+             list_position(r.kept, k.vec_id)
+    LIMIT 1) d ON true)
+SELECT r.vec_id, CAST(r.cell AS INTEGER) AS cell, r.is_kept AS kept,
+  r.dup_of, round(m.sim, 6) AS centroid_sim
+FROM rec r JOIN m ON m.cell = r.cell AND m.vec_id = r.vec_id
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH s AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -909,6 +1036,74 @@ SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
 FROM s
 QUALIFY rank <= 10
 """
+
+def _ivf_sql(
+    sf_dir: str = "/root/testdata/sf0.01", n_queries: int = 10, k: int = 10,
+    n_cells: int = 16, nprobe: int = 4, seed: int = 99,
+) -> str:
+    """IVF ANN reproduced in DuckDB. The centroid matrix is the engine's
+    own seeded-sample k-means output inlined as DOUBLE[] literals — the
+    same engine-state-as-literals pattern as _minhash_sql's permutations;
+    at the gate's sf0.01 scale the bounded hash-thinned sample keeps every
+    row (500 <= 4096), so the centroids derive from (seed, corpus) alone
+    and equal ann._kmeans over the plainly-read table. DuckDB then
+    independently re-derives every QUERY-PATH step ivf_build/ivf_search
+    distribute: nearest-centroid cell assignment (argmax ties -> lowest
+    cell, matching np.argmax), per-query nprobe probe selection, scoring
+    restricted to (query, row) pairs whose cell the query probes — the
+    FLOP pruning under test — self-exclusion, and per-query top-k with
+    (sim desc, id asc) ties. Falls back to a constant-false SQL if the
+    gate corpus is missing so oracle_sql() never raises at import."""
+    import pyarrow.parquet as _pq
+
+    from searchengine_ray.ann import _kmeans, batch_matrix
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return "SELECT 1 WHERE 1=0"
+    tbl = _pq.read_table(path, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    centers = _kmeans(batch_matrix(tbl), n_cells, seed)
+    rows = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ", ".join(repr(float(x)) for x in centers[j])
+        )
+        for j in range(len(centers))
+    )
+    return f"""
+WITH cent(cell, v) AS (VALUES
+    {rows}),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v)
+                 DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.v)
+                 DESC, c.cell) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {n_queries})
+  WHERE rn <= {nprobe}),
+s AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) AS sim
+  FROM probe p
+  JOIN asg a ON a.cell = p.cell
+  JOIN embeddings v ON v.vec_id = a.vec_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  WHERE v.vec_id != p.query_id)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= {k}
+"""
+
 
 _TOKEN_STATS_SQL = f"""
 WITH {_TOK}
@@ -1427,8 +1622,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_bm25_deleted": gate.se_bm25_deleted,
         "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_near": gate.se_bm25_near,
-        "se_near_tf": gate.se_near_tf,
-        "se_ranked_and": gate.se_ranked_and,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
@@ -1446,9 +1639,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_components_dist": dedup.dedup_components_distributed,
-        "dedup_embedding": dedup.embedding_dup_pairs,
-        # similarity search
+        # hyperplane LSH: seeded hyperplanes inlined as literals in the
+        # oracle (see _emb_lsh_sql); exact sibling dedup_embedding is
+        # parked below (twice driver-verified, same cosine kernel)
+        "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
+        # SemDeDup (arXiv:2303.09540): centroids inlined as oracle
+        # literals, greedy as a recursive CTE (see _semdedup_sql); also
+        # pytest-checked (independent-set/coverage + exact reference)
+        "dedup_semantic": dedup.semantic_dedup,
+        # similarity search (ivf centroids inlined as oracle literals —
+        # see _ivf_sql; exact sibling ann_topk also in-window)
         "ann_topk": ann.brute_topk,
+        "ann_ivf": ann.ivf_topk,
         # text analysis
         "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality_score,
@@ -1486,9 +1688,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
         "se_bm25_flat": gate.se_bm25_flat,          # sibling: se_bm25_incremental (same query, same SQL shape)
+        "se_ranked_and": gate.se_ranked_and,        # sibling: se_indri_and (same #AND combine path)
         "se_ranked_or": gate.se_ranked_or,          # sibling: se_ranked_and
         "se_unranked_and": gate.se_unranked_and,    # sibling: se_ranked_and
         "se_indri_wand": gate.se_indri_wand,        # sibling: se_indri_and
+        "se_near_tf": gate.se_near_tf,              # sibling: se_bm25_near (same #NEAR iop)
         "se_near3_tf": gate.se_near3_tf,            # sibling: se_near_tf
         "se_window_docs": gate.se_window_docs,      # twice driver-verified (r1+r2)
         "se_syn_tf": gate.se_syn_tf,                # twice driver-verified (r1+r2)
@@ -1499,17 +1703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": textstats.token_stats,  # sibling: text_token_counts
         "events_hopping": windows.hopping_counts,   # sibling: events_tumbling
         "events_hourly_users": textextras.hourly_unique_users,  # sibling: events_hourly_users_hll
+        "dedup_embedding": dedup.embedding_dup_pairs,  # sibling: dedup_embedding_lsh (same cosine kernel)
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
-        # hash/hyperplane/centroid state isn't SQL-expressible; pytest
-        # checks no-false-positives + recall vs the exact baselines
-        "ann_ivf": ann.ivf_topk,
-        "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
-        # SemDeDup (arXiv:2303.09540): k-means centroid state isn't SQL;
-        # pytest checks independent-set/coverage properties + an exact
-        # reference re-implementation
-        "dedup_semantic": dedup.semantic_dedup,
         # trained-model rerankers (training loops aren't SQL; their
         # feature/formula layers are hash-checked via ltr_features and
         # the drmm determinism pytest)
@@ -1585,12 +1782,15 @@ JOIN (
         # trained-model pipelines -> rows-only; pytest covers the formulas.
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
-        # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_ivf:
-        # hash/hyperplane/centroid state is not SQL-expressible -> rows-only
-        # check; pytest verifies them against the exact-Jaccard /
-        # brute-force baselines instead (no false positives + recall bound).
+        # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_ivf
+        # inline their seeded hash/hyperplane/centroid state as SQL
+        # literals (the same generators/training the engine uses); the
+        # SQL independently re-derives every distributed query-path step.
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_minhash": _minhash_sql(),
+        "dedup_embedding_lsh": _emb_lsh_sql(),
+        "ann_ivf": _ivf_sql(),
+        "dedup_semantic": _semdedup_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the
         # driver-side resolver bit-for-bit

@@ -108,6 +108,10 @@ def _sample_matrix(sf_dir: str, seed: int, sample_rows: int = 4096) -> np.ndarra
         rows = ray.data.read_parquet(path, columns=["vec_id", "embedding"]).take(
             sample_rows
         )
+    # sort by vec_id: block arrival order varies with partitioning /
+    # parallelism, and _kmeans' seeded init indexes into this matrix — an
+    # unsorted sample would train different centroids per cluster size
+    rows.sort(key=lambda r: r["vec_id"])
     mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -385,9 +389,16 @@ def ivf_topk(
     build parameters, so repeated gate runs reuse it; recall vs
     :func:`brute_topk` is pytest-checked.
     """
+    import hashlib
+
     path = f"{sf_dir}/embeddings.parquet"
     st = os.stat(path)
-    key = f"{abs(hash((os.path.abspath(path), st.st_mtime_ns, st.st_size, n_cells, seed, sample_rows))):x}"
+    key = hashlib.md5(
+        repr(
+            (os.path.abspath(path), st.st_mtime_ns, st.st_size, n_cells, seed,
+             sample_rows)
+        ).encode()
+    ).hexdigest()[:16]  # stable across processes (hash() is salted)
     index_dir = os.path.join("/tmp", "se_ray_ivf", key)
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         ivf_build(sf_dir, index_dir, n_cells=n_cells, seed=seed, sample_rows=sample_rows)
