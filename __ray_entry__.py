@@ -1621,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filtered) and post-expunge phase (stats shrink to the survivors)
         "se_bm25_deleted": gate.se_bm25_deleted,
         "se_bm25_expunged": gate.se_bm25_expunged,
+        "se_bm25_merged": gate.se_bm25_merged,
         "se_bm25_near": gate.se_bm25_near,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
@@ -1634,7 +1635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "div_pm2": gate.div_pm2,
         "ltr_features": gate.ltr_features,
         # dedup
-        "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
@@ -1704,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": windows.hopping_counts,   # sibling: events_tumbling
         "events_hourly_users": textextras.hourly_unique_users,  # sibling: events_hourly_users_hll
         "dedup_embedding": dedup.embedding_dup_pairs,  # sibling: dedup_embedding_lsh (same cosine kernel)
+        "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
@@ -1737,6 +1738,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # post-expunge: every statistic recomputed over the survivors
         "se_bm25_expunged": _bm25_terms_sql(
+            ["dup", "spark"], live_pred="doc_id % 7 <> 3"
+        ),
+        # post-force_merge(1): same survivor statistics as post-expunge,
+        # but the Ray side serves the coalesced single-partition layout
+        "se_bm25_merged": _bm25_terms_sql(
             ["dup", "spark"], live_pred="doc_id % 7 <> 3"
         ),
         # same scoring as se_bm25_flat but keyed by external_id: the Ray

@@ -548,6 +548,148 @@ def index_partitions(index_dir: str) -> list[int]:
     )
 
 
+def force_merge(index_dir: str, num_partitions: int = 1) -> int:
+    """Lucene ``IndexWriter.forceMerge(maxNumSegments)``: coalesce every
+    partition — base build plus appended segments — into ``num_partitions``
+    canonical doc-range partitions, leaving an index observably identical
+    to a from-scratch :func:`build_index` of the current surviving corpus
+    at that partition count (the reference only ever opens such a merged
+    index, ``Homeworks/HW6/QryEval/Idx.java:237-260``). Completes the
+    writer lifecycle: build -> add_documents -> delete_documents ->
+    expunge_deletes -> force_merge.
+
+    Pending tombstones are expunged first (forceMerge drops deletes).
+    Because every partition boundary in this engine is bucket-aligned (the
+    base build rounds ranges up to ``doc_bucket_size``; appends start at a
+    bucket-aligned doc base), each (field, term, bucket) posting row lives
+    in exactly ONE source partition and maps to exactly ONE target
+    partition — so the merge is a pure row redistribution: no posting list
+    is decoded, spliced, or re-encoded, and every row lands byte-identical
+    to what a fresh build would encode. Postings move via bucket-range
+    reads (parquet row-group stats prune files outside the target's bucket
+    range — each input byte is read ~once, not num_partitions times),
+    docmap rows via doc-id-range reads; lexicon + stats re-derive through
+    ``_finalize`` (sums are reorder-invariant, so they only change if an
+    expunge shrank the corpus). No shuffle: target assignment is a range
+    predicate, not an all-to-all.
+
+    Re-runnable: the new layout is fully written to ``.merged`` siblings
+    before a two-rename swap per subtree; a crash before the first rename
+    leaves the old index intact, and re-running the merge regenerates the
+    ``.merged`` dirs from whichever tree is live. Returns the number of
+    (non-empty) partitions after the merge.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .config import BuildConfig
+    from .delete import _load_tombstones, expunge_deletes
+    from .indexio import _parquet_files
+
+    if len(_load_tombstones(index_dir)):
+        expunge_deletes(index_dir)
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if not (manifest.get("complete") or manifest.get("segments")):
+        raise ValueError(
+            f"{index_dir}: index is incomplete; finish build_index() before "
+            "merging"
+        )
+    struct = manifest.get("config") or {}
+    cfg = BuildConfig(
+        fields=struct.get("fields") or BuildConfig().fields,
+        doc_bucket_size=int(
+            struct.get("bucket", BuildConfig().doc_bucket_size)
+        ),
+        skip_block_docs=int(struct.get("skip", BuildConfig().skip_block_docs)),
+        stemmer=struct.get("stemmer", "none"),
+        num_partitions=num_partitions,
+    )
+    live = [
+        e
+        for e in manifest["partitions"].values()
+        if e.get("status") == "done" and not e.get("empty")
+    ]
+    if (
+        len(live) == num_partitions
+        and not manifest.get("segments")
+        and manifest.get("merged_to") == num_partitions
+    ):
+        return num_partitions  # already merged to this width
+
+    # n_docs = max doc_id + 1, from docmap FOOTERS only (no data read)
+    n_docs = 0
+    for fn in _parquet_files([os.path.join(index_dir, "docmap")]):
+        md = pq.ParquetFile(fn).metadata
+        idx = md.schema.to_arrow_schema().names.index("doc_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                n_docs = max(n_docs, int(st.max) + 1)
+    if n_docs == 0:
+        raise ValueError(f"{index_dir}: empty docmap; nothing to merge")
+
+    B = cfg.doc_bucket_size
+    per_part = -(-n_docs // num_partitions)
+    per_part = -(-per_part // B) * B
+
+    post_root = os.path.join(index_dir, "postings")
+    dm_root = os.path.join(index_dir, "docmap")
+    post_new, dm_new = post_root + ".merged", dm_root + ".merged"
+    shutil.rmtree(post_new, ignore_errors=True)
+    shutil.rmtree(dm_new, ignore_errors=True)
+    new_parts: dict = {}
+    for p in range(num_partitions):
+        lo, hi = p * per_part, (p + 1) * per_part
+        if lo >= n_docs:
+            new_parts[str(p)] = _empty_partition_entry(lo, hi)
+            continue
+        t0 = time.time()
+        posts = ray.data.read_parquet(
+            post_root,
+            filter=(pc.field("bucket") >= lo // B)
+            & (pc.field("bucket") < -(-hi // B)),
+        )
+        _atomic_write(posts, os.path.join(post_new, f"part_{p:05d}"))
+        dm = ray.data.read_parquet(
+            dm_root,
+            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi),
+        )
+        _atomic_write(dm, os.path.join(dm_new, f"part_{p:05d}"))
+        new_parts[str(p)] = {
+            "status": "done",
+            "doc_lo": lo,
+            "doc_hi": hi,
+            "wall_s": round(time.time() - t0, 3),
+            "docmap": _partition_metrics(os.path.join(dm_new, f"part_{p:05d}")),
+            "postings": _partition_metrics(
+                os.path.join(post_new, f"part_{p:05d}")
+            ),
+            "source": "force_merge",
+        }
+
+    for root, new in ((post_root, post_new), (dm_root, dm_new)):
+        old = root + ".pre_merge"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(root, old)
+        os.rename(new, root)
+        shutil.rmtree(old)
+
+    manifest["partitions"] = new_parts
+    manifest["segments"] = []
+    manifest["merged_to"] = num_partitions
+    manifest.setdefault("merges", []).append(
+        {"num_partitions": num_partitions, "n_docs": int(n_docs)}
+    )
+    manifest["complete"] = True
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    _finalize(index_dir, cfg)
+    return sum(1 for e in new_parts.values() if not e.get("empty"))
+
+
 def add_documents(
     index_dir: str,
     source: "str | Callable[[], object]",

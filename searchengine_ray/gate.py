@@ -557,6 +557,49 @@ def _deleted_index_for(sf_dir: str, expunge: bool) -> str:
 
 
 _DELETE_CACHE: dict[tuple[str, bool], str] = {}
+_MERGE_CACHE: dict[str, str] = {}
+
+
+def _merged_index_for(sf_dir: str) -> str:
+    """Copy of the gate index with doc_id%7==3 tombstoned, then
+    ``force_merge(1)``: the expunge + partition coalesce leaves ONE
+    partition whose postings/lexicon/stats are bitwise those of a fresh
+    single-partition build of the survivors (tests/test_merge.py); this
+    entry proves the merged index also SERVES identically."""
+    import shutil
+
+    key = os.path.abspath(sf_dir)
+    if key not in _MERGE_CACHE:
+        from .build import force_merge
+        from .delete import delete_documents
+
+        src = index_for(sf_dir)
+        dst = src + "_merged"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        ids = (
+            pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+            .to_table(columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        dead = ids[ids % _DELETE_PRED_MOD == _DELETE_PRED_REM]
+        assert delete_documents(dst, doc_ids=dead) == len(dead)
+        assert force_merge(dst, num_partitions=1) == 1
+        _MERGE_CACHE[key] = dst
+    return _MERGE_CACHE[key]
+
+
+def se_bm25_merged(sf_dir: str):
+    """BM25 'dup spark' served from a force_merge(1)'d index (delete ->
+    expunge -> coalesce to one partition): scores must equal a fresh
+    build of the survivors, so the oracle recomputes df/N/avgdl over
+    ``documents WHERE doc_id % 7 <> 3`` — identical SQL to
+    se_bm25_expunged, but the Ray side exercises the merged single-
+    partition layout (bucket-range redistribution, rewritten manifest,
+    re-finalized lexicon/stats)."""
+    return _bm25_dup_spark_on(_merged_index_for(sf_dir))
 
 
 def _bm25_dup_spark_on(index_dir: str) -> pa.Table:
