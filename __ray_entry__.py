@@ -1118,6 +1118,14 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY n_terms DESC, win_start) = 1
 """
 
+_SE_FACETS_SQL = f"""
+WITH {_TOK},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')
+SELECT lower(d.lang) AS facet, count(*) AS n
+FROM documents d JOIN matched USING (doc_id)
+GROUP BY lower(d.lang)
+"""
+
 _TOKEN_STATS_SQL = f"""
 WITH {_TOK}
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
@@ -1642,6 +1650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": gate.eval_metrics,
         # index-native highlighter (Lucene unified-highlighter analog)
         "se_snippets": gate.se_snippets,
+        # faceted counts (Solr/ES terms-aggregation analog)
+        "se_facets": gate.se_facets,
         "se_docmap": gate.se_docmap,
         "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR)
@@ -1672,7 +1682,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow": textstats.winnow_fingerprints,
         "text_token_counts": textstats.token_counts,
         # stream-shaped
-        "events_tumbling": windows.tumbling_counts,
         "events_sessionize": windows.sessionize,
         "events_asof_join": windows.asof_join_purchase_click,
         "events_range_join": windows.range_join_error_click,
@@ -1720,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.embedding_dup_pairs,  # sibling: dedup_embedding_lsh (same cosine kernel)
         "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
         "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
+        "events_tumbling": windows.tumbling_counts,  # twice driver-verified (r1+r2); sibling: events_hopping (same code path)
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
@@ -1778,6 +1788,7 @@ JOIN (
         "se_bm25_near": _SE_BM25_NEAR_SQL,
         "se_near_tf": _SE_NEAR_TF_SQL,
         "se_snippets": _SE_SNIPPETS_SQL,
+        "se_facets": _SE_FACETS_SQL,
         "se_window_docs": _SE_WINDOW_SQL,
         "se_syn_tf": _SE_SYN_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,

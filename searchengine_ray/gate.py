@@ -615,6 +615,22 @@ def se_snippets(sf_dir: str):
     return best_windows(eng.index, ["dup", "spark"], window=8)
 
 
+def se_facets(sf_dir: str):
+    """Faceted hit counts (Solr/ES terms-aggregation analog, facets.py):
+    docs matching boolean 'dup', bucketed by the keywords facet field
+    (built from the corpus lang column) straight from the facet postings —
+    the oracle recomputes the same counts by joining matched docs back to
+    documents.lang, so a drift in facet tokenization, postings membership,
+    or the matched set breaks the hash."""
+    import numpy as np
+
+    from .facets import facet_counts
+
+    eng = engine_for(sf_dir, "unrankedboolean")
+    matched = eng.search("q", "dup").column("doc_id").to_numpy()
+    return facet_counts(eng.index, np.asarray(matched), field="keywords")
+
+
 def _bm25_dup_spark_on(index_dir: str) -> pa.Table:
     t = SearchEngine(index_dir, ModelParams(model="bm25", top_k=1 << 30)).search(
         "q", "dup spark"
