@@ -116,6 +116,20 @@ SELECT doc_id, count(*) AS score FROM tok
 WHERE term IN ('scan','sort') GROUP BY doc_id
 """
 
+_SE_FUZZY_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE levenshtein(term, 'spak') <= 2 AND term NOT IN {_STOPLIST_SQL}
+GROUP BY doc_id
+"""
+
+_SE_PREFIX_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE term LIKE 's%' AND term NOT IN {_STOPLIST_SQL}
+GROUP BY doc_id
+"""
+
 _SE_RANKED_AND_SQL = f"""
 WITH {_TOK},
 ta AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
@@ -1643,7 +1657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_bm25_deleted": gate.se_bm25_deleted,
         "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_merged": gate.se_bm25_merged,
-        "se_bm25_near": gate.se_bm25_near,
+        # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery)
+        "se_fuzzy_tf": gate.se_fuzzy_tf,
+        "se_prefix_tf": gate.se_prefix_tf,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
@@ -1653,7 +1669,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # faceted counts (Solr/ES terms-aggregation analog)
         "se_facets": gate.se_facets,
         "se_docmap": gate.se_docmap,
-        "se_lexicon": gate.se_lexicon,
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_e2e_rescore": gate.prf_e2e_rescore,
         "div_xquad": gate.div_xquad,
@@ -1715,7 +1730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_ranked_or": gate.se_ranked_or,          # sibling: se_ranked_and
         "se_unranked_and": gate.se_unranked_and,    # sibling: se_ranked_and
         "se_indri_wand": gate.se_indri_wand,        # sibling: se_indri_and
+        "se_bm25_near": gate.se_bm25_near,          # twice driver-verified (r1+r2); siblings se_near_tf/se_near3_tf parked here too
         "se_near_tf": gate.se_near_tf,              # sibling: se_bm25_near (same #NEAR iop)
+        "se_lexicon": gate.se_lexicon,              # twice driver-verified (r1+r2); df/ctf also exercised by every BM25 entry
         "se_near3_tf": gate.se_near3_tf,            # sibling: se_near_tf
         "se_window_docs": gate.se_window_docs,      # twice driver-verified (r1+r2)
         "se_syn_tf": gate.se_syn_tf,                # twice driver-verified (r1+r2)
@@ -1791,6 +1808,8 @@ JOIN (
         "se_facets": _SE_FACETS_SQL,
         "se_window_docs": _SE_WINDOW_SQL,
         "se_syn_tf": _SE_SYN_SQL,
+        "se_fuzzy_tf": _SE_FUZZY_SQL,
+        "se_prefix_tf": _SE_PREFIX_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,
         "se_indri_and": _SE_INDRI_AND_SQL,

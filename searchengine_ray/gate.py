@@ -94,6 +94,22 @@ def se_syn_tf(sf_dir: str):
     return _score_table(sf_dir, "rankedboolean", "#syn( scan sort )", as_int=True)
 
 
+def se_fuzzy_tf(sf_dir: str):
+    """#FUZZY (Lucene FuzzyQuery analog): 'spak' at the default maxEdits=2
+    expands against the index dictionary (vectorized Levenshtein over the
+    vocabulary) and unions like #SYN — the oracle recomputes the same tf
+    with DuckDB's levenshtein() over raw tokens, so a drift in the edit-
+    distance DP, the expansion set, or the SYN union breaks the hash."""
+    return _score_table(sf_dir, "rankedboolean", "#fuzzy( spak )", as_int=True)
+
+
+def se_prefix_tf(sf_dir: str):
+    """#PREFIX (Lucene PrefixQuery analog): every dictionary term starting
+    with 's', unioned like #SYN; oracle = LIKE 's%' over raw tokens minus
+    stopwords (the dictionary never holds them)."""
+    return _score_table(sf_dir, "rankedboolean", "#prefix( s )", as_int=True)
+
+
 def se_ranked_and(sf_dir: str):
     return _score_table(sf_dir, "rankedboolean", "#and( spark join )", as_int=True)
 

@@ -56,7 +56,73 @@ def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Posting
         return _eval_window_vectorized(
             [eval_iop(a, index, True) for a in node.args], node.dist
         )
+    if node.name in ("#fuzzy", "#prefix"):
+        return _eval_expansion(node, index, need_positions)
     raise ValueError(f"not an inverted-list operator: {node.name}")
+
+
+def _levenshtein_all(q: str, terms: list[str]) -> np.ndarray:
+    """Edit distance from ``q`` to EVERY term at once: Wagner-Fischer with
+    the candidate axis vectorized (the big axis — a term dictionary), DP
+    cells looped (bounded by max term length). Returns int64 distances."""
+    if not terms:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.asarray([len(t) for t in terms], dtype=np.int64)
+    L = int(lens.max())
+    arr = np.zeros((len(terms), L), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        arr[i, : len(t)] = np.frombuffer(
+            t.encode("utf-32-le"), dtype=np.uint32
+        )
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (len(terms), 1))
+    for i, ch in enumerate(q, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (arr != ord(ch))
+        dele = prev[:, 1:] + 1
+        for j in range(1, L + 1):  # cur[j-1] dependency is inherently serial
+            cur[:, j] = np.minimum(
+                np.minimum(dele[:, j - 1], sub[:, j - 1]), cur[:, j - 1] + 1
+            )
+        prev = cur
+    return prev[np.arange(len(terms)), lens]
+
+
+def _eval_expansion(node, index: InvertedIndex, need_positions: bool) -> Postings:
+    """#FUZZY/n and #PREFIX: Lucene's FuzzyQuery / PrefixQuery as
+    dictionary expansions rewritten onto #SYN (Lucene rewrites these
+    MultiTermQueries against the term dictionary the same way; the
+    analyzed arg expands against INDEXED terms, so stopwords and
+    stemming behave identically to any other leaf). ``#fuzzy`` matches
+    vocabulary terms within Levenshtein distance n (n=0 or omitted ->
+    Lucene's default maxEdits=2); ``#prefix`` matches terms starting
+    with the arg. Multi-arg = bag union of every arg's expansion (tf
+    sums where expansions overlap, like #SYN of duplicate terms).
+
+    Sharding note: expansion against a shard's local vocabulary equals
+    the local restriction of the global expansion — a term missing from
+    a shard's dictionary has no local postings by definition — so
+    doc-sharded serving needs no extra coordination beyond the derived-
+    list df/ctf all-reduce every #SYN-shaped list already gets.
+    """
+    parts: list[Postings] = []
+    for a in node.args:
+        if not isinstance(a, Term):
+            raise ValueError(f"{node.name} takes plain term arguments")
+        vocab = [t for (_f, t) in index.vocabulary(a.field)]
+        if node.name == "#prefix":
+            matched = [t for t in vocab if t.startswith(a.term)]
+        else:
+            max_edits = node.dist if node.dist > 0 else 2
+            d = _levenshtein_all(a.term, vocab)
+            matched = [t for t, dd in zip(vocab, d) if dd <= max_edits]
+        parts.extend(
+            index.postings(a.field, t, need_positions=need_positions)
+            for t in sorted(matched)
+        )
+    if not parts:
+        return EMPTY_POSTINGS
+    return _eval_syn(parts, need_positions)
 
 
 def _eval_window_vectorized(parts: list[Postings], dist: int) -> Postings:

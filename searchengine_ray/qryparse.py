@@ -33,7 +33,7 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score"}
-IOP_NAMES = {"#syn", "#near", "#window"}
+IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix"}
 WEIGHTED = {"#wand", "#wsum"}
 #: user-registered operators: lowercase name -> {"kind": "sop"|"iop",
 #: "weighted": bool, "alias_of": canonical name the evaluator understands}
@@ -249,7 +249,14 @@ def optimize(node):
             node.args[i] = opt
     if not node.args:
         return None
-    if len(node.args) == 1 and node.name != "#score":
+    # expansion operators (#fuzzy/#prefix) rewrite their single term
+    # against the dictionary — collapsing them to the bare term would
+    # change semantics, unlike #AND(x) -> x
+    if (
+        len(node.args) == 1
+        and node.name != "#score"
+        and node.name not in ("#fuzzy", "#prefix")
+    ):
         return node.args[0]
     return node
 

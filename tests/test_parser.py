@@ -160,3 +160,58 @@ def test_sdm_queries_run_through_the_engine(ray_session, built_index):
     eng = SearchEngine(built_index, ModelParams(model="indri", top_k=10))
     t = eng.search("1", q)
     assert t.num_rows > 0
+
+
+def test_fuzzy_prefix_parse_and_survive_optimize():
+    """#FUZZY/#PREFIX are dictionary expansions — the single-arg collapse
+    that rewrites #AND(x) -> x must NOT touch them."""
+    from searchengine_ray.qryparse import Op, parse_query
+
+    ident = lambda toks: toks  # noqa: E731
+    analyze = lambda s: [s.lower()]  # noqa: E731
+    t = parse_query("#fuzzy/1( spak )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert isinstance(inner, Op) and inner.name == "#fuzzy" and inner.dist == 1
+    t = parse_query("#prefix( wind )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert isinstance(inner, Op) and inner.name == "#prefix"
+
+
+def test_levenshtein_all_matches_reference():
+    from searchengine_ray.operators import _levenshtein_all
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    vocab = ["spark", "scan", "sort", "join", "", "a", "sparkly", "park"]
+    got = _levenshtein_all("spak", vocab)
+    assert got.tolist() == [ref("spak", v) for v in vocab]
+    assert _levenshtein_all("x", []).tolist() == []
+
+
+def test_fuzzy_prefix_match_syn_of_expansion(ray_session, built_index):
+    """#fuzzy/#prefix must equal the #SYN over their expansion sets."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+
+    eng = SearchEngine(built_index, ModelParams(model="rankedboolean", top_k=1 << 30))
+    vocab = sorted(t for _f, t in eng.index.vocabulary("body"))
+    pre = [t for t in vocab if t.startswith("mu")]
+    assert pre  # 'mutex' at least
+    a = eng.search("q", "#prefix( mu )").to_pandas()
+    b = eng.search("q", f"#syn( {' '.join(pre)} )").to_pandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert (a.score.values == b.score.values).all()
+
+    t = eng.search("q", "#fuzzy/1( mutex )").to_pandas()
+    assert len(t) > 0  # at least the exact term matches
+    zero = eng.search("q", "#fuzzy/1( qqqqqqq )").to_pandas()
+    assert len(zero) == 0
