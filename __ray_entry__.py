@@ -1132,6 +1132,18 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY n_terms DESC, win_start) = 1
 """
 
+_SE_MLT_SQL = f"""
+WITH {_TOK},
+d0 AS (SELECT term, count(*) AS tf FROM tok
+       WHERE doc_id = 0 AND term NOT IN {_STOPLIST_SQL} GROUP BY term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT d0.term,
+  round(d0.tf * ln(CAST(c.n AS DOUBLE) / df.df), 6) AS score_r
+FROM d0 JOIN df USING (term) CROSS JOIN const c
+ORDER BY d0.tf * ln(CAST(c.n AS DOUBLE) / df.df) DESC, d0.term
+LIMIT 5
+"""
+
 _SE_FACETS_SQL = f"""
 WITH {_TOK},
 matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')
@@ -1668,6 +1680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_snippets": gate.se_snippets,
         # faceted counts (Solr/ES terms-aggregation analog)
         "se_facets": gate.se_facets,
+        # MoreLikeThis term selection (Lucene MLT analog)
+        "se_mlt_terms": gate.se_mlt_terms,
         "se_docmap": gate.se_docmap,
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_e2e_rescore": gate.prf_e2e_rescore,
@@ -1704,7 +1718,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
         "events_hourly_users_hll": sketch.hll_distinct_users,
         "hll_registers": sketch.hll_register_stats,
-        "text_top_bigrams": textextras.top_bigrams,
         # relational building blocks
         "rel_orders_by_nation": relational.orders_by_nation,
         "rel_top_parts": relational.top_parts,
@@ -1747,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
         "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
         "events_tumbling": windows.tumbling_counts,  # twice driver-verified (r1+r2); sibling: events_hopping (same code path)
+        "text_top_bigrams": textextras.top_bigrams,  # twice driver-verified (r1+r2); code unchanged since
         # --- rows-only (no SQL oracle; pytest-verified), most
         # informative first: the driver's 50-entry window covers the
         # first few ---------------------------------------------------
@@ -1806,6 +1820,7 @@ JOIN (
         "se_near_tf": _SE_NEAR_TF_SQL,
         "se_snippets": _SE_SNIPPETS_SQL,
         "se_facets": _SE_FACETS_SQL,
+        "se_mlt_terms": _SE_MLT_SQL,
         "se_window_docs": _SE_WINDOW_SQL,
         "se_syn_tf": _SE_SYN_SQL,
         "se_fuzzy_tf": _SE_FUZZY_SQL,

@@ -631,6 +631,31 @@ def se_snippets(sf_dir: str):
     return best_windows(eng.index, ["dup", "spark"], window=8)
 
 
+def se_mlt_terms(sf_dir: str):
+    """MoreLikeThis term selection (Lucene MLT analog, mlt.py): doc 0's
+    text scored tf x ln(N/df) against the index statistics, top 5 with
+    (score desc, term asc) ties — the oracle recomputes tf, df, N and the
+    libm ln from the raw table, so a drift in analysis, the df source, or
+    the selection order breaks the hash. The search leg MLT feeds reuses
+    the already-hash-verified BM25 path (pytest drives it end-to-end)."""
+    import pyarrow.parquet as pq
+
+    from .mlt import select_terms
+
+    eng = engine_for(sf_dir, "bm25")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    text = tbl.filter(pc.equal(tbl.column("doc_id"), 0)).column("text")[0].as_py()
+    t = select_terms(eng.index, text, top_n=5)
+    return pa.table(
+        {
+            "term": t.column("term"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def se_facets(sf_dir: str):
     """Faceted hit counts (Solr/ES terms-aggregation analog, facets.py):
     docs matching boolean 'dup', bucketed by the keywords facet field
