@@ -130,6 +130,39 @@ WHERE term LIKE 's%' AND term NOT IN {_STOPLIST_SQL}
 GROUP BY doc_id
 """
 
+_SE_WILDCARD_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE regexp_full_match(term, 's.a.*') AND term NOT IN {_STOPLIST_SQL}
+GROUP BY doc_id
+"""
+
+_SE_REGEXP_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE regexp_full_match(term, '.*(ue|ow)') AND term NOT IN {_STOPLIST_SQL}
+GROUP BY doc_id
+"""
+
+# DirectSpellChecker analog: per misspelled term, top-3 dictionary terms
+# within 2 edits ranked (dist ASC, df DESC, suggestion ASC); the dictionary
+# and df are recomputed from the corpus (stopwords never enter the index)
+_SE_SPELL_SQL = f"""
+WITH {_TOK},
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+          WHERE term NOT IN {_STOPLIST_SQL} GROUP BY term),
+q(qterm) AS (VALUES ('stram'), ('jion'), ('dat')),
+cand AS (
+  SELECT q.qterm, v.term AS suggestion,
+         CAST(levenshtein(v.term, q.qterm) AS BIGINT) AS dist, v.df
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(v.term, q.qterm) <= 2 AND v.term <> q.qterm),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY qterm ORDER BY dist, df DESC, suggestion) AS rn
+           FROM cand)
+SELECT qterm, suggestion, dist, df FROM ranked WHERE rn <= 3
+"""
+
 _SE_RANKED_AND_SQL = f"""
 WITH {_TOK},
 ta AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term='spark' GROUP BY doc_id),
@@ -1667,11 +1700,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deletion (delete.py): tombstone phase (stale stats, dead docs
         # filtered) and post-expunge phase (stats shrink to the survivors)
         "se_bm25_deleted": gate.se_bm25_deleted,
-        "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_merged": gate.se_bm25_merged,
-        # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery)
+        # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery/
+        # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
         "se_fuzzy_tf": gate.se_fuzzy_tf,
-        "se_prefix_tf": gate.se_prefix_tf,
+        "se_wildcard_tf": gate.se_wildcard_tf,
+        "se_regexp_tf": gate.se_regexp_tf,
+        "se_spell": gate.se_spell,
         "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
@@ -1713,7 +1748,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped
         "events_sessionize": windows.sessionize,
         "events_asof_join": windows.asof_join_purchase_click,
-        "events_range_join": windows.range_join_error_click,
         # full HLL estimate — SQL-checked since late round 3: exact-integer
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
         "events_hourly_users_hll": sketch.hll_distinct_users,
@@ -1738,6 +1772,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
+        "se_prefix_tf": gate.se_prefix_tf,          # siblings: se_fuzzy/se_wildcard/se_regexp (same _eval_expansion->#SYN path)
+        "events_range_join": windows.range_join_error_click,  # driver-verified r1+r2; sibling events_asof_join shares the input-scaled partition + packed-key searchsorted path
         "se_bm25_flat": gate.se_bm25_flat,          # sibling: se_bm25_incremental (same query, same SQL shape)
         "se_ranked_and": gate.se_ranked_and,        # sibling: se_indri_and (same #AND combine path)
         "se_ranked_or": gate.se_ranked_or,          # sibling: se_ranked_and
@@ -1825,6 +1862,9 @@ JOIN (
         "se_syn_tf": _SE_SYN_SQL,
         "se_fuzzy_tf": _SE_FUZZY_SQL,
         "se_prefix_tf": _SE_PREFIX_SQL,
+        "se_wildcard_tf": _SE_WILDCARD_SQL,
+        "se_regexp_tf": _SE_REGEXP_SQL,
+        "se_spell": _SE_SPELL_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,
         "se_indri_and": _SE_INDRI_AND_SQL,

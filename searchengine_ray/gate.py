@@ -110,6 +110,34 @@ def se_prefix_tf(sf_dir: str):
     return _score_table(sf_dir, "rankedboolean", "#prefix( s )", as_int=True)
 
 
+def se_wildcard_tf(sf_dir: str):
+    """#WILDCARD (Lucene WildcardQuery analog): 's?a*' -> RE2 's.a.*'
+    full-matched against the dictionary (pyarrow RE2 = DuckDB RE2) and
+    unioned like #SYN; at sf0.01 the expansion is {scan, small, spark}."""
+    return _score_table(sf_dir, "rankedboolean", "#wildcard( s?a* )", as_int=True)
+
+
+def se_regexp_tf(sf_dir: str):
+    """#REGEXP (Lucene RegexpQuery analog): anchored RE2 '.*(ue|ow)' over
+    the dictionary; the raw pattern bypasses the analyzer (its parens and
+    dots are pattern syntax) — qryparse.RAW_PATTERN_OPS."""
+    return _score_table(sf_dir, "rankedboolean", "#regexp( .*(ue|ow) )", as_int=True)
+
+
+def se_spell(sf_dir: str):
+    """Spelling suggestions (Lucene DirectSpellChecker analog): top-3
+    dictionary terms within 2 edits per misspelled input, ranked
+    (dist ASC, df DESC, suggestion ASC); df is the index's stat_df — the
+    oracle recomputes distances with DuckDB levenshtein(), df from the
+    corpus, and the rank with row_number()."""
+    from .spell import suggest
+
+    eng = engine_for(sf_dir, "bm25")
+    # 'dat' has several candidates at distance 2 (dup, fast, ...), so the
+    # df-DESC tie rank is actually exercised
+    return suggest(eng.index, ["stram", "jion", "dat"], k=3)
+
+
 def se_ranked_and(sf_dir: str):
     return _score_table(sf_dir, "rankedboolean", "#and( spark join )", as_int=True)
 

@@ -56,7 +56,7 @@ def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Posting
         return _eval_window_vectorized(
             [eval_iop(a, index, True) for a in node.args], node.dist
         )
-    if node.name in ("#fuzzy", "#prefix"):
+    if node.name in ("#fuzzy", "#prefix", "#wildcard", "#regexp"):
         return _eval_expansion(node, index, need_positions)
     raise ValueError(f"not an inverted-list operator: {node.name}")
 
@@ -88,15 +88,51 @@ def _levenshtein_all(q: str, terms: list[str]) -> np.ndarray:
     return prev[np.arange(len(terms)), lens]
 
 
+def _wildcard_to_regex(pat: str) -> str:
+    """Lucene WildcardQuery syntax -> RE2: ``*`` = any sequence, ``?`` = one
+    char, everything else literal (escaped)."""
+    import re as _re
+
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def _regex_matches(pattern: str, vocab: list[str]) -> list[str]:
+    """Full-match ``pattern`` against the vocabulary with RE2 (pyarrow's
+    regex engine — the SAME engine DuckDB uses, so the oracle's
+    ``regexp_full_match`` agrees on every corner of the syntax)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not vocab:
+        return []
+    mask = pc.match_substring_regex(
+        pa.array(vocab, type=pa.string()), f"^(?:{pattern})$"
+    )
+    return [t for t, m in zip(vocab, mask.to_pylist()) if m]
+
+
 def _eval_expansion(node, index: InvertedIndex, need_positions: bool) -> Postings:
-    """#FUZZY/n and #PREFIX: Lucene's FuzzyQuery / PrefixQuery as
-    dictionary expansions rewritten onto #SYN (Lucene rewrites these
+    """#FUZZY/n, #PREFIX, #WILDCARD, #REGEXP: Lucene's FuzzyQuery /
+    PrefixQuery / WildcardQuery / RegexpQuery as dictionary expansions
+    rewritten onto #SYN (Lucene rewrites these
     MultiTermQueries against the term dictionary the same way; the
     analyzed arg expands against INDEXED terms, so stopwords and
     stemming behave identically to any other leaf). ``#fuzzy`` matches
     vocabulary terms within Levenshtein distance n (n=0 or omitted ->
     Lucene's default maxEdits=2); ``#prefix`` matches terms starting
-    with the arg. Multi-arg = bag union of every arg's expansion (tf
+    with the arg; ``#wildcard`` matches ``*``/``?`` glob patterns and
+    ``#regexp`` anchored RE2 regular expressions (raw, un-analyzed
+    patterns — see qryparse.RAW_PATTERN_OPS — matched with pyarrow's RE2,
+    the same engine as the DuckDB oracle's ``regexp_full_match``).
+    Multi-arg = bag union of every arg's expansion (tf
     sums where expansions overlap, like #SYN of duplicate terms).
 
     Sharding note: expansion against a shard's local vocabulary equals
@@ -112,6 +148,10 @@ def _eval_expansion(node, index: InvertedIndex, need_positions: bool) -> Posting
         vocab = [t for (_f, t) in index.vocabulary(a.field)]
         if node.name == "#prefix":
             matched = [t for t in vocab if t.startswith(a.term)]
+        elif node.name == "#wildcard":
+            matched = _regex_matches(_wildcard_to_regex(a.term), vocab)
+        elif node.name == "#regexp":
+            matched = _regex_matches(a.term, vocab)
         else:
             max_edits = node.dist if node.dist > 0 else 2
             d = _levenshtein_all(a.term, vocab)

@@ -33,8 +33,19 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score"}
-IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix"}
+IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard", "#regexp"}
 WEIGHTED = {"#wand", "#wsum"}
+#: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
+#: single argument rewrites against the indexed vocabulary, so the optimizer
+#: must not collapse them to the bare term
+EXPANSION_OPS = {"#fuzzy", "#prefix", "#wildcard", "#regexp"}
+#: expansion operators whose argument is a raw PATTERN, not analyzable text:
+#: `*?` wildcards / regex metacharacters would be destroyed by the analyzer's
+#: [a-z0-9_]+ tokenization, so the parser lowercases the token verbatim
+#: (vocabulary terms are lowercase by construction) and only honours a
+#: trailing ``.field`` suffix when it names a whitelisted field — a dot
+#: inside a regexp stays part of the pattern
+RAW_PATTERN_OPS = {"#wildcard", "#regexp"}
 #: user-registered operators: lowercase name -> {"kind": "sop"|"iop",
 #: "weighted": bool, "alias_of": canonical name the evaluator understands}
 OPERATOR_REGISTRY: dict[str, dict] = {}
@@ -132,6 +143,16 @@ def _create_operator(name: str) -> Op:
     return Op(low, dist=dist)
 
 
+def _create_raw_pattern_term(token: str) -> Term:
+    """Raw-pattern leaf for RAW_PATTERN_OPS: no analysis, lowercase verbatim.
+    A ``.field`` suffix is honoured only when the text after the LAST dot is
+    exactly a whitelisted field name (so regexp dots survive)."""
+    dot = token.rfind(".")
+    if dot > 0 and token[dot + 1 :].lower() in FIELD_WHITELIST:
+        return Term(token[:dot].lower(), token[dot + 1 :].lower())
+    return Term(token.lower())
+
+
 def _create_terms(token: str, analyze) -> list[Term]:
     dot = token.find(".")
     if dot < 0:
@@ -215,20 +236,27 @@ def parse_string(query: str, analyze) -> Op:
     tree = _create_operator(opname.strip())
     rest = rest[: rest.rfind(")")].strip()
 
+    raw_pattern = tree.name in RAW_PATTERN_OPS
     while rest:
         weight = None
         head = rest.split(None, 1)
-        if _is_numeric(head[0]):
+        # inside a raw-pattern op a numeric-looking token IS the pattern
+        # (e.g. #regexp( 123 )), never a weight
+        if not raw_pattern and _is_numeric(head[0]):
             weight = float(head[0])
             rest = head[1].strip() if len(head) > 1 else ""
             if not rest:
                 break
-        if rest[0] == "#":
+        if rest[0] == "#" and not raw_pattern:
             sub, rest = _pop_subquery(rest)
             args = [parse_string(sub, analyze)]
         else:
             tok, rest = _pop_term(rest)
-            args = _create_terms(tok, analyze)
+            args = (
+                [_create_raw_pattern_term(tok)]
+                if raw_pattern
+                else _create_terms(tok, analyze)
+            )
         rest = rest.strip()
         for a in args:
             _append_arg(tree, a, weight)
@@ -249,13 +277,13 @@ def optimize(node):
             node.args[i] = opt
     if not node.args:
         return None
-    # expansion operators (#fuzzy/#prefix) rewrite their single term
-    # against the dictionary — collapsing them to the bare term would
-    # change semantics, unlike #AND(x) -> x
+    # expansion operators (#fuzzy/#prefix/#wildcard/#regexp) rewrite their
+    # single term against the dictionary — collapsing them to the bare term
+    # would change semantics, unlike #AND(x) -> x
     if (
         len(node.args) == 1
         and node.name != "#score"
-        and node.name not in ("#fuzzy", "#prefix")
+        and node.name not in EXPANSION_OPS
     ):
         return node.args[0]
     return node

@@ -1,0 +1,77 @@
+"""Spelling suggestions from the index dictionary — Lucene's
+DirectSpellChecker analog (public API: ``suggestSimilar(term, n)`` ranks
+dictionary terms within ``maxEdits`` of the input by edit distance, then
+document frequency, then term order; no external dictionary, the INDEX is
+the dictionary).
+
+Re-expressed on this engine's structures: candidates come from the shard's
+vocabulary (sharding note: a shard-local expansion is the local restriction
+of the global one, exactly like operators._eval_expansion), distances from
+the vectorized Wagner-Fischer DP already used by #FUZZY
+(`operators._levenshtein_all`), and df from the index statistics
+(``Postings.stat_df`` — the same stale-until-merge Lucene docFreq every
+scoring path uses, so suggestions rank consistently with retrieval while
+deletes are tombstoned).
+
+Determinism contract (gate-checked in SQL): for each query term the
+suggestions are the top-k candidates by (distance ASC, df DESC,
+suggestion ASC); the query term itself is never suggested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .indexio import InvertedIndex
+from .operators import _levenshtein_all
+
+
+def suggest(
+    index: InvertedIndex,
+    terms: list[str],
+    field: str = "body",
+    max_edits: int = 2,
+    k: int = 3,
+) -> pa.Table:
+    """Top-k spelling suggestions per input term.
+
+    Returns ``(qterm, suggestion, dist, df)`` rows, ≤k per qterm, in
+    deterministic (qterm, rank) order.
+    """
+    vocab = sorted(t for (_f, t) in index.vocabulary(field))
+    out_q: list[str] = []
+    out_s: list[str] = []
+    out_d: list[int] = []
+    out_df: list[int] = []
+    for q in terms:
+        d = _levenshtein_all(q, vocab)
+        cand = [
+            (t, int(dd)) for t, dd in zip(vocab, d) if dd <= max_edits and t != q
+        ]
+        if not cand:
+            continue
+        dfs = np.asarray(
+            [
+                index.postings(field, t, need_positions=False).stat_df
+                for t, _ in cand
+            ],
+            dtype=np.int64,
+        )
+        dists = np.asarray([dd for _, dd in cand], dtype=np.int64)
+        # rank = (dist ASC, df DESC, suggestion ASC); cand is already
+        # suggestion-ascending, so a stable sort on (-df, dist) finishes it
+        order = np.lexsort((-dfs, dists))
+        for i in order[:k]:
+            out_q.append(q)
+            out_s.append(cand[i][0])
+            out_d.append(int(dists[i]))
+            out_df.append(int(dfs[i]))
+    return pa.table(
+        {
+            "qterm": pa.array(out_q, pa.string()),
+            "suggestion": pa.array(out_s, pa.string()),
+            "dist": pa.array(out_d, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+        }
+    )

@@ -215,3 +215,82 @@ def test_fuzzy_prefix_match_syn_of_expansion(ray_session, built_index):
     assert len(t) > 0  # at least the exact term matches
     zero = eng.search("q", "#fuzzy/1( qqqqqqq )").to_pandas()
     assert len(zero) == 0
+
+
+def test_wildcard_regexp_raw_pattern_parse():
+    """Raw-pattern ops bypass the analyzer: metacharacters survive, numeric
+    patterns are not eaten as weights, regexp dots stay in the pattern,
+    and a whitelisted trailing .field suffix is honoured."""
+    from searchengine_ray.qryparse import Op, Term, parse_query
+
+    analyze = lambda s: [s.lower()]  # noqa: E731
+    t = parse_query("#wildcard( s?a* )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert isinstance(inner, Op) and inner.name == "#wildcard"
+    assert isinstance(inner.args[0], Term) and inner.args[0].term == "s?a*"
+    t = parse_query("#regexp( .*(ue|ow) )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert inner.name == "#regexp" and inner.args[0].term == ".*(ue|ow)"
+    assert inner.args[0].field == "body"
+    t = parse_query("#regexp( 123 )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert inner.args[0].term == "123"  # numeric token is the pattern
+    t = parse_query("#wildcard( mu*.title )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert inner.args[0].term == "mu*" and inner.args[0].field == "title"
+
+
+def test_wildcard_regexp_match_syn_of_expansion(ray_session, built_index):
+    """#wildcard/#regexp must equal the #SYN over their expansion sets
+    (same contract as #prefix/#fuzzy), computed here with Python re."""
+    import re
+
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+
+    eng = SearchEngine(built_index, ModelParams(model="rankedboolean", top_k=1 << 30))
+    vocab = sorted(t for _f, t in eng.index.vocabulary("body"))
+
+    exp = [t for t in vocab if re.fullmatch(r"m.*x", t)]
+    assert exp  # 'mutex' at least
+    a = eng.search("q", "#wildcard( m*x )").to_pandas()
+    b = eng.search("q", f"#syn( {' '.join(exp)} )").to_pandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert (a.score.values == b.score.values).all()
+
+    exp = [t for t in vocab if re.fullmatch(r"mu.+|.*dex", t)]
+    a = eng.search("q", "#regexp( mu.+|.*dex )").to_pandas()
+    b = eng.search("q", f"#syn( {' '.join(exp)} )").to_pandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert (a.score.values == b.score.values).all()
+
+    assert len(eng.search("q", "#wildcard( zzz* )").to_pandas()) == 0
+
+
+def test_spell_suggest_ranking(ray_session, built_index):
+    """Suggestions ranked (dist ASC, df DESC, suggestion ASC), term itself
+    excluded, k respected — checked against a brute-force recount."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.operators import _levenshtein_all
+    from searchengine_ray.spell import suggest
+
+    eng = SearchEngine(built_index, ModelParams(model="bm25"))
+    idx = eng.index
+    vocab = sorted(t for _f, t in idx.vocabulary("body"))
+    q = "mutx"
+    t = suggest(idx, [q], k=4).to_pandas()
+    assert len(t) <= 4 and (t.qterm == q).all()
+    assert q not in set(t.suggestion)
+
+    d = _levenshtein_all(q, vocab)
+    cand = sorted(
+        (
+            (int(dd), -idx.postings("body", v, need_positions=False).stat_df, v)
+            for v, dd in zip(vocab, d)
+            if dd <= 2 and v != q
+        ),
+    )[:4]
+    assert t.suggestion.tolist() == [c[2] for c in cand]
+    assert t.dist.tolist() == [c[0] for c in cand]
+    assert t.df.tolist() == [-c[1] for c in cand]
