@@ -1553,6 +1553,68 @@ FROM documents d LEFT JOIN tt ON tt.doc_id = d.doc_id
 LEFT JOIN bt ON bt.doc_id = d.doc_id
 """
 
+# Shared trigram CTE for the scrub / dup-coverage oracles: positional
+# trigrams over the analyzer token stream. The engine keys grams by the
+# 64-bit token-hash combine; the oracle keys by the literal string, which
+# doubles as a hash-collision guard.
+_GRAMS3 = """
+g3 AS (SELECT doc_id, pos, term AS t0, lead(term, 1) OVER w AS t1,
+              lead(term, 2) OVER w AS t2
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, pos, t0 || ' ' || t1 || ' ' || t2 AS gram
+          FROM g3 WHERE t2 IS NOT NULL)
+"""
+
+# Cross-corpus boilerplate trigram scrub (curation.scrub_frequent_ngrams):
+# frequent iff df > num_docs // 100 (strict >, integer division); a token
+# is removed iff some frequent trigram occurrence covers it (starts in
+# [pos-2, pos]); clean_text joins survivors with single spaces, '' when
+# everything was boilerplate (string_agg skips NULLs; coalesce for the
+# all-covered doc).
+_SCRUB_SQL = f"""
+WITH {_TOK},
+{_GRAMS3},
+freq AS (SELECT gram FROM grams GROUP BY gram
+         HAVING count(DISTINCT doc_id) >
+                (SELECT count(*) // 100 FROM documents)),
+starts AS (SELECT DISTINCT g.doc_id, g.pos
+           FROM grams g JOIN freq USING (gram)),
+cov AS (SELECT t.doc_id, t.pos, t.term,
+         EXISTS (SELECT 1 FROM starts s
+                 WHERE s.doc_id = t.doc_id
+                   AND s.pos BETWEEN t.pos - 2 AND t.pos) AS covered
+        FROM tok t)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(coalesce(sum(CASE WHEN covered THEN 1 END), 0) AS BIGINT)
+    AS n_removed,
+  coalesce(string_agg(CASE WHEN NOT covered THEN term END,
+                      ' ' ORDER BY pos), '') AS clean_text
+FROM cov GROUP BY doc_id
+"""
+
+# Within-doc duplicate-trigram character coverage (curation.dup_ngram_chars,
+# the Gopher "fraction of characters in duplicate n-grams" rule): a trigram
+# is duplicate iff it occurs >= 2 times in the SAME doc; dup_chars sums
+# token char lengths over the coverage union of duplicate occurrences.
+_DUP_NGRAM_SQL = f"""
+WITH {_TOK},
+{_GRAMS3},
+dupg AS (SELECT doc_id, gram FROM grams
+         GROUP BY doc_id, gram HAVING count(*) >= 2),
+starts AS (SELECT g.doc_id, g.pos
+           FROM grams g JOIN dupg USING (doc_id, gram)),
+cov AS (SELECT t.doc_id, t.pos, t.term,
+         EXISTS (SELECT 1 FROM starts s
+                 WHERE s.doc_id = t.doc_id
+                   AND s.pos BETWEEN t.pos - 2 AND t.pos) AS covered
+        FROM tok t)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(sum(length(term)) AS BIGINT) AS total_chars,
+  CAST(coalesce(sum(CASE WHEN covered THEN length(term) END), 0) AS BIGINT)
+    AS dup_chars
+FROM cov GROUP BY doc_id
+"""
+
 
 def _hll_reg_sql(p: int = 12) -> str:
     m = 1 << p
@@ -1680,8 +1742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 61 SQL-backed entries (full rows+schema+hash check
-    # possible), so 11 must sit beyond the window no matter the order. The
+    # The registry has 63 SQL-backed entries (full rows+schema+hash check
+    # possible), so 13 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the 11 rotated past the window are variant entries that (a)
@@ -1693,7 +1755,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- SQL-backed (hash-checked) --------------------------------
         # search engine (documents-derived corpus)
-        "se_bm25_term": gate.se_bm25_term,
         # flat 'dup spark' BM25 served from a base-build + appended-segment
         # index (build.add_documents), hash-checked vs the FULL-corpus SQL
         "se_bm25_incremental": gate.se_bm25_incremental,
@@ -1707,7 +1768,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_wildcard_tf": gate.se_wildcard_tf,
         "se_regexp_tf": gate.se_regexp_tf,
         "se_spell": gate.se_spell,
-        "se_indri_and": gate.se_indri_and,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         "eval_metrics": gate.eval_metrics,
@@ -1768,10 +1828,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_length_quantiles": curation.length_quantiles,
         "cur_decontaminate": curation.decontaminate,
         "cur_pack_sequences": curation.pack_sequences,
+        # CCNet/RefinedWeb-style cross-corpus boilerplate n-gram scrub and
+        # the Gopher duplicate-n-gram character-coverage rule
+        "cur_scrub_ngrams": curation.scrub_frequent_ngrams,
+        "cur_dup_ngram_chars": curation.dup_ngram_chars,
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
+        "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
         "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
         "se_prefix_tf": gate.se_prefix_tf,          # siblings: se_fuzzy/se_wildcard/se_regexp (same _eval_expansion->#SYN path)
         "events_range_join": windows.range_join_error_click,  # driver-verified r1+r2; sibling events_asof_join shares the input-scaled partition + packed-key searchsorted path
@@ -1928,6 +1994,8 @@ JOIN (
         "cur_sample_per_source": _reservoir_sql(),
         "cur_pii_redact": _pii_sql(),
         "cur_repetition_stats": _REPETITION_SQL,
+        "cur_scrub_ngrams": _SCRUB_SQL,
+        "cur_dup_ngram_chars": _DUP_NGRAM_SQL,
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),
         "cur_pack_sequences": _pack_sql(),

@@ -585,3 +585,215 @@ def _top_run_count(doc_idx: np.ndarray, keys: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros(n, dtype=np.int64)
     np.maximum.at(out, dd[starts], run_len)
     return out
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate n-gram scrub (CCNet / RefinedWeb-style) and
+# within-document duplicate-n-gram character coverage (Gopher rule)
+# ---------------------------------------------------------------------------
+
+#: scrub defaults: trigrams, boilerplate iff df > num_docs // SCRUB_DF_DEN
+SCRUB_N = 3
+SCRUB_DF_DEN = 100
+#: hard cap on the broadcast frequent-gram set (see scale note below)
+SCRUB_MAX_FREQUENT = 2_000_000
+
+
+def _positional_gram_hashes(
+    doc_idx: np.ndarray, flat: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positional (non-deduplicated) n-gram hashes over a batch-flat token
+    stream: returns (hash uint64, flat start position int64) for every
+    n-gram that lies entirely inside one document. The hash is the SAME
+    token-FNV + ``_POS_MIX`` combine as :func:`dedup._shingle_hashes`, but
+    computed batch-wide: each UNIQUE token is FNV-hashed once (dictionary
+    encode), then the n shifted hash streams combine mod 2^64 — no per-doc
+    Python loop. Doc boundaries are respected by masking start positions
+    whose window crosses into the next doc_idx."""
+    from .dedup import _POS_MIX, _term_hash64
+
+    m = len(doc_idx) - n + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    vh = np.fromiter(
+        (_term_hash64(t) for t in vocab), dtype=np.uint64, count=len(vocab)
+    )
+    seq = vh[codes]
+    h = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        h = h * _POS_MIX[k % len(_POS_MIX)] + seq[k : k + m]  # wraps mod 2^64
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    return h[valid], np.flatnonzero(valid).astype(np.int64)
+
+
+def _cover_mask(starts: np.ndarray, n: int, total: int) -> np.ndarray:
+    """Union of [s, s+n) intervals as a bool mask over ``total`` positions,
+    via a difference array — O(starts + total), no per-interval loop."""
+    d = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(d, starts, 1)
+    np.add.at(d, starts + n, -1)
+    return np.cumsum(d[:total]) > 0
+
+
+def scrub_frequent_ngrams(
+    sf_dir: str, n: int = SCRUB_N, df_den: int = SCRUB_DF_DEN,
+    max_frequent: int = SCRUB_MAX_FREQUENT,
+):
+    """Cross-corpus boilerplate removal (the CCNet / RefinedWeb duplicated-
+    span rule, over analyzer tokens): an n-gram is boilerplate iff its
+    document frequency exceeds ``num_docs // df_den``; every token covered
+    by at least one boilerplate n-gram occurrence is dropped, and the doc
+    is re-emitted as (doc_id, n_tokens, n_removed, clean_text) with
+    clean_text = the surviving tokens joined by single spaces ('' when
+    everything was boilerplate).
+
+    Scale shape — two passes, ONE narrow shuffle, ONE bounded broadcast:
+    pass 1 ships only distinct (gram-hash, partial-df) int rows per batch
+    into a groupby-sum (never strings, never positions); the frequent set
+    is then provably bounded INDEPENDENT of corpus size: grams with
+    df > N/df_den number at most df_den * mean_grams_per_doc (total gram
+    occurrences / threshold), so it broadcasts once via ``ray.put`` as a
+    sorted uint64 array (guarded by ``max_frequent``). Pass 2 is an
+    embarrassingly-parallel scan: vectorized searchsorted membership,
+    difference-array coverage, Arrow list-rebuild + ``binary_join`` — no
+    per-row Python in either pass. Gram identity is the 64-bit token-hash
+    combine; the DuckDB oracle uses the literal n-gram strings, which also
+    guards against hash collisions."""
+    import ray
+
+    from .textstats import _flat_tokens
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    num_docs = ds.count()
+    thresh = num_docs // df_den
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        _, doc_idx, flat = _flat_tokens(t)
+        h, pos = _positional_gram_hashes(doc_idx, flat, n)
+        if len(h) == 0:
+            return pa.table({
+                "sh": pa.array([], pa.int64()),
+                "pdf": pa.array([], pa.int64()),
+            })
+        # distinct (doc, gram) pairs; docs never span batches, so batch
+        # partials sum to the exact global document frequency
+        d = doc_idx[pos]
+        order = np.lexsort((d, h))
+        hh, dd = h[order], d[order]
+        first = np.empty(len(hh), dtype=bool)
+        first[0] = True
+        first[1:] = (hh[1:] != hh[:-1]) | (dd[1:] != dd[:-1])
+        uh, cnt = np.unique(hh[first], return_counts=True)
+        return pa.table({
+            "sh": pa.array(uh.view(np.int64), type=pa.int64()),
+            "pdf": pa.array(cnt, type=pa.int64()),
+        })
+
+    df_tbl = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("sh")
+        .sum("pdf")
+    )
+
+    def keep_frequent(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("sum(pdf)"), thresh)
+        return t.filter(keep).select(["sh"])
+
+    parts = [
+        b.column("sh").to_numpy()
+        for b in df_tbl.map_batches(keep_frequent, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    freq = (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.int64))
+    if len(freq) > max_frequent:
+        raise ValueError(
+            f"frequent n-gram set {len(freq)} exceeds max_frequent="
+            f"{max_frequent}; raise the df threshold (df_den={df_den})"
+        )
+    freq_ref = ray.put(freq)  # sorted int64 view; zero-copy in every task
+
+    def scrub(t: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        nd, doc_idx, flat = _flat_tokens(t)
+        total = len(doc_idx)
+        h, pos = _positional_gram_hashes(doc_idx, flat, n)
+        if len(h) and len(freq):
+            i = np.searchsorted(freq, h.view(np.int64))
+            hit = (i < len(freq)) & (freq[np.minimum(i, len(freq) - 1)]
+                                     == h.view(np.int64))
+            covered = _cover_mask(pos[hit], n, total)
+        else:
+            covered = np.zeros(total, dtype=bool)
+        n_tok = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+        n_rm = np.bincount(doc_idx[covered], minlength=nd).astype(np.int64)
+        kept = ~covered
+        # per-doc list rebuild from kept counts, then one Arrow join kernel
+        kept_cnt = np.bincount(doc_idx[kept], minlength=nd)
+        offsets = np.zeros(nd + 1, dtype=np.int32)
+        np.cumsum(kept_cnt, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), flat.filter(pa.array(kept))
+        )
+        clean = pc.binary_join(lists, " ")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_removed": pa.array(n_rm, type=pa.int64()),
+            "clean_text": clean,
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def dup_ngram_chars(sf_dir: str, n: int = SCRUB_N):
+    """Within-document duplicate-n-gram character coverage (the Gopher /
+    MassiveText repetition rule "fraction of characters in duplicate
+    n-grams"): per doc, sum the character lengths of tokens covered by any
+    n-gram that occurs >= 2 times WITHIN that doc. Returns (doc_id,
+    n_tokens, total_chars, dup_chars) — all exact int64, so the ratio
+    threshold stays the consumer's choice and the oracle is bit-exact.
+
+    One embarrassingly-parallel pass, no shuffle: batch-flat tokenization,
+    vectorized positional gram hashes, ONE lexsort per batch for
+    within-doc occurrence counts, difference-array coverage union."""
+    from .textstats import _flat_tokens
+
+    def stats(t: pa.Table) -> pa.Table:
+        nd, doc_idx, flat = _flat_tokens(t)
+        total = len(doc_idx)
+        tok_len = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        h, pos = _positional_gram_hashes(doc_idx, flat, n)
+        if len(h):
+            d = doc_idx[pos]
+            order = np.lexsort((h, d))
+            dd, hh, pp = d[order], h[order], pos[order]
+            new = np.empty(len(dd), dtype=bool)
+            new[0] = True
+            new[1:] = (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])
+            run_id = np.cumsum(new) - 1
+            run_len = np.bincount(run_id)
+            dup_starts = pp[run_len[run_id] >= 2]
+            covered = _cover_mask(dup_starts, n, total)
+        else:
+            covered = np.zeros(total, dtype=bool)
+        n_tok = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+        tot_ch = np.bincount(
+            doc_idx, weights=tok_len, minlength=nd
+        ).astype(np.int64)
+        dup_ch = np.bincount(
+            doc_idx[covered], weights=tok_len[covered], minlength=nd
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "total_chars": pa.array(tot_ch, type=pa.int64()),
+            "dup_chars": pa.array(dup_ch, type=pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )

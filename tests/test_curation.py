@@ -274,3 +274,102 @@ def test_pack_sequences_invariants():
         assert fills.sum() <= PACK_BUDGET or len(g) == 1
         # docs are packed in doc_id order within a stream
         assert (np.diff(g["doc_id"].to_numpy()) > 0).all()
+
+
+def _brute_grams(text, n=3):
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    return toks, [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_scrub_frequent_ngrams_matches_bruteforce():
+    """Per-doc brute-force reference over the real corpus: df over string
+    trigrams, coverage union, rebuilt clean text."""
+    import duckdb
+
+    from searchengine_ray.curation import scrub_frequent_ngrams
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    n = 3
+    df = collections.Counter()
+    toks_of, grams_of = {}, {}
+    for did, text in docs:
+        toks, grams = _brute_grams(text, n)
+        toks_of[did], grams_of[did] = toks, grams
+        df.update(set(grams))
+    thresh = len(docs) // 100
+    freq = {g for g, c in df.items() if c > thresh}
+    assert freq, "corpus must produce a non-trivial frequent set"
+
+    out = scrub_frequent_ngrams(SF).to_pandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    removed_any = 0
+    for did in toks_of:
+        toks, grams = toks_of[did], grams_of[did]
+        covered = [False] * len(toks)
+        for i, g in enumerate(grams):
+            if g in freq:
+                for j in range(i, i + n):
+                    covered[j] = True
+        clean = " ".join(t for t, c in zip(toks, covered) if not c)
+        row = out.loc[did]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_removed"] == sum(covered)
+        assert row["clean_text"] == clean
+        removed_any += sum(covered) > 0
+    assert removed_any > 0
+
+
+def test_scrub_all_boilerplate_doc_yields_empty_text(tmp_path):
+    """A fully-covered doc must come back as clean_text='' (the coalesce
+    branch both engine-side and in the oracle), and docs shorter than n
+    must pass through untouched."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import scrub_frequent_ngrams
+
+    rows = [("a b c",)] * 99 + [("xx yy",)]  # df('a b c')=99 > 100//100=1
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([r[0] for r in rows]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = scrub_frequent_ngrams(str(d)).to_pandas().set_index("doc_id")
+    assert (out.loc[range(99), "clean_text"] == "").all()
+    assert (out.loc[range(99), "n_removed"] == 3).all()
+    assert out.loc[99, "clean_text"] == "xx yy"  # < n tokens: no grams
+    assert out.loc[99, "n_removed"] == 0
+
+
+def test_dup_ngram_chars_matches_bruteforce():
+    import duckdb
+
+    from searchengine_ray.curation import dup_ngram_chars
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    out = dup_ngram_chars(SF).to_pandas().set_index("doc_id")
+    n = 3
+    dup_docs = 0
+    for did, text in docs:
+        toks, grams = _brute_grams(text, n)
+        cnt = collections.Counter(grams)
+        covered = [False] * len(toks)
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                for j in range(i, i + n):
+                    covered[j] = True
+        row = out.loc[did]
+        assert row["n_tokens"] == len(toks)
+        assert row["total_chars"] == sum(len(t) for t in toks)
+        assert row["dup_chars"] == sum(
+            len(t) for t, c in zip(toks, covered) if c
+        )
+        dup_docs += any(covered)
+    assert dup_docs > 0
