@@ -46,6 +46,7 @@ def _bm25_terms_sql(
     terms: list[str],
     live_pred: "str | None" = None,
     stale_stats: bool = False,
+    raw: bool = False,
 ) -> str:
     """BM25 #SUM over terms, fixed accumulation order = query order.
 
@@ -80,7 +81,7 @@ scored AS (
            * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
   FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
 piv AS (SELECT doc_id, {piv} FROM scored GROUP BY doc_id)
-SELECT doc_id, round({add}, 6) AS score_r FROM piv {final_where}
+SELECT doc_id, {"" if raw else "round("}{add}{"" if raw else ", 6)"} AS {"s" if raw else "score_r"} FROM piv {final_where}
 """
 
 
@@ -1185,6 +1186,75 @@ FROM documents d JOIN matched USING (doc_id)
 GROUP BY lower(d.lang)
 """
 
+# external_id exactly as the build derives it (corpus.py): the tie-break
+# string for every ordering-sensitive oracle below
+_EXT_SUB = """(
+  SELECT doc_id,
+         source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40)
+           AS external_id
+  FROM (SELECT doc_id, source,
+          'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            || '.txt' AS p
+        FROM documents)
+)"""
+
+# Deep pagination (engine.search_after, Lucene searchAfter analog): the
+# engine fetches ranks 11-20 of BM25 'dup spark' via a (score, external_id)
+# cursor taken from rank 10; the oracle recomputes the FULL ranking with
+# exact doubles and the same tie-break string, then slices by row_number —
+# a cursor off-by-one, tie mis-split, or ordering drift breaks the hash.
+_SEARCH_AFTER_SQL = f"""
+WITH r AS (
+  SELECT b.doc_id, b.s,
+         row_number() OVER (ORDER BY b.s DESC, e.external_id) AS rk
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN {_EXT_SUB} e USING (doc_id)
+)
+SELECT doc_id, round(s, 6) AS score_r, rk AS "rank"
+FROM r WHERE rk BETWEEN 11 AND 20
+"""
+
+# Field collapsing (facets.collapse_top1, Lucene grouping / ES collapse
+# analog): best 'dup spark' BM25 doc per keywords facet value (<- lang),
+# ties by external_id — winner per lang partition via row_number.
+_COLLAPSE_SQL = f"""
+WITH r AS (
+  SELECT lower(d.lang) AS facet, b.doc_id, b.s,
+         row_number() OVER (PARTITION BY lower(d.lang)
+                            ORDER BY b.s DESC, e.external_id) AS rn
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)
+)
+SELECT facet, doc_id, round(s, 6) AS score_r FROM r WHERE rn = 1
+"""
+
+
+def _cms_sql() -> str:
+    """Count-min sketch registers + probe reproduced EXACTLY in DuckDB
+    (sketch.cms_term_counts): per-term FNV-1a-64 (the _SIMHASH_FNV
+    expression), the d multiply-shift bucket rows with the engine's literal
+    constants (A < 2^32 so hash*A fits HUGEINT), integer register sums
+    (order-invariant), est = min over rows. Every probe term is a corpus
+    vocabulary term, mirroring the engine's default probe set."""
+    from searchengine_ray.sketch import CMS_A, CMS_B, CMS_LOG2_W
+
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(CMS_A, CMS_B)))
+    shift = 64 - CMS_LOG2_W
+    return f"""
+WITH {_TOK},
+tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+fh AS (SELECT term, c, {_SIMHASH_FNV} AS h FROM tf),
+hr AS (SELECT * FROM (VALUES {vals}) t(i, a, b)),
+bk AS (SELECT term, c, i,
+        CAST(((CAST(h AS HUGEINT) * a + b) % 18446744073709551616)
+             AS UBIGINT) >> {shift} AS bkt
+       FROM fh CROSS JOIN hr),
+regs AS (SELECT i, bkt, sum(c) AS v FROM bk GROUP BY i, bkt)
+SELECT term, CAST(min(v) AS BIGINT) AS est
+FROM bk JOIN regs USING (i, bkt) GROUP BY term
+"""
+
 _TOKEN_STATS_SQL = f"""
 WITH {_TOK}
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
@@ -1742,8 +1812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 63 SQL-backed entries (full rows+schema+hash check
-    # possible), so 13 must sit beyond the window no matter the order. The
+    # The registry has 66 SQL-backed entries (full rows+schema+hash check
+    # possible), so 16 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the 11 rotated past the window are variant entries that (a)
@@ -1775,16 +1845,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_snippets": gate.se_snippets,
         # faceted counts (Solr/ES terms-aggregation analog)
         "se_facets": gate.se_facets,
+        # deep pagination (Lucene searchAfter analog): cursor page 11-20
+        # vs a full-ranking row_number slice in SQL
+        "se_search_after": gate.se_search_after,
+        # field collapsing (Lucene grouping / ES collapse analog)
+        "se_collapse": gate.se_collapse,
         # MoreLikeThis term selection (Lucene MLT analog)
         "se_mlt_terms": gate.se_mlt_terms,
-        "se_docmap": gate.se_docmap,
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_e2e_rescore": gate.prf_e2e_rescore,
         "div_xquad": gate.div_xquad,
         "div_pm2": gate.div_pm2,
         "ltr_features": gate.ltr_features,
         # dedup
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_components_dist": dedup.dedup_components_distributed,
@@ -1797,8 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-checked (independent-set/coverage + exact reference)
         "dedup_semantic": dedup.semantic_dedup,
         # similarity search (ivf centroids inlined as oracle literals —
-        # see _ivf_sql; exact sibling ann_topk also in-window)
-        "ann_topk": ann.brute_topk,
+        # see _ivf_sql)
         "ann_ivf": ann.ivf_topk,
         # text analysis
         "text_lang_id": textstats.lang_id,
@@ -1812,6 +1884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
         "events_hourly_users_hll": sketch.hll_distinct_users,
         "hll_registers": sketch.hll_register_stats,
+        # count-min sketch heavy-hitter term counts: registers + min-probe
+        # recomputed EXACTLY in SQL (see _cms_sql)
+        "sketch_cms_counts": sketch.cms_term_counts,
         # relational building blocks
         "rel_orders_by_nation": relational.orders_by_nation,
         "rel_top_parts": relational.top_parts,
@@ -1836,6 +1911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        "se_docmap": gate.se_docmap,                # driver-verified r1+r2; in-window sibling se_bm25_incremental hash-checks the same external_id derivation + sha256 invariant end-to-end
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the shingle-hash kernel + exact-Jaccard verify
+        "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window sibling ann_ivf hash-checks probe + top-k merge, and brute is IVF's pytest recall baseline
         "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
         "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
         "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
@@ -1942,6 +2020,8 @@ JOIN (
         # KSTEM-invariant (pytest), so the oracle scores the stem directly
         "se_bm25_term_kstem": _bm25_terms_sql(["join"]),
         "eval_metrics": _EVAL_METRICS_SQL,
+        "se_search_after": _SEARCH_AFTER_SQL,
+        "se_collapse": _COLLAPSE_SQL,
         "se_docmap": _SE_DOCMAP_SQL,
         "se_lexicon": _SE_LEXICON_SQL,
         "prf_expansion": _PRF_EXPANSION_SQL,
@@ -2000,5 +2080,6 @@ JOIN (
         "cur_decontaminate": _decontam_sql(),
         "cur_pack_sequences": _pack_sql(),
         "hll_registers": _hll_reg_sql(),
+        "sketch_cms_counts": _cms_sql(),
         "events_hourly_users_hll": _hll_estimate_sql(),
     }

@@ -129,6 +129,50 @@ class SearchEngine:
             }
         )
 
+    def search_after(
+        self,
+        qid: str,
+        query: str,
+        after: "tuple[float, str] | None",
+        k: int,
+    ) -> pa.Table:
+        """Deep pagination with a (score, external_id) cursor — the Lucene
+        ``IndexSearcher.searchAfter(FieldDoc, query, n)`` analog: return the
+        next ``k`` results STRICTLY after ``after`` in the global result
+        order (score desc, external_id asc), so successive pages tile the
+        full ranking with no overlap and no gap even across score ties.
+
+        Unlike OFFSET paging, the cursor filter is shard-local (each doc
+        shard drops its own before-cursor rows, then ships only its top-k)
+        — page depth never inflates the per-shard merge fan-in, which is
+        why Lucene/ES mandate search_after for deep paging. Evaluation
+        takes the exhaustive path; a block-max cursor-seeded WAND (seed the
+        pruning threshold at ``after[0]``) is the known optimization and
+        would only shrink the candidate set, never change it.
+        """
+        tree = self.parse(query)
+        ev = Evaluator(self.index, self.params)
+        docs, scores = ev.evaluate(tree)
+        if after is not None and len(docs):
+            s0, e0 = after
+            keep = scores < s0
+            ties = np.flatnonzero(scores == s0)
+            if len(ties):
+                ext_t = self.index.external_ids(docs[ties]).astype(str)
+                keep[ties[ext_t > e0]] = True
+            docs, scores = docs[keep], scores[keep]
+        docs, scores, ext = select_top_k(self.index, docs, scores, k)
+        n = len(docs)
+        return pa.table(
+            {
+                "qid": pa.array([qid] * n, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "external_id": pa.array(ext.astype(str), type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+            }
+        )
+
     def search_many(self, items: list[tuple[str, str]]) -> pa.Table:
         tables = [self.search(qid, q) for qid, q in items]
         tables = [t for t in tables if t.num_rows] or [

@@ -57,3 +57,65 @@ def facet_counts(
             ),
         }
     )
+
+
+_COLLAPSE_SCHEMA = pa.schema(
+    [
+        ("facet", pa.string()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def collapse_top1(
+    index: InvertedIndex,
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+    field: str = "keywords",
+) -> pa.Table:
+    """Field collapsing — the Lucene grouping-module / ES ``collapse``
+    analog: from a scored result set, keep the single BEST doc per facet
+    value (score desc, external_id asc on ties — the engine's global
+    result comparator), groups ordered the same way. Membership comes from
+    the facet postings (live-docs-aware), never the stored documents.
+
+    Scale shape: facet fields are low-cardinality by contract, so each
+    doc shard collapses its own matched docs with one vectorized
+    membership + argmin per facet value, and the global merge compares
+    ONE row per (shard, facet) — the ES coordinating-node reduce. Docs
+    carrying several facet terms appear under each (ES collapse
+    multi-valued semantics are undefined; this engine documents
+    best-per-term)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float64)
+    order = np.argsort(doc_ids, kind="stable")
+    d_sorted, s_sorted = doc_ids[order], scores[order]
+    rows: list[tuple[str, int, float]] = []
+    for _f, term in index.vocabulary(field):
+        p = index.postings(field, term, need_positions=False)
+        if p.df == 0 or len(d_sorted) == 0:
+            continue
+        pos = np.searchsorted(d_sorted, p.doc_ids)
+        pos = np.minimum(pos, len(d_sorted) - 1)
+        hit = pos[d_sorted[pos] == p.doc_ids]
+        if len(hit) == 0:
+            continue
+        cand_d, cand_s = d_sorted[hit], s_sorted[hit]
+        # best = (score desc, external-id rank asc): integer lexsort, no
+        # string materialization for the non-winners
+        best = np.lexsort((index.ext_ranks(cand_d), -cand_s))[0]
+        rows.append((term, int(cand_d[best]), float(cand_s[best])))
+    if not rows:
+        return _COLLAPSE_SCHEMA.empty_table()
+    facets = np.asarray([r[0] for r in rows], dtype=object)
+    docs = np.asarray([r[1] for r in rows], dtype=np.int64)
+    scs = np.asarray([r[2] for r in rows], dtype=np.float64)
+    order = np.lexsort((index.ext_ranks(docs), -scs))
+    return pa.table(
+        {
+            "facet": pa.array(facets[order], type=pa.string()),
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(scs[order], type=pa.float64()),
+        }
+    )

@@ -727,3 +727,50 @@ def se_bm25_expunged(sf_dir: str):
     compaction rewrote postings + lexicon + stats exactly like a fresh
     build of the survivors."""
     return _bm25_dup_spark_on(_deleted_index_for(sf_dir, expunge=True))
+
+
+def se_search_after(sf_dir: str):
+    """Deep pagination (Lucene ``searchAfter`` analog, engine.search_after):
+    page 2 (ranks 11-20) of BM25 'dup spark', fetched with the
+    (score, external_id) cursor taken from rank 10 of page 1 — the oracle
+    recomputes the FULL ranking in SQL (exact doubles, the engine's
+    tie-break string) and slices rows 11-20 by row_number, so an off-by-one
+    at the cursor, a tie split, or any ordering drift breaks the hash."""
+    eng = engine_for(sf_dir, "bm25")
+    page1 = eng.search("q", "dup spark")  # full ranking (top_k = 1<<30)
+    after = (
+        page1.column("score")[9].as_py(),
+        page1.column("external_id")[9].as_py(),
+    )
+    page2 = eng.search_after("q", "dup spark", after, 10)
+    return pa.table(
+        {
+            "doc_id": page2.column("doc_id"),
+            "score_r": pc.round(page2.column("score"), ndigits=6),
+            "rank": pc.cast(pc.add(page2.column("rank"), 10), pa.int64()),
+        }
+    )
+
+
+def se_collapse(sf_dir: str):
+    """Field collapsing (Lucene grouping / ES collapse analog,
+    facets.collapse_top1): best BM25 'dup spark' doc per keywords facet
+    value, ties by external id — the oracle recomputes the winner per
+    lang partition with row_number over (score desc, external_id)."""
+    from .facets import collapse_top1
+
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.search("q", "dup spark")
+    c = collapse_top1(
+        eng.index,
+        t.column("doc_id").to_numpy(),
+        t.column("score").to_numpy(),
+        field="keywords",
+    )
+    return pa.table(
+        {
+            "facet": c.column("facet"),
+            "doc_id": c.column("doc_id"),
+            "score_r": pc.round(c.column("score"), ndigits=6),
+        }
+    )

@@ -194,3 +194,125 @@ def hll_distinct_users(sf_dir: str, p: int = 12):
         .groupby("window_start")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter term counts in sub-linear state
+# ---------------------------------------------------------------------------
+
+#: depth (independent hash rows) and log2 width of the default sketch
+CMS_D = 4
+CMS_LOG2_W = 10
+#: per-row multiply-shift parameters (odd multipliers; fixed literals so the
+#: DuckDB oracle inlines the SAME constants — Cormode & Muthukrishnan 2005).
+#: Multipliers stay < 2^32 so hash*A fits DuckDB's signed-128 HUGEINT (a
+#: 64x64 product would overflow it); the input key is already a uniform
+#: 64-bit FNV, so 32-bit mixing rows lose nothing CMS needs.
+CMS_A = (0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+CMS_B = (0x85EBCA6B, 0xC2B2AE35, 0x94D049BB, 0xBF58476D)
+
+
+def cms_buckets(h: np.ndarray, d: int = CMS_D, log2w: int = CMS_LOG2_W) -> np.ndarray:
+    """(d, n) bucket indices: ((h*A_i + B_i) mod 2^64) >> (64-log2w) —
+    multiply-shift rows over an already-uniform 64-bit key (FNV-1a of the
+    term, the hash every dedup/textstats kernel shares)."""
+    out = np.empty((d, len(h)), dtype=np.int64)
+    shift = np.uint64(64 - log2w)
+    hh = h.astype(np.uint64)
+    for i in range(d):
+        out[i] = ((hh * np.uint64(CMS_A[i]) + np.uint64(CMS_B[i])) >> shift).astype(
+            np.int64
+        )
+    return out
+
+
+def cms_term_counts(
+    sf_dir: str,
+    probe_terms: "list[str] | None" = None,
+    d: int = CMS_D,
+    log2w: int = CMS_LOG2_W,
+) -> pa.Table:
+    """Approximate corpus term-occurrence counts via a count-min sketch:
+    (term, est) per probe term, est = min over ``d`` rows of the summed
+    register each row hashes the term into. One-sided error (est >= true
+    count, overshoot bounded by total_tokens * 2/w per row w.h.p.) —
+    pytest checks both; the DuckDB oracle recomputes the REGISTERS and the
+    min EXACTLY (integer sums are order-invariant), so the whole hash ->
+    bucket -> merge -> probe path is hash-gated, like the HLL register
+    oracle.
+
+    Scale shape: the per-batch partial is a (d x 2^log2w) int64 block (32
+    KiB at the defaults) built by ONE dictionary-encode + bincount +
+    scatter-add — register state through the reduce is CONSTANT in corpus
+    size, the exact reason to prefer CMS over an exact groupby count at
+    100 TB. Partials fold on the driver (metrics-sized: #batches x 32
+    KiB). ``probe_terms=None`` derives the probe set from the corpus
+    vocabulary carried alongside the partials — bounded by vocabulary
+    cardinality, a gate/test convenience; at web scale pass the explicit
+    heavy-hitter candidate list you want estimates for.
+    """
+    import ray.data
+
+    from .dedup import _term_hash64
+    from .textstats import _flat_tokens
+
+    w = 1 << log2w
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, flat = _flat_tokens(t)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "regs": pa.array([], pa.list_(pa.int64())),
+                    "terms": pa.array([], pa.list_(pa.string())),
+                }
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        vh = np.fromiter(
+            (_term_hash64(x) for x in vocab), dtype=np.uint64, count=len(vocab)
+        )
+        bk = cms_buckets(vh, d, log2w)
+        regs = np.zeros((d, w), dtype=np.int64)
+        for i in range(d):
+            np.add.at(regs[i], bk[i], cnt)
+        return pa.table(
+            {
+                "regs": pa.array([regs.ravel()], type=pa.list_(pa.int64())),
+                "terms": pa.array([vocab], type=pa.list_(pa.string())),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(partial, batch_format="pyarrow")
+
+    regs = np.zeros((d, w), dtype=np.int64)
+    seen: set[str] = set()
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in b.column("regs").to_pylist():
+            regs += np.asarray(row, dtype=np.int64).reshape(d, w)
+        if probe_terms is None:
+            for ts in b.column("terms").to_pylist():
+                seen.update(ts)
+
+    probes = sorted(seen) if probe_terms is None else list(probe_terms)
+    if not probes:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "est": pa.array([], pa.int64())}
+        )
+    ph = np.fromiter(
+        (_term_hash64(x) for x in probes), dtype=np.uint64, count=len(probes)
+    )
+    bk = cms_buckets(ph, d, log2w)
+    est = np.min(
+        np.stack([regs[i, bk[i]] for i in range(d)], axis=0), axis=0
+    )
+    return pa.table(
+        {
+            "term": pa.array(probes, type=pa.string()),
+            "est": pa.array(est, type=pa.int64()),
+        }
+    )

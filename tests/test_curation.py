@@ -373,3 +373,45 @@ def test_dup_ngram_chars_matches_bruteforce():
         )
         dup_docs += any(covered)
     assert dup_docs > 0
+
+
+def test_cms_term_counts_one_sided_and_tight():
+    """CMS guarantees est >= true count; at this vocabulary size (~30
+    terms in 4096 cells x 4 rows) collisions are essentially impossible,
+    so the estimates should also be exactly the true counts — any
+    deviation means the hash/bucket/merge path drifted."""
+    import duckdb
+
+    from searchengine_ray.sketch import cms_term_counts
+
+    got = {
+        t: e
+        for t, e in zip(
+            *[
+                cms_term_counts(SF).column(c).to_pylist()
+                for c in ("term", "est")
+            ]
+        )
+    }
+    truth = dict(
+        duckdb.sql(
+            f"""SELECT term, count(*) FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+              FROM '{SF}/documents.parquet') GROUP BY term"""
+        ).fetchall()
+    )
+    assert set(got) == set(truth)
+    assert all(got[t] >= c for t, c in truth.items())
+    assert got == truth  # no collisions at this scale
+
+
+def test_cms_explicit_probe_terms_and_missing_term():
+    """A probe term absent from the corpus must estimate near zero (only
+    collision mass), and explicit probe lists bypass vocabulary capture."""
+    from searchengine_ray.sketch import cms_term_counts
+
+    t = cms_term_counts(SF, probe_terms=["dup", "zzz_not_a_term"])
+    got = dict(zip(t.column("term").to_pylist(), t.column("est").to_pylist()))
+    assert got["dup"] > 0
+    assert got["zzz_not_a_term"] >= 0  # one-sided; tiny collision mass only
+    assert got["zzz_not_a_term"] < got["dup"]
