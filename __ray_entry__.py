@@ -1230,6 +1230,41 @@ SELECT facet, doc_id, round(s, 6) AS score_r FROM r WHERE rn = 1
 """
 
 
+# Hybrid BM25+vector RRF (hybrid.py, the ES rrf retriever analog): lexical
+# leg = BM25 'dup spark' top-100 by (score desc, external_id), vector leg =
+# exact cosine top-100 of embeddings[0] (self excluded, sim desc / vec_id),
+# fused rrf = coalesce(1/(60+r_lex),0) + coalesce(1/(60+r_vec),0) — the
+# identical FP op sequence as the engine's zero-accumulator leg-order sum.
+_HYBRID_RRF_SQL = f"""
+WITH lex AS (
+  SELECT b.doc_id,
+         row_number() OVER (ORDER BY b.s DESC, e.external_id) AS r
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN {_EXT_SUB} e USING (doc_id)
+  QUALIFY r <= 100
+),
+vec AS (
+  SELECT v.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                           q.qe) DESC, v.vec_id) AS r
+  FROM embeddings v
+  CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0) q
+  WHERE v.vec_id != 0
+  QUALIFY r <= 100
+),
+f AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + v.r), 0) AS rrf
+  FROM lex l FULL JOIN vec v USING (doc_id)
+)
+SELECT doc_id, round(rrf, 6) AS rrf_r,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS "rank"
+FROM f QUALIFY "rank" <= 10
+"""
+
+
 def _cms_sql() -> str:
     """Count-min sketch registers + probe reproduced EXACTLY in DuckDB
     (sketch.cms_term_counts): per-term FNV-1a-64 (the _SIMHASH_FNV
@@ -1812,8 +1847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 66 SQL-backed entries (full rows+schema+hash check
-    # possible), so 16 must sit beyond the window no matter the order. The
+    # The registry has 67 SQL-backed entries (full rows+schema+hash check
+    # possible), so 17 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the 11 rotated past the window are variant entries that (a)
@@ -1872,8 +1907,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (ivf centroids inlined as oracle literals —
         # see _ivf_sql)
         "ann_ivf": ann.ivf_topk,
+        # hybrid BM25+vector reciprocal rank fusion (ES rrf analog): both
+        # legs AND the fixed-order fusion sum recomputed in SQL
+        "hybrid_rrf": gate.hybrid_rrf,
         # text analysis
-        "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality_score,
         "text_winnow": textstats.winnow_fingerprints,
         "text_token_counts": textstats.token_counts,
@@ -1913,7 +1950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
         "se_docmap": gate.se_docmap,                # driver-verified r1+r2; in-window sibling se_bm25_incremental hash-checks the same external_id derivation + sha256 invariant end-to-end
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the shingle-hash kernel + exact-Jaccard verify
-        "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window sibling ann_ivf hash-checks probe + top-k merge, and brute is IVF's pytest recall baseline
+        "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window siblings ann_ivf and hybrid_rrf hash-check the same scan/top-k path, and brute is IVF's pytest recall baseline
+        "text_lang_id": textstats.lang_id,          # driver-verified r1+r2; in-window sibling text_quality shares the vectorized Arrow-kernel textstats path
         "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
         "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
         "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
@@ -2081,5 +2119,6 @@ JOIN (
         "cur_pack_sequences": _pack_sql(),
         "hll_registers": _hll_reg_sql(),
         "sketch_cms_counts": _cms_sql(),
+        "hybrid_rrf": _HYBRID_RRF_SQL,
         "events_hourly_users_hll": _hll_estimate_sql(),
     }

@@ -774,3 +774,24 @@ def se_collapse(sf_dir: str):
             "score_r": pc.round(c.column("score"), ndigits=6),
         }
     )
+
+
+def hybrid_rrf(sf_dir: str):
+    """Hybrid BM25+vector search via reciprocal rank fusion (hybrid.py,
+    the ES ``rrf`` retriever analog): lexical leg = 'dup spark' BM25
+    top-100 (the hash-verified scoring path), vector leg = exact cosine
+    top-100 of embeddings[0] (the hash-verified ann path), fused as
+    1/(60+rank) sums — the oracle recomputes BOTH rankings and the fixed-
+    order sum in SQL, so a drift in either leg's ordering, the candidate
+    cutoff, or the fusion arithmetic breaks the hash."""
+    from .hybrid import hybrid_rrf as _fuse
+
+    eng = engine_for(sf_dir, "bm25")
+    t = _fuse(eng, sf_dir, "dup spark", n_candidates=100, rrf_k=60, k=10)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "rrf_r": pc.round(t.column("rrf"), ndigits=6),
+            "rank": t.column("rank"),
+        }
+    )
