@@ -1230,6 +1230,17 @@ SELECT facet, doc_id, round(s, 6) AS score_r FROM r WHERE rn = 1
 """
 
 
+# #ANDNOT (Lucene MUST/MUST_NOT analog): tf of the positive term over docs
+# the negative term never touches — anti-join of the two posting sets.
+_SE_ANDNOT_SQL = f"""
+WITH {_TOK},
+pos AS (SELECT doc_id, count(*) AS score FROM tok
+        WHERE term = 'scan' GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'sort')
+SELECT p.doc_id, p.score FROM pos p
+WHERE p.doc_id NOT IN (SELECT doc_id FROM neg)
+"""
+
 # Hybrid BM25+vector RRF (hybrid.py, the ES rrf retriever analog): lexical
 # leg = BM25 'dup spark' top-100 by (score desc, external_id), vector leg =
 # exact cosine top-100 of embeddings[0] (self excluded, sim desc / vec_id),
@@ -1847,8 +1858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 67 SQL-backed entries (full rows+schema+hash check
-    # possible), so 17 must sit beyond the window no matter the order. The
+    # The registry has 68 SQL-backed entries (full rows+schema+hash check
+    # possible), so 18 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the 11 rotated past the window are variant entries that (a)
@@ -1873,6 +1884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_wildcard_tf": gate.se_wildcard_tf,
         "se_regexp_tf": gate.se_regexp_tf,
         "se_spell": gate.se_spell,
+        # boolean negation (Lucene MUST/MUST_NOT analog)
+        "se_andnot_tf": gate.se_andnot_tf,
         "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         "eval_metrics": gate.eval_metrics,
@@ -1912,7 +1925,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": gate.hybrid_rrf,
         # text analysis
         "text_quality": textstats.quality_score,
-        "text_winnow": textstats.winnow_fingerprints,
         "text_token_counts": textstats.token_counts,
         # stream-shaped
         "events_sessionize": windows.sessionize,
@@ -1952,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the shingle-hash kernel + exact-Jaccard verify
         "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window siblings ann_ivf and hybrid_rrf hash-check the same scan/top-k path, and brute is IVF's pytest recall baseline
         "text_lang_id": textstats.lang_id,          # driver-verified r1+r2; in-window sibling text_quality shares the vectorized Arrow-kernel textstats path
+        "text_winnow": textstats.winnow_fingerprints,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the vectorized shingle-hash kernel
         "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
         "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
         "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
@@ -2047,6 +2060,7 @@ JOIN (
         "se_wildcard_tf": _SE_WILDCARD_SQL,
         "se_regexp_tf": _SE_REGEXP_SQL,
         "se_spell": _SE_SPELL_SQL,
+        "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,
         "se_indri_and": _SE_INDRI_AND_SQL,

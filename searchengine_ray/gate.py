@@ -795,3 +795,13 @@ def hybrid_rrf(sf_dir: str):
             "rank": t.column("rank"),
         }
     )
+
+
+def se_andnot_tf(sf_dir: str):
+    """#ANDNOT (Lucene BooleanQuery MUST/MUST_NOT analog, no reference
+    counterpart): docs matching 'scan' that do NOT match 'sort', scored by
+    the positive leg alone (RankedBoolean -> tf of 'scan'); the oracle is
+    the tf table anti-joined against the negative term's doc set."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#andnot( scan sort )", as_int=True
+    )

@@ -521,6 +521,19 @@ class Evaluator:
         model = self.model
         if name == "#score":
             return self._score_leaf(node)
+        if name == "#andnot":
+            # Lucene BooleanQuery MUST/MUST_NOT analog (no reference
+            # counterpart — QryEval has no negation): docs of the first
+            # child minus docs of every other child, scores untouched from
+            # the positive leg, so it composes under all four models.
+            # Shard-safe: exclusion is doc-local, no cross-shard state.
+            docs, scores = self.sop(node.args[0])
+            for c in node.args[1:]:
+                nd, _ = self.sop(c)
+                if len(nd) and len(docs):
+                    keep = ~np.isin(docs, nd)
+                    docs, scores = docs[keep], scores[keep]
+            return docs, scores
         from .config import MODEL_REGISTRY
 
         if model in MODEL_REGISTRY:

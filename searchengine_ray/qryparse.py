@@ -32,7 +32,7 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # a case to QryParser.createOperator" (`QryParser.java:22-30, 99-130`,
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
-SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score"}
+SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot"}
 IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard", "#regexp"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
@@ -266,6 +266,20 @@ def parse_string(query: str, analyze) -> Op:
 def optimize(node):
     """Delete empty operators, collapse single-arg non-SCORE operators."""
     if isinstance(node, Term):
+        return node
+    if node.name == "#andnot":
+        # positional semantics: args[0] is the MUST leg, the rest are
+        # MUST_NOT — an empty positive kills the node (matches nothing),
+        # an empty negative is a no-op filter, and with no negatives left
+        # the node IS its positive. The generic single-arg collapse below
+        # would wrongly promote a lone surviving NEGATIVE to the result.
+        pos = optimize(node.args[0]) if node.args else None
+        if pos is None:
+            return None
+        negs = [o for a in node.args[1:] if (o := optimize(a)) is not None]
+        if not negs:
+            return pos
+        node.args = [pos] + negs
         return node
     for i in range(len(node.args) - 1, -1, -1):
         opt = optimize(node.args[i])

@@ -357,3 +357,35 @@ def test_model_registry_extension(built_index):
     finally:
         MODEL_REGISTRY.pop("tfidf", None)
         DEFAULT_OP.pop("tfidf", None)
+
+
+def test_andnot_is_setminus_scored_by_positive(built_index):
+    """#ANDNOT(a b) = docs(a) \\ docs(b), scores identical to a's — checked
+    under all four models against the plain positive-leg search."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+
+    for model in ("bm25", "rankedboolean", "unrankedboolean", "indri"):
+        eng = SearchEngine(
+            built_index, ModelParams(model=model, top_k=1 << 30)
+        )
+        pos = eng.search("q", "mutex")
+        neg = eng.search("q", "thread")
+        got = eng.search("q", "#andnot( mutex thread )")
+        neg_ids = set(neg.column("doc_id").to_pylist())
+        want = {
+            d: s
+            for d, s in zip(
+                pos.column("doc_id").to_pylist(),
+                pos.column("score").to_pylist(),
+            )
+            if d not in neg_ids
+        }
+        have = dict(
+            zip(
+                got.column("doc_id").to_pylist(),
+                got.column("score").to_pylist(),
+            )
+        )
+        assert have == want, model
+        assert len(have) < pos.num_rows  # the filter actually removed docs

@@ -294,3 +294,27 @@ def test_spell_suggest_ranking(ray_session, built_index):
     assert t.suggestion.tolist() == [c[2] for c in cand]
     assert t.dist.tolist() == [c[0] for c in cand]
     assert t.df.tolist() == [-c[1] for c in cand]
+
+
+def test_andnot_optimizer_positional_semantics():
+    """#ANDNOT's first SURVIVING arg is the MUST leg. Stopwords vanish at
+    analysis before any operator sees them (the reference's documented
+    behavior — #NEAR args shift the same way), so `#andnot( the scan )`
+    degenerates to the single positive `scan`; a stopword NEGATIVE is a
+    no-op filter and the node likewise becomes its positive. What the
+    optimizer must never do is promote a lone negative after the POSITIVE
+    was emptied post-parse — covered by the empty-positive branch below."""
+    # stopword tokens never reach the operator: both degenerate to 'scan'
+    for q in ("#andnot( the scan )", "#andnot( scan the )"):
+        t = parse(q)
+        assert isinstance(t, Op) and t.name == "#score"
+        assert t.args[0].term == "scan"
+    # both legs real -> node survives with positional args
+    t = parse("#andnot( scan sort )")
+    assert isinstance(t, Op) and t.name == "#andnot" and len(t.args) == 2
+    # post-parse empty positive (an operator that optimizes to None) kills
+    # the node instead of promoting the negative
+    from searchengine_ray.qryparse import optimize
+
+    node = parse_string("#andnot( #syn( the ) scan )", analyze_query_token)
+    assert optimize(node) is None
