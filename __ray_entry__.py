@@ -1779,6 +1779,92 @@ GROUP BY s.doc_id
 """
 
 
+def _shingle_hash_ctes(n: int) -> str:
+    """CTE chain ending in ``sh(doc_id, h)`` = the engine's DISTINCT
+    per-doc 64-bit shingle hashes (dedup._shingle_hashes): per-term FNV-1a
+    (HUGEINT), then the n-step positional combine h = h*_POS_MIX[k%5]+f_k
+    mod 2^64, each multiply split into 32-bit halves so HUGEINT products
+    never overflow — the same arithmetic _minhash_sql inlines for n=3,
+    generated here for any n."""
+    from searchengine_ray.dedup import _POS_MIX
+
+    T = "18446744073709551616"
+    fnv = """CAST(list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(string_split(term, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % 18446744073709551616) AS HUGEINT)"""
+    leads = ", ".join(
+        ["fh AS f0"]
+        + [f"lead(fh, {i}) OVER w AS f{i}" for i in range(1, n)]
+    )
+    parts = [
+        """stok AS (SELECT doc_id,
+      unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+      unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+    FROM documents)""",
+        f"sth AS (SELECT term, {fnv} AS fh FROM (SELECT DISTINCT term FROM stok))",
+        "stf AS (SELECT stok.doc_id, stok.pos, sth.fh"
+        " FROM stok JOIN sth USING(term))",
+        f"sc0 AS (SELECT doc_id, pos, {leads} FROM stf"
+        " WINDOW w AS (PARTITION BY doc_id ORDER BY pos))",
+        f"sc0v AS (SELECT doc_id, pos, f0 AS h"
+        + "".join(f", f{j}" for j in range(1, n))
+        + f" FROM sc0 WHERE f{n - 1} IS NOT NULL)",
+    ]
+    prev = "sc0v"
+    for kk in range(1, n):
+        mult = int(_POS_MIX[kk % len(_POS_MIX)])
+        ml, mh = mult & 0xFFFFFFFF, mult >> 32
+        carry = "".join(f", f{j}" for j in range(kk + 1, n))
+        parts.append(
+            f"sc{kk} AS (SELECT doc_id, pos, "
+            f"((h * {ml}) % {T} + ((h * {mh}) % 4294967296) * 4294967296"
+            f" + f{kk}) % {T} AS h{carry} FROM {prev})"
+        )
+        prev = f"sc{kk}"
+    parts.append(f"sh AS (SELECT DISTINCT doc_id, h FROM {prev})")
+    return ",\n".join(parts)
+
+
+def _bloom_decontam_sql() -> str:
+    """Bloom-filter decontamination (curation.decontaminate_bloom)
+    reproduced bit-for-bit: benchmark-side shingle hashes set k
+    multiply-shift bits (the engine's literal CMS row constants), non-test
+    docs count distinct shingles whose k bits are ALL set — including the
+    filter's false positives, so the gate checks the Bloom arithmetic
+    itself, not merely the true-hit subset."""
+    from searchengine_ray.curation import BLOOM_K, BLOOM_LOG2M, SCRUB_N, SPLIT_SEED
+    from searchengine_ray.sketch import CMS_A, CMS_B
+
+    T = "18446744073709551616"
+    shift = 64 - BLOOM_LOG2M
+    vals = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(zip(CMS_A[:BLOOM_K], CMS_B[:BLOOM_K]))
+    )
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)},
+test AS (SELECT doc_id FROM sx3 WHERE v % 100 >= 90),
+{_shingle_hash_ctes(SCRUB_N)},
+hr AS (SELECT * FROM (VALUES {vals}) t(i, a, b)),
+benchbits AS (
+  SELECT DISTINCT hr.i,
+    CAST(((s.h * hr.a + hr.b) % {T}) AS UBIGINT) >> {shift} AS bkt
+  FROM sh s JOIN test USING (doc_id) CROSS JOIN hr),
+probe AS (
+  SELECT s.doc_id, s.h, count(*) AS nset
+  FROM sh s CROSS JOIN hr
+  JOIN benchbits bb
+    ON bb.i = hr.i
+   AND bb.bkt = CAST(((s.h * hr.a + hr.b) % {T}) AS UBIGINT) >> {shift}
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM test)
+  GROUP BY s.doc_id, s.h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM probe WHERE nset = {BLOOM_K} GROUP BY doc_id
+"""
+
+
 def _pack_sql() -> str:
     """Sequence packing oracle: the greedy fill state (bin, fill) advances
     one doc per recursion step within each hash shard — exact integer
@@ -1858,8 +1944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 68 SQL-backed entries (full rows+schema+hash check
-    # possible), so 18 must sit beyond the window no matter the order. The
+    # The registry has 69 SQL-backed entries (full rows+schema+hash check
+    # possible), so 19 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the 11 rotated past the window are variant entries that (a)
@@ -1927,7 +2013,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": textstats.quality_score,
         "text_token_counts": textstats.token_counts,
         # stream-shaped
-        "events_sessionize": windows.sessionize,
         "events_asof_join": windows.asof_join_purchase_click,
         # full HLL estimate — SQL-checked since late round 3: exact-integer
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
@@ -1951,6 +2036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_repetition_stats": curation.repetition_stats,
         "cur_length_quantiles": curation.length_quantiles,
         "cur_decontaminate": curation.decontaminate,
+        # Bloom-filter decontamination (constant-size benchmark state; the
+        # oracle rebuilds the filter bit-for-bit incl. false positives)
+        "cur_decontam_bloom": curation.decontaminate_bloom,
         "cur_pack_sequences": curation.pack_sequences,
         # CCNet/RefinedWeb-style cross-corpus boilerplate n-gram scrub and
         # the Gopher duplicate-n-gram character-coverage rule
@@ -1965,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window siblings ann_ivf and hybrid_rrf hash-check the same scan/top-k path, and brute is IVF's pytest recall baseline
         "text_lang_id": textstats.lang_id,          # driver-verified r1+r2; in-window sibling text_quality shares the vectorized Arrow-kernel textstats path
         "text_winnow": textstats.winnow_fingerprints,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the vectorized shingle-hash kernel
+        "events_sessionize": windows.sessionize,    # driver-verified r1+r2; in-window sibling events_asof_join shares the input-scaled partition + per-group vectorized machinery
         "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
         "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
         "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
@@ -2130,6 +2219,7 @@ JOIN (
         "cur_dup_ngram_chars": _DUP_NGRAM_SQL,
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),
+        "cur_decontam_bloom": _bloom_decontam_sql(),
         "cur_pack_sequences": _pack_sql(),
         "hll_registers": _hll_reg_sql(),
         "sketch_cms_counts": _cms_sql(),

@@ -797,3 +797,109 @@ def dup_ngram_chars(sf_dir: str, n: int = SCRUB_N):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+#: bloom-filter decontamination defaults: 2^16-bit filter, 4 hash rows —
+#: 8 KiB of state regardless of benchmark size
+BLOOM_LOG2M = 16
+BLOOM_K = 4
+
+
+def decontaminate_bloom(
+    sf_dir: str, n: int = SCRUB_N,
+    train_pct: int = 80, valid_pct: int = 10, seed: int = SPLIT_SEED,
+    log2m: int = BLOOM_LOG2M, k: int = BLOOM_K,
+):
+    """Benchmark decontamination through a BLOOM FILTER — the scale path
+    for :func:`decontaminate`: where the exact version broadcasts the full
+    sorted benchmark-shingle hash array (fine for eval-set-sized
+    benchmarks, linear in their size), this one folds the benchmark side
+    into a PARTITIONED Bloom filter — ``k`` independent ``2^log2m``-bit
+    rows (32 KiB total at the defaults — CONSTANT in benchmark size) whose
+    per-batch partials OR together, and the 100-TB training-side scan
+    probes one multiply-shift bucket per row (the count-min rows,
+    :func:`sketch.cms_buckets`) per distinct shingle. One-sided: every
+    exactly-contaminated doc is flagged with at least its exact n_hits
+    (pytest asserts the superset), plus a bounded false-positive tail
+    (~(1 - e^(-B/m))^k per probe at B benchmark shingles). Output shape matches :func:`decontaminate`:
+    (doc_id, n_hits) over non-test docs, n_hits = distinct shingles whose
+    k bits are ALL set. The DuckDB oracle rebuilds the same filter
+    bit-for-bit (FNV shingle chain + literal row constants), so the gate
+    hash-checks the false positives too, not just the true hits.
+
+    Uses n=3 shingles (the oracle's positional-combine SQL chain); the
+    exact entry keeps the GPT-3-style n=8.
+    """
+    import ray
+
+    from .dedup import _shingle_hashes
+    from .sketch import cms_buckets
+
+    m = 1 << log2m
+    test_lo = np.uint64(train_pct + valid_pct)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        is_test = (_hash64(ids, seed) % np.uint64(100)) >= test_lo
+        # PARTITIONED Bloom: each hash row owns its own m-bit block, so a
+        # probe's row-i bucket can only be satisfied by a row-i set bit —
+        # the variant the SQL oracle's (row, bucket) pair set reproduces
+        # (classic shared-array Bloom would let row j's bits answer row
+        # i's probes, slightly changing the false-positive pattern)
+        bits = np.zeros((k, m), dtype=bool)
+        hs = [
+            _shingle_hashes(x, n)
+            for x, keep in zip(t.column("text").to_pylist(), is_test)
+            if keep
+        ]
+        if hs:
+            h = np.concatenate(hs)
+            bk = cms_buckets(h, d=k, log2w=log2m)
+            for i in range(k):
+                bits[i, bk[i]] = True
+        return pa.table(
+            {"bits": pa.array([np.packbits(bits.ravel())], pa.list_(pa.uint8()))}
+        )
+
+    packed = np.zeros(k * m // 8, dtype=np.uint8)
+    for b in ds.map_batches(bench_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for row in b.column("bits").to_pylist():
+            packed |= np.asarray(row, dtype=np.uint8)
+    bits_ref = ray.put(np.unpackbits(packed).astype(bool).reshape(k, m))
+
+    def scan(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ids = t.column("doc_id").to_numpy()
+        nontest = (_hash64(ids, seed) % np.uint64(100)) < test_lo
+        hs, owner = [], []
+        for i, (text, keep) in enumerate(
+            zip(t.column("text").to_pylist(), nontest)
+        ):
+            if not keep:
+                continue
+            h = _shingle_hashes(text, n)
+            if len(h):
+                hs.append(h)
+                owner.append(np.full(len(h), i, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+        h = np.concatenate(hs)
+        ow = np.concatenate(owner)
+        bk = cms_buckets(h, d=k, log2w=log2m)
+        hit = bits[np.arange(k)[:, None], bk].all(axis=0)
+        cnt = np.bincount(ow[hit], minlength=len(ids))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], type=pa.int64()),
+                "n_hits": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -415,3 +415,19 @@ def test_cms_explicit_probe_terms_and_missing_term():
     assert got["dup"] > 0
     assert got["zzz_not_a_term"] >= 0  # one-sided; tiny collision mass only
     assert got["zzz_not_a_term"] < got["dup"]
+
+
+def test_bloom_decontaminate_is_superset_of_exact():
+    """The Bloom path is one-sided: every exactly-contaminated doc is
+    flagged with n_hits >= its exact count (false positives only ever ADD
+    hits), at the same shingle width."""
+    from searchengine_ray.curation import SCRUB_N, decontaminate, decontaminate_bloom
+
+    exact = decontaminate(SF, n=SCRUB_N).to_pandas().set_index("doc_id")
+    bloom = decontaminate_bloom(SF, n=SCRUB_N).to_pandas().set_index("doc_id")
+    assert set(exact.index) <= set(bloom.index)
+    for did, row in exact.iterrows():
+        assert bloom.loc[did, "n_hits"] >= row["n_hits"]
+    # and the false-positive tail is small at this filter load
+    extra = bloom["n_hits"].sum() - exact["n_hits"].sum()
+    assert extra <= 0.1 * exact["n_hits"].sum()
