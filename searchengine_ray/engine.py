@@ -280,15 +280,43 @@ class QueryService:
         self.actors = [Actor.remote(index_dir, params) for _ in range(num_actors)]
         ray.get([a.ping.remote() for a in self.actors])  # block until loaded
 
-    def search_batch(self, items: list[tuple[str, str]]) -> pa.Table:
+    def search_batch(
+        self, items: list[tuple[str, str]], chunk_size: "int | None" = None
+    ) -> pa.Table:
+        """Dynamic dispatch: the batch splits into ~4 chunk waves per actor
+        and freed actors pull the next chunk (ray.wait loop), so one
+        expensive structured query can't turn its whole statically-assigned
+        chunk into the straggler tail — query cost is highly skewed
+        (#NEAR/#WINDOW decode positions, flat BM25 doesn't), and with
+        static 1/N chunks that tail is exactly what caps query-side
+        scaling efficiency. Result order is (qid, rank) regardless of
+        which actor served what."""
         import ray
 
         n = len(self.actors)
-        chunks = [items[i::n] for i in range(n)]
-        futs = [
-            a.search_many.remote(c) for a, c in zip(self.actors, chunks) if c
+        if chunk_size is None:
+            chunk_size = max(1, len(items) // (4 * n))
+        chunks = [
+            items[i : i + chunk_size]
+            for i in range(0, len(items), chunk_size)
         ]
-        tables = [t for t in ray.get(futs) if t.num_rows]
+        it = iter(chunks)
+        fut2actor: dict = {}
+        for a in self.actors:
+            c = next(it, None)
+            if c is None:
+                break
+            fut2actor[a.search_many.remote(c)] = a
+        tables = []
+        while fut2actor:
+            done, _ = ray.wait(list(fut2actor), num_returns=1)
+            actor = fut2actor.pop(done[0])
+            t = ray.get(done[0])
+            if t.num_rows:
+                tables.append(t)
+            c = next(it, None)
+            if c is not None:
+                fut2actor[actor.search_many.remote(c)] = actor
         if not tables:
             return pa.table(
                 {f.name: pa.array([], type=f.type) for f in RESULT_SCHEMA}

@@ -222,6 +222,30 @@ def test_query_service_pool(built_index):
     assert got.equals(want)
 
 
+def test_query_service_dynamic_dispatch_many_chunks(built_index):
+    """More chunks than actors (chunk_size=1 -> one RPC per query): the
+    ray.wait pull loop must still return every query's results exactly
+    once, identical to the single-engine evaluation."""
+    from searchengine_ray.engine import QueryService, SearchEngine
+
+    svc = QueryService(
+        built_index, ModelParams(model="bm25", top_k=5), num_actors=2
+    )
+    items = [(str(i), q) for i, q in enumerate(
+        ["mutex", "lock thread", "#near/1( unit test )", "check", "parse",
+         "mutex lock", "thread", "#syn( lock mutex )", "unit", "test"]
+    )]
+    got = svc.search_batch(items, chunk_size=1).to_pandas()
+    empty = svc.search_batch([])
+    svc.shutdown()
+    assert empty.num_rows == 0
+    eng = SearchEngine(built_index, ModelParams(model="bm25", top_k=5))
+    want = eng.search_many(items).to_pandas()
+    want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
+
+
 def test_large_join_revenue(ray_session):
     from searchengine_ray.relational import revenue_by_order_priority
 
