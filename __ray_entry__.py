@@ -1944,11 +1944,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 69 SQL-backed entries (full rows+schema+hash check
-    # possible), so 19 must sit beyond the window no matter the order. The
+    # The registry has 84 SQL-backed entries (full rows+schema+hash check
+    # possible; GATE_LOCAL_r03.txt: 84 pass, 0 fail, 5 rows-only), so 34
+    # must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
-    # head; the 11 rotated past the window are variant entries that (a)
+    # head; the SQL-backed entries rotated past the window are ones that (a)
     # were driver-verified hash-green in round 1 and/or round 2
     # (CORRECTNESS_r01/r02.json) and (b) have a sibling exercising the
     # same code path still inside the window. ALL entries — windowed,
