@@ -1827,6 +1827,32 @@ def _shingle_hash_ctes(n: int) -> str:
     return ",\n".join(parts)
 
 
+def _cross_dup_spans_sql() -> str:
+    """Cross-document duplicate-span coverage (curation.cross_dup_spans):
+    the positional stage of the shingle-hash chain (sc{n-1} carries
+    (doc_id, pos, h)) feeds a distinct-doc-frequency 2..max_df gram
+    filter, then per-doc coverage is the EXISTS-window union — identical
+    window semantics to the dup-n-gram oracle, but over cross-doc grams."""
+    from searchengine_ray.curation import SPAN_MAX_DF, SPAN_N
+
+    n = SPAN_N
+    return f"""
+WITH {_shingle_hash_ctes(n)},
+dupg AS (SELECT h FROM sc{n - 1} GROUP BY h
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_MAX_DF}),
+starts AS (SELECT doc_id, pos FROM sc{n - 1} JOIN dupg USING (h)),
+cov AS (SELECT t.doc_id, t.pos FROM stok t
+        WHERE EXISTS (SELECT 1 FROM starts s
+                      WHERE s.doc_id = t.doc_id
+                        AND s.pos BETWEEN t.pos - {n - 1} AND t.pos)),
+tokn AS (SELECT doc_id, count(*) AS n_tokens FROM stok GROUP BY doc_id)
+SELECT c.doc_id, any_value(tokn.n_tokens) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS dup_tokens
+FROM cov c JOIN tokn USING (doc_id)
+GROUP BY c.doc_id
+"""
+
+
 def _bloom_decontam_sql() -> str:
     """Bloom-filter decontamination (curation.decontaminate_bloom)
     reproduced bit-for-bit: benchmark-side shingle hashes set k
@@ -1944,8 +1970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 84 SQL-backed entries (full rows+schema+hash check
-    # possible; GATE_LOCAL_r03.txt: 84 pass, 0 fail, 5 rows-only), so 34
+    # The registry has 85 SQL-backed entries (full rows+schema+hash check
+    # possible; GATE_LOCAL_r03.txt: 85 pass, 0 fail, 5 rows-only), so 35
     # must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
@@ -2023,7 +2049,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,
         # relational building blocks
-        "rel_orders_by_nation": relational.orders_by_nation,
         "rel_top_parts": relational.top_parts,
         "rel_join_revenue": relational.revenue_by_order_priority,
         "rel_shipping_priority": relational.shipping_priority,
@@ -2040,6 +2065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom-filter decontamination (constant-size benchmark state; the
         # oracle rebuilds the filter bit-for-bit incl. false positives)
         "cur_decontam_bloom": curation.decontaminate_bloom,
+        # Lee-et-al-style cross-doc duplicate-span coverage: two bounded
+        # hash hops, no broadcast (the dup-gram set is corpus-scale)
+        "cur_cross_dup_spans": curation.cross_dup_spans,
         "cur_pack_sequences": curation.pack_sequences,
         # CCNet/RefinedWeb-style cross-corpus boilerplate n-gram scrub and
         # the Gopher duplicate-n-gram character-coverage rule
@@ -2055,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": textstats.lang_id,          # driver-verified r1+r2; in-window sibling text_quality shares the vectorized Arrow-kernel textstats path
         "text_winnow": textstats.winnow_fingerprints,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the vectorized shingle-hash kernel
         "events_sessionize": windows.sessionize,    # driver-verified r1+r2; in-window sibling events_asof_join shares the input-scaled partition + per-group vectorized machinery
+        "rel_orders_by_nation": relational.orders_by_nation,  # driver-verified r1+r2; in-window sibling rel_shipping_priority shares the sorted-key searchsorted broadcast-dim join pattern
         "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
         "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
         "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
@@ -2221,6 +2250,7 @@ JOIN (
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),
         "cur_decontam_bloom": _bloom_decontam_sql(),
+        "cur_cross_dup_spans": _cross_dup_spans_sql(),
         "cur_pack_sequences": _pack_sql(),
         "hll_registers": _hll_reg_sql(),
         "sketch_cms_counts": _cms_sql(),

@@ -903,3 +903,147 @@ def decontaminate_bloom(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+#: cross-doc span rule: duplicated iff the n-gram appears in >= 2 distinct
+#: docs; grams in more docs than SPAN_MAX_DF are boilerplate — that regime
+#: belongs to scrub_frequent_ngrams, and the cap (mirrored in the oracle)
+#: keeps any one gram's bucket from concentrating corpus-scale payload
+SPAN_N = 10
+SPAN_MAX_DF = 100
+
+
+def cross_dup_spans(sf_dir: str, n: int = SPAN_N, max_df: int = SPAN_MAX_DF):
+    """Cross-document duplicate-span coverage — the fixed-window
+    approximation of Lee et al. 2022's substring dedup ("Deduplicating
+    Training Data Makes Language Models Better"): per doc, the number of
+    tokens covered by an ``n``-gram that also occurs in at least one OTHER
+    doc (2 <= distinct-doc frequency <= ``max_df``). Returns
+    (doc_id, n_tokens, dup_tokens) for docs with dup_tokens >= 1.
+
+    Scale shape — two bounded hash hops, no broadcast (the dup-gram set is
+    corpus-scale, so the scrub operator's broadcast trick is structurally
+    unavailable here):
+    1. gram hop: positional (gram-hash, doc, pos, dl) int rows bucket by
+       gh %% P1 (``partitioning.partition_count``); every occurrence of a
+       gram lands in ONE bucket, so one lexsort marks the 2..max_df
+       distinct-doc runs and only THEIR rows survive — output is
+       duplicated-occurrence-scale, not corpus-scale.
+    2. doc hop: surviving (doc, pos, dl) rows bucket by doc %% P2; one
+       lexsort + difference-array union per bucket yields exact per-doc
+       covered-token counts, all docs in a bucket vectorized together.
+    Hot-key caveat (partitioning.py): a single gram with up to max_df
+    distinct docs still concentrates its occurrences in one bucket — the
+    cap bounds that payload, and beyond-cap grams are the scrub
+    operator's domain by design."""
+    from .partitioning import partition_count
+    from .textstats import _flat_tokens
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    p1 = partition_count(
+        f"{sf_dir}/documents.parquet", ("doc_id", "text")
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        nd, doc_idx, flat = _flat_tokens(t)
+        ids = t.column("doc_id").to_numpy()
+        h, fpos = _positional_gram_hashes(doc_idx, flat, n)
+        dl = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+        starts = np.zeros(nd + 1, dtype=np.int64)
+        np.cumsum(dl, out=starts[1:])
+        d = doc_idx[fpos]
+        return pa.table(
+            {
+                "gh": pa.array(h.view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids[d], type=pa.int64()),
+                "pos": pa.array(fpos - starts[d], type=pa.int64()),
+                "dl": pa.array(dl[d], type=pa.int64()),
+                "kg": pa.array(
+                    (h % np.uint64(p1)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def mark_dups(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.column("gh").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = np.lexsort((d, g))
+        gg, dd = g[order], d[order]
+        new_g = np.empty(len(gg), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = gg[1:] != gg[:-1]
+        new_gd = new_g.copy()
+        new_gd[1:] |= dd[1:] != dd[:-1]
+        gid = np.cumsum(new_g) - 1
+        docs_per = np.bincount(gid[new_gd])
+        keep = (docs_per[gid] >= 2) & (docs_per[gid] <= max_df)
+        if not keep.any():
+            return empty
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(pa.array(sel)),
+                "pos": t.column("pos").take(pa.array(sel)),
+                "dl": t.column("dl").take(pa.array(sel)),
+            }
+        )
+
+    marked = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("kg")
+        .map_groups(mark_dups, batch_format="pyarrow")
+    )
+    p2 = max(64, p1 // 4)
+
+    def add_kd(t: pa.Table) -> pa.Table:
+        kd = (t.column("doc_id").to_numpy() % p2).astype(np.int32)
+        return t.append_column("kd", pa.array(kd))
+
+    def coverage(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "dup_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy()
+        pos = t.column("pos").to_numpy()
+        dl = t.column("dl").to_numpy()
+        order = np.lexsort((pos, d))
+        dd, pp, ll = d[order], pos[order], dl[order]
+        new_d = np.empty(len(dd), dtype=bool)
+        new_d[0] = True
+        new_d[1:] = dd[1:] != dd[:-1]
+        docs = dd[new_d]
+        doc_len = ll[new_d]
+        base = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(doc_len, out=base[1:])
+        d_idx = np.cumsum(new_d) - 1
+        mask = _cover_mask(base[d_idx] + pp, n, int(base[-1]))
+        seg = np.repeat(np.arange(len(docs)), doc_len)
+        dup = np.bincount(seg[mask], minlength=len(docs))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n_tokens": pa.array(doc_len, type=pa.int64()),
+                "dup_tokens": pa.array(dup, type=pa.int64()),
+            }
+        )
+
+    return (
+        marked.map_batches(add_kd, batch_format="pyarrow")
+        .groupby("kd")
+        .map_groups(coverage, batch_format="pyarrow")
+    )

@@ -431,3 +431,42 @@ def test_bloom_decontaminate_is_superset_of_exact():
     # and the false-positive tail is small at this filter load
     extra = bloom["n_hits"].sum() - exact["n_hits"].sum()
     assert extra <= 0.1 * exact["n_hits"].sum()
+
+
+def test_cross_dup_spans_matches_bruteforce():
+    """Per-doc brute force over the real corpus: a token is dup-covered iff
+    some n-gram window containing it occurs in >= 2 distinct docs (df cap
+    not reachable at this scale)."""
+    import duckdb
+
+    from searchengine_ray.curation import SPAN_N, cross_dup_spans
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    n = SPAN_N
+    gram_docs: dict = {}
+    toks_of, grams_of = {}, {}
+    for did, text in docs:
+        toks, grams = _brute_grams(text, n)
+        toks_of[did], grams_of[did] = toks, grams
+        for g in set(grams):
+            gram_docs.setdefault(g, set()).add(did)
+    dup = {g for g, ds in gram_docs.items() if 2 <= len(ds) <= 100}
+    assert dup, "corpus must contain cross-doc duplicate spans"
+
+    out = cross_dup_spans(SF).to_pandas().set_index("doc_id")
+    want = {}
+    for did in toks_of:
+        toks, grams = toks_of[did], grams_of[did]
+        covered = [False] * len(toks)
+        for i, g in enumerate(grams):
+            if g in dup:
+                for j in range(i, i + n):
+                    covered[j] = True
+        if any(covered):
+            want[did] = (len(toks), sum(covered))
+    assert set(out.index) == set(want)
+    for did, (nt, dt) in want.items():
+        assert out.loc[did, "n_tokens"] == nt
+        assert out.loc[did, "dup_tokens"] == dt
