@@ -526,15 +526,16 @@ SELECT doc_id, CAST(floor(s * 1000000) AS BIGINT) AS score_micro
 FROM scored ORDER BY s DESC, rk LIMIT 1
 """
 
-def _ltr_features_sql() -> str:
-    """18-feature LeToR matrix for query 'dup en' over docs matching 'dup'
-    (letor.Featurizer + normalize_per_query, `RetrievalModelLeToR.java:
-    42-123, 213-244`). Generated per field: BM25 (clamped idf, fixed term
-    order), Indri geometric mean (ctf<1 -> 0.5), term overlap; plus the
-    corpus-attribute analogs and the posStd /(n+0.1) quirk; then per-column
-    min-max with the engine's skip rules (NULL column or zero span keeps
-    raw values; missing -> 0)."""
-    terms = ["dup", "en"]
+def _ltr_sql_core(terms: list[str], cand_sql: str, tail: str) -> str:
+    """Shared 18-feature LeToR SQL pipeline (letor.Featurizer +
+    normalize_per_query, `RetrievalModelLeToR.java:42-123, 213-244`).
+    Generated per field: BM25 (clamped idf, fixed term order), Indri
+    geometric mean (ctf<1 -> 0.5), term overlap; plus the corpus-attribute
+    analogs and the posStd /(n+0.1) quirk; then per-column min-max with the
+    engine's skip rules (NULL column or zero span keeps raw values;
+    missing -> 0). ``cand_sql`` defines the candidate doc set; ``tail`` is
+    the final SELECT over ``normed`` (columns doc_id, n1..n18), with an
+    ``ext`` CTE (doc_id -> external_id) available for rank tie-breaks."""
     # field -> token-source expression over the documents table
     fields = {
         "body": "text",
@@ -616,15 +617,17 @@ CASE WHEN {any_post} > 0 THEN ({overlap}) / {len(terms)} ELSE 0.0 END AS r{7 + 3
 END AS n{j}"""
         for j in range(1, 19)
     )
-    out_cols = ",\n  ".join(
-        f"CAST(floor(n{j} * 1000000 + 0.0005) AS BIGINT) AS f{j}_micro"
-        for j in range(1, 19)
-    )
-
     return f"""
 WITH {_TOK},
 {",".join(ctes)},
-cand AS (SELECT DISTINCT doc_id FROM tok_body WHERE term = 'dup'),
+ext AS (SELECT doc_id,
+          source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40)
+            AS external_id
+        FROM (SELECT doc_id, source,
+                'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                  || '.txt' AS p
+              FROM documents)),
+cand AS ({cand_sql}),
 lmap AS (SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS DOUBLE)
            AS ord FROM (SELECT DISTINCT lang FROM documents)),
 pp AS (SELECT doc_id, pos FROM tok
@@ -658,9 +661,149 @@ raw AS (SELECT cand.doc_id,
 normed AS (SELECT doc_id,
   {norm_cols}
   FROM raw)
-SELECT doc_id,
-  {out_cols}
-FROM normed
+{tail}
+"""
+
+
+def _ltr_features_sql() -> str:
+    """18-feature micro-unit matrix for query 'dup en' over docs matching
+    'dup' (floor-micro-units with a 5e-4 guard so exact micro-multiples
+    can't flip on last-ulp accumulation differences)."""
+    out_cols = ",\n  ".join(
+        f"CAST(floor(n{j} * 1000000 + 0.0005) AS BIGINT) AS f{j}_micro"
+        for j in range(1, 19)
+    )
+    return _ltr_sql_core(
+        ["dup", "en"],
+        "SELECT DISTINCT doc_id FROM tok_body WHERE term = 'dup'",
+        f"SELECT doc_id,\n  {out_cols}\nFROM normed",
+    )
+
+
+def _ltr_rerank_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """LeToR rerank reproduced in DuckDB. The 18 trained weights are the
+    engine's own seeded pairwise-hinge LinearRanker output inlined as
+    literals (gate._ltr_trained — the engine-state-as-literals pattern of
+    _ivf_sql/_semdedup_sql; the weights derive from (seed=42, corpus)
+    alone). DuckDB then independently re-derives every QUERY-PATH step
+    letor.rerank distributes: the BM25 'dup spark' top-50 candidate cut
+    (score desc, doc_id asc — gate._ranking), all 18 raw features, the
+    per-query min-max with the engine's skip rules, the linear score in
+    fixed feature order, and the (score desc, external_id asc) resort
+    (`RetrievalModelLeToR.java:461-484`). Falls back to constant-false SQL
+    if the gate corpus is missing so oracle_sql() never raises."""
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        return "SELECT 1 WHERE 1=0"
+    from searchengine_ray import gate
+
+    _eng, _fz, ranker, _cfg = gate._ltr_trained(sf_dir)
+    score = " + ".join(
+        f"({float(ranker.w[j])!r}) * n{j + 1}" for j in range(len(ranker.w))
+    )
+    cand = (
+        f"SELECT doc_id FROM ({_bm25_terms_sql(['dup', 'spark'], raw=True)}) "
+        "ORDER BY s DESC, doc_id LIMIT 50"
+    )
+    tail = f"""SELECT nm.doc_id,
+  CAST(row_number() OVER (ORDER BY ({score}) DESC, e.external_id)
+       AS INTEGER) AS rank
+FROM normed nm JOIN ext e USING (doc_id)"""
+    return _ltr_sql_core(["dup", "spark"], cand, tail)
+
+
+def _drmm_rerank_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DRMM rerank reproduced in DuckDB. Inlined engine state (deriving
+    from (seed=7, corpus) alone): the trained MLP weights
+    (gate._drmm_trained) and the per-term cosine similarity of each
+    candidate-doc vocabulary term against the query vector — taken from the
+    engine's own per-doc `qm @ doc_mat.T` products so the histogram inputs
+    are bitwise identical (the synthetic word2vec stand-in is engine state,
+    like _ivf_sql's centroids). DuckDB independently re-derives the
+    QUERY-PATH: the BM25 'dup' top-30 candidate cut, per-occurrence
+    stopword-filtered tokenization, the reference histogram binning
+    floor((s+1)/1.99999*(nbins-1)) with the s>=0.99999 top-bin override
+    (`RetrievalModelDRMM.java:587-614`), log of nonzero counts, the
+    nbins->hidden(tanh)->1 MLP forward (tanh via the exp identity — this
+    DuckDB build lacks tanh; inputs are O(1) so no overflow), and the
+    (score desc, external_id asc) resort. Single-term query -> softmax
+    gate = 1 exactly, so the gate factor drops out."""
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        return "SELECT 1 WHERE 1=0"
+    import numpy as _np
+
+    from searchengine_ray import gate
+
+    scorer, initial, texts = gate._drmm_trained(sf_dir)
+    # per-term sims harvested per doc through the engine's own kernel
+    # (features' (M * qv).sum(axis=1) reduces each row independently over
+    # the fixed dim, so the value is doc-shape-independent; the assert
+    # proves it on this corpus rather than trusting the argument)
+    qv = scorer.vectors.get("dup")
+    sim_of: dict[str, float] = {}
+    for d, _s in initial:
+        terms_d, _counts = scorer.doc_term_counts(texts[d])
+        if not terms_d:
+            continue
+        sims = (scorer.vectors.matrix(terms_d) * qv[None, :]).sum(axis=1)
+        for t, s in zip(terms_d, sims):
+            prev = sim_of.setdefault(t, float(s))
+            assert prev == float(s), f"sim inconsistent across docs for {t!r}"
+    sim_rows = ",\n    ".join(
+        f"('{t}', {s!r})" for t, s in sorted(sim_of.items())
+    )
+    mlp = scorer.mlp
+    nb, nh = mlp.W1.shape
+
+    def _tanh(x: str) -> str:
+        return f"((exp(2*({x})) - 1) / (exp(2*({x})) + 1))"
+
+    hidden = [
+        _tanh(
+            " + ".join(f"f{b} * ({float(mlp.W1[b, j])!r})" for b in range(nb))
+            + f" + ({float(mlp.b1[j])!r})"
+        )
+        for j in range(nh)
+    ]
+    score = (
+        " + ".join(f"{h} * ({float(mlp.W2[j])!r})" for j, h in enumerate(hidden))
+        + f" + ({float(mlp.b2)!r})"
+    )
+    feat_cols = ",\n    ".join(
+        f"coalesce(max(CASE WHEN b = {b} THEN ln(c) END), 0.0) AS f{b}"
+        for b in range(nb)
+    )
+    assert _np.all(_np.isfinite(mlp.W1)) and _np.all(_np.isfinite(mlp.W2))
+    return f"""
+WITH {_TOK},
+ext AS (SELECT doc_id,
+          source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40)
+            AS external_id
+        FROM (SELECT doc_id, source,
+                'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                  || '.txt' AS p
+              FROM documents)),
+cand AS (SELECT doc_id FROM ({_bm25_terms_sql(['dup'], raw=True)})
+         ORDER BY s DESC, doc_id LIMIT 30),
+sim(term, s) AS (VALUES
+    {sim_rows}),
+occ AS (SELECT t.doc_id, sim.s
+        FROM tok t JOIN cand USING (doc_id) JOIN sim ON sim.term = t.term
+        WHERE t.term NOT IN {_STOPLIST_SQL}),
+binned AS (SELECT doc_id,
+             CASE WHEN s >= 0.99999 THEN {nb - 1}
+                  ELSE least(greatest(CAST(floor((s + 1.0) / 1.99999 * {nb - 1})
+                                           AS INTEGER), 0), {nb - 1})
+             END AS b
+           FROM occ),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM binned GROUP BY doc_id, b),
+feat AS (SELECT cand.doc_id,
+    {feat_cols}
+  FROM cand LEFT JOIN cnt USING (doc_id) GROUP BY cand.doc_id),
+scored AS (SELECT doc_id, {score} AS score FROM feat)
+SELECT sc.doc_id,
+  CAST(row_number() OVER (ORDER BY sc.score DESC, e.external_id)
+       AS INTEGER) AS rank
+FROM scored sc JOIN ext e USING (doc_id)
 """
 
 
@@ -1970,17 +2113,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 85 SQL-backed entries (full rows+schema+hash check
-    # possible; GATE_LOCAL_r03.txt: 85 pass, 0 fail, 5 rows-only), so 35
-    # must sit beyond the window no matter the order. The
+    # The registry has 87 SQL-backed entries (full rows+schema+hash check
+    # possible; see GATE_LOCAL_r04.txt: 87 pass, 0 fail, 3 rows-only), so
+    # 37 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
-    # were driver-verified hash-green in round 1 and/or round 2
-    # (CORRECTNESS_r01/r02.json) and (b) have a sibling exercising the
-    # same code path still inside the window. ALL entries — windowed,
-    # rotated, and rows-only — are verified by the identical comparison in
-    # tools/check_gate.py; the full run is committed as GATE_LOCAL_r03.txt.
+    # were driver-verified hash-green in at least one earlier round
+    # (CORRECTNESS_r01/r02/r03.json) and (b) have a sibling exercising the
+    # same code path still inside the window. Round-4 rotation: in =
+    # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
+    # driver-run, VERDICT r3 item 3) and ltr_rerank + drmm_rerank (newly
+    # SQL-backed via trained-weight literals); out = ann_ivf, dedup_simhash,
+    # div_pm2, text_quality (each driver-verified in ALL of r1+r2+r3, each
+    # with an in-window sibling). ALL entries — windowed, rotated, and
+    # rows-only — are verified by the identical comparison in
+    # tools/check_gate.py; the full run is committed as GATE_LOCAL_r04.txt.
     return {
         # --- SQL-backed (hash-checked) --------------------------------
         # search engine (documents-derived corpus)
@@ -1990,10 +2138,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deletion (delete.py): tombstone phase (stale stats, dead docs
         # filtered) and post-expunge phase (stats shrink to the survivors)
         "se_bm25_deleted": gate.se_bm25_deleted,
+        # post-expunge phase: every statistic recomputed over survivors
+        # (rotated IN r4 — SQL-backed but never driver-run before)
+        "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_merged": gate.se_bm25_merged,
         # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery/
         # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
         "se_fuzzy_tf": gate.se_fuzzy_tf,
+        # rotated IN r4 — SQL-backed but never driver-run before
+        "se_prefix_tf": gate.se_prefix_tf,
         "se_wildcard_tf": gate.se_wildcard_tf,
         "se_regexp_tf": gate.se_regexp_tf,
         "se_spell": gate.se_spell,
@@ -2016,11 +2169,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_e2e_rescore": gate.prf_e2e_rescore,
         "div_xquad": gate.div_xquad,
-        "div_pm2": gate.div_pm2,
         "ltr_features": gate.ltr_features,
+        # trained rerankers, newly hash-gated in r4: seeded-deterministic
+        # weights inlined as SQL literals, every query-path step re-derived
+        # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
+        "ltr_rerank": gate.ltr_rerank,
+        "drmm_rerank": gate.drmm_rerank,
         # dedup
         "dedup_minhash": dedup.minhash_lsh_pairs,
-        "dedup_simhash": dedup.simhash_pairs,
         "dedup_components_dist": dedup.dedup_components_distributed,
         # hyperplane LSH: seeded hyperplanes inlined as literals in the
         # oracle (see _emb_lsh_sql); exact sibling dedup_embedding is
@@ -2030,14 +2186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # literals, greedy as a recursive CTE (see _semdedup_sql); also
         # pytest-checked (independent-set/coverage + exact reference)
         "dedup_semantic": dedup.semantic_dedup,
-        # similarity search (ivf centroids inlined as oracle literals —
-        # see _ivf_sql)
-        "ann_ivf": ann.ivf_topk,
         # hybrid BM25+vector reciprocal rank fusion (ES rrf analog): both
         # legs AND the fixed-order fusion sum recomputed in SQL
         "hybrid_rrf": gate.hybrid_rrf,
         # text analysis
-        "text_quality": textstats.quality_score,
         "text_token_counts": textstats.token_counts,
         # stream-shaped
         "events_asof_join": windows.asof_join_purchase_click,
@@ -2077,6 +2229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        "ann_ivf": ann.ivf_topk,                    # driver-verified r1+r2+r3; in-window sibling hybrid_rrf hash-checks the vector-scan/top-k leg, centroid-literal oracle unchanged
+        "dedup_simhash": dedup.simhash_pairs,       # driver-verified r1+r2+r3; in-window sibling dedup_minhash covers the banded-bucket near-dup family
+        "div_pm2": gate.div_pm2,                    # driver-verified r1+r2+r3; in-window sibling div_xquad runs the same full-greedy diversification machinery
+        "text_quality": textstats.quality_score,    # driver-verified r1+r2+r3; in-window sibling text_token_counts shares the vectorized Arrow-kernel textstats path
         "se_docmap": gate.se_docmap,                # driver-verified r1+r2; in-window sibling se_bm25_incremental hash-checks the same external_id derivation + sha256 invariant end-to-end
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the shingle-hash kernel + exact-Jaccard verify
         "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window siblings ann_ivf and hybrid_rrf hash-check the same scan/top-k path, and brute is IVF's pytest recall baseline
@@ -2086,8 +2242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_nation": relational.orders_by_nation,  # driver-verified r1+r2; in-window sibling rel_shipping_priority shares the sorted-key searchsorted broadcast-dim join pattern
         "se_bm25_term": gate.se_bm25_term,          # driver-verified r1+r2; siblings se_bm25_incremental/deleted/merged run the identical BM25 scoring path + SQL shape in-window
         "se_indri_and": gate.se_indri_and,          # driver-verified r1+r2; in-window sibling prf_e2e_rescore scores through the same Indri #AND/#WAND combine path
-        "se_bm25_expunged": gate.se_bm25_expunged,  # sibling: se_bm25_merged (force_merge runs the same expunge first; identical survivor-stats SQL)
-        "se_prefix_tf": gate.se_prefix_tf,          # siblings: se_fuzzy/se_wildcard/se_regexp (same _eval_expansion->#SYN path)
         "events_range_join": windows.range_join_error_click,  # driver-verified r1+r2; sibling events_asof_join shares the input-scaled partition + packed-key searchsorted path
         "se_bm25_flat": gate.se_bm25_flat,          # sibling: se_bm25_incremental (same query, same SQL shape)
         "se_ranked_and": gate.se_ranked_and,        # sibling: se_indri_and (same #AND combine path)
@@ -2112,14 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
         "events_tumbling": windows.tumbling_counts,  # twice driver-verified (r1+r2); sibling: events_hopping (same code path)
         "text_top_bigrams": textextras.top_bigrams,  # twice driver-verified (r1+r2); code unchanged since
-        # --- rows-only (no SQL oracle; pytest-verified), most
-        # informative first: the driver's 50-entry window covers the
-        # first few ---------------------------------------------------
-        # trained-model rerankers (training loops aren't SQL; their
-        # feature/formula layers are hash-checked via ltr_features and
-        # the drmm determinism pytest)
-        "ltr_rerank": gate.ltr_rerank,
-        "drmm_rerank": gate.drmm_rerank,
+        # --- rows-only (no SQL oracle; pytest-verified) ----------------
         # multimodal (deterministic synthetic media; decode backends are
         # documented fakes — the Ray plumbing is the deliverable). sf_dir
         # is unused: no real media bytes exist in this environment.
@@ -2202,8 +2349,10 @@ JOIN (
         "div_xquad_first": _DIV_XQUAD_FIRST_SQL,
         "div_pm2_first": _DIV_PM2_FIRST_SQL,
         "ltr_features": _ltr_features_sql(),
-        # div_xquad / div_pm2 / ltr_rerank / drmm_rerank: iterative greedy /
-        # trained-model pipelines -> rows-only; pytest covers the formulas.
+        # trained rerankers: seeded weights inlined as literals, the full
+        # candidate-cut/feature/score/resort query path re-derived in SQL
+        "ltr_rerank": _ltr_rerank_sql(),
+        "drmm_rerank": _drmm_rerank_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
         # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_ivf

@@ -102,11 +102,20 @@ def run_bench() -> dict:
     )
     extras["query_pool_startup_sec"] = round(time.time() - t0, 3)
     svc.search_batch(queries)  # warm pass: per-actor postings decode caches
-    t0 = time.time()
-    res = svc.search_batch(queries)
-    timings["bm25_queries"] = round(time.time() - t0, 3)
+    # steal-robust measurement: this VM shows documented 10x hypervisor-steal
+    # swings inside a 10-minute window (BASELINE.md r3 A/B), so a single
+    # sample is meaningless — take the MEDIAN of 5 warm passes.
+    samples = []
+    for _ in range(5):
+        t0 = time.time()
+        res = svc.search_batch(queries)
+        samples.append(time.time() - t0)
+        assert res.num_rows > 0
+    samples.sort()
+    timings["bm25_queries"] = round(samples[len(samples) // 2], 3)
     extras["query_qps"] = round(len(queries) / timings["bm25_queries"], 2)
-    assert res.num_rows > 0
+    extras["query_qps_min"] = round(len(queries) / samples[-1], 2)
+    extras["query_qps_max"] = round(len(queries) / samples[0], 2)
     svc.shutdown()
 
     # --- dedup ---
@@ -181,16 +190,21 @@ def run_scaling_worker() -> None:
     os.sync()  # don't measure queries against the build's writeback
     time.sleep(5)
 
-    queries = make_queries(48) * 4
+    # 12x the query set: the query phase must be long enough (tens of
+    # seconds at 2 CPUs) that per-pass steal noise averages out and query
+    # scaling efficiency is actually measurable (VERDICT r3 item 1)
+    queries = make_queries(48) * 12
     svc = QueryService(
         idx_dir, ModelParams(model="bm25", top_k=100), num_actors=min(8, ncpu)
     )
-    svc.search_batch(queries)  # warm pass (steady-state QPS is the metric)
-    query_sec = float("inf")
-    for _ in range(2):  # best of 2: guards against background writeback
+    svc.search_batch(queries[: len(queries) // 4])  # warm pass
+    q_samples = []
+    for _ in range(3):  # median of 3: steal-robust
         t0 = time.time()
         svc.search_batch(queries)
-        query_sec = min(query_sec, time.time() - t0)
+        q_samples.append(time.time() - t0)
+    q_samples.sort()
+    query_sec = q_samples[1]
     svc.shutdown()
     ray.shutdown()
     print(

@@ -431,7 +431,7 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N,
     """
     import ray
 
-    from .dedup import _shingle_hashes
+    from .dedup import _batch_shingles
 
     test_lo = np.uint64(train_pct + valid_pct)
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -439,12 +439,11 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N,
     def bench_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
         is_test = (_hash64(ids, seed) % np.uint64(100)) >= test_lo
-        hs = [
-            _shingle_hashes(x, n)
-            for x, k in zip(t.column("text").to_pylist(), is_test) if k
-        ]
-        u = (np.unique(np.concatenate(hs)) if hs
-             else np.empty(0, dtype=np.uint64))
+        sub = t.filter(pa.array(is_test))
+        # batch-flat shingler (one Arrow tokenize per batch, no per-doc
+        # Python); batch-wide distinct for the fold
+        _gdoc, gh = _batch_shingles(sub, n, distinct=False)
+        u = np.unique(gh)
         return pa.table({"sh": pa.array(u.view(np.int64), type=pa.int64())})
 
     parts = [
@@ -460,23 +459,15 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N,
         bench = ray.get(bench_ref)
         ids = t.column("doc_id").to_numpy()
         nontest = (_hash64(ids, seed) % np.uint64(100)) < test_lo
-        hs, owner = [], []
-        for i, (text, k) in enumerate(
-            zip(t.column("text").to_pylist(), nontest)
-        ):
-            if not k:
-                continue
-            h = _shingle_hashes(text, n)
-            if len(h):
-                hs.append(h)
-                owner.append(np.full(len(h), i, dtype=np.int64))
-        if not hs:
+        rows = np.flatnonzero(nontest)
+        gdoc, gh = _batch_shingles(t.filter(pa.array(nontest)), n)
+        if not len(gh):
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "n_hits": pa.array([], pa.int64())}
             )
-        h = np.concatenate(hs).view(np.int64)
-        ow = np.concatenate(owner)
+        h = gh.view(np.int64)
+        ow = rows[gdoc]  # back to original batch row indices
         idx = np.searchsorted(bench, h)
         ok = idx < len(bench)
         hit = np.zeros(len(h), dtype=bool)
@@ -832,7 +823,7 @@ def decontaminate_bloom(
     """
     import ray
 
-    from .dedup import _shingle_hashes
+    from .dedup import _batch_shingles
     from .sketch import cms_buckets
 
     m = 1 << log2m
@@ -848,13 +839,9 @@ def decontaminate_bloom(
         # (classic shared-array Bloom would let row j's bits answer row
         # i's probes, slightly changing the false-positive pattern)
         bits = np.zeros((k, m), dtype=bool)
-        hs = [
-            _shingle_hashes(x, n)
-            for x, keep in zip(t.column("text").to_pylist(), is_test)
-            if keep
-        ]
-        if hs:
-            h = np.concatenate(hs)
+        # batch-flat shingler; bit-sets are dedup-invariant, skip distinct
+        _gdoc, h = _batch_shingles(t.filter(pa.array(is_test)), n, distinct=False)
+        if len(h):
             bk = cms_buckets(h, d=k, log2w=log2m)
             for i in range(k):
                 bits[i, bk[i]] = True
@@ -874,23 +861,14 @@ def decontaminate_bloom(
         bits = ray.get(bits_ref)
         ids = t.column("doc_id").to_numpy()
         nontest = (_hash64(ids, seed) % np.uint64(100)) < test_lo
-        hs, owner = [], []
-        for i, (text, keep) in enumerate(
-            zip(t.column("text").to_pylist(), nontest)
-        ):
-            if not keep:
-                continue
-            h = _shingle_hashes(text, n)
-            if len(h):
-                hs.append(h)
-                owner.append(np.full(len(h), i, dtype=np.int64))
-        if not hs:
+        rows = np.flatnonzero(nontest)
+        gdoc, h = _batch_shingles(t.filter(pa.array(nontest)), n)
+        if not len(h):
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "n_hits": pa.array([], pa.int64())}
             )
-        h = np.concatenate(hs)
-        ow = np.concatenate(owner)
+        ow = rows[gdoc]  # back to original batch row indices
         bk = cms_buckets(h, d=k, log2w=log2m)
         hit = bits[np.arange(k)[:, None], bk].all(axis=0)
         cnt = np.bincount(ow[hit], minlength=len(ids))

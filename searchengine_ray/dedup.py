@@ -117,6 +117,44 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _batch_shingles(
+    t: pa.Table, n: int, distinct: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-flat shingler: a whole text batch -> (doc_row, shingle_hash)
+    arrays, bit-identical to per-doc :func:`_shingle_hashes` but with ONE
+    Arrow tokenize + dictionary encode + global n-gram combine per batch
+    (the winnow_fingerprints doc-boundary pattern, 3.3x measured there) —
+    no per-document Python re-drive. Grams crossing a doc boundary are
+    computed then masked; ``distinct`` dedupes per doc via one lexsort.
+    ``doc_row`` indexes rows of ``t`` (nondecreasing)."""
+    from .textstats import _flat_tokens
+
+    _n_docs, doc_idx, flat = _flat_tokens(t)
+    if len(doc_idx) < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    enc = flat.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (_term_hash64(x) for x in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    seq = uh[enc.indices.to_numpy()]
+    m = len(seq) - n + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        h = h * _POS_MIX[k % len(_POS_MIX)] + seq[k : k + m]  # wraps mod 2^64
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    gdoc = doc_idx[:m][valid]
+    gh = h[valid]
+    if distinct and len(gh):
+        order = np.lexsort((gh, gdoc))
+        gdoc, gh = gdoc[order], gh[order]
+        first = np.empty(len(gh), dtype=bool)
+        first[0] = True
+        first[1:] = (gdoc[1:] != gdoc[:-1]) | (gh[1:] != gh[:-1])
+        gdoc, gh = gdoc[first], gh[first]
+    return gdoc, gh
+
+
 class ShingleRows:
     """map_batches stage: doc -> distinct (doc_id, sh, nsh, kh) rows.
 
@@ -135,17 +173,8 @@ class ShingleRows:
         self.partitions = partitions
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids, shs, nshs = [], [], []
-        for d, text in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            h = _shingle_hashes(text, self.n)  # distinct, vectorized
-            if len(h) == 0:
-                continue
-            doc_ids.append(np.full(len(h), d, dtype=np.int64))
-            shs.append(h)
-            nshs.append(np.full(len(h), len(h), dtype=np.int64))
-        if not doc_ids:
+        gdoc, sh = _batch_shingles(t, self.n)  # distinct per doc, batch-flat
+        if not len(sh):
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -154,12 +183,16 @@ class ShingleRows:
                     "kh": pa.array([], pa.int32()),
                 }
             )
-        sh = np.concatenate(shs)
+        # gdoc is nondecreasing -> per-doc counts via one run-length pass
+        starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        per_doc = np.diff(np.r_[starts, len(gdoc)])
+        nsh = np.repeat(per_doc, per_doc).astype(np.int64)
+        doc_ids = t.column("doc_id").to_numpy()[gdoc]
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(doc_ids), type=pa.int64()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "sh": pa.array(sh.view(np.int64), type=pa.int64()),
-                "nsh": pa.array(np.concatenate(nshs), type=pa.int64()),
+                "nsh": pa.array(nsh, type=pa.int64()),
                 "kh": pa.array(
                     (sh % np.uint64(self.partitions)).astype(np.int32)
                 ),
@@ -304,6 +337,9 @@ class MinHashSignatures:
         self.num_perm = num_perm
 
     def sig(self, text: str) -> np.ndarray:
+        """Single-doc reference form (tests); __call__ is the batch-flat
+        equivalent (bit-identical: min over a multiset == min over its
+        distinct set, so per-doc dedup is unnecessary for signatures)."""
         h = _shingle_hashes(text, self.n)
         if len(h) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -311,13 +347,29 @@ class MinHashSignatures:
         return np.min(v, axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        sigs = [self.sig(x) for x in t.column("text").to_pylist()]
+        n_docs = t.num_rows
+        sig_mat = np.full(
+            (n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        # distinct=False: the min is dedup-invariant, skip the lexsort
+        gdoc, gh = _batch_shingles(t, self.n, distinct=False)
+        if len(gh):
+            starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+            present = gdoc[starts]
+            # one vectorized pass per permutation over ALL the batch's
+            # grams (segmented min via reduceat) — O(num_perm) numpy calls
+            # per batch instead of O(docs) Python re-drives
+            for p in range(self.num_perm):
+                v = self.a[p] * gh + self.b[p]  # wraps mod 2^64
+                sig_mat[present, p] = np.minimum.reduceat(v, starts)
+        flat = sig_mat.view(np.int64).ravel()
+        offsets = np.arange(0, (n_docs + 1) * self.num_perm, self.num_perm)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "sig": pa.array(
-                    [s.astype(np.int64) for s in sigs], type=pa.list_(pa.int64())
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "sig": pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(flat, type=pa.int64()),
                 ),
             }
         )
@@ -507,17 +559,26 @@ def minhash_lsh_pairs(
         store lookup after the first), so the pair index ships once per
         node, not inside the pickled transform."""
         uniq, offs, pidx, _, _ = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        if len(uniq):
+            locc = np.clip(np.searchsorted(uniq, ids), 0, len(uniq) - 1)
+            cand_rows = np.flatnonzero(uniq[locc] == ids)
+        else:
+            locc = np.zeros(len(ids), dtype=np.int64)
+            cand_rows = np.empty(0, dtype=np.int64)
         out_p, out_h = [], []
-        for d, text in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            loc = np.searchsorted(uniq, d)
-            if loc >= len(uniq) or uniq[loc] != d:
-                continue
-            h = _shingle_hashes(text, n)  # distinct by construction
-            pairs = pidx[offs[loc] : offs[loc + 1]]
-            out_p.append(np.repeat(pairs, len(h)))
-            out_h.append(np.tile(h.astype(np.int64), len(pairs)))
+        if len(cand_rows):
+            sub = t.take(pa.array(cand_rows))
+            gdoc, gh = _batch_shingles(sub, n)  # distinct per doc, batch-flat
+            if len(gh):
+                starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+                bounds = np.r_[starts, len(gdoc)]
+                for si, sj in zip(bounds[:-1], bounds[1:]):
+                    h = gh[si:sj]
+                    lo = locc[cand_rows[gdoc[si]]]
+                    pairs = pidx[offs[lo] : offs[lo + 1]]
+                    out_p.append(np.repeat(pairs, len(h)))
+                    out_h.append(np.tile(h.view(np.int64), len(pairs)))
         if not out_p:
             return pa.table(
                 {

@@ -68,15 +68,21 @@ class TermVectors:
         return np.vstack([self.get(t) for t in terms])
 
 
-def histogram(sims: np.ndarray, n_bins: int) -> np.ndarray:
+def histogram(
+    sims: np.ndarray, n_bins: int, weights: "np.ndarray | None" = None
+) -> np.ndarray:
     """Reference binning + log of nonzero counts
-    (`RetrievalModelDRMM.java:587-614`)."""
+    (`RetrievalModelDRMM.java:587-614`). ``weights`` lets the caller pass
+    one sim per UNIQUE term weighted by its occurrence count — integer
+    weights sum exactly, so the bin totals are bit-identical to the
+    per-occurrence form at ~#occurrences/#unique the cost."""
     counts = np.zeros(n_bins)
     if len(sims):
+        w = np.ones(len(sims)) if weights is None else weights
         bins = np.floor((sims + 1.0) / 1.99999 * (n_bins - 1)).astype(int)
         bins[sims >= 0.99999] = n_bins - 1
         bins = np.clip(bins, 0, n_bins - 1)
-        np.add.at(counts, bins, 1.0)
+        np.add.at(counts, bins, w)
     out = np.zeros(n_bins)
     nz = counts > 0
     out[nz] = np.log(counts[nz])
@@ -196,25 +202,46 @@ class DrmmScorer:
         e = np.exp(np.asarray(idfs))
         return terms, e / e.sum()
 
-    def doc_term_matrix(self, text: str) -> np.ndarray:
+    def doc_term_counts(self, text: str) -> tuple[list[str], np.ndarray]:
+        """Unique doc terms + occurrence counts, stopword-filtered and
+        stemmed per the index profile; terms without a vector drop out
+        (the reference's null checks, `RetrievalModelDRMM.java:295-303`)."""
         toks = [t for t in tokenize(text) if t not in STOPWORDS]
         if self._stemmer is not None:
             toks = [self._stemmer(t) for t in toks]
-        return self.vectors.matrix(toks)
+        toks = [t for t in toks if self.vectors.get(t) is not None]
+        if not toks:
+            return [], np.zeros(0)
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return [str(t) for t in terms], counts.astype(np.float64)
 
-    def features(self, query_terms: list[str], doc_mat: np.ndarray) -> np.ndarray:
-        """(n_query_terms x n_bins) histogram features."""
+    def features(
+        self, query_terms: list[str], doc_terms: list[str], doc_counts: np.ndarray
+    ) -> np.ndarray:
+        """(n_query_terms x n_bins) histogram features. Cosine sims are
+        computed per UNIQUE doc term with a shape-independent kernel
+        ((M * qv).sum(axis=1): each row reduces independently over the
+        fixed dim), so sim(q, t) is a bitwise-stable function of the two
+        vectors alone — the property the weight-literal SQL oracle relies
+        on — and the histogram weighs each term by its occurrence count."""
         out = np.zeros((len(query_terms), self.cfg.n_bins))
-        if doc_mat.shape[0] == 0:
+        if not doc_terms:
             return out
-        qm = self.vectors.matrix(query_terms)
-        sims = qm @ doc_mat.T  # unit vectors -> cosine
-        for i in range(len(query_terms)):
-            out[i] = histogram(sims[i], self.cfg.n_bins)
+        M = self.vectors.matrix(doc_terms)
+        for i, qt in enumerate(query_terms):
+            qv = self.vectors.get(qt)
+            sims = (M * qv[None, :]).sum(axis=1)  # unit vectors -> cosine
+            out[i] = histogram(sims, self.cfg.n_bins, weights=doc_counts)
         return out
 
-    def score(self, query_terms: list[str], gates: np.ndarray, doc_mat) -> float:
-        feats = self.features(query_terms, doc_mat)
+    def score(
+        self,
+        query_terms: list[str],
+        gates: np.ndarray,
+        doc_terms: list[str],
+        doc_counts: np.ndarray,
+    ) -> float:
+        feats = self.features(query_terms, doc_terms, doc_counts)
         return float(
             sum(g * self.mlp.forward(f) for g, f in zip(gates, feats))
         )
@@ -308,7 +335,7 @@ class DrmmScorer:
             if key not in feats_cache:
                 terms, _ = gate_cache[qid]
                 feats_cache[key] = self.features(
-                    terms, self.doc_term_matrix(doc_texts[d])
+                    terms, *self.doc_term_counts(doc_texts[d])
                 )
             return feats_cache[key]
 
@@ -333,7 +360,7 @@ class DrmmScorer:
         terms, gates = self.query_terms_and_gates(query)
         scored = []
         for d, _ in initial:
-            s = self.score(terms, gates, self.doc_term_matrix(doc_texts[d]))
+            s = self.score(terms, gates, *self.doc_term_counts(doc_texts[d]))
             scored.append((d, s))
         ext = self.index.external_ids(np.array([d for d, _ in scored]))
         order = np.lexsort((ext.astype(str), -np.array([s for _, s in scored])))

@@ -502,11 +502,12 @@ def ltr_features(sf_dir: str):
     return pa.table(cols)
 
 
-def ltr_rerank(sf_dir: str):
-    """LeToR: train the pairwise linear ranker on synthetic qrels (docs
-    containing 'dup' are relevant), rerank the BM25 'dup spark' top-50.
-    Deterministic (seeded); rows-only check."""
-    from .letor import Featurizer, LetorConfig, LinearRanker, normalize_per_query, rerank
+def _ltr_trained(sf_dir: str):
+    """(engine, featurizer, trained ranker, cfg) — the exact seeded training
+    replay shared by :func:`ltr_rerank` and the weight-literal SQL oracle
+    (``__ray_entry__._ltr_rerank_sql``), so the inlined weights derive from
+    (seed, corpus) alone."""
+    from .letor import Featurizer, LetorConfig, LinearRanker, normalize_per_query
 
     eng = engine_for(sf_dir, "bm25")
     cfg = LetorConfig(seed=42, epochs=10)
@@ -520,6 +521,19 @@ def ltr_rerank(sf_dir: str):
     F = normalize_per_query(fz.features(train_q, docs, cfg))
     ranker = LinearRanker(cfg)
     ranker.fit([(F, rel)])
+    return eng, fz, ranker, cfg
+
+
+def ltr_rerank(sf_dir: str):
+    """LeToR: train the pairwise linear ranker on synthetic qrels (docs
+    containing 'dup' are relevant), rerank the BM25 'dup spark' top-50.
+    Deterministic (seeded); hash-checked against the weight-literal SQL
+    oracle, which re-derives the candidate top-50, all 18 features, the
+    per-query min-max, the linear score, and the (score desc, extid asc)
+    resort in DuckDB."""
+    from .letor import rerank
+
+    eng, fz, ranker, cfg = _ltr_trained(sf_dir)
     initial = _ranking(sf_dir, "bm25", "dup spark", 50)
     out = rerank(eng.index, fz, ranker, "dup spark", initial, cfg)
     return pa.table(
@@ -530,9 +544,10 @@ def ltr_rerank(sf_dir: str):
     )
 
 
-def drmm_rerank(sf_dir: str):
-    """DRMM-style rerank of the BM25 'dup' top-30 with a seeded MLP trained
-    on synthetic qrels. Deterministic; rows-only check."""
+def _drmm_trained(sf_dir: str):
+    """(trained scorer, initial ranking, candidate texts) — the exact seeded
+    training replay shared by :func:`drmm_rerank` and the weight-literal SQL
+    oracle (``__ray_entry__._drmm_rerank_sql``)."""
     import pyarrow.parquet as pq
 
     from .drmm import DrmmConfig, DrmmScorer
@@ -549,6 +564,16 @@ def drmm_rerank(sf_dir: str):
     }
     qrels = {"1": {d: (1 if i < 10 else 0) for i, (d, _) in enumerate(initial)}}
     scorer.train({"1": "dup"}, qrels, texts)
+    return scorer, initial, texts
+
+
+def drmm_rerank(sf_dir: str):
+    """DRMM-style rerank of the BM25 'dup' top-30 with a seeded MLP trained
+    on synthetic qrels. Deterministic; hash-checked against the
+    weight-literal SQL oracle, which re-derives the candidate top-30, the
+    per-occurrence term-similarity histograms, the log binning, the MLP
+    forward, and the (score desc, extid asc) resort in DuckDB."""
+    scorer, initial, texts = _drmm_trained(sf_dir)
     out = scorer.rerank("1", "dup", initial, texts)
     return pa.table(
         {

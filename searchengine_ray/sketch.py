@@ -231,6 +231,7 @@ def cms_term_counts(
     probe_terms: "list[str] | None" = None,
     d: int = CMS_D,
     log2w: int = CMS_LOG2_W,
+    max_probe_vocab: int = 1_000_000,
 ) -> pa.Table:
     """Approximate corpus term-occurrence counts via a count-min sketch:
     (term, est) per probe term, est = min over ``d`` rows of the summed
@@ -247,9 +248,11 @@ def cms_term_counts(
     size, the exact reason to prefer CMS over an exact groupby count at
     100 TB. Partials fold on the driver (metrics-sized: #batches x 32
     KiB). ``probe_terms=None`` derives the probe set from the corpus
-    vocabulary carried alongside the partials — bounded by vocabulary
-    cardinality, a gate/test convenience; at web scale pass the explicit
-    heavy-hitter candidate list you want estimates for.
+    vocabulary carried alongside the partials — a gate/test convenience
+    GUARDED by ``max_probe_vocab``: the driver-side set raises once it
+    exceeds that many distinct terms (the minhash_lsh_pairs max_candidates
+    pattern) instead of growing without bound; at web scale pass the
+    explicit heavy-hitter candidate list you want estimates for.
     """
     import ray.data
 
@@ -297,6 +300,13 @@ def cms_term_counts(
         if probe_terms is None:
             for ts in b.column("terms").to_pylist():
                 seen.update(ts)
+            if len(seen) > max_probe_vocab:
+                raise ValueError(
+                    f"cms_term_counts(probe_terms=None): corpus vocabulary "
+                    f"exceeds max_probe_vocab={max_probe_vocab}; pass an "
+                    f"explicit probe_terms list (or raise the cap) — the "
+                    f"derived-probe path is a small-corpus convenience"
+                )
 
     probes = sorted(seen) if probe_terms is None else list(probe_terms)
     if not probes:

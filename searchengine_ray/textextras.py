@@ -9,8 +9,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .analyze import tokenize
-
 
 def hourly_unique_users(sf_dir: str):
     """Per hour: events + distinct users. Ray Data has no count-distinct
@@ -41,24 +39,50 @@ def hourly_unique_users(sf_dir: str):
 
 
 def top_bigrams(sf_dir: str, k: int = 20):
-    """Top-k token bigrams corpus-wide (count desc, bigram asc on ties)."""
+    """Top-k token bigrams corpus-wide (count desc, bigram asc on ties).
+
+    The pre-shuffle combiner is fully vectorized (no per-token Python): one
+    Arrow lowercase+split over the batch (textstats._flat_tokens), a
+    dictionary encode, adjacent-code pair keys masked to within-doc pairs,
+    and ONE sort + run-length pass to count distinct pairs — the same
+    kernel as curation.repetition_stats' bigram runs. Bigram strings are
+    materialized only once per DISTINCT pair in the batch (dictionary
+    take + binary_join), not once per occurrence."""
     import ray.data
     from ray.data.aggregate import Sum
 
+    from .textstats import _flat_tokens
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
+    empty = pa.table(
+        {
+            "bigram": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
     def bigram_partials(t: pa.Table) -> pa.Table:
-        # combiner: count bigrams within the batch before the shuffle
-        counts: dict[str, int] = {}
-        for text in t.column("text").to_pylist():
-            toks = tokenize(text)
-            for i in range(len(toks) - 1):
-                bg = toks[i] + " " + toks[i + 1]
-                counts[bg] = counts.get(bg, 0) + 1
+        _n, doc_idx, flat = _flat_tokens(t)
+        if len(doc_idx) < 2:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        v = np.int64(len(enc.dictionary))
+        key = codes[:-1][adj] * v + codes[1:][adj]
+        if not len(key):
+            return empty
+        key.sort(kind="stable")
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        counts = np.diff(np.r_[starts, len(key)]).astype(np.int64)
+        uniq = key[starts]
+        left = pc.take(enc.dictionary, pa.array(uniq // v))
+        right = pc.take(enc.dictionary, pa.array(uniq % v))
         return pa.table(
             {
-                "bigram": pa.array(list(counts), type=pa.string()),
-                "n": pa.array(list(counts.values()), type=pa.int64()),
+                "bigram": pc.binary_join_element_wise(left, right, " "),
+                "n": pa.array(counts, type=pa.int64()),
             }
         )
 

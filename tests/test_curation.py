@@ -417,6 +417,17 @@ def test_cms_explicit_probe_terms_and_missing_term():
     assert got["zzz_not_a_term"] < got["dup"]
 
 
+def test_cms_probe_vocab_guard_raises():
+    """probe_terms=None accumulates the vocabulary on the driver — the
+    max_probe_vocab cap must raise instead of growing without bound."""
+    import pytest
+
+    from searchengine_ray.sketch import cms_term_counts
+
+    with pytest.raises(ValueError, match="max_probe_vocab"):
+        cms_term_counts(SF, max_probe_vocab=10)
+
+
 def test_bloom_decontaminate_is_superset_of_exact():
     """The Bloom path is one-sided: every exactly-contaminated doc is
     flagged with n_hits >= its exact count (false positives only ever ADD

@@ -44,6 +44,45 @@ def test_dedup_components_invariants():
     assert set(comp["rep_id"]) <= set(comp["doc_id"])
 
 
+def test_batch_shingles_bitwise_matches_per_doc():
+    """_batch_shingles (one Arrow tokenize + global combine per batch) must
+    be bit-identical to per-doc _shingle_hashes, including empty/short docs
+    and the distinct=False multiset form; MinHashSignatures.__call__ must
+    equal the per-doc sig() reference."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.dedup import (
+        MinHashSignatures, _batch_shingles, _shingle_hashes,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",  # shorter than n=3 -> no shingles
+        "dup dup dup dup dup",
+        "a b c d e f g a b c d e",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    gdoc, gh = _batch_shingles(t, 3)
+    per_doc = {i: _shingle_hashes(x, 3) for i, x in enumerate(texts)}
+    for i, want in per_doc.items():
+        got = np.sort(gh[gdoc == i])
+        assert np.array_equal(got, np.sort(want)), i
+    # multiset form preserves per-doc gram counts
+    gdoc2, _gh2 = _batch_shingles(t, 3, distinct=False)
+    for i, x in enumerate(texts):
+        n_tok = len(x.split())
+        assert (gdoc2 == i).sum() == max(0, n_tok - 2), i
+    m = MinHashSignatures(n=3, num_perm=16, seed=9)
+    batch_sigs = m(t).column("sig").to_pylist()
+    for i, x in enumerate(texts):
+        want = m.sig(x).view(np.int64).tolist()
+        assert batch_sigs[i] == want, i
+
+
 def test_minhash_recall_vs_exact():
     from searchengine_ray.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
