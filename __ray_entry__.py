@@ -1842,13 +1842,19 @@ cov AS (SELECT t.doc_id, t.pos, t.term,
          EXISTS (SELECT 1 FROM starts s
                  WHERE s.doc_id = t.doc_id
                    AND s.pos BETWEEN t.pos - 2 AND t.pos) AS covered
-        FROM tok t)
-SELECT doc_id, count(*) AS n_tokens,
+        FROM tok t),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
   CAST(coalesce(sum(CASE WHEN covered THEN 1 END), 0) AS BIGINT)
     AS n_removed,
   coalesce(string_agg(CASE WHEN NOT covered THEN term END,
                       ' ' ORDER BY pos), '') AS clean_text
-FROM cov GROUP BY doc_id
+FROM cov GROUP BY doc_id)
+-- left join against documents: a doc whose text yields ZERO analyzer
+-- tokens has no cov rows, but the engine emits (0, 0, '') for every doc
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.n_removed, 0) AS n_removed,
+  coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 # Within-doc duplicate-trigram character coverage (curation.dup_ngram_chars,
@@ -1866,12 +1872,17 @@ cov AS (SELECT t.doc_id, t.pos, t.term,
          EXISTS (SELECT 1 FROM starts s
                  WHERE s.doc_id = t.doc_id
                    AND s.pos BETWEEN t.pos - 2 AND t.pos) AS covered
-        FROM tok t)
-SELECT doc_id, count(*) AS n_tokens,
+        FROM tok t),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
   CAST(sum(length(term)) AS BIGINT) AS total_chars,
   CAST(coalesce(sum(CASE WHEN covered THEN length(term) END), 0) AS BIGINT)
     AS dup_chars
-FROM cov GROUP BY doc_id
+FROM cov GROUP BY doc_id)
+-- left join against documents: zero-token docs still get an engine row
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.total_chars, 0) AS total_chars,
+  coalesce(a.dup_chars, 0) AS dup_chars
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -1899,14 +1910,18 @@ def _decontam_sql() -> str:
     over the shared tokenizer), so a pass also certifies hash-collision
     freedom on this corpus. Test side = split_train_test's splitmix64
     bucket >= train+valid, reproduced in HUGEINT mod-2^64 arithmetic."""
-    from searchengine_ray.curation import DECONTAM_N, SPLIT_SEED
+    import inspect
 
+    from searchengine_ray.curation import DECONTAM_N, SPLIT_SEED, decontaminate
+
+    sig = inspect.signature(decontaminate)
+    test_lo = sig.parameters["train_pct"].default + sig.parameters["valid_pct"].default
     leads = " || ' ' || ".join(
         ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, DECONTAM_N)]
     )
     return f"""
 WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)},
-test AS (SELECT doc_id FROM sx3 WHERE v % 100 >= 90),
+test AS (SELECT doc_id FROM sx3 WHERE v % 100 >= {test_lo}),
 tok AS (SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
          unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
@@ -2008,13 +2023,22 @@ def _bloom_decontam_sql() -> str:
 
     T = "18446744073709551616"
     shift = 64 - BLOOM_LOG2M
+    # derive the test-bucket threshold from the engine's defaults instead
+    # of hardcoding 90, so a non-default train/valid split can't silently
+    # diverge from the oracle
+    import inspect
+
+    from searchengine_ray.curation import decontaminate_bloom
+
+    sig = inspect.signature(decontaminate_bloom)
+    test_lo = sig.parameters["train_pct"].default + sig.parameters["valid_pct"].default
     vals = ", ".join(
         f"({i}, {a}, {b})"
         for i, (a, b) in enumerate(zip(CMS_A[:BLOOM_K], CMS_B[:BLOOM_K]))
     )
     return f"""
 WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)},
-test AS (SELECT doc_id FROM sx3 WHERE v % 100 >= 90),
+test AS (SELECT doc_id FROM sx3 WHERE v % 100 >= {test_lo}),
 {_shingle_hash_ctes(SCRUB_N)},
 hr AS (SELECT * FROM (VALUES {vals}) t(i, a, b)),
 benchbits AS (

@@ -790,8 +790,9 @@ def dup_ngram_chars(sf_dir: str, n: int = SCRUB_N):
     )
 
 
-#: bloom-filter decontamination defaults: 2^16-bit filter, 4 hash rows —
-#: 8 KiB of state regardless of benchmark size
+#: bloom-filter decontamination defaults: 4 hash rows x 2^16 bits each
+#: (partitioned Bloom) — k * 2^log2m bits = 32 KiB of state regardless of
+#: benchmark size
 BLOOM_LOG2M = 16
 BLOOM_K = 4
 

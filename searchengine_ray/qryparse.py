@@ -41,10 +41,14 @@ WEIGHTED = {"#wand", "#wsum"}
 EXPANSION_OPS = {"#fuzzy", "#prefix", "#wildcard", "#regexp"}
 #: expansion operators whose argument is a raw PATTERN, not analyzable text:
 #: `*?` wildcards / regex metacharacters would be destroyed by the analyzer's
-#: [a-z0-9_]+ tokenization, so the parser lowercases the token verbatim
-#: (vocabulary terms are lowercase by construction) and only honours a
-#: trailing ``.field`` suffix when it names a whitelisted field — a dot
-#: inside a regexp stays part of the pattern
+#: [a-z0-9_]+ tokenization, so the parser lowercases the token (preserving
+#: backslash escape sequences — see _lower_outside_escapes; vocabulary
+#: terms are lowercase by construction) and only honours a trailing
+#: ``.field`` suffix when it names a whitelisted field — a dot inside a
+#: regexp stays part of the pattern. KNOWN LIMITATION: parse_string's
+#: balanced-paren pre-check counts every ``(``/``)`` including escaped ones
+#: and those inside character classes, so patterns containing ``\\(`` or
+#: ``[(]`` are rejected up front; use ``.`` or a class without parens.
 RAW_PATTERN_OPS = {"#wildcard", "#regexp"}
 #: user-registered operators: lowercase name -> {"kind": "sop"|"iop",
 #: "weighted": bool, "alias_of": canonical name the evaluator understands}
@@ -143,14 +147,34 @@ def _create_operator(name: str) -> Op:
     return Op(low, dist=dist)
 
 
+def _lower_outside_escapes(pattern: str) -> str:
+    """Lowercase a raw pattern EXCEPT the character following a backslash:
+    the index dictionary is all-lowercase so literal letters must lower to
+    match it, but blind .lower() would invert case-sensitive regex escapes
+    (#regexp( \\D ) is NOT #regexp( \\d ); same for \\W/\\S/\\B)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(c)
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        out.append(c.lower())
+        i += 1
+    return "".join(out)
+
+
 def _create_raw_pattern_term(token: str) -> Term:
-    """Raw-pattern leaf for RAW_PATTERN_OPS: no analysis, lowercase verbatim.
-    A ``.field`` suffix is honoured only when the text after the LAST dot is
-    exactly a whitelisted field name (so regexp dots survive)."""
+    """Raw-pattern leaf for RAW_PATTERN_OPS: no analysis; lowercased except
+    escape sequences (see _lower_outside_escapes). A ``.field`` suffix is
+    honoured only when the text after the LAST dot is exactly a whitelisted
+    field name (so regexp dots survive)."""
     dot = token.rfind(".")
     if dot > 0 and token[dot + 1 :].lower() in FIELD_WHITELIST:
-        return Term(token[:dot].lower(), token[dot + 1 :].lower())
-    return Term(token.lower())
+        return Term(_lower_outside_escapes(token[:dot]), token[dot + 1 :].lower())
+    return Term(_lower_outside_escapes(token))
 
 
 def _create_terms(token: str, analyze) -> list[Term]:

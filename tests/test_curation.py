@@ -346,6 +346,46 @@ def test_scrub_all_boilerplate_doc_yields_empty_text(tmp_path):
     assert out.loc[99, "n_removed"] == 0
 
 
+def test_scrub_and_dupngram_oracle_rows_for_zero_token_docs(tmp_path):
+    """A doc whose text yields zero analyzer tokens (empty or
+    punctuation-only) must get a row from BOTH the engine and the oracle
+    SQL (the documents left-join added in r4) — same row count, same
+    values."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    from searchengine_ray.curation import dup_ngram_chars, scrub_frequent_ngrams
+
+    texts = ["", "?!...  ;;", "a b c a b c", "x y z w"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for fn, sql in (
+        (scrub_frequent_ngrams, E._SCRUB_SQL),
+        (dup_ngram_chars, E._DUP_NGRAM_SQL),
+    ):
+        eng = fn(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        assert len(eng) == len(texts) and len(ora) == len(texts), fn.__name__
+        cols = sorted(eng.columns)
+        pd.testing.assert_frame_equal(
+            eng[cols], ora[cols], check_dtype=False
+        )
+
+
 def test_dup_ngram_chars_matches_bruteforce():
     import duckdb
 

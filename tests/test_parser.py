@@ -238,6 +238,12 @@ def test_wildcard_regexp_raw_pattern_parse():
     t = parse_query("#wildcard( mu*.title )", "#or", analyze)
     inner = t.args[0] if t.name == "#score" else t
     assert inner.args[0].term == "mu*" and inner.args[0].field == "title"
+    # lowercasing must not invert case-sensitive escapes: \D stays \D
+    # (match non-digit), while literal letters still lower to match the
+    # all-lowercase dictionary
+    t = parse_query(r"#regexp( \D+X\WY )", "#or", analyze)
+    inner = t.args[0] if t.name == "#score" else t
+    assert inner.args[0].term == r"\D+x\Wy"
 
 
 def test_wildcard_regexp_match_syn_of_expansion(ray_session, built_index):
