@@ -33,6 +33,45 @@ from .analyze import STOPWORDS, analyze_query_token, tokenize
 from .indexio import InvertedIndex
 
 
+#: activation registry (the reference's Activation zoo — `Tanh.java`,
+#: `ReLU.java`, `Sigmoid.java`, `Identity.java`): name -> (forward,
+#: derivative-from-activation-output), matching the reference's
+#: derivative() computed from the stored forward state.
+ACTIVATIONS: dict = {
+    "tanh": (np.tanh, lambda a: 1.0 - a**2),
+    "relu": (lambda x: np.maximum(x, 0.0), lambda a: (a > 0).astype(float)),
+    "sigmoid": (lambda x: 1.0 / (1.0 + np.exp(-x)), lambda a: a * (1.0 - a)),
+    "identity": (lambda x: x, lambda a: np.ones_like(a)),
+}
+
+
+def register_activation(name: str, forward, derivative) -> None:
+    """Extension point mirroring the reference's pluggable Activation list
+    (`MLP.java:28-49`): ``derivative`` takes the forward OUTPUT."""
+    ACTIVATIONS[name] = (forward, derivative)
+
+
+def _hinge(margin: float, sp: float, sn: float) -> tuple[float, float]:
+    """Pairwise hinge (`HingeLoss.java`): loss = max(0, margin - (s+ - s-));
+    returns (loss, dloss/ds+) — dloss/ds- is its negation."""
+    loss = max(0.0, margin - (sp - sn))
+    return loss, (-1.0 if loss > 0.0 else 0.0)
+
+
+def _logistic(margin: float, sp: float, sn: float) -> tuple[float, float]:
+    """Pairwise logistic (RankNet-style): loss = log(1 + exp(-(s+ - s-)));
+    smooth criterion analog of the reference's Criterion surface
+    (`Criterion.java`, `SoftmaxCrossEntropy.java` is the classification
+    form of the same two-class cross-entropy)."""
+    d = sp - sn
+    loss = float(np.log1p(np.exp(-d)))
+    return loss, float(-1.0 / (1.0 + np.exp(d)))
+
+
+#: criterion registry: name -> (margin, s_pos, s_neg) -> (loss, dL/ds_pos)
+CRITERIA: dict = {"hinge": _hinge, "logistic": _logistic}
+
+
 @dataclass
 class DrmmConfig:
     dim: int = 64
@@ -42,6 +81,11 @@ class DrmmConfig:
     lr: float = 0.05
     n_pairs: int = 500
     seed: int = 7
+    #: HW6 defaults (tanh + hinge margin 1) reproduce the original
+    #: hardcoded MLP bit-for-bit; any ACTIVATIONS/CRITERIA key plugs in
+    activation: str = "tanh"
+    criterion: str = "hinge"
+    margin: float = 1.0
 
 
 class TermVectors:
@@ -90,7 +134,10 @@ def histogram(
 
 
 class MLP:
-    """nbins -> hidden (tanh) -> 1, adagrad on pairwise hinge loss."""
+    """nbins -> hidden -> 1, adagrad on a pairwise criterion. Activation
+    and criterion are pluggable via the ACTIVATIONS/CRITERIA registries
+    (`MLP.java:112-160` + the Activation/Criterion zoo); the HW6 defaults
+    (tanh, hinge margin 1) keep the original behavior bit-for-bit."""
 
     def __init__(self, cfg: DrmmConfig):
         rng = np.random.default_rng(cfg.seed)
@@ -99,6 +146,8 @@ class MLP:
         self.W2 = rng.standard_normal(cfg.hidden) * 0.3
         self.b2 = 0.0
         self.cfg = cfg
+        self._act, self._dact = ACTIVATIONS[cfg.activation]
+        self._crit = CRITERIA[cfg.criterion]
         self._g = [np.full_like(self.W1, 1e-8), np.full_like(self.b1, 1e-8),
                    np.full_like(self.W2, 1e-8), 1e-8]
 
@@ -113,12 +162,12 @@ class MLP:
         self.W2, self.b2 = z["W2"], float(z["b2"])
 
     def forward(self, x: np.ndarray) -> float:
-        h = np.tanh(x @ self.W1 + self.b1)
+        h = self._act(x @ self.W1 + self.b1)
         return float(h @ self.W2 + self.b2)
 
     def score_terms(self, F: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per-term forwards: F (n_terms x n_bins) -> (outputs, hidden)."""
-        H = np.tanh(F @ self.W1 + self.b1)
+        H = self._act(F @ self.W1 + self.b1)
         return H @ self.W2 + self.b2, H
 
     def step_pair(
@@ -136,21 +185,24 @@ class MLP:
         """
         yp, Hp = self.score_terms(F_pos)
         yn, Hn = self.score_terms(F_neg)
-        loss = max(0.0, 1.0 - (float(g_pos @ yp) - float(g_neg @ yn)))
-        if loss <= 0.0:
-            return 0.0
+        loss, coeff = self._crit(
+            self.cfg.margin, float(g_pos @ yp), float(g_neg @ yn)
+        )
+        if coeff == 0.0:
+            return loss
 
         def grads(F, g, H):
-            # d s/dW2 = sum_i g_i h_i ; d s/dW1 = sum_i g_i x_i (W2*(1-h_i^2))
+            # d s/dW2 = sum_i g_i h_i ; d s/dW1 = sum_i g_i x_i (W2*act'(h_i))
             gW2 = g @ H
-            D = (g[:, None] * (1 - H**2)) * self.W2[None, :]
+            D = (g[:, None] * self._dact(H)) * self.W2[None, :]
             return F.T @ D, D.sum(axis=0), gW2
 
         gW1p, gb1p, gW2p = grads(F_pos, g_pos, Hp)
         gW1n, gb1n, gW2n = grads(F_neg, g_neg, Hn)
-        gW1 = -(gW1p - gW1n)
-        gb1 = -(gb1p - gb1n)
-        gW2 = -(gW2p - gW2n)
+        # dL/ds- = -dL/ds+ for both pairwise criteria
+        gW1 = coeff * (gW1p - gW1n)
+        gb1 = coeff * (gb1p - gb1n)
+        gW2 = coeff * (gW2p - gW2n)
         # b2's pairwise gradient is sum(g+) - sum(g-) = 0 (softmax gates)
         lr = self.cfg.lr
         self._g[0] += gW1**2

@@ -177,6 +177,87 @@ def normalize_per_query(F: np.ndarray) -> np.ndarray:
     return np.nan_to_num(out, nan=0.0)
 
 
+# ---------------------------------------------------------------------------
+# svm_light / svm_rank file formats (the reference's external-binary
+# interface; `RetrievalModelLeToR.java:246-257, 276-334, 383-451`). The
+# in-repo LinearRanker below stays the default trainer — these writers/
+# readers exist so a user replaying HW4 experiments against real
+# svm_rank_learn/svm_rank_classify can round-trip the files.
+# ---------------------------------------------------------------------------
+
+
+def svm_line(
+    label: str,
+    qid: str,
+    feat: np.ndarray,
+    comment: str,
+    disable: frozenset = frozenset(),
+) -> str:
+    """One svm_light feature line, byte-layout-identical to the reference's
+    ``svm_line`` (`RetrievalModelLeToR.java:246-257`): ``label qid:Q `` then
+    ``j:value `` per 1-based feature (disabled ids and missing values — our
+    NaN, the reference's Double.MIN_VALUE marker — are SKIPPED, not zeroed),
+    then `` # comment`` (the reference's trailing-space + ``" # "`` gives
+    the double space). Values render via repr() — shortest round-trip
+    decimal, the same contract as Java's Double.toString for the magnitudes
+    features take."""
+    parts = [f"{label} qid:{qid} "]
+    for j, v in enumerate(feat, start=1):
+        if j in disable or np.isnan(v):
+            continue
+        parts.append(f"{j}:{float(v)!r} ")
+    parts.append(f" # {comment}\n")
+    return "".join(parts)
+
+
+def write_svm_features(
+    path: str,
+    rows: "list[tuple[str, str, np.ndarray, str]]",
+    disable: frozenset = frozenset(),
+) -> None:
+    """Write (label, qid, feature-vector, comment) rows as an svm_light
+    feature file (the reference's trainingFeatureVectorsFile /
+    testingFeatureVectorsFile, `RetrievalModelLeToR.java:276-334, 383-416`).
+    Training callers pass label = str(relevance + 3) like the reference;
+    test callers pass "0"."""
+    with open(path, "w") as f:
+        for label, qid, feat, comment in rows:
+            f.write(svm_line(label, qid, np.asarray(feat, dtype=float), comment, disable))
+
+
+def read_svm_features(
+    path: str,
+) -> "list[tuple[str, str, dict[int, float], str]]":
+    """Parse an svm_light feature file back to (label, qid, {1-based id:
+    value}, comment) rows — the round-trip inverse of write_svm_features
+    (absent ids stay absent: missing features were skipped at write)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            body, _, comment = line.partition("#")
+            toks = body.split()
+            label = toks[0]
+            assert toks[1].startswith("qid:"), toks[1]
+            qid = toks[1][4:]
+            feats = {}
+            for tk in toks[2:]:
+                j, _, v = tk.partition(":")
+                feats[int(j)] = float(v)
+            out.append((label, qid, feats, comment.strip()))
+    return out
+
+
+def read_svm_scores(path: str) -> "list[float]":
+    """svm_rank_classify score file: one float per line, positionally
+    aligned with the test feature file's rows
+    (`RetrievalModelLeToR.java:443-451`)."""
+    with open(path) as f:
+        return [float(line) for line in f if line.strip()]
+
+
 class LinearRanker:
     """Pairwise hinge-loss linear ranker (in-repo svm_rank replacement)."""
 

@@ -162,6 +162,55 @@ def test_letor_features_and_rerank(engine):
     assert {d for d, _ in out} == {d for d, _ in initial}
 
 
+def test_svm_light_format_roundtrip(tmp_path):
+    """svm_light writer/reader vs hand-written fixtures: the line layout
+    must match the reference's svm_line exactly (label, qid:, 1-based
+    sparse features with NaN/disabled SKIPPED, double space before '#'),
+    the reader must invert the writer, and score files read positionally
+    (RetrievalModelLeToR.java:246-257, 276-334, 383-451)."""
+    from searchengine_ray.letor import (
+        read_svm_features,
+        read_svm_scores,
+        svm_line,
+        write_svm_features,
+    )
+
+    # exact line layout, including the missing-value skip and double space
+    feat = np.array([0.5, np.nan, 1.0])
+    assert (
+        svm_line("4", "7", feat, "doc-a")
+        == "4 qid:7 1:0.5 3:1.0  # doc-a\n"
+    )
+    assert (
+        svm_line("0", "q1", feat, "doc-b", disable=frozenset({1}))
+        == "0 qid:q1 3:1.0  # doc-b\n"
+    )
+
+    rows = [
+        ("4", "7", np.array([0.5, np.nan, 1.0]), "doc-a"),
+        ("3", "7", np.array([0.0, 0.25, np.nan]), "doc-b"),
+        ("0", "8", np.array([np.nan, np.nan, np.nan]), "doc-c"),
+    ]
+    p = tmp_path / "feat.svm"
+    write_svm_features(str(p), rows)
+    back = read_svm_features(str(p))
+    assert back == [
+        ("4", "7", {1: 0.5, 3: 1.0}, "doc-a"),
+        ("3", "7", {1: 0.0, 2: 0.25}, "doc-b"),
+        ("0", "8", {}, "doc-c"),
+    ]
+    # a hand-written svm_rank_classify-style file parses too
+    (tmp_path / "hand.svm").write_text(
+        "2 qid:1 1:1.0 3:0.5  # ext1\n0 qid:1 2:0.125  # ext2\n"
+    )
+    hand = read_svm_features(str(tmp_path / "hand.svm"))
+    assert hand[0] == ("2", "1", {1: 1.0, 3: 0.5}, "ext1")
+    assert hand[1] == ("0", "1", {2: 0.125}, "ext2")
+
+    (tmp_path / "scores").write_text("1.5\n-0.25\n0\n")
+    assert read_svm_scores(str(tmp_path / "scores")) == [1.5, -0.25, 0.0]
+
+
 # ---------------------------------------------------------------------------
 # DRMM
 # ---------------------------------------------------------------------------
@@ -272,6 +321,40 @@ def test_word2vec_file_reader(tmp_path, engine):
     assert terms == ["mutex", "lock"]  # no-vector terms drop (ref null checks)
     assert abs(gates.sum() - 1.0) < 1e-12
     w.close()
+
+
+def test_mlp_activation_criterion_zoo_deterministic():
+    """Each registered activation (the reference's Activation zoo) and
+    criterion trains deterministically under the same seed, produces a
+    different trajectory than tanh/hinge (the surface is actually wired
+    through forward AND backward), and the default config reproduces the
+    historical hardcoded behavior."""
+    import numpy as np
+
+    from searchengine_ray.drmm import ACTIVATIONS, CRITERIA, MLP, DrmmConfig
+
+    rng = np.random.default_rng(0)
+    Fp, Fn = rng.standard_normal((4, 10)), rng.standard_normal((4, 10))
+    g = np.full(4, 0.25)
+
+    def run(**kw):
+        m = MLP(DrmmConfig(seed=5, **kw))
+        for _ in range(10):
+            m.step_pair(Fp, g, Fn, g)
+        return m.forward(Fp[0])
+
+    base = run()
+    for act in ACTIVATIONS:
+        a1, a2 = run(activation=act), run(activation=act)
+        assert a1 == a2, act  # seeded determinism
+        if act != "tanh":
+            assert a1 != base, act  # actually changes the compute
+    for crit in CRITERIA:
+        c1, c2 = run(criterion=crit), run(criterion=crit)
+        assert c1 == c2, crit
+    assert run(criterion="hinge") == base  # HW6 default unchanged
+    # margin is live: a larger margin keeps updating after hinge saturates
+    assert run(margin=5.0) != base
 
 
 def test_mlp_save_load_roundtrip(tmp_path):

