@@ -70,6 +70,43 @@ class FakeDecodeBackend(DecodeBackend):
         ]
 
 
+class PillowDecodeBackend(DecodeBackend):
+    """Real image decode via Pillow WHEN INSTALLED (import checked at
+    construction, the import-try wiring for environments that have it;
+    this container does not ship PIL, so tests cover only the gating).
+    Audio/video still raise — they need ffmpeg-class dependencies."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "PillowDecodeBackend requires Pillow; install it or use "
+                "FakeDecodeBackend / the default_backend() fallback"
+            ) from e
+        from PIL import Image
+
+        self._Image = Image
+
+    def decode_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        import io
+
+        img = self._Image.open(io.BytesIO(payload)).convert("RGB")
+        if img.size != (w, h):
+            img = img.resize((w, h))
+        return np.asarray(img, dtype=np.uint8)
+
+
+def default_backend() -> DecodeBackend:
+    """Pillow-backed image decode when the library exists, else the
+    deterministic fake — explicit opt-in keeps the mm_* gate outputs
+    environment-independent (pipelines default to FakeDecodeBackend)."""
+    try:
+        return PillowDecodeBackend()
+    except ImportError:
+        return FakeDecodeBackend()
+
+
 class ImageFeatures:
     """Actor stage: decode + feature-extract images (mean RGB, a tiny
     grayscale 'embedding'). Backend loads ONCE per actor in __init__."""

@@ -225,6 +225,40 @@ def test_real_backend_raises():
         DecodeBackend().decode_image(b"x", 4, 4)
 
 
+def test_pillow_backend_gating_and_default_fallback():
+    """PillowDecodeBackend import-gates cleanly; default_backend() falls
+    back to the deterministic fake when PIL is absent (this container) and
+    returns a working Pillow decoder when it exists."""
+    from searchengine_ray.multimodal import (
+        FakeDecodeBackend,
+        PillowDecodeBackend,
+        default_backend,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    b = default_backend()
+    if has_pil:
+        assert isinstance(b, PillowDecodeBackend)
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4), (1, 2, 3)).save(buf, format="PNG")
+        arr = b.decode_image(buf.getvalue(), 4, 4)
+        assert arr.shape == (4, 4, 3) and (arr[0, 0] == [1, 2, 3]).all()
+    else:
+        assert isinstance(b, FakeDecodeBackend)
+        with pytest.raises(ImportError, match="Pillow"):
+            PillowDecodeBackend()
+
+
 def test_run_queries_actor_pool(built_index):
     """run_queries (the Ray Data map_batches actor-pool path used by
     entry() and batch jobs) must agree with the in-process engine — this is
