@@ -2252,7 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
-        # fully checked by tools/check_gate.py (GATE_LOCAL_r03.txt).
+        # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "ann_ivf": ann.ivf_topk,                    # driver-verified r1+r2+r3; in-window sibling hybrid_rrf hash-checks the vector-scan/top-k leg, centroid-literal oracle unchanged
         "dedup_simhash": dedup.simhash_pairs,       # driver-verified r1+r2+r3; in-window sibling dedup_minhash covers the banded-bucket near-dup family
         "div_pm2": gate.div_pm2,                    # driver-verified r1+r2+r3; in-window sibling div_xquad runs the same full-greedy diversification machinery

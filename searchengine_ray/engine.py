@@ -280,6 +280,20 @@ class QueryService:
         self.actors = [Actor.remote(index_dir, params) for _ in range(num_actors)]
         ray.get([a.ping.remote() for a in self.actors])  # block until loaded
 
+    def warm(self, items: list[tuple[str, str]]) -> None:
+        """Broadcast the query set to EVERY actor once (parallel, blocking).
+
+        With dynamic dispatch an actor may serve any chunk, so a single
+        shared pass no longer guarantees each actor has decoded each
+        query's postings — measured cold-start: the first post-"warm"
+        batches ran at 14-50 QPS climbing to ~85 once every actor had
+        seen every term, a cache ramp masquerading as steal noise. One
+        broadcast pass puts the pool in steady state immediately; in
+        production the same effect comes from sustained traffic."""
+        import ray
+
+        ray.get([a.search_many.remote(items) for a in self.actors])
+
     def search_batch(
         self, items: list[tuple[str, str]], chunk_size: "int | None" = None
     ) -> pa.Table:

@@ -259,6 +259,25 @@ def test_pillow_backend_gating_and_default_fallback():
             PillowDecodeBackend()
 
 
+def test_query_service_warm_and_search(built_index):
+    """QueryService.warm broadcasts to every actor (dynamic dispatch means
+    any actor can serve any chunk) and search_batch results equal the
+    in-process engine afterwards."""
+    from searchengine_ray.engine import QueryService, SearchEngine
+
+    svc = QueryService(built_index, ModelParams(model="bm25", top_k=10),
+                       num_actors=2)
+    items = [("1", "mutex lock"), ("2", "check")]
+    svc.warm(items)
+    got = svc.search_batch(items).to_pandas()
+    eng = SearchEngine(built_index, ModelParams(model="bm25", top_k=10))
+    want = eng.search_many(items).to_pandas()
+    want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    svc.shutdown()
+
+
 def test_run_queries_actor_pool(built_index):
     """run_queries (the Ray Data map_batches actor-pool path used by
     entry() and batch jobs) must agree with the in-process engine — this is
