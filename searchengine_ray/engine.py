@@ -355,8 +355,11 @@ class _ShardWorker:
     """Holds one doc-range shard; phase 1 returns derived-list stats, phase 2
     scores with the globally-merged stats injected."""
 
-    def __init__(self, index_dir: str, part: int, params: ModelParams):
-        self.index = InvertedIndex(index_dir, parts=[part])
+    def __init__(
+        self, index_dir: str, part: "int | list[int]", params: ModelParams
+    ):
+        parts = [part] if isinstance(part, int) else list(part)
+        self.index = InvertedIndex(index_dir, parts=parts)
         self.params = params
 
     def ping(self) -> bool:
@@ -387,6 +390,41 @@ class _ShardWorker:
                 "score": pa.array(scores, type=pa.float64()),
             }
         )
+
+
+def balanced_shards(index_dir: str, n_shards: int) -> list[list[int]]:
+    """Length-aware shard assignment for :class:`ShardedQueryService`
+    (north_rule "length-aware repartitioning"): doc-range partitions are
+    packed into ``n_shards`` groups balanced by Σ len_body, not partition
+    COUNT — long documents dominate positional-operator (NEAR/WINDOW)
+    decode cost, so count-balanced shards skew tail latency whenever doc
+    lengths are skewed (they always are at web scale). Greedy LPT:
+    partitions sorted by descending load, each into the lightest bin;
+    ties break toward the lower partition id so the assignment is
+    deterministic. Planning-time cost: one pruned single-column parquet
+    read (len_body) per partition."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from .build import index_partitions
+
+    parts = index_partitions(index_dir)
+    if not parts:
+        return []
+    loads = []
+    for p in parts:
+        d = pads.dataset(os.path.join(index_dir, "docmap", f"part_{p:05d}"))
+        s = int(pc.sum(d.to_table(columns=["len_body"]).column("len_body")).as_py() or 0)
+        loads.append((s, p))
+    n_shards = max(1, min(n_shards, len(parts)))
+    bins: list[list] = [[0, i, []] for i in range(n_shards)]  # load, idx, parts
+    for s, p in sorted(loads, key=lambda t: (-t[0], t[1])):
+        b = min(bins, key=lambda b: (b[0], b[1]))
+        b[0] += s
+        b[2].append(p)
+    return [sorted(b[2]) for b in bins if b[2]]
 
 
 class ShardedQueryService:

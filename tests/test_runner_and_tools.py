@@ -350,6 +350,78 @@ def test_large_join_revenue(ray_session):
     assert (df["revenue_cents"] > 0).all()
 
 
+def test_balanced_shards_length_aware_and_exact(ray_session, tmp_path):
+    """balanced_shards packs partitions by Σ len_body (greedy LPT), so a
+    skewed corpus — all the long docs in the low doc-id range — yields
+    shards far more even than the naive contiguous split; serving over the
+    grouped shards stays exactly equal to the full index."""
+    import pyarrow as pa
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.engine import (
+        SearchEngine, ShardedQueryService, balanced_shards,
+    )
+
+    long_doc = "mutex lock " * 400 + "guard check fault"
+    short_doc = "mutex check"
+    # both heavy partitions sit in the LOW doc-id half: a contiguous split
+    # stacks them in one shard; LPT pairs each with a light partition
+    texts = [long_doc] * 16 + [short_doc] * 16
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "repo": [f"r{i}" for i in range(len(texts))],
+            "path": [f"src/f{i}.txt" for i in range(len(texts))],
+            "commit": ["c" * 8] * len(texts),
+            "lang": ["en"] * len(texts),
+            "content": texts,
+        }
+    )
+    out = str(tmp_path / "skewidx")
+    # bucket 8 so the 4 partitions align to real doc ranges: the 8 long
+    # docs all land in partition 0
+    build_index(
+        lambda: ray.data.from_arrow(tbl), out,
+        BuildConfig(doc_bucket_size=8, num_partitions=4),
+    )
+    shards = balanced_shards(out, 2)
+    assert len(shards) == 2 and sorted(p for s in shards for p in s) == [0, 1, 2, 3]
+
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    def load(parts):
+        return sum(
+            int(pc.sum(
+                pads.dataset(os.path.join(out, "docmap", f"part_{p:05d}"))
+                .to_table(columns=["len_body"]).column("len_body")
+            ).as_py())
+            for p in parts
+        )
+
+    bal = sorted(load(s) for s in shards)
+    naive = sorted(load(s) for s in ([0, 1], [2, 3]))
+    # LPT pairs the heavy partitions apart; contiguous split stacks them
+    assert bal[1] / bal[0] < naive[1] / naive[0]
+    assert bal[1] / bal[0] < 2.0
+
+    svc = ShardedQueryService(
+        out, parts=shards, params=ModelParams(model="bm25", top_k=10)
+    )
+    full = SearchEngine(out, ModelParams(model="bm25", top_k=10))
+    try:
+        for q in ("mutex check", "#near/1( mutex lock )"):
+            got = svc.search("q", q).to_pandas()
+            want = full.search("q", q).to_pandas()
+            assert list(got["external_id"]) == list(want["external_id"]), q
+    finally:
+        svc.shutdown()
+
+
 def test_sharded_query_service_pool(built_index):
     """Long-lived shard pool must match one-shot sharded and full-index."""
     from searchengine_ray.engine import SearchEngine, ShardedQueryService
