@@ -152,7 +152,11 @@ def main(argv: list[str]) -> None:
         list_stats(idx)
     elif cmd == "-list-postings":
         list_postings(idx, argv[2], argv[3], int(argv[4]) if len(argv) > 4 else 10)
-    elif cmd == "-list-vocab":
+    elif cmd == "-list-postings-sample":
+        # reference flag (`InspectIndex.java:45-47`): first few entries only
+        list_postings(idx, argv[2], argv[3], 5)
+    elif cmd in ("-list-vocab", "-list-terms"):
+        # -list-terms is the reference's name (`InspectIndex.java:50`)
         list_vocab(idx, argv[2], int(argv[3]) if len(argv) > 3 else 20)
     elif cmd == "-list-doc":
         list_doc(idx, int(argv[2]))

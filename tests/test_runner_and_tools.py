@@ -135,6 +135,14 @@ def test_inspect_tool_docid_fields_termvector_flags(built_index, capsys):
     inspect_tool.main([built_index, "-list-termvector-field", str(first), "body"])
     out = capsys.readouterr().out
     assert f"docid {first}, field body" in out and "Stored length:" in out
+
+    inspect_tool.main([built_index, "-list-postings-sample", "mutex", "body"])
+    out = capsys.readouterr().out
+    assert "mutex.body: df=" in out and out.count("doc ") <= 5
+
+    inspect_tool.main([built_index, "-list-terms", "body"])
+    out = capsys.readouterr().out
+    assert "body:" in out and "df=" in out
     # tf/positions agree with the postings probe for one known term
     inspect_tool.main([built_index, "-list-termvector", "-1"])
     assert "bad document id" in capsys.readouterr().out
