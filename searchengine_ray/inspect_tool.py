@@ -178,4 +178,8 @@ def main(argv: list[str]) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    try:
+        main(sys.argv[1:])
+    except BrokenPipeError:
+        # `inspect_tool ... | head` closing the pipe is normal CLI usage
+        sys.exit(0)
