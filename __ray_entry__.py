@@ -2058,6 +2058,51 @@ FROM probe WHERE nset = {BLOOM_K} GROUP BY doc_id
 """
 
 
+def _lm_ppl_sql() -> str:
+    """Bigram-LM perplexity scoring oracle (curation.lm_perplexity,
+    CCNet-style): re-derive the splitmix reference slice, the reference
+    bigram/prefix counts and vocabulary size V, then score every adjacent
+    token pair of every document with the IDENTICAL float expression the
+    engine precomputes per model row — (1 + c12) / (c1 + V) in DOUBLE,
+    libm ln on both sides, floor(x * 2^20 + 0.5) quantization — and sum
+    the quantized integers per doc (order-free). Docs with < 2 tokens get
+    (0, 0) via the documents left join."""
+    from searchengine_ray.curation import LM_Q, LM_REF_PCT, LM_SEED
+
+    return f"""
+WITH {_splitmix_ctes('lx', 'documents', ['doc_id'], 'doc_id', LM_SEED)},
+ref AS (SELECT doc_id FROM lx3 WHERE v % 100 < {LM_REF_PCT}),
+tok AS (SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+    unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+  FROM documents),
+rtok AS (SELECT t.doc_id, t.term, t.pos FROM tok t JOIN ref USING (doc_id)),
+vv AS (SELECT CAST(count(DISTINCT term) + 1 AS BIGINT) AS V FROM rtok),
+tp AS (SELECT term AS w1,
+              lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM rtok),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tp
+        WHERE w2 IS NOT NULL GROUP BY w1, w2),
+pref AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+ap AS (SELECT doc_id, term AS w1,
+              lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM tok),
+sc AS (SELECT a.doc_id,
+  CAST(floor((0e0 - ln((1e0 + CAST(coalesce(b.c12, 0) AS DOUBLE))
+      / (CAST(coalesce(p.c1, 0) AS DOUBLE) + CAST(v.V AS DOUBLE))))
+    * {LM_Q}e0 + 0.5e0) AS BIGINT) AS q
+  FROM ap a CROSS JOIN vv v
+  LEFT JOIN big b ON b.w1 = a.w1 AND b.w2 = a.w2
+  LEFT JOIN pref p ON p.w1 = a.w1
+  WHERE a.w2 IS NOT NULL),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(q) AS BIGINT) AS nll_q FROM sc GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.nll_q, 0) AS BIGINT) AS nll_q
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _pack_sql() -> str:
     """Sequence packing oracle: the greedy fill state (bin, fill) advances
     one doc per recursion step within each hash shard — exact integer
@@ -2138,8 +2183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
     # The registry has 87 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt: 87 pass, 0 fail, 3 rows-only), so
-    # 37 must sit beyond the window no matter the order. The
+    # possible; see GATE_LOCAL_r04.txt: 88 pass, 0 fail, 3 rows-only), so
+    # 38 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2148,9 +2193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # same code path still inside the window. Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
-    # SQL-backed via trained-weight literals), and dedup_ngram_jaccard +
+    # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
     # text_top_bigrams (their shingle/combiner stages were vectorized this
-    # round — changed code gets re-verified); out = ann_ivf, dedup_simhash,
+    # round — changed code gets re-verified), and cur_lm_perplexity (new
+    # CCNet-style bigram-LM scorer, late r4); out = rel_top_parts (r1+r3
+    # verified, three rel_* siblings in-window), ann_ivf, dedup_simhash,
     # div_pm2, text_quality, se_bm25_wsum_fields, div_xquad (each
     # driver-verified in ALL of r1+r2+r3, unchanged in r4, each with an
     # in-window sibling or exhaustive pytest). ALL entries — windowed,
@@ -2233,7 +2280,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,
         # relational building blocks
-        "rel_top_parts": relational.top_parts,
         "rel_join_revenue": relational.revenue_by_order_priority,
         "rel_shipping_priority": relational.shipping_priority,
         "rel_top_orders_per_cust": relational.top_orders_per_customer,
@@ -2257,10 +2303,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the Gopher duplicate-n-gram character-coverage rule
         "cur_scrub_ngrams": curation.scrub_frequent_ngrams,
         "cur_dup_ngram_chars": curation.dup_ngram_chars,
+        # CCNet-style bigram-LM perplexity scoring (new in r4): model-sized
+        # broadcast state, all float/ln arithmetic precomputed per model
+        # row with scalar libm ln, corpus path pure int64 gathers
+        "cur_lm_perplexity": curation.lm_perplexity,
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        "rel_top_parts": relational.top_parts,      # driver-verified r1+r3, code unchanged; in-window siblings rel_join_revenue/rel_shipping_priority/rel_top_orders_per_cust cover the broadcast-dim-join + combiner-groupby + rank patterns (rotated out for cur_lm_perplexity)
         "ann_ivf": ann.ivf_topk,                    # driver-verified r1+r2+r3; in-window sibling hybrid_rrf hash-checks the vector-scan/top-k leg, centroid-literal oracle unchanged
         "dedup_simhash": dedup.simhash_pairs,       # driver-verified r1+r2+r3; in-window sibling dedup_minhash covers the banded-bucket near-dup family
         "div_pm2": gate.div_pm2,                    # driver-verified r1+r2+r3; in-window sibling div_xquad runs the same full-greedy diversification machinery
@@ -2428,6 +2479,7 @@ JOIN (
         "cur_repetition_stats": _REPETITION_SQL,
         "cur_scrub_ngrams": _SCRUB_SQL,
         "cur_dup_ngram_chars": _DUP_NGRAM_SQL,
+        "cur_lm_perplexity": _lm_ppl_sql(),
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),
         "cur_decontam_bloom": _bloom_decontam_sql(),

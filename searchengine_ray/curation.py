@@ -1026,3 +1026,205 @@ def cross_dup_spans(sf_dir: str, n: int = SPAN_N, max_df: int = SPAN_MAX_DF):
         .groupby("kd")
         .map_groups(coverage, batch_format="pyarrow")
     )
+
+
+# --- n-gram LM perplexity scoring (CCNet-style quality filter) -----------
+
+LM_SEED = 23          # splitmix seed selecting the LM reference slice
+LM_REF_PCT = 5        # % of docs forming the "quality reference" corpus
+LM_Q = 1 << 20        # fixed-point scale for quantized per-pair NLL
+LM_MAX_MODEL = 4_000_000  # guard: max (bigram + unigram) model rows
+
+
+def lm_perplexity(
+    sf_dir: str, ref_pct: int = LM_REF_PCT, seed: int = LM_SEED,
+    max_model: int = LM_MAX_MODEL,
+):
+    """CCNet-style language-model document scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): train an add-one-smoothed bigram LM on a small deterministic
+    reference slice of the corpus (splitmix64(doc_id, seed) %% 100 <
+    ``ref_pct`` — the stand-in for CCNet's curated Wikipedia LM), then
+    score EVERY document's token stream under it. Returns one row per
+    document: (doc_id, n_bigrams, nll_q) where nll_q is the integer sum of
+    per-bigram quantized negative log-probs, q = floor(-ln(p) * 2^20 +
+    0.5), p = (c12 + 1) / (c1 + V); c12 = reference count of the bigram,
+    c1 = reference count of the prefix as a bigram-start, V = distinct
+    reference vocabulary + 1 (OOV). Docs with < 2 tokens score (0, 0).
+    Downstream filters rank by nll_q / n_bigrams (mean NLL ==
+    log-perplexity) and keep the head/middle the way CCNet does.
+
+    Scale shape — model-sized state, corpus-sized streaming:
+    1. Counting pass over the REFERENCE SLICE only: per-batch bigram +
+       vocab partials via dictionary-encode + int64 key run-length (no
+       per-token Python), ONE groupby-sum whose output is model-sized
+       (distinct reference bigrams), collected to the driver under an
+       explicit ``max_model`` guard that raises instead of OOMing — at
+       real scale the reference corpus is a fixed curated set and the
+       model is pruned (KenLM-style), so model-sized ≠ corpus-sized by
+       construction.
+    2. ALL log/float arithmetic happens HERE, once per model row, with
+       scalar libm ``math.log`` — measured: numpy's SIMD ``np.log``
+       diverges from libm (and therefore from DuckDB's ``ln``) on ~21%% of
+       doubles, so the corpus-side path must never touch a float kernel.
+       The broadcast model is (sorted vocab, sorted bigram keys,
+       quantized int64 NLLs, per-prefix unseen NLLs).
+    3. Scoring pass over the FULL corpus: ``ray.put`` the model once,
+       then an embarrassingly-parallel ``map_batches`` scan — tokenize,
+       batch-dictionary lookup into the vocab (searchsorted), bigram key
+       gather, two integer gathers + one segment sum per batch. Pure
+       int64 end to end, hence bit-reproducible on any shard layout.
+
+    The DuckDB oracle (``__ray_entry__._lm_ppl_sql``) re-derives the
+    reference slice, counts, V, and the exact float expression per pair;
+    ln == libm log on both sides, so the gate checks the whole chain
+    (split, tokenizer, counts, smoothing arithmetic, quantization).
+    """
+    import math
+
+    import ray
+
+    from .textstats import _flat_tokens
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    empty_counts = pa.table({
+        "gk": pa.array([], pa.string()),
+        "c": pa.array([], pa.int64()),
+    })
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = (_hash64(ids, seed) % np.uint64(100)).astype(np.int64) < ref_pct
+        sub = t.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return empty_counts
+        _, doc_idx, flat = _flat_tokens(sub)
+        if len(doc_idx) == 0:
+            return empty_counts
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dvals = denc.dictionary
+        nd = len(dvals)
+        # unigram rows (vocab membership; w2 = "" sentinel — tokens are
+        # never empty so the key space cannot collide with bigrams)
+        ucnt = np.bincount(codes, minlength=nd).astype(np.int64)
+        # bigram rows: adjacent pairs within a doc, batch-local run-length
+        m = doc_idx[1:] == doc_idx[:-1]
+        k1, k2 = codes[:-1][m], codes[1:][m]
+        key = k1 * nd + k2
+        uk, kc = np.unique(key, return_counts=True)
+        w1 = dvals.take(pa.array(uk // nd))
+        w2 = dvals.take(pa.array(uk % nd))
+        gk_big = pc.binary_join_element_wise(w1, w2, "\x00")
+        gk_uni = pc.binary_join_element_wise(
+            dvals, pa.array([""] * nd, pa.string()), "\x00"
+        )
+        return pa.table({
+            "gk": pa.concat_arrays([
+                gk_big.combine_chunks() if isinstance(gk_big, pa.ChunkedArray)
+                else gk_big,
+                gk_uni.combine_chunks() if isinstance(gk_uni, pa.ChunkedArray)
+                else gk_uni,
+            ]),
+            "c": pa.array(np.concatenate([kc.astype(np.int64), ucnt]),
+                          type=pa.int64()),
+        })
+
+    model_ds = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("gk")
+        .sum("c")
+    )
+    gks: list[pa.Array] = []
+    cnts: list[np.ndarray] = []
+    n_rows = 0
+    for b in model_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_rows += b.num_rows
+        if n_rows > max_model:
+            raise ValueError(
+                f"LM model rows exceed max_model={max_model}; shrink "
+                f"ref_pct or prune counts (KenLM-style) before broadcast"
+            )
+        gks.append(b.column("gk").combine_chunks())
+        cnts.append(b.column("sum(c)").to_numpy())
+    if n_rows == 0:
+        raise ValueError("LM reference slice selected zero documents")
+    gk_all = pa.concat_arrays(gks)
+    c_all = np.concatenate(cnts)
+    split = pc.split_pattern(gk_all, "\x00")
+    flat_terms = split.flatten()
+    w1_np = flat_terms.take(
+        pa.array(np.arange(0, 2 * n_rows, 2))
+    ).to_numpy(zero_copy_only=False).astype(str)
+    w2_np = flat_terms.take(
+        pa.array(np.arange(1, 2 * n_rows, 2))
+    ).to_numpy(zero_copy_only=False).astype(str)
+    is_uni = w2_np == ""
+    vocab = np.sort(w1_np[is_uni])
+    V = len(vocab) + 1  # + OOV
+    i1 = np.searchsorted(vocab, w1_np[~is_uni])
+    i2 = np.searchsorted(vocab, w2_np[~is_uni])
+    c12 = c_all[~is_uni]
+    c1 = np.zeros(V, dtype=np.int64)
+    np.add.at(c1, i1, c12)
+    big_keys = i1 * V + i2
+    order = np.argsort(big_keys)
+    big_keys = big_keys[order]
+    bc12, bi1 = c12[order], i1[order]
+    # the ONLY float/log arithmetic in the operator: model-sized, one-time,
+    # scalar libm ln for bit-parity with DuckDB's ln (np.log's SIMD path
+    # measurably diverges from libm) — identical expression to the oracle:
+    # floor((0 - ln((1 + c12) / (c1 + V))) * 2^20 + 0.5)
+    def _q(cc12: int, cc1: int) -> int:
+        p = (1.0 + float(cc12)) / (float(cc1) + float(V))
+        return int(math.floor((0.0 - math.log(p)) * float(LM_Q) + 0.5))
+
+    q_big = np.fromiter(
+        (_q(int(c), int(c1[j])) for c, j in zip(bc12, bi1)),
+        dtype=np.int64, count=len(bc12),
+    )
+    q_unseen = np.fromiter(
+        (_q(0, int(c1[j])) for j in range(V)), dtype=np.int64, count=V,
+    )
+    model_ref = ray.put((vocab, V, big_keys, q_big, q_unseen))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, V, big_keys, q_big, q_unseen = ray.get(model_ref)
+        nd = t.num_rows
+        n_big = np.zeros(nd, dtype=np.int64)
+        nll = np.zeros(nd, dtype=np.int64)
+        _, doc_idx, flat = _flat_tokens(t)
+        if len(doc_idx):
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy().astype(np.int64)
+            dvals = denc.dictionary.to_numpy(zero_copy_only=False).astype(str)
+            # batch-distinct -> global vocab id; misses -> OOV id V-1
+            gd = np.searchsorted(vocab, dvals)
+            gdc = np.minimum(gd, max(len(vocab) - 1, 0))
+            ok = ((gd < len(vocab)) & (vocab[gdc] == dvals)
+                  if len(vocab) else np.zeros(len(dvals), dtype=bool))
+            gd = np.where(ok, gdc, V - 1)
+            gids = gd[codes]
+            m = doc_idx[1:] == doc_idx[:-1]
+            k1, k2, pd = gids[:-1][m], gids[1:][m], doc_idx[1:][m]
+            if len(pd):
+                keys = k1 * V + k2
+                pos = np.searchsorted(big_keys, keys)
+                posc = np.minimum(pos, max(len(big_keys) - 1, 0))
+                hit = ((pos < len(big_keys)) & (big_keys[posc] == keys)
+                       if len(big_keys) else np.zeros(len(keys), dtype=bool))
+                q = np.where(hit, q_big[posc], q_unseen[k1])
+                n_big = np.bincount(pd, minlength=nd).astype(np.int64)
+                # float64 bincount accumulation is exact: q < 2^25 and
+                # per-doc sums stay far below 2^53
+                nll = np.bincount(
+                    pd, weights=q.astype(np.float64), minlength=nd
+                ).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(n_big, type=pa.int64()),
+            "nll_q": pa.array(nll, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

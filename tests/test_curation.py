@@ -521,3 +521,82 @@ def test_cross_dup_spans_matches_bruteforce():
     for did, (nt, dt) in want.items():
         assert out.loc[did, "n_tokens"] == nt
         assert out.loc[did, "dup_tokens"] == dt
+
+
+def test_lm_perplexity_matches_bruteforce():
+    """Exact equality vs a scalar dict-based bigram-LM reference on the
+    sf0.001 corpus: same reference slice, same add-one smoothing, same
+    libm ln + fixed-point quantization."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import (
+        LM_Q, LM_REF_PCT, LM_SEED, lm_perplexity,
+    )
+    from searchengine_ray.analyze import TOKEN_RE
+    from searchengine_ray.sketch import _hash64
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy()
+    texts = docs.column("text").to_pylist()
+    is_ref = (_hash64(ids, LM_SEED) % np.uint64(100)) < LM_REF_PCT
+    assert is_ref.any() and not is_ref.all()
+
+    big = collections.Counter()
+    vocab = set()
+    for keep, tx in zip(is_ref, texts):
+        if not keep:
+            continue
+        toks = TOKEN_RE.findall(tx.lower())
+        vocab.update(toks)
+        big.update(zip(toks, toks[1:]))
+    pref = collections.Counter()
+    for (w1, _), c in big.items():
+        pref[w1] += c
+    V = len(vocab) + 1
+
+    def q(w1, w2):
+        p = (1.0 + float(big.get((w1, w2), 0))) / (
+            float(pref.get(w1, 0)) + float(V)
+        )
+        return int(math.floor((0.0 - math.log(p)) * float(LM_Q) + 0.5))
+
+    expect = {}
+    for did, tx in zip(ids, texts):
+        toks = TOKEN_RE.findall(tx.lower())
+        pairs = list(zip(toks, toks[1:]))
+        expect[int(did)] = (len(pairs), sum(q(a, b) for a, b in pairs))
+
+    out = lm_perplexity(SF).to_pandas().sort_values("doc_id")
+    assert len(out) == len(ids) and out["doc_id"].is_unique
+    for _, r in out.iterrows():
+        nb, nq = expect[int(r["doc_id"])]
+        assert (int(r["n_bigrams"]), int(r["nll_q"])) == (nb, nq)
+
+
+def test_lm_perplexity_short_doc_rows_and_guard(tmp_path):
+    """Docs with <2 tokens still get a (0, 0) row; the max_model guard
+    raises instead of materializing an oversized model on the driver."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import lm_perplexity
+
+    texts = ["", "solo", "alpha beta gamma", "beta gamma delta epsilon"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = (
+        lm_perplexity(str(d), ref_pct=100)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert len(out) == len(texts)
+    assert (out.loc[[0, 1], ["n_bigrams", "nll_q"]] == 0).all().all()
+    assert out.loc[2, "n_bigrams"] == 2 and out.loc[2, "nll_q"] > 0
+    with pytest.raises(ValueError, match="max_model"):
+        lm_perplexity(str(d), ref_pct=100, max_model=3)
