@@ -2058,6 +2058,24 @@ FROM probe WHERE nset = {BLOOM_K} GROUP BY doc_id
 """
 
 
+# Full-corpus BM25 'dup spark' keyed by external_id — shared by the
+# incremental-build and tiered-merge gate entries (both re-identify
+# appended docs, so doc_id is not comparable across builds).
+_EXTID_BM25_SQL = f"""
+SELECT e.external_id, b.score_r
+FROM ({_bm25_terms_sql(["dup", "spark"])}) b
+JOIN (
+  SELECT doc_id,
+         source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40)
+           AS external_id
+  FROM (SELECT doc_id, source,
+          'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            || '.txt' AS p
+        FROM documents)
+) e USING (doc_id)
+"""
+
+
 def _lm_ppl_sql() -> str:
     """Bigram-LM perplexity scoring oracle (curation.lm_perplexity,
     CCNet-style): re-derive the splitmix reference slice, the reference
@@ -2247,8 +2265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
     # The registry has 87 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt: 89 pass, 0 fail, 3 rows-only), so
-    # 39 must sit beyond the window no matter the order. The
+    # possible; see GATE_LOCAL_r04.txt: 90 pass, 0 fail, 3 rows-only), so
+    # 40 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2260,9 +2278,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
     # text_top_bigrams (their shingle/combiner stages were vectorized this
     # round — changed code gets re-verified), and cur_lm_perplexity +
-    # text_bpe_tokens (new CCNet-style bigram-LM scorer and real BPE
-    # tokenizer, late r4); out = rel_top_parts + rel_join_revenue (r1+r3
-    # verified, two rel_* siblings in-window), ann_ivf, dedup_simhash,
+    # text_bpe_tokens + se_bm25_tiered (new CCNet-style bigram-LM scorer,
+    # real BPE tokenizer, and TieredMergePolicy compaction, late r4); out
+    # = rel_top_parts + rel_join_revenue (r1+r3
+    # verified, two rel_* siblings in-window), ltr_features (r2+r3;
+    # ltr_rerank's oracle is a strict superset), ann_ivf, dedup_simhash,
     # div_pm2, text_quality, se_bm25_wsum_fields, div_xquad (each
     # driver-verified in ALL of r1+r2+r3, unchanged in r4, each with an
     # in-window sibling or exhaustive pytest). ALL entries — windowed,
@@ -2282,6 +2302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rotated IN r4 — SQL-backed but never driver-run before)
         "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_merged": gate.se_bm25_merged,
+        # tiered background merge (Lucene TieredMergePolicy analog, new in
+        # r4): policy-selected partial compaction, hardlink-staged root
+        # swap, served across base + merged + unmerged partitions
+        "se_bm25_tiered": gate.se_bm25_tiered,
         # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery/
         # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
         "se_fuzzy_tf": gate.se_fuzzy_tf,
@@ -2307,7 +2331,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_mlt_terms": gate.se_mlt_terms,
         # retrieval pipelines (PRF / diversification / LeToR)
         "prf_e2e_rescore": gate.prf_e2e_rescore,
-        "ltr_features": gate.ltr_features,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -2379,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        "ltr_features": gate.ltr_features,          # driver-verified r2+r3, code unchanged; in-window sibling ltr_rerank's oracle re-derives ALL 18 features + per-query normalization as its candidate stage — a strict superset of this entry's check (rotated out for se_bm25_tiered)
         "rel_top_parts": relational.top_parts,      # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority/rel_top_orders_per_cust cover the broadcast-dim-join + combiner-groupby + rank patterns (rotated out for cur_lm_perplexity)
         "rel_join_revenue": relational.revenue_by_order_priority,  # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority (semi-join + combiner) and rel_top_orders_per_cust (rank-per-group) cover the join/aggregate family (rotated out for text_bpe_tokens)
         "ann_ivf": ann.ivf_topk,                    # driver-verified r1+r2+r3; in-window sibling hybrid_rrf hash-checks the vector-scan/top-k leg, centroid-literal oracle unchanged
@@ -2453,19 +2477,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # same scoring as se_bm25_flat but keyed by external_id: the Ray
         # side serves it from a two-stage (base + appended segment) index
-        "se_bm25_incremental": f"""
-SELECT e.external_id, b.score_r
-FROM ({_bm25_terms_sql(["dup", "spark"])}) b
-JOIN (
-  SELECT doc_id,
-         source || '/' || p || '@' || substr(sha256(source || '/' || p), 1, 40)
-           AS external_id
-  FROM (SELECT doc_id, source,
-          'src/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
-            || '.txt' AS p
-        FROM documents)
-) e USING (doc_id)
-""",
+        "se_bm25_incremental": _EXTID_BM25_SQL,
+        # identical full-corpus oracle; the Ray side serves from a
+        # tiered-merge-compacted index (build -> 4 appends -> maybe_merge)
+        "se_bm25_tiered": _EXTID_BM25_SQL,
         "se_bm25_near": _SE_BM25_NEAR_SQL,
         "se_near_tf": _SE_NEAR_TF_SQL,
         "se_snippets": _SE_SNIPPETS_SQL,

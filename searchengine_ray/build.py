@@ -1035,3 +1035,177 @@ def _finalize(out_dir: str, cfg: BuildConfig) -> None:
         }
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
+
+
+# --- tiered background merge (Lucene TieredMergePolicy analog) ----------
+
+def select_tiered_merge(
+    entries: "list[tuple[int, int, int]]",
+    segs_per_tier: int = 4,
+    max_merge_at_once: int = 4,
+) -> "list[int] | None":
+    """Pure merge-selection policy over (partition_key, doc_lo, n_rows)
+    triples: bucket partitions into power-of-two size tiers
+    (floor(log2(rows))), scan in doc order, and when ``segs_per_tier``
+    doc-adjacent partitions share a tier, merge the first
+    ``max_merge_at_once`` of that run. Returns the chosen partition keys
+    (doc order) or None.
+
+    The Lucene TieredMergePolicy spirit without its IO-budget scoring:
+    merge EQUALS, never a giant with minnows — a merged partition jumps
+    tiers, so repeated application yields the same logarithmic segment
+    ladder (each doc is rewritten O(log N / log segs_per_tier) times
+    total, the LSM write-amplification bound). Doc-adjacency is required
+    because this engine's partitions are doc-range shards: merging
+    non-adjacent partitions would break range-pruned reads and
+    ``doc_lo/doc_hi`` lineage. Deterministic: first qualifying run in
+    ascending doc order."""
+    if segs_per_tier < 2 or max_merge_at_once < 2:
+        raise ValueError("segs_per_tier and max_merge_at_once must be >= 2")
+    order = sorted(entries, key=lambda e: e[1])
+    run: list[int] = []
+    run_tier = -1
+    for key, _lo, rows in order:
+        tier = max(int(rows), 1).bit_length() - 1
+        if tier == run_tier:
+            run.append(key)
+            if len(run) >= segs_per_tier:
+                return run[:max_merge_at_once]
+        else:
+            run, run_tier = [key], tier
+    return None
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-copy a partition tree (same filesystem): data files are
+    shared, so staging a new root costs O(files), not O(bytes)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for fn in files:
+            os.link(os.path.join(root, fn), os.path.join(out, fn))
+
+
+def maybe_merge(
+    index_dir: str,
+    segs_per_tier: int = 4,
+    max_merge_at_once: int = 4,
+) -> "list[list[int]]":
+    """Lucene ``TieredMergePolicy`` / background-merge analog: repeatedly
+    apply :func:`select_tiered_merge` to the live partitions (base build
+    plus appended segments) and coalesce each chosen run into ONE
+    partition, until no tier holds ``segs_per_tier`` doc-adjacent
+    partitions. Returns the list of merges performed (partition keys).
+
+    Unlike :func:`force_merge` this is the INCREMENTAL compaction a
+    long-lived index runs after every few ``add_documents`` segments:
+    only the chosen partitions are rewritten (their rows re-read once and
+    written once — a pure row redistribution, no posting decoded or
+    re-encoded), every other partition is HARDLINKED into the staged root
+    unchanged, and doc ids never change, so pending delete tombstones,
+    the lexicon, and the corpus stats all remain valid — no expunge, no
+    ``_finalize`` (Lucene semantics: merges don't change global stats
+    either; tombstones apply at read time exactly as before).
+
+    Crash-safe the same way force_merge is: the complete new roots are
+    staged as ``postings.tiered``/``docmap.tiered`` siblings (never
+    inside the live roots, which default readers scan recursively), then
+    swapped in with two renames per root; a crash before the first rename
+    leaves the old index intact and a re-run regenerates the staging from
+    whichever tree is live. The manifest records each merge under
+    ``merges`` with the swallowed partition keys for lineage."""
+    import ray.data
+
+    from .indexio import _parquet_files
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if not manifest.get("complete"):
+        raise ValueError(
+            f"{index_dir}: index is incomplete; finish build_index() / "
+            "add_documents() before merging"
+        )
+
+    post_root = os.path.join(index_dir, "postings")
+    dm_root = os.path.join(index_dir, "docmap")
+    performed: list[list[int]] = []
+
+    while True:
+        live = [
+            (int(k), int(e["doc_lo"]), int(e["docmap"]["rows"]))
+            for k, e in manifest["partitions"].items()
+            if e.get("status") == "done" and not e.get("empty")
+        ]
+        chosen = select_tiered_merge(live, segs_per_tier, max_merge_at_once)
+        if chosen is None:
+            break
+        parts = manifest["partitions"]
+        span_lo = min(int(parts[str(k)]["doc_lo"]) for k in chosen)
+        span_hi = max(int(parts[str(k)]["doc_hi"]) for k in chosen)
+        new_key = min(chosen)
+        swallowed = [
+            int(k)
+            for k, e in parts.items()
+            if e.get("empty")
+            and span_lo <= int(e["doc_lo"])
+            and int(e["doc_hi"]) <= span_hi
+        ]
+        drop = set(chosen) | set(swallowed)
+
+        t0 = time.time()
+        entry: dict = {
+            "status": "done", "doc_lo": span_lo, "doc_hi": span_hi,
+            "source": "tiered_merge",
+        }
+        for root, metric_key in ((post_root, "postings"), (dm_root, "docmap")):
+            stage = root + ".tiered"
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
+            src_dirs = []
+            for name in sorted(os.listdir(root)):
+                if not (name.startswith("part_")
+                        and name.split("_", 1)[1].isdigit()):
+                    continue  # skip crash leftovers like part_00003.tmp
+                key = int(name.split("_")[1])
+                d = os.path.join(root, name)
+                if key in drop:
+                    if key in set(chosen):
+                        src_dirs.append(d)
+                else:
+                    _link_tree(d, os.path.join(stage, name))
+            merged_dir = os.path.join(stage, f"part_{new_key:05d}")
+            src_files = _parquet_files(src_dirs)
+            if src_files:
+                _atomic_write(ray.data.read_parquet(src_files), merged_dir)
+            else:
+                os.makedirs(merged_dir, exist_ok=True)
+            entry[metric_key] = _partition_metrics(merged_dir)
+
+        entry["wall_s"] = round(time.time() - t0, 3)
+        for root in (post_root, dm_root):
+            old = root + ".pre_tiered"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(root, old)
+            os.rename(root + ".tiered", root)
+            shutil.rmtree(old)
+
+        for k in drop:
+            parts.pop(str(k), None)
+        parts[str(new_key)] = entry
+        manifest.setdefault("merges", []).append(
+            {
+                "policy": "tiered",
+                "merged": sorted(int(k) for k in chosen),
+                "swallowed_empty": sorted(swallowed),
+                "into": new_key,
+                "doc_lo": span_lo,
+                "doc_hi": span_hi,
+            }
+        )
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1)
+        performed.append(sorted(int(k) for k in chosen))
+
+    return performed

@@ -212,6 +212,76 @@ def _incremental_index_for(sf_dir: str) -> str:
     return _INDEX_CACHE[key]
 
 
+def _tiered_index_for(sf_dir: str) -> str:
+    """Base build over the lower half, FOUR equal small segment appends,
+    then ``build.maybe_merge`` (the TieredMergePolicy analog): the policy
+    must actually fire — asserted — coalescing the three same-tier
+    doc-adjacent segment partitions into one, leaving base + merged +
+    leftover-segment. Served results must be indistinguishable from a
+    full-corpus build."""
+    import pyarrow.parquet as pq
+
+    from .build import add_documents, maybe_merge
+    from .corpus import corpus_from_documents
+
+    key = "tiered::" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        out = os.path.join(
+            "/tmp/se_ray_index", hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id")
+        n = int(pc.max(ids).as_py()) + 1
+        h = n // 2
+        q = (n - h) // 4
+
+        def make(lo: int, hi: int):
+            def f(doc_range=None):
+                a, b = doc_range if doc_range is not None else (lo, hi)
+                return corpus_from_documents(sf_dir, (max(a, lo), min(b, hi)))
+
+            return f
+
+        build_index(make(0, h), out, BuildConfig(), n_docs=h)
+        for i in range(4):
+            lo = h + i * q
+            hi = n if i == 3 else h + (i + 1) * q
+            add_documents(
+                out, make(lo, hi), BuildConfig(), id_range=(lo, hi),
+                tag=f"tier{i}",
+            )
+        merges = maybe_merge(out, segs_per_tier=3, max_merge_at_once=3)
+        assert merges, "tiered policy selected no merge"
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def se_bm25_tiered(sf_dir: str):
+    """BM25 flat 'dup spark' served from a tiered-merge-compacted index
+    (build -> 4 segment appends -> maybe_merge): the background-merge
+    analog is a pure row redistribution, so scoring must hash-equal the
+    FULL-corpus SQL oracle — identical SQL to se_bm25_incremental, but the
+    Ray side exercises the policy selection, the partial (hardlink-staged)
+    root swap, and serving across base + merged + unmerged partitions.
+    Keyed by external_id because appended docs are re-identified."""
+    from .engine import SearchEngine
+
+    key = (os.path.abspath(sf_dir), "bm25:tiered")
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = SearchEngine(
+            _tiered_index_for(sf_dir),
+            ModelParams(model="bm25", top_k=1 << 30),
+        )
+    t = _ENGINE_CACHE[key].search("q", "dup spark")
+    return pa.table(
+        {
+            "external_id": t.column("external_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def se_bm25_incremental(sf_dir: str):
     """BM25 flat 'dup spark' (#SUM default-op wrap; 'spark' idf-clamps)
     served from the incrementally-built index — hash-equality against the
