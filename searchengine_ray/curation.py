@@ -1228,3 +1228,125 @@ def lm_perplexity(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def curation_pipeline(
+    sf_dir: str, min_tokens: int = 20, n: int = DECONTAM_N,
+    train_pct: int = 80, valid_pct: int = 10, seed: int = SPLIT_SEED,
+):
+    """The composed end-to-end curation pass a training run actually
+    executes — quality gate AND exact-dedup canonicalization AND
+    train-side selection AND benchmark decontamination in ONE chained Ray
+    pipeline, built from the individually hash-verified kernels. Returns
+    the kept (doc_id, n_tokens) rows.
+
+    A document survives iff ALL of:
+    - quality: n_tokens >= ``min_tokens`` and stopwords are at most half
+      the tokens (textstats.quality_score's ``passes`` rule);
+    - canonical: it is the min-doc_id holder of its exact text (so if the
+      canonical copy of a duplicated text sits in the TEST split, every
+      train-side duplicate dies too — the correct decontamination
+      interaction, mirrored exactly in the oracle's min-over-all-docs);
+    - train-side: splitmix bucket < train_pct + valid_pct;
+    - clean: shares no ``n``-gram with the test split (decontaminate's
+      broadcast-bench rule).
+
+    Scale shape: pass 0 folds the benchmark-side shingles to a bounded
+    driver set (eval sets are small by construction) and broadcasts once;
+    pass 1 is one tokenize per batch computing EVERY per-doc signal
+    (quality, split bucket, contamination, sha256) — pure functions of the
+    row, no coordination. The ONLY shuffle is the exact-dedup winner
+    groupby, and it needs no follow-up join: each doc's payload packs into
+    one int64 key ``doc_id << 23 | n_tokens << 1 | ok`` whose group-Min
+    IS the winner row (doc_id occupies the high bits, so argmin(pack) ==
+    argmin(doc_id), and the winner's own payload rides along in the low
+    bits). ``text`` never crosses the shuffle — only (sha256-hex, int64)
+    rows do — and the final unpack+filter is a stateless scan over
+    distinct-content-scale rows. Bounds are guarded, not clipped:
+    doc_id < 2^40 and n_tokens < 2^22, raising with the remedy (widen the
+    pack or switch to a two-stage join) rather than corrupting output."""
+    import hashlib as _hashlib
+
+    import ray
+    from ray.data.aggregate import Min
+
+    from .analyze import STOPWORDS
+    from .dedup import _batch_shingles
+    from .textstats import _flat_tokens
+
+    test_lo = np.uint64(train_pct + valid_pct)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        is_test = (_hash64(ids, seed) % np.uint64(100)) >= test_lo
+        sub = t.filter(pa.array(is_test))
+        _gdoc, gh = _batch_shingles(sub, n, distinct=False)
+        u = np.unique(gh)
+        return pa.table({"sh": pa.array(u.view(np.int64), type=pa.int64())})
+
+    parts = [
+        b.column("sh").to_numpy()
+        for b in ds.map_batches(bench_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    stop_arr = pa.array(sorted(STOPWORDS))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        nd = t.num_rows
+        ids = t.column("doc_id").to_numpy()
+        train_side = (_hash64(ids, seed) % np.uint64(100)) < test_lo
+        _, doc_idx, flat = _flat_tokens(t)
+        n_tok = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+        stop_np = pc.is_in(flat, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(doc_idx[stop_np], minlength=nd).astype(np.int64)
+        ok_q = (n_tok >= min_tokens) & (2 * n_stop <= n_tok)
+        contam = np.zeros(nd, dtype=bool)
+        gdoc, gh = _batch_shingles(t, n)
+        if len(gh) and len(bench):
+            i = np.searchsorted(bench, gh.view(np.int64))
+            hit = (i < len(bench)) & (
+                bench[np.minimum(i, len(bench) - 1)] == gh.view(np.int64)
+            )
+            contam[gdoc[hit]] = True
+        h = [
+            _hashlib.sha256(x.encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        ok = train_side & ok_q & ~contam
+        if len(ids) and (ids.max() >= (1 << 40) or n_tok.max() >= (1 << 22)):
+            raise ValueError(
+                "curation_pipeline pack overflow: requires doc_id < 2^40 "
+                "and n_tokens < 2^22 — widen the pack layout or switch "
+                "the winner resolution to a two-stage join"
+            )
+        pack = (ids << 23) | (n_tok << 1) | ok.astype(np.int64)
+        return pa.table({
+            "h": pa.array(h),
+            "pack": pa.array(pack, type=pa.int64()),
+        })
+
+    winners = (
+        ds.map_batches(enrich, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("pack", alias_name="w"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy()
+        keep = (w & 1).astype(bool)
+        w = w[keep]
+        return pa.table({
+            "doc_id": pa.array(w >> 23, type=pa.int64()),
+            "n_tokens": pa.array((w >> 1) & ((1 << 22) - 1),
+                                 type=pa.int64()),
+        })
+
+    return winners.map_batches(final, batch_format="pyarrow")

@@ -600,3 +600,68 @@ def test_lm_perplexity_short_doc_rows_and_guard(tmp_path):
     assert out.loc[2, "n_bigrams"] == 2 and out.loc[2, "nll_q"] > 0
     with pytest.raises(ValueError, match="max_model"):
         lm_perplexity(str(d), ref_pct=100, max_model=3)
+
+
+def test_curation_pipeline_each_rule_fires(tmp_path):
+    """Planted corpus where every pipeline rule has a victim: quality
+    (short / stop-heavy), exact-dup loser, test-split membership,
+    contamination, and the canonical-in-test interaction (a train-side
+    duplicate of a test-split canonical dies)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import (
+        DECONTAM_N, SPLIT_SEED, curation_pipeline,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    # find ids per split bucket so the plant is deterministic
+    ids = np.arange(200, dtype=np.int64)
+    bkt = (_hash64(ids, SPLIT_SEED) % np.uint64(100)).astype(int)
+    train_ids = [int(i) for i in ids[bkt < 90]]
+    test_ids = [int(i) for i in ids[bkt >= 90]]
+    assert len(test_ids) >= 3 and len(train_ids) >= 6
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+           "juliet kilo lima mike november oscar papa quebec romeo " \
+           "sierra tango"  # 20 tokens, no stopwords
+    # test-split docs use DISJOINT vocabularies so only the planted gram
+    # contaminates (any shared n-gram with a test doc is contamination)
+    tv0 = " ".join(f"ta{i}" for i in range(20))
+    tv1 = " ".join(f"tb{i}" for i in range(20))
+    contam_gram = " ".join(f"w{i}" for i in range(DECONTAM_N))
+    texts = {}
+    t0, t1, t2, t3, t4, t5 = train_ids[:6]
+    s0, s1 = test_ids[:2]
+    texts[t0] = good + " uniform victor"                  # survives
+    texts[t1] = "short doc"                               # quality: too short
+    texts[t2] = ("the and of to in for on with as by "
+                 "the and of to in for on with as by "
+                 "xray yankee zulu")                      # stop-heavy
+    texts[t3] = good + " duplicate body"                  # dup winner
+    texts[t4] = good + " duplicate body"                  # dup loser (t4>t3)
+    texts[t5] = good + " " + contam_gram                  # contaminated
+    texts[s0] = tv0 + " " + contam_gram                   # test split
+    texts[s1] = tv1 + " twin canonical"                   # test split
+    # canonical-in-test: a train dup of a test-split text dies (as a dup
+    # loser AND as contaminated — identical text implies both)
+    dup_of_test = next(i for i in train_ids if i > s1)
+    texts[dup_of_test] = texts[s1]
+
+    all_ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "text": pa.array([texts[i] for i in all_ids]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    kept = set(
+        curation_pipeline(str(d)).to_pandas()["doc_id"].astype(int)
+    )
+    assert t0 in kept and t3 in kept
+    for victim, why in [
+        (t1, "short"), (t2, "stop-heavy"), (t4, "dup loser"),
+        (t5, "contaminated"), (s0, "test split"), (s1, "test split"),
+        (dup_of_test, "train dup of test-split canonical"),
+    ]:
+        assert victim not in kept, why
