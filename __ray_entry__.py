@@ -2121,6 +2121,46 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _dsir_sql() -> str:
+    """DSIR importance-weight oracle (curation.dsir_weights): rebuild the
+    64-bit bigram shingle hashes with the parametric shingle-hash CTE
+    chain (bit-identical to dedup._batch_shingles), bucket them mod
+    n_buckets, recount raw/target occurrences, and recompute the EXACT
+    quantized log-ratio expression per bucket (libm ln both sides), then
+    the per-doc integer sum. Zero-gram docs get (0, 0) via the documents
+    left join."""
+    from searchengine_ray.curation import (
+        DSIR_BUCKETS, DSIR_N, DSIR_REF_PCT, DSIR_SEED, LM_Q,
+    )
+
+    B, n = DSIR_BUCKETS, DSIR_N
+    return f"""
+WITH {_splitmix_ctes('dx', 'documents', ['doc_id'], 'doc_id', DSIR_SEED)},
+ref AS (SELECT doc_id FROM dx3 WHERE v % 100 < {DSIR_REF_PCT}),
+{_shingle_hash_ctes(n)},
+occ AS (SELECT doc_id, CAST(h % {B} AS BIGINT) AS b FROM sc{n - 1}),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM occ
+        JOIN ref USING (doc_id) GROUP BY b),
+rw AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY b),
+tot AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM occ JOIN ref USING (doc_id)) AS t,
+  (SELECT CAST(count(*) AS BIGINT) FROM occ) AS r),
+lr AS (SELECT rw.b,
+  CAST(floor((ln((CAST(coalesce(tg.c, 0) AS DOUBLE) + 1e0)
+                / (CAST(tot.t AS DOUBLE) + {B}e0))
+            - ln((CAST(rw.c AS DOUBLE) + 1e0)
+                / (CAST(tot.r AS DOUBLE) + {B}e0)))
+    * {LM_Q}e0 + 0.5e0) AS BIGINT) AS q
+  FROM rw CROSS JOIN tot LEFT JOIN tgt tg USING (b)),
+sc AS (SELECT occ.doc_id, lr.q FROM occ JOIN lr USING (b)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(q) AS BIGINT) AS logw_q FROM sc GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.logw_q, 0) AS BIGINT) AS logw_q
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _pipeline_sql() -> str:
     """Composed curation pipeline oracle (curation.curation_pipeline):
     the quality rule, exact-dedup canonical winner (min doc_id over ALL
@@ -2310,8 +2350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
     # The registry has 87 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt: 91 pass, 0 fail, 3 rows-only), so
-    # 41 must sit beyond the window no matter the order. The
+    # possible; see GATE_LOCAL_r04.txt: 92 pass, 0 fail, 3 rows-only), so
+    # 42 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2323,9 +2363,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
     # text_top_bigrams (their shingle/combiner stages were vectorized this
     # round — changed code gets re-verified), and cur_lm_perplexity +
-    # text_bpe_tokens + se_bm25_tiered + cur_pipeline (new CCNet-style
+    # text_bpe_tokens + se_bm25_tiered + cur_pipeline + cur_dsir_weights
+    # (new CCNet-style
     # bigram-LM scorer, real BPE tokenizer, TieredMergePolicy compaction,
-    # and the composed curation pipeline, late r4); out
+    # the composed curation pipeline, and DSIR importance weights —
+    # all late r4); out
     # = rel_top_parts + rel_join_revenue (r1+r3
     # verified, two rel_* siblings in-window), ltr_features (r2+r3;
     # ltr_rerank's oracle is a strict superset), prf_e2e_rescore (r2+r3;
@@ -2408,7 +2450,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle replays the full apply path with merge literals
         "text_bpe_tokens": bpe.bpe_token_counts,
         # stream-shaped
-        "events_asof_join": windows.asof_join_purchase_click,
         # full HLL estimate — SQL-checked since late round 3: exact-integer
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
         "events_hourly_users_hll": sketch.hll_distinct_users,
@@ -2444,6 +2485,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (one tokenize computes every signal; only the winner groupby+join
         # shuffles, and text never crosses it)
         "cur_pipeline": curation.curation_pipeline,
+        # DSIR hashed-n-gram importance weights (new in r4): constant
+        # O(n_buckets) model state folded like a sketch, scalar-libm
+        # log-ratio table broadcast once, int64 scan
+        "cur_dsir_weights": curation.dsir_weights,
         # CCNet-style bigram-LM perplexity scoring (new in r4): model-sized
         # broadcast state, all float/ln arithmetic precomputed per model
         # row with scalar libm ln, corpus path pure int64 gathers
@@ -2453,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "prf_e2e_rescore": gate.prf_e2e_rescore,    # driver-verified r2+r3, code unchanged; in-window siblings ltr_rerank/drmm_rerank exercise the same candidate-cut -> rescore -> resort machinery, and the expansion math is covered by the twice-verified prf_expansion + pytest (rotated out for cur_pipeline)
+        "events_asof_join": windows.asof_join_purchase_click,  # driver-verified r2+r3, code unchanged; its packed-key searchsorted machinery is shared with twice-verified events_range_join + the randomized fuzz suite (test_event_joins_fuzz.py) (rotated out for cur_dsir_weights)
         "ltr_features": gate.ltr_features,          # driver-verified r2+r3, code unchanged; in-window sibling ltr_rerank's oracle re-derives ALL 18 features + per-query normalization as its candidate stage — a strict superset of this entry's check (rotated out for se_bm25_tiered)
         "rel_top_parts": relational.top_parts,      # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority/rel_top_orders_per_cust cover the broadcast-dim-join + combiner-groupby + rank patterns (rotated out for cur_lm_perplexity)
         "rel_join_revenue": relational.revenue_by_order_priority,  # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority (semi-join + combiner) and rel_top_orders_per_cust (rank-per-group) cover the join/aggregate family (rotated out for text_bpe_tokens)
@@ -2616,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_dup_ngram_chars": _DUP_NGRAM_SQL,
         "cur_lm_perplexity": _lm_ppl_sql(),
         "cur_pipeline": _pipeline_sql(),
+        "cur_dsir_weights": _dsir_sql(),
         "text_bpe_tokens": _bpe_sql(),
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),

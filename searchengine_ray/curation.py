@@ -1350,3 +1350,115 @@ def curation_pipeline(
         })
 
     return winners.map_batches(final, batch_format="pyarrow")
+
+
+# --- DSIR hashed n-gram importance weights (Xie et al. 2023) -------------
+
+DSIR_SEED = 31
+DSIR_REF_PCT = 5
+DSIR_BUCKETS = 4096
+DSIR_N = 2
+
+
+def dsir_weights(
+    sf_dir: str, ref_pct: int = DSIR_REF_PCT, seed: int = DSIR_SEED,
+    n_buckets: int = DSIR_BUCKETS, n: int = DSIR_N,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram features are under a TARGET
+    (quality reference) distribution than under the RAW corpus
+    distribution — log w(x) = Σ_features (ln p_target(f) - ln p_raw(f)),
+    add-one smoothed over ``n_buckets`` hash buckets. The target is the
+    splitmix reference slice (the stand-in for DSIR's curated target
+    set); raw is the whole corpus. Returns (doc_id, n_grams, logw_q) with
+    logw_q the integer sum of per-occurrence quantized log-ratios
+    (floor(x * 2^20 + 0.5), negative values allowed); downstream
+    selection keeps the top logw_q/n_grams mass.
+
+    Scale shape — CONSTANT model state, one pass + one scan:
+    pass 1 folds per-batch bucket histograms (two ``n_buckets``-long
+    int64 vectors per batch: raw and target occurrence counts of
+    gram-hash %% n_buckets) to the driver — state is O(n_buckets),
+    independent of corpus size, the same shape as the CMS/HLL sketches.
+    The per-bucket quantized log-ratio table is then computed ONCE with
+    scalar libm ln (the lm_perplexity rule: numpy's SIMD log diverges
+    from libm/DuckDB) and broadcast; pass 2 is an embarrassingly-parallel
+    scan — gram hash, bucket, one int64 gather + segment sum per batch.
+    Feature identity is the 64-bit shingle-hash combine
+    (``dedup._batch_shingles``), which the oracle rebuilds bit-for-bit
+    with the parametric shingle-hash CTE chain."""
+    import math
+
+    import ray
+
+    from .dedup import _batch_shingles
+
+    B = n_buckets
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        is_ref = (_hash64(ids, seed) % np.uint64(100)).astype(np.int64) < ref_pct
+        gdoc, gh = _batch_shingles(t, n, distinct=False)
+        b = (gh % np.uint64(B)).astype(np.int64)
+        raw = np.bincount(b, minlength=B).astype(np.int64)
+        tgt = np.bincount(b[is_ref[gdoc]], minlength=B).astype(np.int64)
+        nz = np.flatnonzero(raw)  # histograms are sparse per batch
+        return pa.table({
+            "b": pa.array(nz, type=pa.int64()),
+            "raw": pa.array(raw[nz], type=pa.int64()),
+            "tgt": pa.array(tgt[nz], type=pa.int64()),
+        })
+
+    raw = np.zeros(B, dtype=np.int64)
+    tgt = np.zeros(B, dtype=np.int64)
+    for blk in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        # explicit bucket column: the fold never assumes block boundaries
+        # align to the histogram length
+        bcol = blk.column("b").to_numpy()
+        np.add.at(raw, bcol, blk.column("raw").to_numpy())
+        np.add.at(tgt, bcol, blk.column("tgt").to_numpy())
+    T, R = int(tgt.sum()), int(raw.sum())
+    if T == 0:
+        raise ValueError("DSIR target slice contains zero n-grams")
+
+    # the only float/ln arithmetic: n_buckets-sized, one-time, scalar libm
+    # ln for bit-parity with DuckDB — identical expression to the oracle:
+    # floor((ln((tgt+1)/(T+B)) - ln((raw+1)/(R+B))) * 2^20 + 0.5)
+    lr_q = np.fromiter(
+        (
+            int(math.floor(
+                (math.log((float(tgt[i]) + 1.0) / (float(T) + float(B)))
+                 - math.log((float(raw[i]) + 1.0) / (float(R) + float(B))))
+                * float(LM_Q) + 0.5
+            ))
+            for i in range(B)
+        ),
+        dtype=np.int64, count=B,
+    )
+    lr_ref = ray.put(lr_q)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        nd = t.num_rows
+        n_grams = np.zeros(nd, dtype=np.int64)
+        logw = np.zeros(nd, dtype=np.int64)
+        gdoc, gh = _batch_shingles(t, n, distinct=False)
+        if len(gh):
+            q = lr[(gh % np.uint64(B)).astype(np.int64)]
+            n_grams = np.bincount(gdoc, minlength=nd).astype(np.int64)
+            # |q| < 2^26 and per-doc sums stay far below 2^53: float64
+            # bincount accumulation is exact
+            logw = np.bincount(
+                gdoc, weights=q.astype(np.float64), minlength=nd
+            ).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "logw_q": pa.array(logw, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

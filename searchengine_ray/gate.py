@@ -252,7 +252,18 @@ def _tiered_index_for(sf_dir: str) -> str:
                 tag=f"tier{i}",
             )
         merges = maybe_merge(out, segs_per_tier=3, max_merge_at_once=3)
-        assert merges, "tiered policy selected no merge"
+        if not merges:
+            # idempotent reconstruction: the /tmp index can pre-exist from
+            # an earlier process (build/add_documents resume as no-ops and
+            # the policy correctly finds nothing left to merge) — accept
+            # it iff the manifest records the tiered merge having happened
+            import json
+
+            with open(os.path.join(out, "manifest.json")) as f:
+                man = json.load(f)
+            assert any(
+                m.get("policy") == "tiered" for m in man.get("merges", [])
+            ), "tiered policy selected no merge"
         _INDEX_CACHE[key] = out
     return _INDEX_CACHE[key]
 

@@ -665,3 +665,65 @@ def test_curation_pipeline_each_rule_fires(tmp_path):
         (dup_of_test, "train dup of test-split canonical"),
     ]:
         assert victim not in kept, why
+
+
+def test_dsir_weights_matches_bruteforce():
+    """Exact equality vs a scalar dict-based recount of the DSIR hashed
+    bigram buckets and quantized log-ratios on the sf0.001 corpus — and
+    the semantic sanity check that reference-slice docs average a higher
+    importance weight than the rest (they define the target)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import (
+        DSIR_BUCKETS, DSIR_N, DSIR_REF_PCT, DSIR_SEED, LM_Q, dsir_weights,
+    )
+    from searchengine_ray.dedup import _POS_MIX, _term_hash64
+    from searchengine_ray.analyze import TOKEN_RE
+    from searchengine_ray.sketch import _hash64
+
+    B = DSIR_BUCKETS
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy()
+    texts = docs.column("text").to_pylist()
+    is_ref = (_hash64(ids, DSIR_SEED) % np.uint64(100)) < DSIR_REF_PCT
+
+    def grams(tx):
+        toks = TOKEN_RE.findall(tx.lower())
+        hs = [np.uint64(_term_hash64(w)) for w in toks]
+        out = []
+        for i in range(len(hs) - DSIR_N + 1):
+            h = np.uint64(0)
+            for k in range(DSIR_N):
+                h = h * _POS_MIX[k % len(_POS_MIX)] + hs[i + k]
+            out.append(int(h) % B)
+        return out
+
+    raw = collections.Counter()
+    tgt = collections.Counter()
+    per_doc = {}
+    for did, ref, tx in zip(ids, is_ref, texts):
+        g = grams(tx)
+        per_doc[int(did)] = g
+        raw.update(g)
+        if ref:
+            tgt.update(g)
+    T, R = sum(tgt.values()), sum(raw.values())
+
+    def q(b):
+        return int(math.floor(
+            (math.log((float(tgt.get(b, 0)) + 1.0) / (float(T) + float(B)))
+             - math.log((float(raw.get(b, 0)) + 1.0) / (float(R) + float(B))))
+            * float(LM_Q) + 0.5
+        ))
+
+    out = dsir_weights(SF).to_pandas().set_index("doc_id")
+    assert len(out) == len(ids)
+    for did, g in per_doc.items():
+        assert out.loc[did, "n_grams"] == len(g)
+        assert out.loc[did, "logw_q"] == sum(q(b) for b in g)
+    m = out.assign(ref=is_ref)
+    mean_ref = (m[m["ref"]]["logw_q"] / m[m["ref"]]["n_grams"]).mean()
+    mean_non = (m[~m["ref"]]["logw_q"] / m[~m["ref"]]["n_grams"]).mean()
+    assert mean_ref > mean_non
