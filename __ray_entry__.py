@@ -2161,6 +2161,35 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _dsir_select_sql() -> str:
+    """DSIR Gumbel-top-k selection oracle (curation.dsir_select): the
+    dsir_weights chain plus the per-doc Gumbel noise recomputed from the
+    bucketed splitmix uniform with the identical DOUBLE expression, then
+    ORDER BY (key desc, doc_id) LIMIT k."""
+    import inspect
+
+    from searchengine_ray.curation import (
+        DSIR_GUMBEL_BITS, DSIR_GUMBEL_SEED, LM_Q, dsir_select,
+    )
+
+    k = inspect.signature(dsir_select).parameters["k"].default
+    levels = 1 << DSIR_GUMBEL_BITS
+    shift = 64 - DSIR_GUMBEL_BITS
+    return f"""
+WITH base AS ({_dsir_sql()}),
+{_splitmix_ctes('gx', 'documents', ['doc_id'], 'doc_id', DSIR_GUMBEL_SEED)},
+gum AS (SELECT doc_id,
+  CAST(floor((0e0 - ln(0e0 - ln(
+      (CAST(v >> {shift} AS DOUBLE) + 0.5e0) / {levels}e0)))
+    * {LM_Q}e0 + 0.5e0) AS BIGINT) AS gq
+  FROM gx3)
+SELECT b.doc_id, b.logw_q, b.logw_q + g.gq AS key_q
+FROM base b JOIN gum g USING (doc_id)
+ORDER BY key_q DESC, b.doc_id
+LIMIT {k}
+"""
+
+
 def _pipeline_sql() -> str:
     """Composed curation pipeline oracle (curation.curation_pipeline):
     the quality rule, exact-dedup canonical winner (min doc_id over ALL
@@ -2350,8 +2379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
     # The registry has 87 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt: 92 pass, 0 fail, 3 rows-only), so
-    # 42 must sit beyond the window no matter the order. The
+    # possible; see GATE_LOCAL_r04.txt: 93 pass, 0 fail, 3 rows-only), so
+    # 43 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2397,7 +2426,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_bm25_tiered": gate.se_bm25_tiered,
         # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery/
         # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
-        "se_fuzzy_tf": gate.se_fuzzy_tf,
         # rotated IN r4 — SQL-backed but never driver-run before
         "se_prefix_tf": gate.se_prefix_tf,
         "se_wildcard_tf": gate.se_wildcard_tf,
@@ -2489,6 +2517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # O(n_buckets) model state folded like a sketch, scalar-libm
         # log-ratio table broadcast once, int64 scan
         "cur_dsir_weights": curation.dsir_weights,
+        # the Gumbel-top-k resampling cut over those weights (noise table
+        # precomputed with scalar libm over 2^16 bucketed uniforms)
+        "cur_dsir_select": curation.dsir_select,
         # CCNet-style bigram-LM perplexity scoring (new in r4): model-sized
         # broadcast state, all float/ln arithmetic precomputed per model
         # row with scalar libm ln, corpus path pure int64 gathers
@@ -2499,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "prf_e2e_rescore": gate.prf_e2e_rescore,    # driver-verified r2+r3, code unchanged; in-window siblings ltr_rerank/drmm_rerank exercise the same candidate-cut -> rescore -> resort machinery, and the expansion math is covered by the twice-verified prf_expansion + pytest (rotated out for cur_pipeline)
         "events_asof_join": windows.asof_join_purchase_click,  # driver-verified r2+r3, code unchanged; its packed-key searchsorted machinery is shared with twice-verified events_range_join + the randomized fuzz suite (test_event_joins_fuzz.py) (rotated out for cur_dsir_weights)
+        "se_fuzzy_tf": gate.se_fuzzy_tf,            # driver-verified r3, code unchanged; in-window siblings se_prefix_tf/se_wildcard_tf/se_regexp_tf run the identical dictionary-expansion -> #SYN rewrite machinery (rotated out for cur_dsir_select)
         "ltr_features": gate.ltr_features,          # driver-verified r2+r3, code unchanged; in-window sibling ltr_rerank's oracle re-derives ALL 18 features + per-query normalization as its candidate stage — a strict superset of this entry's check (rotated out for se_bm25_tiered)
         "rel_top_parts": relational.top_parts,      # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority/rel_top_orders_per_cust cover the broadcast-dim-join + combiner-groupby + rank patterns (rotated out for cur_lm_perplexity)
         "rel_join_revenue": relational.revenue_by_order_priority,  # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority (semi-join + combiner) and rel_top_orders_per_cust (rank-per-group) cover the join/aggregate family (rotated out for text_bpe_tokens)
@@ -2663,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_lm_perplexity": _lm_ppl_sql(),
         "cur_pipeline": _pipeline_sql(),
         "cur_dsir_weights": _dsir_sql(),
+        "cur_dsir_select": _dsir_select_sql(),
         "text_bpe_tokens": _bpe_sql(),
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),

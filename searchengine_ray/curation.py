@@ -1462,3 +1462,90 @@ def dsir_weights(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+DSIR_GUMBEL_SEED = 37
+DSIR_GUMBEL_BITS = 16
+
+
+def dsir_select(
+    sf_dir: str, k: int = 100, ref_pct: int = DSIR_REF_PCT,
+    seed: int = DSIR_SEED, n_buckets: int = DSIR_BUCKETS, n: int = DSIR_N,
+    gumbel_seed: int = DSIR_GUMBEL_SEED,
+):
+    """DSIR selection — the Gumbel-top-k resampling step that turns
+    :func:`dsir_weights` into an actual dataset cut (Xie et al. 2023 §2:
+    sampling without replacement ∝ w is exactly top-k over
+    log w + Gumbel(0,1) noise). Deterministic: the per-doc noise comes
+    from splitmix64(doc_id, gumbel_seed) bucketed to ``2^DSIR_GUMBEL_BITS``
+    uniform levels, so the draw is a pure function of (doc_id, seed) and
+    replays identically on any shard layout. Returns the selected
+    (doc_id, logw_q, key_q) rows, ordered by (key_q desc, doc_id).
+
+    The per-row ln the Gumbel transform needs would be a corpus-sized
+    float kernel — numpy's SIMD log diverges from libm, and a scalar loop
+    is per-row Python — so the noise table g(u) = -ln(-ln(u)) is
+    PRECOMPUTED once over the 2^16 bucketed u levels with scalar libm
+    (65k entries, one-time driver cost) and broadcast; the corpus path is
+    splitmix + shift + one int64 gather. key_q = logw_q + gq adds the
+    quantized noise in the same nat×2^20 fixed-point scale. Selection is
+    a per-batch partial top-k + bounded driver fold (the ann.brute_topk
+    shape — O(blocks × k) driver memory, no shuffle)."""
+    import math
+
+    import ray
+
+    scored = dsir_weights(
+        sf_dir, ref_pct=ref_pct, seed=seed, n_buckets=n_buckets, n=n
+    )
+    levels = 1 << DSIR_GUMBEL_BITS
+    shift = np.uint64(64 - DSIR_GUMBEL_BITS)
+    # identical expression to the oracle per u level:
+    # floor((0 - ln(0 - ln((i + 0.5) / levels))) * 2^20 + 0.5)
+    gq_table = np.fromiter(
+        (
+            int(math.floor(
+                (0.0 - math.log(0.0 - math.log(
+                    (float(i) + 0.5) / float(levels)
+                ))) * float(LM_Q) + 0.5
+            ))
+            for i in range(levels)
+        ),
+        dtype=np.int64, count=levels,
+    )
+    gq_ref = ray.put(gq_table)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        gq = ray.get(gq_ref)
+        ids = t.column("doc_id").to_numpy()
+        lvl = (_hash64(ids, gumbel_seed) >> shift).astype(np.int64)
+        key = t.column("logw_q").to_numpy() + gq[lvl]
+        if len(ids) > k:
+            # partial top-k with the exact (key desc, doc_id asc) order
+            order = np.lexsort((ids, -key))[:k]
+        else:
+            order = np.arange(len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "logw_q": t.column("logw_q").take(pa.array(order)),
+            "key_q": pa.array(key[order], type=pa.int64()),
+        })
+
+    cand_ids: list[np.ndarray] = []
+    cand_lw: list[np.ndarray] = []
+    cand_key: list[np.ndarray] = []
+    for b in scored.map_batches(
+        partial_topk, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        cand_ids.append(b.column("doc_id").to_numpy())
+        cand_lw.append(b.column("logw_q").to_numpy())
+        cand_key.append(b.column("key_q").to_numpy())
+    ids = np.concatenate(cand_ids) if cand_ids else np.empty(0, np.int64)
+    lw = np.concatenate(cand_lw) if cand_lw else np.empty(0, np.int64)
+    key = np.concatenate(cand_key) if cand_key else np.empty(0, np.int64)
+    order = np.lexsort((ids, -key))[:k]
+    return pa.table({
+        "doc_id": pa.array(ids[order], type=pa.int64()),
+        "logw_q": pa.array(lw[order], type=pa.int64()),
+        "key_q": pa.array(key[order], type=pa.int64()),
+    })

@@ -727,3 +727,42 @@ def test_dsir_weights_matches_bruteforce():
     mean_ref = (m[m["ref"]]["logw_q"] / m[m["ref"]]["n_grams"]).mean()
     mean_non = (m[~m["ref"]]["logw_q"] / m[~m["ref"]]["n_grams"]).mean()
     assert mean_ref > mean_non
+
+
+def test_dsir_select_is_gumbel_topk_over_weights():
+    """The selection equals a direct top-k over logw_q + table-Gumbel
+    noise recomputed scalar-side, with the (key desc, doc_id) tie order;
+    and it is reproducible across runs (pure function of seeds)."""
+    import math
+
+    from searchengine_ray.curation import (
+        DSIR_GUMBEL_BITS, DSIR_GUMBEL_SEED, LM_Q, dsir_select, dsir_weights,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    w = dsir_weights(SF).to_pandas()
+    lvl = (
+        _hash64(w["doc_id"].to_numpy(), DSIR_GUMBEL_SEED)
+        >> np.uint64(64 - DSIR_GUMBEL_BITS)
+    ).astype(np.int64)
+    levels = 1 << DSIR_GUMBEL_BITS
+
+    def gq(i):
+        u = (float(i) + 0.5) / float(levels)
+        return int(math.floor(
+            (0.0 - math.log(0.0 - math.log(u))) * float(LM_Q) + 0.5
+        ))
+
+    key = w["logw_q"].to_numpy() + np.array([gq(i) for i in lvl])
+    order = np.lexsort((w["doc_id"].to_numpy(), -key))[:100]
+    expect = list(zip(w["doc_id"].to_numpy()[order], key[order]))
+
+    got = dsir_select(SF).to_pandas()
+    assert list(zip(got["doc_id"], got["key_q"])) == expect
+    again = dsir_select(SF).to_pandas()
+    assert got.equals(again)
+    # the noise actually reorders relative to raw weights (it is a sample,
+    # not an argmax)
+    raw_order = np.lexsort((w["doc_id"].to_numpy(),
+                            -w["logw_q"].to_numpy()))[:100]
+    assert set(got["doc_id"]) != set(w["doc_id"].to_numpy()[raw_order])
