@@ -2379,8 +2379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
     # The registry has 87 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt: 93 pass, 0 fail, 3 rows-only), so
-    # 43 must sit beyond the window no matter the order. The
+    # possible; see GATE_LOCAL_r04.txt: 94 pass, 0 fail, 3 rows-only), so
+    # 44 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2428,9 +2428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
         # rotated IN r4 — SQL-backed but never driver-run before
         "se_prefix_tf": gate.se_prefix_tf,
-        "se_wildcard_tf": gate.se_wildcard_tf,
         "se_regexp_tf": gate.se_regexp_tf,
         "se_spell": gate.se_spell,
+        # prefix completion (Lucene suggest module analog, new in r4)
+        "se_complete": gate.se_complete,
         # boolean negation (Lucene MUST/MUST_NOT analog)
         "se_andnot_tf": gate.se_andnot_tf,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
@@ -2530,7 +2531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "prf_e2e_rescore": gate.prf_e2e_rescore,    # driver-verified r2+r3, code unchanged; in-window siblings ltr_rerank/drmm_rerank exercise the same candidate-cut -> rescore -> resort machinery, and the expansion math is covered by the twice-verified prf_expansion + pytest (rotated out for cur_pipeline)
         "events_asof_join": windows.asof_join_purchase_click,  # driver-verified r2+r3, code unchanged; its packed-key searchsorted machinery is shared with twice-verified events_range_join + the randomized fuzz suite (test_event_joins_fuzz.py) (rotated out for cur_dsir_weights)
-        "se_fuzzy_tf": gate.se_fuzzy_tf,            # driver-verified r3, code unchanged; in-window siblings se_prefix_tf/se_wildcard_tf/se_regexp_tf run the identical dictionary-expansion -> #SYN rewrite machinery (rotated out for cur_dsir_select)
+        "se_fuzzy_tf": gate.se_fuzzy_tf,            # driver-verified r3, code unchanged; in-window siblings se_prefix_tf/se_regexp_tf run the identical dictionary-expansion -> #SYN rewrite machinery (rotated out for cur_dsir_select)
+        "se_wildcard_tf": gate.se_wildcard_tf,      # driver-verified r3, code unchanged; in-window siblings se_prefix_tf/se_regexp_tf share the raw-pattern parse + RE2 vocabulary match + #SYN rewrite path (rotated out for se_complete)
         "ltr_features": gate.ltr_features,          # driver-verified r2+r3, code unchanged; in-window sibling ltr_rerank's oracle re-derives ALL 18 features + per-query normalization as its candidate stage — a strict superset of this entry's check (rotated out for se_bm25_tiered)
         "rel_top_parts": relational.top_parts,      # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority/rel_top_orders_per_cust cover the broadcast-dim-join + combiner-groupby + rank patterns (rotated out for cur_lm_perplexity)
         "rel_join_revenue": relational.revenue_by_order_priority,  # driver-verified r1+r3, code unchanged; in-window siblings rel_shipping_priority (semi-join + combiner) and rel_top_orders_per_cust (rank-per-group) cover the join/aggregate family (rotated out for text_bpe_tokens)
@@ -2696,6 +2698,17 @@ def oracle_sql() -> dict[str, str]:
         "cur_pipeline": _pipeline_sql(),
         "cur_dsir_weights": _dsir_sql(),
         "cur_dsir_select": _dsir_select_sql(),
+        "se_complete": f"""
+WITH {_TOK},
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term),
+p AS (SELECT * FROM (VALUES ('s'), ('jo'), ('da')) t(prefix)),
+c AS (SELECT p.prefix, dfs.term AS suggestion, dfs.df,
+       row_number() OVER (PARTITION BY p.prefix
+                          ORDER BY dfs.df DESC, dfs.term) AS rn
+      FROM p JOIN dfs ON dfs.term LIKE p.prefix || '%')
+SELECT prefix, suggestion, df FROM c WHERE rn <= 5
+""",
         "text_bpe_tokens": _bpe_sql(),
         "cur_length_quantiles": _quantiles_sql(),
         "cur_decontaminate": _decontam_sql(),

@@ -138,6 +138,20 @@ def se_spell(sf_dir: str):
     return suggest(eng.index, ["stram", "jion", "dat"], k=3)
 
 
+def se_complete(sf_dir: str):
+    """Prefix completion (Lucene suggest-module analog): top-5 dictionary
+    terms per prefix ranked (df DESC, suggestion ASC); the candidate cut
+    is a binary-search vocabulary range, df is the index's stat_df — the
+    oracle recomputes df from the corpus and the rank with row_number()
+    over LIKE-prefix matches."""
+    from .spell import complete
+
+    eng = engine_for(sf_dir, "bm25")
+    # 's' hits several terms (spark, sort, scan, stream, ...) so the
+    # df-DESC rank and the k-cut are both exercised
+    return complete(eng.index, ["s", "jo", "da"], k=5)
+
+
 def se_ranked_and(sf_dir: str):
     return _score_table(sf_dir, "rankedboolean", "#and( spark join )", as_int=True)
 

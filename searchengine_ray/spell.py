@@ -75,3 +75,57 @@ def suggest(
             "df": pa.array(out_df, pa.int64()),
         }
     )
+
+
+def complete(
+    index: InvertedIndex,
+    prefixes: list[str],
+    field: str = "body",
+    k: int = 5,
+) -> pa.Table:
+    """Prefix completion from the index dictionary — the Lucene suggest
+    module's AnalyzingSuggester/completion analog (rank dictionary terms
+    under a prefix by weight; here weight = docFreq, the index-native
+    default). Returns ``(prefix, suggestion, df)`` rows, ≤k per prefix,
+    ranked (df DESC, suggestion ASC); a term equal to the bare prefix IS
+    a valid completion (Lucene returns it too).
+
+    The candidate cut is a binary-search range over the sorted
+    vocabulary (prefix order == lexicographic interval), so cost is
+    O(log V + matches) per prefix — no vocabulary scan; df comes from
+    ``Postings.stat_df``, the same stale-until-merge Lucene docFreq every
+    scoring path uses. Sharding note: as with #PREFIX expansion, a
+    shard-local completion is the local restriction of the global one.
+    """
+    vocab = sorted(t for (_f, t) in index.vocabulary(field))
+    varr = np.asarray(vocab, dtype=object)
+    out_p: list[str] = []
+    out_s: list[str] = []
+    out_df: list[int] = []
+    for p in prefixes:
+        lo = np.searchsorted(varr, p)
+        hi = np.searchsorted(varr, p + "￿")
+        cand = vocab[int(lo):int(hi)]
+        if not cand:
+            continue
+        dfs = np.asarray(
+            [
+                index.postings(field, t, need_positions=False).stat_df
+                for t in cand
+            ],
+            dtype=np.int64,
+        )
+        # cand is suggestion-ascending; stable sort on -df finishes the
+        # (df DESC, suggestion ASC) rank
+        order = np.argsort(-dfs, kind="stable")
+        for i in order[:k]:
+            out_p.append(p)
+            out_s.append(cand[int(i)])
+            out_df.append(int(dfs[int(i)]))
+    return pa.table(
+        {
+            "prefix": pa.array(out_p, pa.string()),
+            "suggestion": pa.array(out_s, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+        }
+    )

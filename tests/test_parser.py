@@ -324,3 +324,36 @@ def test_andnot_optimizer_positional_semantics():
 
     node = parse_string("#andnot( #syn( the ) scan )", analyze_query_token)
     assert optimize(node) is None
+
+
+def test_complete_prefix_ranking(ray_session, built_index):
+    """Completions ranked (df DESC, suggestion ASC) within the prefix
+    interval; a term equal to the prefix is a valid completion; k
+    respected; no-match prefixes emit nothing."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.spell import complete
+
+    eng = SearchEngine(built_index, ModelParams(model="bm25"))
+    idx = eng.index
+    vocab = sorted(t for _f, t in idx.vocabulary("body"))
+    # pick the most productive single-char prefix so k actually cuts
+    import collections as _c
+
+    heads = _c.Counter(v[0] for v in vocab)
+    p = heads.most_common(1)[0][0]
+    t = complete(idx, [p, "zzzq"], k=3).to_pandas()
+    assert (t.prefix == p).all()  # no rows for the no-match prefix
+    cand = sorted(
+        (
+            (-idx.postings("body", v, need_positions=False).stat_df, v)
+            for v in vocab
+            if v.startswith(p)
+        ),
+    )[:3]
+    assert t.suggestion.tolist() == [c[1] for c in cand]
+    assert t.df.tolist() == [-c[0] for c in cand]
+    # a full term used as its own prefix is returned as a completion
+    full = vocab[0]
+    t2 = complete(idx, [full], k=2).to_pandas()
+    assert full in set(t2.suggestion)
