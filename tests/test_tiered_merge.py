@@ -173,3 +173,47 @@ def test_tiered_cascade_until_ladder(ray_session, fixture_corpus,
     )
     tiers = [max(r, 1).bit_length() - 1 for _lo, r in live]
     assert all(tiers[i] != tiers[i + 1] for i in range(len(tiers) - 1))
+
+
+def test_tiered_merge_ignores_crash_leftovers(ray_session, fixture_corpus,
+                                              tmp_path_factory):
+    """A crash can leave stale ``postings.tiered`` staging roots or
+    ``part_*.tmp`` dirs behind; a re-run must regenerate staging from the
+    live tree and produce the same results as a clean merge."""
+    import shutil
+
+    import ray.data
+
+    tbl = fixture_corpus
+    out = str(tmp_path_factory.mktemp("crashy") / "idx")
+
+    def slice_of(lo, hi):
+        m = pc.and_(
+            pc.greater_equal(tbl.column("doc_id"), lo),
+            pc.less(tbl.column("doc_id"), hi),
+        )
+        return tbl.filter(m)
+
+    build_index(lambda: ray.data.from_arrow(slice_of(0, 60)), out, _cfg())
+    for i in range(3):
+        lo, hi = 60 + 15 * i, 60 + 15 * (i + 1)
+        sub = slice_of(lo, hi)
+        add_documents(
+            out, lambda sub=sub: ray.data.from_arrow(sub), _cfg(),
+            id_range=(lo, hi), tag=f"x{i}",
+        )
+    pre = _results(out)
+    # simulate a crash mid-stage: stale staging root with garbage inside,
+    # plus a bogus part_*.tmp leftover inside the live root
+    stale = os.path.join(out, "postings.tiered")
+    os.makedirs(os.path.join(stale, "part_99999"))
+    with open(os.path.join(stale, "part_99999", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    os.makedirs(os.path.join(out, "postings", "part_00001.tmp"))
+    performed = maybe_merge(out, segs_per_tier=3, max_merge_at_once=3)
+    assert performed == [[1, 2, 3]]
+    assert _results(out) == pre
+    assert not os.path.exists(stale)
+    assert not os.path.exists(
+        os.path.join(out, "postings", "part_00001.tmp")
+    )
