@@ -1,0 +1,161 @@
+"""Product-quantization ANN (annpq.py): encode parity vs a scalar
+reference, recall floors vs the exact brute-force baseline, the IVFxPQ
+composition's full-probe equality, the exact-re-rank recall lift, and the
+compression claim the operator exists for."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF}/embeddings.parquet"), reason="testdata missing"
+)
+
+
+def test_pq_encode_matches_scalar_reference():
+    """encode_matrix's vectorized broadcast argmin == a per-vector,
+    per-subspace scalar recount with plain Python floats."""
+    from searchengine_ray.annpq import encode_matrix, pq_train
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 16))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cb = pq_train(mat, m_sub=4, k_codes=8, seed=11)
+    codes = encode_matrix(mat, cb)
+    assert codes.dtype == np.uint8 and codes.shape == (40, 4)
+    ds = 4
+    for i in range(len(mat)):
+        for m in range(4):
+            sub = mat[i, m * ds : (m + 1) * ds]
+            dists = [
+                sum((float(sub[j]) - float(cb[m, c, j])) ** 2 for j in range(ds))
+                for c in range(8)
+            ]
+            assert codes[i, m] == int(np.argmin(dists))
+
+
+def test_pq_train_deterministic():
+    from searchengine_ray.ann import _sample_matrix
+    from searchengine_ray.annpq import pq_train
+
+    s = _sample_matrix(SF, 7)
+    a = pq_train(s, m_sub=8, k_codes=16, seed=7)
+    b = pq_train(s, m_sub=8, k_codes=16, seed=7)
+    assert np.array_equal(a, b)
+    c = pq_train(s, m_sub=8, k_codes=16, seed=8)
+    assert not np.array_equal(a, c)  # seed actually steers the init
+
+
+def test_pq_recall_vs_brute(ray_session):
+    from searchengine_ray.ann import brute_topk
+    from searchengine_ray.annpq import pq_topk
+
+    brute = brute_topk(SF, n_queries=10, k=10).to_pandas()
+    pq = pq_topk(SF, n_queries=10, k=10).to_pandas()
+    assert set(pq.columns) == {"query_id", "neighbor_id", "adc_score", "rank"}
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == q]["neighbor_id"])
+        p = set(pq[pq["query_id"] == q]["neighbor_id"])
+        recalls.append(len(b & p) / len(b))
+    # measured 0.50 mean at M=16/K=16 on the synthetic gaussian corpus
+    assert np.mean(recalls) >= 0.35
+
+
+def test_ivfpq_full_probe_equals_plain_pq(ray_session):
+    """nprobe == n_cells probes every cell, so the cell partitioning must
+    be a pure layout change: results equal the exhaustive ADC scan
+    bitwise (same codes, same tables, same fold)."""
+    from searchengine_ray.annpq import ivfpq_topk, pq_topk
+
+    pq = pq_topk(SF, n_queries=10, k=10).to_pandas()
+    full = ivfpq_topk(SF, n_queries=10, k=10, n_cells=8, nprobe=8).to_pandas()
+    assert full.equals(pq)
+
+
+def test_ivfpq_partial_probe_recall(ray_session):
+    from searchengine_ray.ann import brute_topk
+    from searchengine_ray.annpq import ivfpq_topk
+
+    brute = brute_topk(SF, n_queries=10, k=10).to_pandas()
+    part = ivfpq_topk(SF, n_queries=10, k=10, n_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == q]["neighbor_id"])
+        p = set(part[part["query_id"] == q]["neighbor_id"])
+        recalls.append(len(b & p) / len(b))
+    assert np.mean(recalls) >= 0.2  # half the cells probed
+
+
+def test_pq_rerank_lifts_recall_and_scores_exact(ray_session):
+    """ADC shortlist + exact re-rank: recall must beat plain ADC, and the
+    reported cosines must equal the brute-force cosines for every
+    returned pair (the re-rank stage scores exactly)."""
+    from searchengine_ray.ann import brute_topk
+    from searchengine_ray.annpq import pq_topk, pq_topk_rerank
+
+    brute = brute_topk(SF, n_queries=10, k=10).to_pandas()
+    plain = pq_topk(SF, n_queries=10, k=10).to_pandas()
+    rer = pq_topk_rerank(SF, n_queries=10, k=10, rerank=8).to_pandas()
+
+    def recall(df):
+        out = []
+        for q in brute["query_id"].unique():
+            b = set(brute[brute["query_id"] == q]["neighbor_id"])
+            out.append(len(b & set(df[df["query_id"] == q]["neighbor_id"])) / len(b))
+        return float(np.mean(out))
+
+    assert recall(rer) > recall(plain)
+    bmap = {
+        (r.query_id, r.neighbor_id): r.cosine for r in brute.itertuples()
+    }
+    hits = 0
+    for r in rer.itertuples():
+        if (r.query_id, r.neighbor_id) in bmap:
+            assert abs(bmap[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+            hits += 1
+    assert hits > 0
+
+
+def test_pq_codes_are_compressed(ray_session, tmp_path):
+    """The point of PQ: the code parquet is an order of magnitude smaller
+    than the raw embedding payload (16 uint8 vs 64 float32 per row)."""
+    import pyarrow.parquet as papq
+
+    from searchengine_ray.annpq import pq_build
+
+    idx = str(tmp_path / "pq")
+    pq_build(SF, idx)
+    # compare the CODE COLUMNS' stored bytes per row against the raw
+    # 64 x float32 embedding payload (file-count overhead at this toy
+    # scale is a block-size artifact, not the codec's) — must be >=8x
+    code_bytes = 0
+    n = 0
+    for root, _, files in os.walk(os.path.join(idx, "codes")):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = papq.ParquetFile(os.path.join(root, f)).metadata
+            n += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema.startswith("c"):
+                        code_bytes += col.total_compressed_size
+    assert n == papq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert code_bytes / n < (64 * 4) / 8
+    # and the stored schema really is uint8 codes
+    first = next(
+        os.path.join(root, f)
+        for root, _, files in os.walk(os.path.join(idx, "codes"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    sch = papq.ParquetFile(first).schema_arrow
+    import pyarrow as pa
+
+    assert all(sch.field(f"c{m}").type == pa.uint8() for m in range(16))
