@@ -219,6 +219,65 @@ CROSS JOIN const CROSS JOIN kconst CROSS JOIN kstats CROSS JOIN bstats
 WHERE k.tfk > 0
 """
 
+# BM25F (bm25f.py, Robertson et al. 2004 / ES combined_fields): weighted
+# per-field normalized tfs sum BEFORE one saturation; idf over the UNION
+# df. Fields: body<-text (the _TOK machinery), title<-path (recomputed
+# exactly as corpus.derive_corpus_batch builds it), keywords<-lang. The
+# 'en' term hits title AND keywords of en docs, so the cross-field sum
+# (title leg + keywords leg, the engine's field iteration order) is
+# genuinely exercised; 'dup' is body-only. Association mirrors the
+# engine: w*tf/(1 - 0.75 + 0.75*dl/ave), idf*tft/(1.2 + tft), term
+# contributions coalesce-added in query order.
+_SE_BM25F_SQL = f"""
+WITH {_TOK},
+title AS (
+  SELECT doc_id,
+    len(regexp_extract_all(ttext, '[a-z0-9_]+')) AS tdl,
+    len(list_filter(regexp_extract_all(ttext, '[a-z0-9_]+'),
+                    x -> x = 'en')) AS tft
+  FROM (SELECT doc_id,
+          lower('src/' || lang || '/doc_' ||
+                lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt') AS ttext
+        FROM documents)),
+tconst AS (SELECT CAST(sum(tdl) AS DOUBLE)/count(*) AS avet FROM title
+           WHERE tdl > 0),
+kdl AS (SELECT doc_id,
+          len(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS kdl,
+          len(list_filter(regexp_extract_all(lower(lang), '[a-z0-9_]+'),
+                          x -> x = 'en')) AS tfk
+        FROM documents),
+kconst AS (SELECT CAST(sum(kdl) AS DOUBLE)/count(*) AS avek FROM kdl
+           WHERE kdl > 0),
+btf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup'
+        GROUP BY doc_id),
+bstats AS (SELECT count(*) AS df FROM btf),
+efld AS (
+  SELECT t.doc_id,
+    (CASE WHEN t.tft > 0
+          THEN 0.8 * t.tft/(1 - 0.75 + 0.75*t.tdl/tconst.avet) ELSE 0 END
+     + CASE WHEN k.tfk > 0
+            THEN 1.5 * k.tfk/(1 - 0.75 + 0.75*k.kdl/kconst.avek) ELSE 0 END)
+      AS tfe
+  FROM title t JOIN kdl k USING(doc_id)
+  CROSS JOIN tconst CROSS JOIN kconst
+  WHERE t.tft > 0 OR k.tfk > 0),
+estats AS (SELECT count(*) AS df FROM efld),
+u AS (SELECT doc_id FROM btf UNION SELECT doc_id FROM efld)
+SELECT u.doc_id, round(
+  coalesce(
+    greatest(0.0, ln((const.n - bstats.df + 0.5)/(bstats.df + 0.5)))
+      * (1.0 * b.tf/(1 - 0.75 + 0.75*dl.dl/const.ave))
+      / (1.2 + (1.0 * b.tf/(1 - 0.75 + 0.75*dl.dl/const.ave))), 0)
+  + coalesce(
+    greatest(0.0, ln((const.n - estats.df + 0.5)/(estats.df + 0.5)))
+      * e.tfe / (1.2 + e.tfe), 0), 6) AS score_r
+FROM u
+LEFT JOIN btf b USING(doc_id)
+LEFT JOIN dl USING(doc_id)
+LEFT JOIN efld e USING(doc_id)
+CROSS JOIN const CROSS JOIN bstats CROSS JOIN estats
+"""
+
 _SE_UNRANKED_AND_SQL = f"""
 WITH {_TOK},
 ta AS (SELECT DISTINCT doc_id FROM tok WHERE term='spark'),
@@ -2521,9 +2580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 89 SQL-backed entries (full rows+schema+hash check
+    # The registry has 90 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 46 must sit beyond the window no matter the order. The
+    # 47 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2545,7 +2604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # register pipeline plus the estimate formula, a strict superset), and ann_mmr (MMR re-ranking;
     # cur_sample_per_source rotated out — driver-verified r3, its splitmix
     # keep-draw and per-source rank halves are covered in-window by
-    # cur_sample_stratified + cur_cap_per_source); out
+    # cur_sample_stratified + cur_cap_per_source), and se_bm25f (BM25F;
+    # se_facets rotated out — driver-verified r3, its facet-postings count
+    # surface is a subset of in-window se_collapse's); out
     # = rel_top_parts + rel_join_revenue (r1+r3
     # verified, two rel_* siblings in-window), ltr_features (r2+r3;
     # ltr_rerank's oracle is a strict superset), prf_e2e_rescore (r2+r3;
@@ -2584,11 +2645,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean negation (Lucene MUST/MUST_NOT analog)
         "se_andnot_tf": gate.se_andnot_tf,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
+        # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
+        # weighted per-field tfs combined BEFORE one saturation, union-df
+        # idf — the semantics score-level #WSUM cannot express
+        "se_bm25f": gate.se_bm25f,
         "eval_metrics": gate.eval_metrics,
         # index-native highlighter (Lucene unified-highlighter analog)
         "se_snippets": gate.se_snippets,
-        # faceted counts (Solr/ES terms-aggregation analog)
-        "se_facets": gate.se_facets,
         # deep pagination (Lucene searchAfter analog): cursor page 11-20
         # vs a full-ranking row_number slice in SQL
         "se_search_after": gate.se_search_after,
@@ -2685,6 +2748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
+        "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
         "hll_registers": sketch.hll_register_stats,  # driver-verified r3, code unchanged; in-window sibling events_hourly_users_hll hash-checks the IDENTICAL distributed register pipeline (splitmix64/rho/max-merge) PLUS the registers->estimate formula — a strict superset of this entry's integer register summary (rotated out for ann_pq)
         "prf_e2e_rescore": gate.prf_e2e_rescore,    # driver-verified r2+r3, code unchanged; in-window siblings ltr_rerank/drmm_rerank exercise the same candidate-cut -> rescore -> resort machinery, and the expansion math is covered by the twice-verified prf_expansion + pytest (rotated out for cur_pipeline)
         "events_asof_join": windows.asof_join_purchase_click,  # driver-verified r2+r3, code unchanged; its packed-key searchsorted machinery is shared with twice-verified events_range_join + the randomized fuzz suite (test_event_joins_fuzz.py) (rotated out for cur_dsir_weights)
@@ -2786,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "se_ranked_or": _SE_RANKED_OR_SQL,
         "se_indri_and": _SE_INDRI_AND_SQL,
         "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
+        "se_bm25f": _SE_BM25F_SQL,
         "se_unranked_and": _SE_UNRANKED_AND_SQL,
         "se_indri_wand": _SE_INDRI_WAND_SQL,
         "se_near3_tf": _SE_NEAR3_SQL,

@@ -164,6 +164,25 @@ def se_indri_and(sf_dir: str):
     return _score_table(sf_dir, "indri", "#and( spark join )")
 
 
+def se_bm25f(sf_dir: str):
+    """BM25F (Robertson et al. 2004 / ES combined_fields, bm25f.py):
+    weighted per-field length-normalized tfs combine BEFORE the single
+    saturation — the semantics score-level #WSUM cannot express. Terms:
+    'dup' (body only) + 'en' (in BOTH title and keywords of en docs —
+    the cross-field tf sum is actually exercised); idf uses the union
+    df. The oracle re-derives all three field tokenizations, per-field
+    avglens, the combined tf, the clamped idf and both accumulation
+    orders."""
+    from .bm25f import bm25f_search
+
+    eng = engine_for(sf_dir, "bm25")
+    return bm25f_search(
+        eng.index,
+        ["dup", "en"],
+        {"body": 1.0, "title": 0.8, "keywords": 1.5},
+    )
+
+
 def se_bm25_wsum_fields(sf_dir: str):
     """BM25 #wsum across two fields (keywords<-lang, body<-text); match-ALL
     semantics under BM25 (`QrySopWSum.java:26-28`), weights unused."""
