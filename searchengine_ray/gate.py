@@ -164,6 +164,21 @@ def se_indri_and(sf_dir: str):
     return _score_table(sf_dir, "indri", "#and( spark join )")
 
 
+def se_sigterms(sf_dir: str):
+    """Significant-terms aggregation (ES significant_terms / JLH,
+    sigterms.py): terms of the 'dup' result set scored by
+    (fg%-bg%)*(fg%/bg%) against the corpus background — mul/div only, so
+    the oracle replays the floats exactly; fg from re-analyzing ONLY the
+    matched docs, bg from the lexicon's stat_df."""
+    import numpy as np
+
+    from .sigterms import significant_terms
+
+    eng = engine_for(sf_dir, "unrankedboolean")
+    matched = eng.search("q", "dup").column("doc_id").to_numpy()
+    return significant_terms(eng.index, sf_dir, np.asarray(matched), k=10)
+
+
 def se_bm25f(sf_dir: str):
     """BM25F (Robertson et al. 2004 / ES combined_fields, bm25f.py):
     weighted per-field length-normalized tfs combine BEFORE the single
