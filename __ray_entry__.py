@@ -1164,6 +1164,28 @@ SELECT node AS doc_id, least(node, min(other)) AS rep_id
 FROM reach GROUP BY node
 """
 
+# Keep-best-in-cluster canonicalization (dedup.keep_best_in_cluster, the
+# RefinedWeb/CCNet "keep the longest, least-boilerplate copy" rule): the
+# oracle re-derives the ENTIRE connected-components chain as a derived
+# table (a strict superset of _DEDUP_COMPONENTS_SQL) plus the integer
+# quality signals and the per-cluster winner rank — n_tokens DESC,
+# stop_ratio_micro ASC (floor-division micro-units), doc_id ASC. Pure
+# integer comparisons end to end; zero float risk.
+_KEEP_BEST_SQL = f"""
+WITH comp AS (SELECT * FROM ({_DEDUP_COMPONENTS_SQL})),
+{_TOK},
+qual AS (SELECT doc_id, count(*) AS n_tokens,
+  CAST(coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL} THEN 1 END), 0)
+       AS BIGINT) AS n_stop
+  FROM tok GROUP BY doc_id)
+SELECT c.doc_id, c.rep_id, q.n_tokens,
+  (q.n_stop * 1000000) // q.n_tokens AS stop_ratio_micro,
+  (row_number() OVER (PARTITION BY c.rep_id
+     ORDER BY q.n_tokens DESC, (q.n_stop * 1000000) // q.n_tokens, c.doc_id)
+   = 1) AS keep
+FROM comp c JOIN qual q USING(doc_id)
+"""
+
 _DEDUP_EMB_SQL = """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2605,9 +2627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 91 SQL-backed entries (full rows+schema+hash check
+    # The registry has 92 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 48 must sit beyond the window no matter the order. The
+    # 49 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2697,7 +2719,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated back IN r4: its ShingleRows stage moved to the batch-flat
         # _batch_shingles kernel this round — changed code gets re-verified
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_components_dist": dedup.dedup_components_distributed,
+        # keep-best-in-cluster canonicalization (new late r4): the
+        # RefinedWeb "keep the longest copy" rule — distributed components
+        # x integer quality signals; its oracle re-derives the FULL
+        # components chain (strict superset of the rotated-out
+        # dedup_components_dist entry) plus the winner rank
+        "dedup_keep_best": dedup.keep_best_in_cluster,
         # hyperplane LSH: seeded hyperplanes inlined as literals in the
         # oracle (see _emb_lsh_sql); exact sibling dedup_embedding is
         # parked below (twice driver-verified, same cosine kernel)
@@ -2774,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        "dedup_components_dist": dedup.dedup_components_distributed,  # driver-verified r3, code unchanged; in-window sibling dedup_keep_best CALLS this exact function as its first stage and its oracle re-derives the full components chain — a strict superset of this entry's check (rotated out for dedup_keep_best)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -2918,6 +2946,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the
         # driver-side resolver bit-for-bit
+        "dedup_keep_best": _KEEP_BEST_SQL,
         "dedup_components_dist": _DEDUP_COMPONENTS_SQL,
         "dedup_embedding": _DEDUP_EMB_SQL,
         "ann_topk": _ANN_TOPK_SQL,

@@ -1265,3 +1265,64 @@ def dedup_components_distributed(
         return empty
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def keep_best_in_cluster(sf_dir: str, n: int = 3, threshold: float = 0.6):
+    """Canonical-selection policy over near-dup clusters: keep the BEST
+    member, not the lowest id — the RefinedWeb/CCNet production rule
+    (keep the longest, least-boilerplate copy) composed from two
+    hash-verified building blocks: the distributed connected components
+    (:func:`dedup_components_distributed`) and the integer quality
+    signals (:func:`textstats.quality_score`).
+
+    Keep key per cluster: n_tokens DESC, stop_ratio_micro ASC, doc_id
+    ASC — pure INTEGER comparisons end to end (micro-unit ratios via
+    floor division), so the oracle replay has zero float risk.
+
+    Scale shape: the cluster table is output-scale (near-dups are a small
+    fraction); quality is computed ONLY for clustered docs via a pushdown
+    id-filtered read (``quality_score(doc_ids=...)``), and the winner
+    rank is a vectorized lexsort + run-length pass per rep — no shuffle
+    beyond what the two verified inputs already did. Returns one row per
+    clustered doc: (doc_id, rep_id, n_tokens, stop_ratio_micro, keep).
+    """
+    from .textstats import quality_score
+
+    comp = dedup_components_distributed(sf_dir, n=n, threshold=threshold)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("rep_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("stop_ratio_micro", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+    if comp.num_rows == 0:
+        return schema.empty_table()
+    doc = comp.column("doc_id").to_numpy()
+    rep = comp.column("rep_id").to_numpy()
+
+    q = quality_score(sf_dir, doc_ids=doc).to_pandas()  # clustered docs only
+    qd = q.set_index("doc_id")
+    ntok = qd.loc[doc, "n_tokens"].to_numpy().astype(np.int64)
+    srat = qd.loc[doc, "stop_ratio_micro"].to_numpy().astype(np.int64)
+
+    # winner per rep: n_tokens desc, stop_ratio asc, doc_id asc
+    order = np.lexsort((doc, srat, -ntok, rep))
+    rs = rep[order]
+    first = np.empty(len(rs), dtype=bool)
+    first[0] = True
+    first[1:] = rs[1:] != rs[:-1]
+    keep_sorted = first
+    keep = np.empty(len(rs), dtype=bool)
+    keep[order] = keep_sorted
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "rep_id": pa.array(rep, type=pa.int64()),
+            "n_tokens": pa.array(ntok, type=pa.int64()),
+            "stop_ratio_micro": pa.array(srat, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.bool_()),
+        }
+    ).cast(schema)

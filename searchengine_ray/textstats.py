@@ -32,11 +32,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _read_docs(sf_dir: str):
+def _read_docs(sf_dir: str, doc_ids=None):
+    """Streaming (doc_id, text) read; ``doc_ids`` pushes an id filter into
+    the parquet scan (row-group pruning) for result-set-sized consumers
+    like dedup.keep_best_in_cluster."""
     import ray.data
 
+    kwargs = {}
+    if doc_ids is not None:
+        import pyarrow.compute as _pc
+
+        kwargs["filter"] = _pc.field("doc_id").isin(
+            pa.array(np.asarray(doc_ids, dtype=np.int64))
+        )
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], **kwargs
     )
 
 
@@ -125,7 +135,7 @@ def lang_id(sf_dir: str):
     return ds.map_batches(classify, batch_format="pyarrow")
 
 
-def quality_score(sf_dir: str, min_tokens: int = 20):
+def quality_score(sf_dir: str, min_tokens: int = 20, doc_ids=None):
     """(doc_id, n_tokens, stop_ratio_micro, mean_token_len_micro, passes)
     quality gate (Gopher-rules-style length/stopword filter).
 
@@ -134,7 +144,7 @@ def quality_score(sf_dir: str, min_tokens: int = 20):
     libraries); ``passes`` = n_tokens >= min AND 2*n_stop <= n_tokens
     (stopword ratio <= 0.5, integer comparison).
     """
-    ds = _read_docs(sf_dir)
+    ds = _read_docs(sf_dir, doc_ids=doc_ids)
     stop_arr = pa.array(sorted(STOPWORDS))
 
     def score(t: pa.Table) -> pa.Table:

@@ -502,3 +502,28 @@ def test_semantic_dedup_properties_and_reference():
         assert (K <= eps).all()
     # at least one planted near-dup neighborhood collapses
     assert (~out["kept"]).sum() > 0
+
+
+def test_dedup_keep_best_in_cluster(ray_session):
+    """keep_best_in_cluster: same cluster membership as the distributed
+    components, exactly one winner per cluster, and the winner maximizes
+    (n_tokens DESC, stop_ratio ASC, doc_id ASC) — recounted from the
+    returned integer columns themselves."""
+    from searchengine_ray.dedup import (
+        dedup_components_distributed,
+        keep_best_in_cluster,
+    )
+
+    kb = keep_best_in_cluster(SF).to_pandas()
+    comp = dedup_components_distributed(SF).to_pandas()
+    assert set(zip(kb["doc_id"], kb["rep_id"])) == set(
+        zip(comp["doc_id"], comp["rep_id"])
+    )
+    assert len(kb)
+    for rep, g in kb.groupby("rep_id"):
+        assert int(g["keep"].sum()) == 1
+        rows = sorted(
+            g.itertuples(),
+            key=lambda r: (-r.n_tokens, r.stop_ratio_micro, r.doc_id),
+        )
+        assert rows[0].keep and not any(r.keep for r in rows[1:])
