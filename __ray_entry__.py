@@ -346,6 +346,34 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events GROUP BY date_trunc('hour', ts)
 """
 
+# PMI collocations (textextras.pmi_collocations, Church & Hanks 1990):
+# exact integer counts (bigram adjacency, unigrams, both totals) and the
+# candidate pmi as ln over the IDENTICAL left-assoc DOUBLE expression
+# ((cab*nu)*nu)/((nb*ca)*cb) — scalar math.log == DuckDB ln (libm).
+_PMI_SQL = f"""
+WITH {_TOK},
+bi AS (SELECT a.term || ' ' || b.term AS bigram, count(*) AS cab
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       GROUP BY 1),
+uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM tok) AS nu,
+               (SELECT CAST(sum(cab) AS BIGINT) FROM bi) AS nb),
+cand AS (SELECT bigram, cab,
+           string_split(bigram, ' ')[1] AS ta,
+           string_split(bigram, ' ')[2] AS tb
+         FROM bi WHERE cab >= 5),
+s AS (SELECT c.bigram, c.cab,
+        ln(((CAST(c.cab AS DOUBLE) * tot.nu) * tot.nu)
+           / ((CAST(tot.nb AS DOUBLE) * ua.c) * ub.c)) AS pmi
+      FROM cand c JOIN uni ua ON ua.term = c.ta
+                  JOIN uni ub ON ub.term = c.tb
+      CROSS JOIN tot)
+SELECT bigram, cab AS n, round(pmi, 6) AS pmi_r,
+  CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 15
+"""
+
 _TOP_BIGRAMS_SQL = f"""
 WITH {_TOK},
 bg AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER w AS bigram
@@ -2627,9 +2655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 92 SQL-backed entries (full rows+schema+hash check
+    # The registry has 93 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 49 must sit beyond the window no matter the order. The
+    # 50 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2699,9 +2727,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": gate.eval_metrics,
         # index-native highlighter (Lucene unified-highlighter analog)
         "se_snippets": gate.se_snippets,
-        # deep pagination (Lucene searchAfter analog): cursor page 11-20
-        # vs a full-ranking row_number slice in SQL
-        "se_search_after": gate.se_search_after,
         # field collapsing (Lucene grouping / ES collapse analog)
         "se_collapse": gate.se_collapse,
         # significant-terms aggregation (new late r4, ES significant_terms
@@ -2745,6 +2770,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a reference slice, vectorized non-overlapping merge passes, the
         # oracle replays the full apply path with merge literals
         "text_bpe_tokens": bpe.bpe_token_counts,
+        # PMI collocations (new late r4, Church & Hanks 1990): one combined
+        # (key, n) shuffle (bigrams/unigrams/totals in disjoint keyspaces),
+        # bounded streaming folds, scalar-libm ln per candidate
+        "text_pmi": textextras.pmi_collocations,
         # stream-shaped
         # full HLL estimate — SQL-checked since late round 3: exact-integer
         # harmonic denominator + fixed float op order (see _hll_estimate_sql)
@@ -2801,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        "se_search_after": gate.se_search_after,  # driver-verified r3, code unchanged; the oracle is a row_number slice of the SAME full-ranking SQL shape the in-window se_bm25_incremental/deleted/tiered entries hash-check, and the cursor semantics are pytest-proven by the page-tiling test (rotated out for text_pmi)
         "dedup_components_dist": dedup.dedup_components_distributed,  # driver-verified r3, code unchanged; in-window sibling dedup_keep_best CALLS this exact function as its first stage and its oracle re-derives the full components chain — a strict superset of this entry's check (rotated out for dedup_keep_best)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
@@ -2962,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _RANGE_JOIN_SQL,
         "events_hourly_users": _HOURLY_USERS_SQL,
         "text_top_bigrams": _TOP_BIGRAMS_SQL,
+        "text_pmi": _PMI_SQL,
         "rel_pricing_summary": _PRICING_SQL,
         "rel_orders_by_nation": _ORDERS_NATION_SQL,
         "rel_top_parts": _TOP_PARTS_SQL,

@@ -93,3 +93,164 @@ def top_bigrams(sf_dir: str, k: int = 20):
         .sort(["n", "bigram"], descending=[True, False])
         .limit(k)
     )
+
+
+def pmi_collocations(
+    sf_dir: str,
+    k: int = 15,
+    min_count: int = 5,
+    max_candidates: int = 200_000,
+):
+    """Top-k collocations by pointwise mutual information (Church & Hanks
+    1990): for adjacent within-doc token pairs,
+
+        pmi(a,b) = ln( (c_ab/N_bi) / ((c_a/N_uni)*(c_b/N_uni)) )
+
+    over pairs with ``c_ab >= min_count``, ranked (pmi desc, bigram asc).
+
+    ONE corpus pass computes every count: the batch combiner emits bigram
+    partials ("a b" keys, the top_bigrams kernel), unigram partials (bare
+    term keys — disjoint from bigrams, which always contain a space) and
+    two reserved total rows ("\\x00uni" tokens, "\\x00bi" pairs) into a
+    single narrow (key, n) groupby-Sum shuffle. The grouped table is then
+    consumed by two STREAMING driver folds (candidates+totals, then member
+    unigram counts restricted to the bounded candidate vocabulary) — the
+    driver never holds the corpus vocabulary, and ``max_candidates``
+    raises instead of truncating (the minhash guard pattern).
+
+    Determinism: counts are exact ints; the model-sized pmi of each
+    candidate is one scalar ``math.log`` (libm == DuckDB ``ln``) over the
+    fixed DOUBLE expression ``((cab*nu)*nu) / ((nb*ca)*cb)`` — identical
+    association in the oracle.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .textstats import _flat_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    empty = pa.table(
+        {"key": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        _n, doc_idx, flat = _flat_tokens(t)
+        if len(doc_idx) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        # unigram partials: one count per distinct code
+        ucodes, ucounts = np.unique(codes, return_counts=True)
+        uni_keys = pc.take(enc.dictionary, pa.array(ucodes))
+        # bigram partials: within-doc adjacent pairs (top_bigrams kernel)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        v = np.int64(len(enc.dictionary))
+        key = codes[:-1][adj] * v + codes[1:][adj]
+        n_pairs = int(len(key))
+        if n_pairs:
+            key.sort(kind="stable")
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            bcounts = np.diff(np.r_[starts, len(key)]).astype(np.int64)
+            uniq = key[starts]
+            left = pc.take(enc.dictionary, pa.array(uniq // v))
+            right = pc.take(enc.dictionary, pa.array(uniq % v))
+            bi_keys = pc.binary_join_element_wise(left, right, " ")
+        else:
+            bcounts = np.empty(0, dtype=np.int64)
+            bi_keys = pa.array([], type=pa.string())
+        keys = pa.concat_arrays(
+            [
+                uni_keys.combine_chunks() if hasattr(uni_keys, "combine_chunks") else uni_keys,
+                bi_keys,
+                pa.array(["\x00uni", "\x00bi"], type=pa.string()),
+            ]
+        )
+        counts = np.concatenate(
+            [ucounts.astype(np.int64), bcounts, [len(codes), n_pairs]]
+        )
+        return pa.table({"key": keys, "n": pa.array(counts, type=pa.int64())})
+
+    grp = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    # fold 1: candidates + totals. Each batch is filtered with Arrow
+    # kernels FIRST; only the bounded survivors ever become Python objects
+    cand: dict[str, int] = {}
+    nu = nb = 0
+    for batch in grp.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys = batch.column("key")
+        ns = batch.column("n")
+        tot = batch.filter(pc.starts_with(keys, "\x00"))
+        for key_s, n in zip(
+            tot.column("key").to_pylist(), tot.column("n").to_pylist()
+        ):
+            if key_s == "\x00uni":
+                nu = int(n)
+            elif key_s == "\x00bi":
+                nb = int(n)
+        sel = batch.filter(
+            pc.and_(
+                pc.match_substring(keys, " "),
+                pc.greater_equal(ns, pa.scalar(min_count, pa.int64())),
+            )
+        )
+        cand.update(
+            zip(sel.column("key").to_pylist(), map(int, sel.column("n").to_pylist()))
+        )
+        if len(cand) > max_candidates:
+            raise ValueError(
+                f"pmi_collocations: >{max_candidates} candidate bigrams at "
+                f"min_count={min_count}; raise min_count or max_candidates"
+            )
+    out_schema = pa.schema(
+        [
+            ("bigram", pa.string()),
+            ("n", pa.int64()),
+            ("pmi_r", pa.float64()),
+            ("rank", pa.int32()),
+        ]
+    )
+    if not cand or nu == 0 or nb == 0:
+        return out_schema.empty_table()
+
+    # fold 2: unigram counts restricted to the candidate member vocabulary
+    members = set()
+    for bg in cand:
+        a, b = bg.split(" ")
+        members.add(a)
+        members.add(b)
+    uc: dict[str, int] = {}
+    member_arr = pa.array(sorted(members), type=pa.string())
+    for batch in grp.iter_batches(batch_format="pyarrow", batch_size=None):
+        sel = batch.filter(pc.is_in(batch.column("key"), value_set=member_arr))
+        uc.update(
+            zip(sel.column("key").to_pylist(), map(int, sel.column("n").to_pylist()))
+        )
+
+    rows = []
+    for bg, cab in cand.items():
+        a, b = bg.split(" ")
+        num = (float(cab) * float(nu)) * float(nu)
+        den = (float(nb) * float(uc[a])) * float(uc[b])
+        rows.append((bg, cab, math.log(num / den)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "pmi_r": pa.array(
+                [round(r[2], 6) for r in rows], type=pa.float64()
+            ),
+            "rank": pa.array(
+                np.arange(1, len(rows) + 1, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    ).cast(out_schema)

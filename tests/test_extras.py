@@ -527,3 +527,50 @@ def test_dedup_keep_best_in_cluster(ray_session):
             key=lambda r: (-r.n_tokens, r.stop_ratio_micro, r.doc_id),
         )
         assert rows[0].keep and not any(r.keep for r in rows[1:])
+
+
+def test_pmi_collocations_scalar_recount(ray_session):
+    """pmi_collocations vs a dict recount with plain Python floats over
+    the same expression; the planted 'hash join'/'unit test' style
+    bigrams must surface with positive PMI."""
+    import math
+
+    from searchengine_ray.textextras import pmi_collocations
+
+    got = pmi_collocations(SF, k=10, min_count=5).to_pandas()
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    ]
+    import re as _re
+
+    tokenize = _re.compile(r"[a-z0-9_]+").findall
+    uni, bi = {}, {}
+    nu = nb = 0
+    for tx in texts:
+        toks = tokenize(tx.lower())
+        nu += len(toks)
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            nb += 1
+    rows = []
+    for (a, b), cab in bi.items():
+        if cab >= 5:
+            num = (float(cab) * float(nu)) * float(nu)
+            den = (float(nb) * float(uni[a])) * float(uni[b])
+            rows.append((f"{a} {b}", cab, math.log(num / den)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:10]
+    assert got["bigram"].tolist() == [r[0] for r in rows]
+    assert got["n"].tolist() == [r[1] for r in rows]
+    for g, w in zip(got["pmi_r"], rows):
+        assert abs(g - w[2]) < 5e-7
+    assert all(got["pmi_r"] > 0)  # top collocations are positively associated
