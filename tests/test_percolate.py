@@ -1,0 +1,90 @@
+"""Percolation (percolate.py): membership must equal the index-backed
+engine for every operator family (the point of reusing the real
+Evaluator), results must be batch-partitioning-invariant, and degenerate
+documents must not crash the batch-postings adapter."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF}/documents.parquet"), reason="testdata missing"
+)
+
+QUERIES = [
+    ("q_and", "dup spark"),
+    ("q_near", "#near/1( hash join )"),
+    ("q_or", "#or( vector scan )"),
+    ("q_andnot", "#andnot( merge sort )"),
+    ("q_window", "#window/8( vector scan )"),
+    ("q_syn", "#syn( scan sort )"),
+]
+
+
+def test_percolate_equals_index_backed_engine(ray_session):
+    from searchengine_ray.gate import engine_for
+    from searchengine_ray.percolate import percolate
+
+    t = percolate(SF, QUERIES).to_pandas()
+    eng = engine_for(SF, "unrankedboolean")
+    for qid, q in QUERIES:
+        want = set(eng.search("x", q).column("doc_id").to_pylist())
+        got = set(t[t["query_id"] == qid]["doc_id"])
+        assert got == want, qid
+        assert want  # every stored query matches something at sf0.001
+
+
+def test_percolator_partition_invariant(ray_session):
+    """Matching is doc-local: any split of the same rows into batches
+    yields the identical pair set."""
+    import pyarrow.parquet as papq
+
+    from searchengine_ray.percolate import Percolator
+
+    tbl = papq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    p = Percolator(QUERIES)
+
+    def pairs(batches):
+        out = set()
+        for b in batches:
+            r = p(b)
+            out |= set(
+                zip(r.column("doc_id").to_pylist(), r.column("query_id").to_pylist())
+            )
+        return out
+
+    whole = pairs([tbl])
+    split3 = pairs([tbl.slice(0, 100), tbl.slice(100, 37), tbl.slice(137)])
+    assert whole == split3 and whole
+
+
+def test_percolator_degenerate_docs():
+    from searchengine_ray.percolate import Percolator
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 6, 7], type=pa.int64()),
+            "text": pa.array(["", "the of and", "hash join dup"]),
+        }
+    )
+    p = Percolator([("a", "#near/1( hash join )"), ("b", "dup spark")])
+    r = p(t)
+    got = set(zip(r.column("doc_id").to_pylist(), r.column("query_id").to_pylist()))
+    assert got == {(7, "a")}  # near matches; 'dup spark' needs BOTH terms
+
+
+def test_percolator_non_body_field_raises():
+    from searchengine_ray.percolate import Percolator
+
+    t = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()), "text": pa.array(["dup"])}
+    )
+    p = Percolator([("a", "dup.keywords")])
+    with pytest.raises(NotImplementedError):
+        p(t)
