@@ -3,8 +3,11 @@
 - :func:`brute_topk` — exact cosine top-k: broadcast the query matrix once
   (``ray.put``), every batch does one float64 matmul emitting per-batch
   candidates (top-k per query selected vectorized along the query axis),
-  final per-query top-k reduced by a ``groupby(query_id)`` inside the
-  pipeline. The correctness baseline.
+  final per-query top-k reduced by a bounded streaming driver fold
+  (:func:`_merge_topk`). The correctness baseline.
+- :func:`hard_negative_topk` — DPR-style hard-negative mining: the same
+  scan with same-label (query, row) pairs masked to ``-inf``, so each
+  query's top-k is its most-similar OTHER-class vectors.
 - :func:`ivf_build` / :func:`ivf_search` / :func:`ivf_topk` — IVF that
   actually PRUNES: a seeded k-means trained on a BOUNDED deterministic
   sample assigns every vector to a cell; the index is written as
@@ -215,6 +218,50 @@ def brute_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
         bm = batch_matrix(t)
         sims = qm @ bm.T  # (n_queries x batch)
         sims[qi[:, None] == bids[None, :]] = -np.inf  # exclude self
+        return _candidate_rows(qi, sims, bids, k)
+
+    return _merge_topk(ds.map_batches(batch_topk, batch_format="pyarrow"), k)
+
+
+def hard_negative_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
+    """Hard-negative mining: per query vector, the top-k most-similar
+    vectors whose ``label`` DIFFERS from the query's — the standard
+    candidate generator for contrastive retrieval training (DPR, Karpukhin
+    et al. 2020 §4.2: "other passages ... that are not the gold" ranked by
+    similarity), where near-but-wrong neighbors make the informative
+    negatives.
+
+    Shape is exactly :func:`brute_topk` with one extra broadcast column:
+    the query labels ride the same ``ray.put`` as the query matrix, each
+    batch masks same-label (query, row) pairs to ``-inf`` before the
+    per-batch partial top-k (the self pair shares its own label, so self
+    exclusion is implied), and the merge is the same bounded streaming
+    driver fold — no shuffle, driver state <= n_queries * k rows. Output
+    (query_id, neighbor_id, cosine, rank) matches the ANN gate schema."""
+    import ray
+    import ray.data
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(
+        path,
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    q_ids = tbl.column("vec_id").to_numpy()
+    q_mat = batch_matrix(tbl)
+    q_lab = tbl.column("label").to_numpy().astype(np.int64)
+    order = np.argsort(q_ids)
+    qref = ray.put((q_ids[order], q_mat[order], q_lab[order]))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding", "label"])
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qi, qm, ql = ray.get(qref)
+        bids = t.column("vec_id").to_numpy()
+        blab = t.column("label").to_numpy().astype(np.int64)
+        bm = batch_matrix(t)
+        sims = qm @ bm.T  # (n_queries x batch)
+        sims[ql[:, None] == blab[None, :]] = -np.inf  # same class: not a negative
         return _candidate_rows(qi, sims, bids, k)
 
     return _merge_topk(ds.map_batches(batch_topk, batch_format="pyarrow"), k)

@@ -167,6 +167,32 @@ def test_ann_brute_matches_numpy():
         assert got == [int(ids[i]) for i in order]
 
 
+def test_ann_hard_negatives_match_numpy():
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.ann import _load_matrix, hard_negative_topk
+
+    t = hard_negative_topk(SF, n_queries=5, k=8).to_pandas()
+    ids, mat = _load_matrix(SF)
+    labels = (
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+        .to_pandas()
+        .set_index("vec_id")["label"]
+        .reindex(ids)
+        .to_numpy()
+    )
+    sims = mat @ mat.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[labels == labels[q]] = -np.inf  # same class (incl. self): excluded
+        order = np.lexsort((ids, -s))[:8]
+        want = [int(ids[i]) for i in order if np.isfinite(s[i])]
+        got = t[t["query_id"] == q]["neighbor_id"].tolist()
+        assert got == want
+        # every returned neighbor really is a different class
+        assert all(labels[ids == n][0] != labels[q] for n in got)
+
+
 def test_ann_ivf_recall():
     from searchengine_ray.ann import brute_topk, ivf_topk
 
