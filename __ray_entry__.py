@@ -2434,6 +2434,83 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _phrase_suggest_sql() -> str:
+    """Phrase-suggester oracle (phrase.suggest_phrases, ES phrase
+    suggester analog): re-derive the dictionary + df (the se_spell vocab
+    surface), the per-token candidate cut (dist ASC, df DESC, term ASC
+    with the identity included; stopwords pass through; OOV fallback via
+    anti-join), the full-corpus bigram/prefix counts, then replay the
+    combination enumeration + scoring as a recursive CTE accumulating
+    PEN_Q*dist plus the EXACT quantized add-one-bigram NLL expression of
+    ``_lm_ppl_sql`` per transition, and rank (score_q, dist, suggestion)
+    per input with row_number."""
+    from searchengine_ray.analyze import STOPWORDS
+    from searchengine_ray.curation import LM_Q
+    from searchengine_ray.gate import _PHRASE_INPUTS
+    from searchengine_ray.phrase import PEN_Q, TOKEN_RE
+
+    rows = []
+    for pid, phrase in enumerate(_PHRASE_INPUTS):
+        toks = TOKEN_RE.findall(phrase.lower())
+        for pos, t in enumerate(toks):
+            stop = "TRUE" if t in STOPWORDS else "FALSE"
+            rows.append(
+                f"({pid}, '{phrase}', {pos}, '{t}', {stop}, {len(toks)})"
+            )
+    vals = ",\n  ".join(rows)
+    return f"""
+WITH RECURSIVE {_TOK},
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+          WHERE term NOT IN {_STOPLIST_SQL} GROUP BY term),
+vv AS (SELECT CAST(count(*) + 1 AS BIGINT) AS V FROM vocab),
+tp AS (SELECT term AS w1,
+              lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM tok),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tp
+        WHERE w2 IS NOT NULL GROUP BY w1, w2),
+pref AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+q(pid, input, pos, qterm, is_stop, npos) AS (VALUES
+  {vals}),
+cand0 AS (SELECT q.pid, q.pos, v.term AS cterm,
+                 CAST(levenshtein(v.term, q.qterm) AS BIGINT) AS dist, v.df
+          FROM q JOIN vocab v ON levenshtein(v.term, q.qterm) <= 2
+          WHERE NOT q.is_stop),
+cand1 AS (SELECT *, row_number() OVER (
+            PARTITION BY pid, pos ORDER BY dist, df DESC, cterm) AS crn
+          FROM cand0),
+have AS (SELECT DISTINCT pid, pos FROM cand0),
+cand AS (SELECT pid, pos, cterm, dist FROM cand1 WHERE crn <= 3
+         UNION ALL
+         SELECT q.pid, q.pos, q.qterm, CAST(0 AS BIGINT)
+         FROM q LEFT JOIN have h ON h.pid = q.pid AND h.pos = q.pos
+         WHERE h.pid IS NULL),
+rec AS (
+  SELECT c.pid, c.pos, CAST(c.cterm AS VARCHAR) AS phrase,
+         c.cterm AS lastw, CAST({PEN_Q} AS BIGINT) * c.dist AS score_q,
+         c.dist AS dist
+  FROM cand c WHERE c.pos = 0
+  UNION ALL
+  SELECT r.pid, c.pos, r.phrase || ' ' || c.cterm, c.cterm,
+         r.score_q + {PEN_Q} * c.dist
+           + CAST(floor((0e0 - ln((1e0 + CAST(coalesce(b.c12, 0) AS DOUBLE))
+               / (CAST(coalesce(p.c1, 0) AS DOUBLE) + CAST(v.V AS DOUBLE))))
+               * {LM_Q}e0 + 0.5e0) AS BIGINT),
+         r.dist + c.dist
+  FROM rec r
+  JOIN cand c ON c.pid = r.pid AND c.pos = r.pos + 1
+  CROSS JOIN vv v
+  LEFT JOIN big b ON b.w1 = r.lastw AND b.w2 = c.cterm
+  LEFT JOIN pref p ON p.w1 = r.lastw),
+inputs AS (SELECT DISTINCT pid, input, npos FROM q),
+done AS (SELECT i.input, r.phrase AS suggestion, r.dist, r.score_q
+         FROM rec r JOIN inputs i ON i.pid = r.pid AND r.pos = i.npos - 1),
+ranked AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY input ORDER BY score_q, dist, suggestion)
+             AS BIGINT) AS rn FROM done)
+SELECT input, suggestion, dist, score_q, rn FROM ranked WHERE rn <= 3
+"""
+
+
 def _dsir_sql() -> str:
     """DSIR importance-weight oracle (curation.dsir_weights): rebuild the
     64-bit bigram shingle hashes with the parametric shingle-hash CTE
@@ -2691,9 +2768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 102 SQL-backed entries (full rows+schema+hash check
+    # The registry has 103 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 52 must sit beyond the window no matter the order. The
+    # 53 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2702,7 +2779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # same code path still inside the window. Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
-    # full splitmix chain in-window). Round-4 rotation: in =
+    # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
+    # suggester) in; se_spell out (driver-verified r3; se_phrase_suggest's
+    # oracle re-derives its whole candidate surface). Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
@@ -2753,7 +2832,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated IN r4 — SQL-backed but never driver-run before
         "se_prefix_tf": gate.se_prefix_tf,
         "se_regexp_tf": gate.se_regexp_tf,
-        "se_spell": gate.se_spell,
+        # phrase suggester (new late r4, ES phrase-suggester analog):
+        # whole-phrase did-you-mean = spell's dictionary candidate cut x
+        # the LM scorer's quantized add-one bigram NLL + per-edit penalty,
+        # combos replayed as a recursive-CTE oracle
+        "se_phrase_suggest": gate.se_phrase_suggest,
         # prefix completion (Lucene suggest module analog, new in r4)
         "se_complete": gate.se_complete,
         # boolean negation (Lucene MUST/MUST_NOT analog)
@@ -2875,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "cur_split_train_test": curation.split_train_test,  # driver-verified r3, code unchanged; in-window sibling cur_pipeline's oracle re-derives the IDENTICAL splitmix64 CTE chain (same SPLIT_SEED) and train-threshold membership as its first stage, and cur_sample_stratified/cur_dsir_select hash-check the splitmix keep-draw decisions (rotated out for ann_hardneg)
+        "se_spell": gate.se_spell,  # driver-verified r3, code unchanged; in-window sibling se_phrase_suggest's oracle re-derives the IDENTICAL dictionary/df/levenshtein/(dist,df DESC,term) rank surface as its candidate stage — a strict superset of this entry's check (rotated out for se_phrase_suggest)
         "se_mlt_terms": gate.se_mlt_terms,  # driver-verified r3, code unchanged; in-window sibling se_sigterms hash-checks the same result-set/corpus stats surface (tf, df, N, ranked term selection) and the MLT e2e loop (selection -> BM25 rerun) is pytest-proven by the identical-twin retrieval test (rotated out for se_percolate)
         "se_search_after": gate.se_search_after,  # driver-verified r3, code unchanged; the oracle is a row_number slice of the SAME full-ranking SQL shape the in-window se_bm25_incremental/deleted/tiered entries hash-check, and the cursor semantics are pytest-proven by the page-tiling test (rotated out for text_pmi)
         "dedup_components_dist": dedup.dedup_components_distributed,  # driver-verified r3, code unchanged; in-window sibling dedup_keep_best CALLS this exact function as its first stage and its oracle re-derives the full components chain — a strict superset of this entry's check (rotated out for dedup_keep_best)
@@ -2977,6 +3061,7 @@ def oracle_sql() -> dict[str, str]:
         "se_wildcard_tf": _SE_WILDCARD_SQL,
         "se_regexp_tf": _SE_REGEXP_SQL,
         "se_spell": _SE_SPELL_SQL,
+        "se_phrase_suggest": _phrase_suggest_sql(),
         "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,

@@ -138,6 +138,22 @@ def se_spell(sf_dir: str):
     return suggest(eng.index, ["stram", "jion", "dat"], k=3)
 
 
+_PHRASE_INPUTS = ["bat agg", "tble hash jion", "the stram", "vektor"]
+
+
+def se_phrase_suggest(sf_dir: str):
+    """Phrase suggester (ES phrase-suggester analog): whole-phrase
+    corrections ranked by quantized bigram-LM NLL + per-edit penalty.
+    'bat agg' has three equal-distance candidates for 'bat' (batch, data,
+    big by df) so the bigram LM — not the candidate rank — must pick
+    'batch agg'; 'the stram' exercises stopword passthrough; 'vektor' the
+    single-token degenerate case."""
+    from .phrase import suggest_phrases
+
+    eng = engine_for(sf_dir, "bm25")
+    return suggest_phrases(eng.index, sf_dir, _PHRASE_INPUTS)
+
+
 def se_complete(sf_dir: str):
     """Prefix completion (Lucene suggest-module analog): top-5 dictionary
     terms per prefix ranked (df DESC, suggestion ASC); the candidate cut
