@@ -2434,6 +2434,49 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _rake_sql() -> str:
+    """RAKE keyphrase oracle (rake.rake_keyphrases): candidate phrases as
+    maximal non-stopword runs (lag-based boundary + running sum for the
+    phrase id), per-(doc,word) freq/deg over those runs, the EXACT
+    integer word score ``deg * 2^20 // freq``, per-occurrence phrase
+    sums, duplicate-phrase collapse, and the (score DESC, phrase) top-k
+    rank — integer end to end, zero float risk."""
+    from searchengine_ray.rake import RAKE_K, RAKE_Q
+
+    return f"""
+WITH {_TOK},
+m AS (SELECT doc_id, pos, term, term IN {_STOPLIST_SQL} AS is_stop
+      FROM tok),
+b AS (SELECT *, CASE WHEN NOT is_stop
+        AND coalesce(lag(is_stop) OVER (PARTITION BY doc_id ORDER BY pos),
+                     TRUE)
+        THEN 1 ELSE 0 END AS bnd
+      FROM m),
+p AS (SELECT *, sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM b),
+words AS (SELECT doc_id, pid, pos, term FROM p WHERE NOT is_stop),
+ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+              string_agg(term, ' ' ORDER BY pos) AS phrase
+       FROM words GROUP BY doc_id, pid),
+wstat AS (SELECT w.doc_id, w.term, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(ph.plen) AS BIGINT) AS deg
+          FROM words w
+          JOIN ph ON ph.doc_id = w.doc_id AND ph.pid = w.pid
+          GROUP BY w.doc_id, w.term),
+ws AS (SELECT doc_id, term, deg * {RAKE_Q} // freq AS wscore FROM wstat),
+ps AS (SELECT w.doc_id, w.pid, CAST(sum(ws.wscore) AS BIGINT) AS score_q
+       FROM words w
+       JOIN ws ON ws.doc_id = w.doc_id AND ws.term = w.term
+       GROUP BY w.doc_id, w.pid),
+d AS (SELECT DISTINCT ph.doc_id, ph.phrase, ps.score_q
+      FROM ph JOIN ps ON ps.doc_id = ph.doc_id AND ps.pid = ph.pid),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, phrase) AS BIGINT) AS rn
+      FROM d)
+SELECT doc_id, phrase, score_q, rn FROM r WHERE rn <= {RAKE_K}
+"""
+
+
 def _phrase_suggest_sql() -> str:
     """Phrase-suggester oracle (phrase.suggest_phrases, ES phrase
     suggester analog): re-derive the dictionary + df (the se_spell vocab
@@ -2763,14 +2806,14 @@ FROM fin
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, annpq, bpe, curation, dedup, gate, mmr, multimodal, relational,
-        sketch, textextras, textstats, windows,
+        ann, annpq, bpe, curation, dedup, gate, mmr, multimodal, rake,
+        relational, sketch, textextras, textstats, windows,
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 103 SQL-backed entries (full rows+schema+hash check
+    # The registry has 104 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 53 must sit beyond the window no matter the order. The
+    # 54 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2781,7 +2824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
     # suggester) in; se_spell out (driver-verified r3; se_phrase_suggest's
-    # oracle re-derives its whole candidate surface). Round-4 rotation: in =
+    # oracle re-derives its whole candidate surface), text_rake in /
+    # se_regexp_tf out (driver-verified r3; se_prefix_tf shares the
+    # raw-pattern + expansion + #SYN path). Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
@@ -2831,7 +2876,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
         # rotated IN r4 — SQL-backed but never driver-run before
         "se_prefix_tf": gate.se_prefix_tf,
-        "se_regexp_tf": gate.se_regexp_tf,
         # phrase suggester (new late r4, ES phrase-suggester analog):
         # whole-phrase did-you-mean = spell's dictionary candidate cut x
         # the LM scorer's quantized add-one bigram NLL + per-edit penalty,
@@ -2894,6 +2938,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a reference slice, vectorized non-overlapping merge passes, the
         # oracle replays the full apply path with merge literals
         "text_bpe_tokens": bpe.bpe_token_counts,
+        # RAKE keyphrase extraction (new late r4, Rose et al. 2010): the
+        # per-document unsupervised tagger — ONE shuffle-free map_batches
+        # scan, batch-global vectorized, integer deg*2^20//freq scores
+        "text_rake": rake.rake_keyphrases,
         # PMI collocations (new late r4, Church & Hanks 1990): one combined
         # (key, n) shuffle (bigrams/unigrams/totals in disjoint keyspaces),
         # bounded streaming folds, scalar-libm ln per candidate
@@ -2958,6 +3006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "cur_split_train_test": curation.split_train_test,  # driver-verified r3, code unchanged; in-window sibling cur_pipeline's oracle re-derives the IDENTICAL splitmix64 CTE chain (same SPLIT_SEED) and train-threshold membership as its first stage, and cur_sample_stratified/cur_dsir_select hash-check the splitmix keep-draw decisions (rotated out for ann_hardneg)
+        "se_regexp_tf": gate.se_regexp_tf,  # driver-verified r3, code unchanged; in-window sibling se_prefix_tf runs the identical raw-pattern parse + dictionary-expansion + #SYN rewrite machinery (rotated out for text_rake)
         "se_spell": gate.se_spell,  # driver-verified r3, code unchanged; in-window sibling se_phrase_suggest's oracle re-derives the IDENTICAL dictionary/df/levenshtein/(dist,df DESC,term) rank surface as its candidate stage — a strict superset of this entry's check (rotated out for se_phrase_suggest)
         "se_mlt_terms": gate.se_mlt_terms,  # driver-verified r3, code unchanged; in-window sibling se_sigterms hash-checks the same result-set/corpus stats surface (tf, df, N, ranked term selection) and the MLT e2e loop (selection -> BM25 rerun) is pytest-proven by the identical-twin retrieval test (rotated out for se_percolate)
         "se_search_after": gate.se_search_after,  # driver-verified r3, code unchanged; the oracle is a row_number slice of the SAME full-ranking SQL shape the in-window se_bm25_incremental/deleted/tiered entries hash-check, and the cursor semantics are pytest-proven by the page-tiling test (rotated out for text_pmi)
@@ -3062,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "se_regexp_tf": _SE_REGEXP_SQL,
         "se_spell": _SE_SPELL_SQL,
         "se_phrase_suggest": _phrase_suggest_sql(),
+        "text_rake": _rake_sql(),
         "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,
