@@ -1670,6 +1670,44 @@ SELECT doc_id, round(s, 6) AS score_r, rk AS "rank"
 FROM r WHERE rk BETWEEN 11 AND 20
 """
 
+# Window rescoring (engine.rescore_topn, the ES rescore API analog,
+# score_mode=total): base 'dup spark' BM25 top-50 window, each window doc
+# combined 1*base + 2*near-BM25 (non-matches coalesce to 0), re-ranked
+# (combined DESC, external_id ASC), top-10 out. Both raw scorings, the
+# window cut, the combine expression, and the final rank re-derived.
+_RESCORE_SQL = f"""
+WITH near AS (
+  SELECT * FROM (
+    WITH {_TOK},
+    ntf AS (SELECT a.doc_id, count(*) AS tf
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id),
+    nstats AS (SELECT count(*) AS df FROM ntf)
+    SELECT ntf.doc_id,
+           greatest(0.0, ln((const.n - nstats.df + 0.5)/(nstats.df + 0.5)))
+             * ntf.tf/(ntf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+    FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats
+  ) q
+),
+win AS (
+  SELECT b.doc_id, b.s, e.external_id,
+         row_number() OVER (ORDER BY b.s DESC, e.external_id) AS brn
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN {_EXT_SUB} e USING (doc_id)
+),
+comb AS (
+  SELECT w.doc_id, w.external_id,
+         1e0 * w.s + 2e0 * coalesce(n.s, 0e0) AS c
+  FROM win w LEFT JOIN near n USING (doc_id)
+  WHERE w.brn <= 50
+),
+r AS (SELECT doc_id, round(c, 6) AS score_r,
+             CAST(row_number() OVER (ORDER BY c DESC, external_id)
+                  AS BIGINT) AS rn
+      FROM comb)
+SELECT doc_id, score_r, rn FROM r WHERE rn <= 10
+"""
+
 # Field collapsing (facets.collapse_top1, Lucene grouping / ES collapse
 # analog): best 'dup spark' BM25 doc per keywords facet value (<- lang),
 # ties by external_id — winner per lang partition via row_number.
@@ -2811,9 +2849,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 104 SQL-backed entries (full rows+schema+hash check
+    # The registry has 105 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 54 must sit beyond the window no matter the order. The
+    # 55 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2826,7 +2864,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # suggester) in; se_spell out (driver-verified r3; se_phrase_suggest's
     # oracle re-derives its whole candidate surface), text_rake in /
     # se_regexp_tf out (driver-verified r3; se_prefix_tf shares the
-    # raw-pattern + expansion + #SYN path). Round-4 rotation: in =
+    # raw-pattern + expansion + #SYN path), se_rescore in / hybrid_rrf
+    # out (driver-verified r3; se_rescore covers the two-leg fused-rank
+    # family and ann_* cover the cosine leg). Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
@@ -2926,9 +2966,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # literals, greedy as a recursive CTE (see _semdedup_sql); also
         # pytest-checked (independent-set/coverage + exact reference)
         "dedup_semantic": dedup.semantic_dedup,
-        # hybrid BM25+vector reciprocal rank fusion (ES rrf analog): both
-        # legs AND the fixed-order fusion sum recomputed in SQL
-        "hybrid_rrf": gate.hybrid_rrf,
+        # window rescoring (new late r4, ES rescore API analog): top-50
+        # BM25 window combined with 2x a derived-list BM25, both legs +
+        # window cut + combine + rank replayed in SQL
+        "se_rescore": gate.se_rescore,
         # text analysis
         "text_token_counts": textstats.token_counts,
         # rotated back IN r4: combiner vectorized onto the lexsort kernel
@@ -3006,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
         "cur_split_train_test": curation.split_train_test,  # driver-verified r3, code unchanged; in-window sibling cur_pipeline's oracle re-derives the IDENTICAL splitmix64 CTE chain (same SPLIT_SEED) and train-threshold membership as its first stage, and cur_sample_stratified/cur_dsir_select hash-check the splitmix keep-draw decisions (rotated out for ann_hardneg)
+        "hybrid_rrf": gate.hybrid_rrf,  # driver-verified r3, code unchanged; in-window sibling se_rescore hash-checks the same two-leg fused-ranking machinery (base-ranking cut + per-doc combine + re-rank), and the vector-scan leg's cosine/top-k surface is hash-checked in-window by ann_hardneg/ann_pq (rotated out for se_rescore)
         "se_regexp_tf": gate.se_regexp_tf,  # driver-verified r3, code unchanged; in-window sibling se_prefix_tf runs the identical raw-pattern parse + dictionary-expansion + #SYN rewrite machinery (rotated out for text_rake)
         "se_spell": gate.se_spell,  # driver-verified r3, code unchanged; in-window sibling se_phrase_suggest's oracle re-derives the IDENTICAL dictionary/df/levenshtein/(dist,df DESC,term) rank surface as its candidate stage — a strict superset of this entry's check (rotated out for se_phrase_suggest)
         "se_mlt_terms": gate.se_mlt_terms,  # driver-verified r3, code unchanged; in-window sibling se_sigterms hash-checks the same result-set/corpus stats surface (tf, df, N, ranked term selection) and the MLT e2e loop (selection -> BM25 rerun) is pytest-proven by the identical-twin retrieval test (rotated out for se_percolate)
@@ -3112,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "se_spell": _SE_SPELL_SQL,
         "se_phrase_suggest": _phrase_suggest_sql(),
         "text_rake": _rake_sql(),
+        "se_rescore": _RESCORE_SQL,
         "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,

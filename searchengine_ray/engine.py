@@ -173,6 +173,64 @@ class SearchEngine:
             }
         )
 
+    def rescore_topn(
+        self,
+        qid: str,
+        base_query: str,
+        rescore_query: str,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 2.0,
+        k: int = 10,
+    ) -> pa.Table:
+        """Window rescoring — the Elasticsearch ``rescore`` API analog
+        (score_mode=total, the default): re-rank only the top ``window``
+        hits of the base ranking with a second, more expensive query,
+        ``combined = query_weight*base + rescore_weight*second`` (docs
+        the rescore query does not match contribute 0), then return the
+        top ``k`` of the window by (combined DESC, external_id ASC) —
+        the engine's standard tie-break.
+
+        Scale shape: both legs run through the (sharded, actor-pool)
+        serving path; the combine itself is window-sized coordinator
+        work, exactly where ES runs its rescore phase. The second query
+        is evaluated once here; at real scale it would be restricted to
+        the window's docids (an intersection the Evaluator supports) —
+        the semantics are identical because only window docs combine."""
+        base = self.search(qid, base_query)
+        bwin = base.slice(0, window)
+        bd = bwin.column("doc_id").to_numpy()
+        bs = bwin.column("score").to_numpy()
+        bext = bwin.column("external_id").to_numpy(zero_copy_only=False)
+        resc = self.search(qid, rescore_query)
+        rd = resc.column("doc_id").to_numpy()
+        rs = resc.column("score").to_numpy()
+        o = np.argsort(rd)
+        rd, rs = rd[o], rs[o]
+        if len(rd):
+            pos = np.searchsorted(rd, bd)
+            posc = np.minimum(pos, len(rd) - 1)
+            hit = (pos < len(rd)) & (rd[posc] == bd)
+            ns = np.where(hit, rs[posc], 0.0)
+        else:
+            ns = np.zeros(len(bd))
+        # mirror the oracle's expression exactly:
+        # query_weight*s + rescore_weight*coalesce(n.s, 0)
+        comb = query_weight * bs + rescore_weight * ns
+        order = np.lexsort((bext, -comb))[:k]
+        n = len(order)
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pa.array(bd[order], pa.int64()),
+                "score_r": pc.round(
+                    pa.array(comb[order], pa.float64()), ndigits=6
+                ),
+                "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            }
+        )
+
     def search_many(self, items: list[tuple[str, str]]) -> pa.Table:
         tables = [self.search(qid, q) for qid, q in items]
         tables = [t for t in tables if t.num_rows] or [

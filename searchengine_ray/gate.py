@@ -138,6 +138,16 @@ def se_spell(sf_dir: str):
     return suggest(eng.index, ["stram", "jion", "dat"], k=3)
 
 
+def se_rescore(sf_dir: str):
+    """ES rescore-API analog (engine.rescore_topn): the top-50 window of
+    the 'dup spark' BM25 ranking combined with 2x the #near/1(hash join)
+    derived-list BM25 (score_mode=total), top-10 out by (combined DESC,
+    external_id ASC). The oracle replays both raw scorings, the window
+    cut, the exact combine expression, and the final rank."""
+    eng = engine_for(sf_dir, "bm25")
+    return eng.rescore_topn("q", "dup spark", "#near/1( hash join )")
+
+
 _PHRASE_INPUTS = ["bat agg", "tble hash jion", "the stram", "vektor"]
 
 
