@@ -2163,6 +2163,70 @@ FROM documents d LEFT JOIN tt ON tt.doc_id = d.doc_id
 LEFT JOIN bt ON bt.doc_id = d.doc_id
 """
 
+def _gopher_sql() -> str:
+    """Gopher quality rules (curation.gopher_rules): every bound replayed
+    as the identical integer cross-multiplication; word stream = raw \\S+
+    runs, line stream = string_split on \\n (empties kept), stopword rule
+    over the analyzer token stream with the engine stoplist. LEFT JOINs
+    from documents so zero-word docs still emit their (0, ..., false) row
+    (the r3-advisor empty-doc lesson)."""
+    from searchengine_ray import curation as _c
+
+    return f"""
+WITH {_TOK},
+w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+      FROM documents),
+wc AS (SELECT doc_id, count(*) AS n_words,
+        CAST(sum(len(w)) AS BIGINT) AS tot_chars,
+        CAST(coalesce(sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                           THEN 1 END), 0) AS BIGINT) AS alpha_words,
+        CAST(coalesce(sum(CASE WHEN regexp_matches(w, '#|\\.\\.\\.')
+                           THEN 1 END), 0) AS BIGINT) AS symbol_words
+       FROM w GROUP BY doc_id),
+st AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS stop_hits
+       FROM tok WHERE term IN {_STOPLIST_SQL} GROUP BY doc_id),
+lns AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents),
+lc AS (SELECT doc_id, count(*) AS n_lines,
+        CAST(coalesce(sum(CASE WHEN regexp_matches(line, '^[-*•]')
+                           THEN 1 END), 0) AS BIGINT) AS bullet_lines,
+        CAST(coalesce(sum(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$')
+                           THEN 1 END), 0) AS BIGINT) AS ellipsis_lines
+       FROM lns GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(wc.n_words, 0) AS n_words,
+  CASE WHEN coalesce(wc.n_words, 0) = 0 THEN 0
+       ELSE (wc.tot_chars * 1000000) // wc.n_words
+  END AS mean_word_len_micro,
+  coalesce(wc.alpha_words, 0) AS alpha_words,
+  coalesce(wc.symbol_words, 0) AS symbol_words,
+  coalesce(st.stop_hits, 0) AS stop_hits,
+  coalesce(lc.n_lines, 0) AS n_lines,
+  coalesce(lc.bullet_lines, 0) AS bullet_lines,
+  coalesce(lc.ellipsis_lines, 0) AS ellipsis_lines,
+  (coalesce(wc.n_words, 0) >= {_c.GOPHER_MIN_WORDS}
+   AND coalesce(wc.n_words, 0) <= {_c.GOPHER_MAX_WORDS}
+   AND {_c.GOPHER_MIN_MEAN_WORD_LEN} * coalesce(wc.n_words, 0)
+       <= coalesce(wc.tot_chars, 0)
+   AND coalesce(wc.tot_chars, 0)
+       <= {_c.GOPHER_MAX_MEAN_WORD_LEN} * coalesce(wc.n_words, 0)
+   AND 100 * coalesce(wc.symbol_words, 0)
+       <= {_c.GOPHER_MAX_SYMBOL_PCT} * coalesce(wc.n_words, 0)
+   AND 100 * coalesce(wc.alpha_words, 0)
+       >= {_c.GOPHER_MIN_ALPHA_PCT} * coalesce(wc.n_words, 0)
+   AND coalesce(st.stop_hits, 0) >= {_c.GOPHER_MIN_STOP_HITS}
+   AND 100 * coalesce(lc.bullet_lines, 0)
+       <= {_c.GOPHER_MAX_BULLET_PCT} * coalesce(lc.n_lines, 0)
+   AND 100 * coalesce(lc.ellipsis_lines, 0)
+       <= {_c.GOPHER_MAX_ELLIPSIS_PCT} * coalesce(lc.n_lines, 0)
+  ) AS passes
+FROM documents d
+LEFT JOIN wc ON wc.doc_id = d.doc_id
+LEFT JOIN st ON st.doc_id = d.doc_id
+LEFT JOIN lc ON lc.doc_id = d.doc_id
+"""
+
+
 # Shared trigram CTE for the scrub / dup-coverage oracles: positional
 # trigrams over the analyzer token stream. The engine keys grams by the
 # 64-bit token-hash combine; the oracle keys by the literal string, which
@@ -2849,9 +2913,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 105 SQL-backed entries (full rows+schema+hash check
+    # The registry has 106 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 55 must sit beyond the window no matter the order. The
+    # 56 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2866,7 +2930,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # se_regexp_tf out (driver-verified r3; se_prefix_tf shares the
     # raw-pattern + expansion + #SYN path), se_rescore in / hybrid_rrf
     # out (driver-verified r3; se_rescore covers the two-leg fused-rank
-    # family and ann_* cover the cosine leg). Round-4 rotation: in =
+    # family and ann_* cover the cosine leg), cur_gopher_rules in /
+    # cur_repetition_stats out (driver-verified r3; text_top_bigrams +
+    # cur_dup_ngram_chars hash-check its counting kernels in-window).
+    # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
     # SQL-backed via trained-weight literals), dedup_ngram_jaccard +
@@ -3013,7 +3080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_sample_stratified": curation.sample_stratified,
         "cur_cap_per_source": curation.cap_per_source,
         "cur_pii_redact": curation.pii_redact,
-        "cur_repetition_stats": curation.repetition_stats,
+        # Gopher composite quality rules (new in r4): all-integer
+        # cross-multiplied bounds, one shuffle-free per-doc scan
+        "cur_gopher_rules": curation.gopher_rules,
         "cur_length_quantiles": curation.length_quantiles,
         # Bloom-filter decontamination (constant-size benchmark state; the
         # oracle rebuilds the filter bit-for-bit incl. false positives)
@@ -3053,6 +3122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_mlt_terms": gate.se_mlt_terms,  # driver-verified r3, code unchanged; in-window sibling se_sigterms hash-checks the same result-set/corpus stats surface (tf, df, N, ranked term selection) and the MLT e2e loop (selection -> BM25 rerun) is pytest-proven by the identical-twin retrieval test (rotated out for se_percolate)
         "se_search_after": gate.se_search_after,  # driver-verified r3, code unchanged; the oracle is a row_number slice of the SAME full-ranking SQL shape the in-window se_bm25_incremental/deleted/tiered entries hash-check, and the cursor semantics are pytest-proven by the page-tiling test (rotated out for text_pmi)
         "dedup_components_dist": dedup.dedup_components_distributed,  # driver-verified r3, code unchanged; in-window sibling dedup_keep_best CALLS this exact function as its first stage and its oracle re-derives the full components chain — a strict superset of this entry's check (rotated out for dedup_keep_best)
+        "cur_repetition_stats": curation.repetition_stats,  # driver-verified r3, code unchanged; in-window sibling text_top_bigrams hash-checks the same dictionary-encode + adjacent-code bigram-counting kernel, and cur_dup_ngram_chars hash-checks the per-doc analyzer-gram counting surface; the top-run lexsort kernel keeps its pytest (rotated out for cur_gopher_rules)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3231,6 +3301,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_sample_per_source": _reservoir_sql(),
         "cur_pii_redact": _pii_sql(),
         "cur_repetition_stats": _REPETITION_SQL,
+        "cur_gopher_rules": _gopher_sql(),
         "cur_scrub_ngrams": _SCRUB_SQL,
         "cur_dup_ngram_chars": _DUP_NGRAM_SQL,
         "cur_lm_perplexity": _lm_ppl_sql(),

@@ -1549,3 +1549,166 @@ def dsir_select(
         "logw_q": pa.array(lw[order], type=pa.int64()),
         "key_q": pa.array(key[order], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", Appendix A1.1) — the composite document-quality filter every
+# large-scale curation pipeline runs before tokenization. Reference scope
+# analog: the quality gate of the curation pass (beyond-reference operator
+# family; sibling of textstats.quality_score).
+# ---------------------------------------------------------------------------
+
+#: Gopher's own required-stopword list (the paper's 8 words). The default
+#: for the rule below is the engine's shared analyzer stoplist instead
+#: (analyze.STOPWORDS — the Lucene list every scoring path uses) because a
+#: corpus-specific stoplist is exactly the kind of knob a curation run
+#: tunes; pass this tuple to reproduce the paper's configuration.
+GOPHER_PAPER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_PCT = 10       # symbol-to-word ratio <= 0.1
+GOPHER_MIN_ALPHA_PCT = 80        # >= 80% of words contain an alphabetic char
+GOPHER_MIN_STOP_HITS = 2         # >= 2 distinct required stopwords
+GOPHER_MAX_BULLET_PCT = 90       # <= 90% of lines start with a bullet
+GOPHER_MAX_ELLIPSIS_PCT = 30     # <= 30% of lines end with an ellipsis
+
+
+def _flat_words(t: pa.Table) -> tuple[int, np.ndarray, pa.Array]:
+    """Batch -> (n_docs, doc_idx per word, flat whitespace-split words).
+
+    Words are raw ``\\S+`` runs (NOT lowercased, NOT the analyzer token
+    stream) because Gopher's symbol/alpha rules inspect raw words; one
+    Arrow regex split over the whole column, empties dropped.
+    """
+    n = t.num_rows
+    lists = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy()
+    offsets = offsets - offsets[0]
+    flat = lists.flatten()
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return n, doc_idx[keep], flat.filter(pa.array(keep))
+
+
+def gopher_rules(
+    sf_dir: str,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mwl: int = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mwl: int = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_pct: int = GOPHER_MAX_SYMBOL_PCT,
+    min_alpha_pct: int = GOPHER_MIN_ALPHA_PCT,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
+    max_bullet_pct: int = GOPHER_MAX_BULLET_PCT,
+    max_ellipsis_pct: int = GOPHER_MAX_ELLIPSIS_PCT,
+    stopwords: "tuple[str, ...] | None" = None,
+):
+    """Per-doc Gopher quality signals + the composite pass/fail verdict.
+
+    Every rule is evaluated in EXACT INTEGER arithmetic (ratio bounds as
+    cross-multiplications, the reported mean word length as a floor-division
+    micro-unit), so the DuckDB oracle replays the verdict with zero float
+    risk. Scale shape: ONE shuffle-free ``map_batches`` scan — per-document
+    rules are embarrassingly parallel, the ideal 100-TB operator — and every
+    signal inside the batch is one Arrow kernel + one ``np.add.at`` /
+    ``bincount`` over the flat word/line/token streams (no per-doc Python).
+
+    Rules (Rae et al. 2021 A1.1): word count in [min_words, max_words];
+    mean word length in [min_mwl, max_mwl]; symbol-to-word ratio
+    (``#`` / ``...`` words) <= max_symbol_pct%; >= min_alpha_pct% of words
+    contain an alphabetic character; >= min_stop_hits distinct required
+    stopwords appear as analyzer tokens; <= max_bullet_pct% of lines start
+    with a bullet; <= max_ellipsis_pct% of lines end with an ellipsis.
+
+    Returns (doc_id, n_words, mean_word_len_micro, alpha_words,
+    symbol_words, stop_hits, n_lines, bullet_lines, ellipsis_lines, passes).
+    """
+    from .analyze import STOPWORDS
+    from .textstats import _flat_tokens
+
+    stop = tuple(sorted(STOPWORDS)) if stopwords is None else stopwords
+
+    def rules(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # --- word rules (raw \S+ words) ---
+        _, widx, words = _flat_words(t)
+        n_words = np.bincount(widx, minlength=n).astype(np.int64)
+        tot_chars = np.zeros(n, dtype=np.int64)
+        np.add.at(
+            tot_chars, widx,
+            pc.utf8_length(words).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        )
+        alpha = pc.match_substring_regex(words, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        )
+        alpha_words = np.bincount(widx[alpha], minlength=n).astype(np.int64)
+        symbol = pc.match_substring_regex(words, r"#|\.\.\.").to_numpy(
+            zero_copy_only=False
+        )
+        symbol_words = np.bincount(widx[symbol], minlength=n).astype(np.int64)
+        # --- line rules (split on \n, empties KEPT — they are lines) ---
+        lines = pc.split_pattern(t.column("text"), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        loff = lines.offsets.to_numpy()
+        loff = loff - loff[0]
+        lflat = lines.flatten()
+        lidx = np.repeat(np.arange(n, dtype=np.int64), np.diff(loff))
+        n_lines = np.diff(loff).astype(np.int64)
+        bullet = pc.match_substring_regex(lflat, "^[-*•]").to_numpy(
+            zero_copy_only=False
+        )
+        bullet_lines = np.bincount(lidx[bullet], minlength=n).astype(np.int64)
+        ell = pc.match_substring_regex(
+            lflat, r"(\.\.\.|…)$"
+        ).to_numpy(zero_copy_only=False)
+        ellipsis_lines = np.bincount(lidx[ell], minlength=n).astype(np.int64)
+        # --- stopword rule (analyzer tokens; distinct required-stop hits) ---
+        _, tidx, toks = _flat_tokens(t)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        for w in stop:  # model-sized loop (|stoplist|), each pass vectorized
+            eq = pc.equal(toks, w).to_numpy(zero_copy_only=False)
+            if eq.any():
+                stop_hits += (
+                    np.bincount(tidx[eq], minlength=n) > 0
+                ).astype(np.int64)
+        # --- composite verdict: all-integer cross-multiplied bounds ---
+        ok = (n_words >= min_words) & (n_words <= max_words)
+        ok &= (min_mwl * n_words <= tot_chars) & (
+            tot_chars <= max_mwl * n_words
+        )
+        ok &= 100 * symbol_words <= max_symbol_pct * n_words
+        ok &= 100 * alpha_words >= min_alpha_pct * n_words
+        ok &= stop_hits >= min_stop_hits
+        ok &= 100 * bullet_lines <= max_bullet_pct * n_lines
+        ok &= 100 * ellipsis_lines <= max_ellipsis_pct * n_lines
+        mwl_micro = np.where(
+            n_words > 0, tot_chars * 1_000_000 // np.maximum(n_words, 1), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "mean_word_len_micro": pa.array(mwl_micro, type=pa.int64()),
+                "alpha_words": pa.array(alpha_words, type=pa.int64()),
+                "symbol_words": pa.array(symbol_words, type=pa.int64()),
+                "stop_hits": pa.array(stop_hits, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "bullet_lines": pa.array(bullet_lines, type=pa.int64()),
+                "ellipsis_lines": pa.array(ellipsis_lines, type=pa.int64()),
+                "passes": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rules, batch_format="pyarrow"
+    )

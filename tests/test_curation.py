@@ -766,3 +766,126 @@ def test_dsir_select_is_gumbel_topk_over_weights():
     raw_order = np.lexsort((w["doc_id"].to_numpy(),
                             -w["logw_q"].to_numpy()))[:100]
     assert set(got["doc_id"]) != set(w["doc_id"].to_numpy()[raw_order])
+
+
+def _gopher_scalar(text, stoplist):
+    """Plain-Python per-doc recount of every Gopher signal + verdict."""
+    import re
+
+    words = [w for w in re.split(r"\s+", text) if w]
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    lines = text.split("\n")
+    n_words = len(words)
+    tot = sum(len(w) for w in words)
+    alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+    sym = sum(1 for w in words if "#" in w or "..." in w)
+    stop_hits = len({t for t in toks if t in stoplist})
+    bullets = sum(1 for ln in lines if re.match("^[-*•]", ln))
+    ells = sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln))
+    ok = (
+        50 <= n_words <= 100_000
+        and 3 * n_words <= tot <= 10 * n_words
+        and 100 * sym <= 10 * n_words
+        and 100 * alpha >= 80 * n_words
+        and stop_hits >= 2
+        and 100 * bullets <= 90 * len(lines)
+        and 100 * ells <= 30 * len(lines)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len_micro": tot * 1_000_000 // n_words if n_words else 0,
+        "alpha_words": alpha,
+        "symbol_words": sym,
+        "stop_hits": stop_hits,
+        "n_lines": len(lines),
+        "bullet_lines": bullets,
+        "ellipsis_lines": ells,
+        "passes": ok,
+    }
+
+
+def test_gopher_rules_planted_corpus_and_oracle(tmp_path):
+    """Every rule has a planted victim; engine == scalar recount == the
+    DuckDB oracle SQL (the sf corpora never exercise the bullet / ellipsis
+    / symbol branches, so the planted corpus is where those rules get their
+    hash-level check)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from searchengine_ray.analyze import STOPWORDS
+    from searchengine_ray.curation import gopher_rules
+
+    texts = [
+        "",                                        # zero words -> fail wc
+        "the and " + " ".join(["word"] * 58),      # PASS
+        "the and word",                            # fail min_words
+        "\n".join(["- the and word word word"] * 10),   # fail bullet only
+        "\n".join(
+            ["the and word word word word..."] * 4
+            + ["the and word word word word"] * 6
+        ),                                         # fail ellipsis only
+        "the and " + " ".join(["#tag"] * 8 + ["word"] * 50),  # fail symbol
+        " ".join(["word"] * 60),                   # fail stopword rule
+        "the and " + " ".join(["verylongword"] * 58),         # fail max mwl
+        "the and " + " ".join(["123"] * 20 + ["word"] * 38),  # fail alpha
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    eng = (
+        gopher_rules(str(d)).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # scalar recount
+    for i, text in enumerate(texts):
+        want = _gopher_scalar(text, STOPWORDS)
+        got = eng.iloc[i]
+        for k, v in want.items():
+            assert got[k] == v, (i, k, got[k], v)
+    assert list(eng["passes"]) == [
+        False, True, False, False, False, False, False, False, False,
+    ]
+    # oracle parity on the same planted corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    ora = con.execute(E._gopher_sql()).df().sort_values("doc_id").reset_index(
+        drop=True
+    )
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(eng[cols], ora[cols], check_dtype=False)
+
+
+def test_gopher_rules_sf_corpus_discriminates():
+    """At sf0.001 the composite verdict must actually split the corpus (no
+    vacuous all-pass / all-fail gate) and the verdict column must equal the
+    re-derived conjunction of the reported integer signals."""
+    from searchengine_ray.curation import gopher_rules
+
+    df = gopher_rules(SF).to_pandas()
+    assert len(df) == 500
+    n_pass = int(df["passes"].sum())
+    assert 0 < n_pass < 500
+    # re-derive the conjunction from the emitted integer signals
+    # (tot_chars isn't emitted, so the mwl bounds — cross-multiplied on
+    # the raw sum, not the floored micro value — are left to the planted
+    # corpus test above; here the implication must hold for the rest)
+    re_ok = (
+        (df["n_words"] >= 50) & (df["n_words"] <= 100_000)
+        & (100 * df["symbol_words"] <= 10 * df["n_words"])
+        & (100 * df["alpha_words"] >= 80 * df["n_words"])
+        & (df["stop_hits"] >= 2)
+        & (100 * df["bullet_lines"] <= 90 * df["n_lines"])
+        & (100 * df["ellipsis_lines"] <= 30 * df["n_lines"])
+    )
+    # every doc failing a re-derivable rule must fail overall; every doc
+    # passing overall must pass all re-derivable rules
+    assert not (df["passes"] & ~re_ok).any()
