@@ -1892,6 +1892,48 @@ SELECT doc_id,
 FROM documents
 """
 
+def _funnel_sql() -> str:
+    """Greedy first-touch funnel (windows.funnel_counts): step-i completion
+    time = min event ts strictly after the step-(i-1) time and within the
+    horizon of the user's FIRST step-0 event; all comparisons in integer
+    epoch microseconds, exactly the engine's arithmetic."""
+    from searchengine_ray import windows as _w
+
+    steps, h = _w.FUNNEL_STEPS, _w.FUNNEL_HORIZON_US
+    ctes = [
+        f"s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events"
+        f" WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t{i + 1}"
+            f" FROM events e JOIN s{i} p ON e.user_id = p.user_id"
+            f" JOIN s1 b ON e.user_id = b.user_id"
+            f" WHERE e.event_type = '{steps[i]}'"
+            f" AND epoch_us(e.ts) > p.t{i}"
+            f" AND epoch_us(e.ts) <= b.t1 + {h}"
+            f" GROUP BY e.user_id)"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY step"
+
+
+_RETENTION_SQL = f"""
+WITH ud AS (SELECT user_id, epoch_us(ts) // {86_400_000_000} AS day
+            FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+a AS (SELECT DISTINCT ud.user_id, c.cohort_day,
+             ud.day - c.cohort_day AS offset_days
+      FROM ud JOIN c ON ud.user_id = c.user_id)
+SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS users
+FROM a GROUP BY cohort_day, offset_days
+"""
+
+
 _TUMBLING_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
   count(*) AS n_events,
@@ -2913,9 +2955,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 106 SQL-backed entries (full rows+schema+hash check
+    # The registry has 108 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 56 must sit beyond the window no matter the order. The
+    # 58 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2932,7 +2974,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # out (driver-verified r3; se_rescore covers the two-leg fused-rank
     # family and ann_* cover the cosine leg), cur_gopher_rules in /
     # cur_repetition_stats out (driver-verified r3; text_top_bigrams +
-    # cur_dup_ngram_chars hash-check its counting kernels in-window).
+    # cur_dup_ngram_chars hash-check its counting kernels in-window),
+    # events_funnel + events_retention in / dedup_semantic +
+    # rel_top_orders_per_cust out (both driver-verified r3 with in-window
+    # stage siblings — see their parked-entry comments below).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3029,10 +3074,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle (see _emb_lsh_sql); exact sibling dedup_embedding is
         # parked below (twice driver-verified, same cosine kernel)
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
-        # SemDeDup (arXiv:2303.09540): centroids inlined as oracle
-        # literals, greedy as a recursive CTE (see _semdedup_sql); also
-        # pytest-checked (independent-set/coverage + exact reference)
-        "dedup_semantic": dedup.semantic_dedup,
+        # ordered-step conversion funnel (new in r4): pruned read, ONE
+        # user-hash shuffle, L vectorized minimum.at passes per bucket,
+        # L-integer driver fold; greedy first-touch semantics in SQL
+        "events_funnel": windows.funnel_counts,
+        # cohort retention triangle (new in r4): per-bucket distinct
+        # (user, day-offset) via one lexsort, cells-only final shuffle
+        "events_retention": windows.retention_cohorts,
         # window rescoring (new late r4, ES rescore API analog): top-50
         # BM25 window combined with 2x a derived-list BM25, both legs +
         # window cut + combine + rank replayed in SQL
@@ -3075,7 +3123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_cms_counts": sketch.cms_term_counts,
         # relational building blocks
         "rel_shipping_priority": relational.shipping_priority,
-        "rel_top_orders_per_cust": relational.top_orders_per_customer,
         # training-data curation
         "cur_sample_stratified": curation.sample_stratified,
         "cur_cap_per_source": curation.cap_per_source,
@@ -3123,6 +3170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_search_after": gate.se_search_after,  # driver-verified r3, code unchanged; the oracle is a row_number slice of the SAME full-ranking SQL shape the in-window se_bm25_incremental/deleted/tiered entries hash-check, and the cursor semantics are pytest-proven by the page-tiling test (rotated out for text_pmi)
         "dedup_components_dist": dedup.dedup_components_distributed,  # driver-verified r3, code unchanged; in-window sibling dedup_keep_best CALLS this exact function as its first stage and its oracle re-derives the full components chain — a strict superset of this entry's check (rotated out for dedup_keep_best)
         "cur_repetition_stats": curation.repetition_stats,  # driver-verified r3, code unchanged; in-window sibling text_top_bigrams hash-checks the same dictionary-encode + adjacent-code bigram-counting kernel, and cur_dup_ngram_chars hash-checks the per-doc analyzer-gram counting surface; the top-run lexsort kernel keeps its pytest (rotated out for cur_gopher_rules)
+        "dedup_semantic": dedup.semantic_dedup,  # driver-verified r3, code unchanged; in-window siblings cover each stage: ann_pq's oracle re-derives the centroid-assignment (subvector argmin) surface with inlined literals, ann_mmr's recursive-CTE oracle covers the greedy-with-kept-state replay, and dedup_embedding_lsh hash-checks the cosine/banding dedup machinery; the independent-set/coverage pytests remain (rotated out for events_funnel)
+        "rel_top_orders_per_cust": relational.top_orders_per_customer,  # driver-verified r3, code unchanged; in-window sibling cur_cap_per_source runs the IDENTICAL hash-partition + in-partition vectorized rank machinery (the shared bounded-dispatch pattern), and events_funnel/events_retention hash-check the same user-hash map_groups shape (rotated out for events_retention)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3282,6 +3331,8 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": _WINNOW_SQL,
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "events_tumbling": _TUMBLING_SQL,
+        "events_funnel": _funnel_sql(),
+        "events_retention": _RETENTION_SQL,
         "events_hopping": _HOPPING_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "events_asof_join": _ASOF_SQL,

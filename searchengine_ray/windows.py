@@ -393,3 +393,183 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
         .groupby("ku")
         .map_groups(join_partition, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis + cohort retention — the two canonical product-analytics
+# aggregations over an event log (beyond-reference operator family; the
+# event-stream siblings of tumbling/hopping/sessionize).
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS: tuple[str, ...] = ("view", "click", "purchase")
+FUNNEL_HORIZON_US: int = 24 * 3600 * 1_000_000  # 24 h conversion window
+_DAY_US = 86_400_000_000
+
+
+def funnel_counts(
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    horizon_us: int = FUNNEL_HORIZON_US,
+):
+    """Ordered-step conversion funnel with first-touch attribution: a user
+    completes step i when an event of type steps[i] exists STRICTLY after
+    their step-(i-1) completion time and within ``horizon_us`` of their
+    FIRST step-0 event (greedy earliest-completion semantics — the
+    first-touch rule product-analytics engines use, deterministic and
+    SQL-replayable, unlike optimal-matching variants). Returns one row per
+    step: (step, step_name, users), users non-increasing by construction.
+
+    Scale shape: the read is pruned to the step event types at the parquet
+    scan; users hash-partition into input-scaled buckets (ONE shuffle) and
+    every user in a bucket advances through all L steps in L vectorized
+    ``np.minimum.at`` passes — per-partition state is |users in bucket| × L
+    int64s, the driver fold is L integers. All comparisons are integer
+    microseconds, so the DuckDB oracle matches bit-for-bit.
+    """
+    import ray.data
+
+    from .partitioning import partition_count
+
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(
+        path,
+        columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(list(steps)),
+    )
+    nparts = partition_count(path, ("user_id", "ts", "event_type"))
+    n_steps = len(steps)
+    INF = np.iinfo(np.int64).max
+
+    def add_ku(t: pa.Table) -> pa.Table:
+        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
+        return t.append_column("ku", pa.array(ku))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        counts = np.zeros(n_steps, dtype=np.int64)
+        if t.num_rows:
+            u = t.column("user_id").to_numpy()
+            ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(
+                np.int64
+            )
+            et = t.column("event_type")
+            uniq, uinv = np.unique(u, return_inverse=True)
+            t_prev = np.empty(0, np.int64)
+            cap = np.empty(0, np.int64)
+            for i, s in enumerate(steps):
+                mask = pc.equal(et, s).to_numpy(zero_copy_only=False)
+                if i > 0:
+                    mask &= (ts > t_prev[uinv]) & (ts <= cap[uinv])
+                ti = np.full(len(uniq), INF, np.int64)
+                np.minimum.at(ti, uinv[mask], ts[mask])
+                counts[i] = int((ti < INF).sum())
+                if i == 0:
+                    # conversion window anchors at the FIRST step-0 event;
+                    # explicit sentinel keeps INF + horizon from wrapping
+                    cap = ti.copy()
+                    done = cap < INF
+                    cap[done] += horizon_us
+                    cap[~done] = np.iinfo(np.int64).min
+                t_prev = ti
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, n_steps + 1, dtype=np.int64)
+                ),
+                "users": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    total = np.zeros(n_steps, dtype=np.int64)
+    parts = (
+        ds.map_batches(add_ku, batch_format="pyarrow")
+        .groupby("ku")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    # driver fold over L-row partials — bounded state (L integers)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        st = b.column("step").to_numpy()
+        # a batch may concatenate several partitions' partials — np.add.at
+        # accumulates repeated step indices where fancy += would drop them
+        np.add.at(total, st - 1, b.column("users").to_numpy())
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, n_steps + 1, dtype=np.int64)),
+            "step_name": pa.array(list(steps)),
+            "users": pa.array(total, type=pa.int64()),
+        }
+    )
+
+
+def retention_cohorts(sf_dir: str):
+    """Classic cohort-retention triangle: cohort = the UTC day of a user's
+    first event; a (cohort_day, offset_days) cell counts the cohort's users
+    active offset_days after their first day. Returns
+    (cohort_day, offset_days, users) with day numbers as integer
+    days-since-epoch (floor of epoch microseconds / 86_400_000_000 — kept
+    integer so the oracle comparison carries no date-type risk).
+
+    Scale shape: users hash-partition into input-scaled buckets (ONE wide
+    shuffle); each bucket computes per-user first days and deduplicates
+    (user, day) pairs with one lexsort — a user lives in exactly one
+    bucket, so per-bucket distinct IS global distinct — and pre-aggregates
+    to (cohort_day, offset_days, partial count). The final groupby-Sum
+    shuffles only cohort×offset cells (days², not events)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .partitioning import partition_count
+
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["user_id", "ts"])
+    nparts = partition_count(path, ("user_id", "ts"))
+
+    def add_ku(t: pa.Table) -> pa.Table:
+        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
+        return t.append_column("ku", pa.array(ku))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "offset_days": pa.array([], pa.int64()),
+                "users_partial": pa.array([], pa.int64()),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        u = t.column("user_id").to_numpy()
+        day = (
+            t.column("ts").to_numpy().astype("datetime64[us]")
+            .astype(np.int64) // _DAY_US
+        )
+        uniq, uinv = np.unique(u, return_inverse=True)
+        cohort = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, uinv, day)
+        offset = day - cohort[uinv]
+        # distinct (user, offset) via one lexsort + boundary marker
+        order = np.lexsort((offset, uinv))
+        uu, oo = uinv[order], offset[order]
+        first = np.empty(len(uu), dtype=bool)
+        first[0] = True
+        first[1:] = (uu[1:] != uu[:-1]) | (oo[1:] != oo[:-1])
+        cd, od = cohort[uu[first]], oo[first]
+        # pre-aggregate the bucket's cells before the tiny global shuffle
+        key = cd * (1 << 20) + od  # offsets < 2^20 days ≈ 2.8k years
+        cells, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(cells >> 20, type=pa.int64()),
+                "offset_days": pa.array(
+                    cells & ((1 << 20) - 1), type=pa.int64()
+                ),
+                "users_partial": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_ku, batch_format="pyarrow")
+        .groupby("ku")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("users_partial", alias_name="users"))
+    )

@@ -600,3 +600,107 @@ def test_pmi_collocations_scalar_recount(ray_session):
     for g, w in zip(got["pmi_r"], rows):
         assert abs(g - w[2]) < 5e-7
     assert all(got["pmi_r"] > 0)  # top collocations are positively associated
+
+
+def test_funnel_matches_scalar_greedy_and_is_monotone():
+    """Engine funnel == a per-user plain-Python greedy first-touch recount
+    over the raw events; counts non-increasing by step."""
+    import collections
+
+    import duckdb
+
+    from searchengine_ray.windows import (
+        FUNNEL_HORIZON_US, FUNNEL_STEPS, funnel_counts,
+    )
+
+    got = funnel_counts(SF).to_pandas().sort_values("step")
+    ev = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS us, event_type "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, us"
+    ).fetchall()
+    by_user = collections.defaultdict(list)
+    for uid, us, et in ev:
+        by_user[uid].append((us, et))
+    want = [0] * len(FUNNEL_STEPS)
+    for evs in by_user.values():
+        t_prev, cap = None, None
+        for i, step in enumerate(FUNNEL_STEPS):
+            cands = [
+                us for us, et in evs
+                if et == step
+                and (i == 0 or (us > t_prev and us <= cap))
+            ]
+            if not cands:
+                break
+            t_prev = min(cands)
+            if i == 0:
+                cap = t_prev + FUNNEL_HORIZON_US
+            want[i] += 1
+    assert list(got["users"]) == want
+    assert list(got["step_name"]) == list(FUNNEL_STEPS)
+    u = got["users"].to_numpy()
+    assert (u[1:] <= u[:-1]).all()
+
+
+def test_funnel_horizon_and_strict_order(tmp_path):
+    """Planted log: a click at the exact view timestamp does NOT count
+    (strict >), a purchase outside the horizon of the FIRST view does NOT
+    count, and a complete in-window chain counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.windows import funnel_counts
+
+    H = 3_600_000_000  # 1 h horizon for the test
+    base = 1_700_000_000_000_000  # epoch us
+    rows = [
+        # user 1: full chain inside the horizon -> completes all 3
+        (1, base, "view"), (1, base + 10, "click"), (1, base + 20, "purchase"),
+        # user 2: click at SAME us as view -> strict > excludes it
+        (2, base, "view"), (2, base, "click"),
+        # user 3: purchase after the horizon anchored at the FIRST view
+        # (the second view does NOT re-anchor the window)
+        (3, base, "view"), (3, base + H - 5, "click"),
+        (3, base + H + 100, "view"), (3, base + H + 200, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = funnel_counts(str(d), horizon_us=H).to_pandas().sort_values("step")
+    assert list(got["users"]) == [3, 2, 1]
+
+
+def test_retention_offset_zero_is_every_user_and_matches_brute():
+    """Every user is active on their cohort day (offset 0 sums to the
+    distinct-user count), and the whole triangle equals a DuckDB-computed
+    brute recount."""
+    import duckdb
+
+    from searchengine_ray.windows import retention_cohorts
+
+    got = (
+        retention_cohorts(SF).to_pandas()
+        .sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM '{SF}/events.parquet'),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+        a AS (SELECT DISTINCT ud.user_id, c.cohort_day,
+                     ud.day - c.cohort_day AS offset_days
+              FROM ud JOIN c USING (user_id))
+        SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS users
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got.equals(want)
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert got[got["offset_days"] == 0]["users"].sum() == n_users
+    assert (got["users"] > 0).all() and (got["offset_days"] >= 0).all()
