@@ -85,6 +85,31 @@ SELECT doc_id, {"" if raw else "round("}{add}{"" if raw else ", 6)"} AS {"s" if 
 """
 
 
+def _tfidf_sql(terms: list[str]) -> str:
+    """Classic TF-IDF #SUM (gate.se_tfidf / config._tfidf_leaf): per term
+    s = ln(N/df) * tf — the idf division is BIGINT/BIGINT which DuckDB
+    evaluates as DOUBLE division exactly like the engine's Python
+    ``n_docs / df``, ln is libm on both sides, and the sum accumulates in
+    query order onto a zero accumulator (the registered-model sum
+    reducer), mirrored by the left-assoc coalesce chain."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    piv = ",\n    ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    add = " + ".join(f"coalesce(s_{i}, 0)" for i in range(len(terms)))
+    return f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id, tf.term, ln(const.n / stats.df) * tf.tf AS s
+           FROM tf JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id, {piv} FROM scored GROUP BY doc_id)
+SELECT doc_id, round({add}, 6) AS score_r FROM piv
+"""
+
+
 _SE_BM25_NEAR_SQL = f"""
 WITH {_TOK},
 ntf AS (SELECT a.doc_id, count(*) AS tf
@@ -2955,9 +2980,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 108 SQL-backed entries (full rows+schema+hash check
+    # The registry has 109 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 58 must sit beyond the window no matter the order. The
+    # 59 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -2977,7 +3002,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cur_dup_ngram_chars hash-check its counting kernels in-window),
     # events_funnel + events_retention in / dedup_semantic +
     # rel_top_orders_per_cust out (both driver-verified r3 with in-window
-    # stage siblings — see their parked-entry comments below).
+    # stage siblings — see their parked-entry comments below),
+    # se_tfidf (built-in registered model) in / text_token_counts out
+    # (driver-verified r3; text_rake + cur_gopher_rules cover its
+    # tokenize/bincount kernel in-window).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3085,8 +3113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 window combined with 2x a derived-list BM25, both legs +
         # window cut + combine + rank replayed in SQL
         "se_rescore": gate.se_rescore,
+        # classic TF-IDF as a built-in REGISTERED model (new in r4): the
+        # §2.12 extension surface proven end-to-end through the sharded
+        # serving path and a driver hash gate
+        "se_tfidf": gate.se_tfidf,
         # text analysis
-        "text_token_counts": textstats.token_counts,
         # rotated back IN r4: combiner vectorized onto the lexsort kernel
         # this round — changed code gets re-verified
         "text_top_bigrams": textextras.top_bigrams,
@@ -3172,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_repetition_stats": curation.repetition_stats,  # driver-verified r3, code unchanged; in-window sibling text_top_bigrams hash-checks the same dictionary-encode + adjacent-code bigram-counting kernel, and cur_dup_ngram_chars hash-checks the per-doc analyzer-gram counting surface; the top-run lexsort kernel keeps its pytest (rotated out for cur_gopher_rules)
         "dedup_semantic": dedup.semantic_dedup,  # driver-verified r3, code unchanged; in-window siblings cover each stage: ann_pq's oracle re-derives the centroid-assignment (subvector argmin) surface with inlined literals, ann_mmr's recursive-CTE oracle covers the greedy-with-kept-state replay, and dedup_embedding_lsh hash-checks the cosine/banding dedup machinery; the independent-set/coverage pytests remain (rotated out for events_funnel)
         "rel_top_orders_per_cust": relational.top_orders_per_customer,  # driver-verified r3, code unchanged; in-window sibling cur_cap_per_source runs the IDENTICAL hash-partition + in-partition vectorized rank machinery (the shared bounded-dispatch pattern), and events_funnel/events_retention hash-check the same user-hash map_groups shape (rotated out for events_retention)
+        "text_token_counts": textstats.token_counts,  # driver-verified r3, code unchanged; in-window siblings text_rake + cur_gopher_rules hash-check the same _flat_tokens analyzer tokenize + bincount kernel and text_bpe_tokens the subword counting surface (rotated out for se_tfidf)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3288,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
         # KSTEM profile: query 'joins' -> stem 'join'; corpus vocabulary is
         # KSTEM-invariant (pytest), so the oracle scores the stem directly
         "se_bm25_term_kstem": _bm25_terms_sql(["join"]),
+        "se_tfidf": _tfidf_sql(["dup", "spark"]),
         "eval_metrics": _EVAL_METRICS_SQL,
         "se_search_after": _SEARCH_AFTER_SQL,
         "se_collapse": _COLLAPSE_SQL,

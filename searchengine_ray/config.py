@@ -88,6 +88,28 @@ def register_model(
     DEFAULT_OP[low] = default_op
 
 
+def _tfidf_leaf(tf, dl, stats, params):
+    """Classic TF-IDF leaf (the Lucene ClassicSimilarity lineage,
+    simplified: raw tf × ln(N/df), no length/query norms — the textbook
+    fifth model shipped through the registry rather than a new ladder).
+    The idf is MODEL-SIZED scalar libm ``math.log`` (the repo's bit-exact
+    float rule: DuckDB ``ln`` is libm too, numpy's SIMD log is not), then
+    one vectorized multiply over the per-doc tf array."""
+    import math
+
+    return math.log(stats.n_docs / max(1, stats.df)) * tf
+
+
+#: tfidf ships as a built-in REGISTERED model: it exists to prove the
+#: extension surface end-to-end (register -> parse -> sharded actor-pool
+#: serving -> driver hash gate se_tfidf), so it deliberately rides the
+#: generic registered-model reducers, never the built-in ladders.
+register_model(
+    "tfidf", _tfidf_leaf, default_op="#sum",
+    combine={"#sum": "sum", "#and": "min", "#or": "max"},
+)
+
+
 @dataclass
 class BuildConfig:
     """Index-build knobs; all partitioning decisions are explicit here."""

@@ -77,6 +77,16 @@ def se_bm25_near(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#near/1( hash join )")
 
 
+def se_tfidf(sf_dir: str):
+    """Classic TF-IDF via the REGISTERED-model path (config.register_model
+    built-in 'tfidf'): the extension surface the reference documents as
+    'subclass RetrievalModel' (`ReadMe.txt:52-63`), here proven end-to-end
+    — registry leaf -> parser default-op wrap -> sharded actor-pool serving
+    with global derived stats -> driver hash gate. Flat two-term query;
+    unlike BM25 neither term's idf clamps (ln(N/df) >= 0 always)."""
+    return _score_table(sf_dir, "tfidf", "dup spark")
+
+
 def se_near_tf(sf_dir: str):
     """#near/1 adjacency tf (RankedBoolean score = tf of the derived list)."""
     return _score_table(sf_dir, "rankedboolean", "#near/1( hash join )", as_int=True)

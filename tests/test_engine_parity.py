@@ -325,11 +325,11 @@ def test_model_registry_extension(built_index):
         return math.log(stats.n_docs / max(1, stats.df)) * tf
 
     register_model(
-        "tfidf", tfidf_leaf, default_op="#sum",
+        "mytfidf", tfidf_leaf, default_op="#sum",
         combine={"#sum": "sum", "#and": "min"},
     )
     try:
-        eng = SearchEngine(built_index, ModelParams(model="tfidf", top_k=5))
+        eng = SearchEngine(built_index, ModelParams(model="mytfidf", top_k=5))
         t = eng.search("q", "mutex lock").to_pandas()
         assert len(t) == 5
         # hand-check the top doc's score
@@ -355,8 +355,39 @@ def test_model_registry_extension(built_index):
         with pytest.raises(ValueError):
             eng.search("q", "#or( mutex lock )")
     finally:
-        MODEL_REGISTRY.pop("tfidf", None)
-        DEFAULT_OP.pop("tfidf", None)
+        MODEL_REGISTRY.pop("mytfidf", None)
+        DEFAULT_OP.pop("mytfidf", None)
+
+
+def test_builtin_tfidf_model(built_index):
+    """'tfidf' ships as a built-in REGISTERED model (config.register_model
+    at import time) — the §2.12 extension surface as a first-class fifth
+    model: leaf == ln(N/df)*tf with scalar libm idf, no idf clamp, generic
+    reducers for structured ops, clean raise for unmapped ops."""
+    import math
+
+    eng = SearchEngine(built_index, ModelParams(model="tfidf", top_k=10))
+    t = eng.search("q", "mutex lock").to_pandas()
+    idx = eng.index
+    for _, row in t.head(3).iterrows():
+        d, s = int(row["doc_id"]), 0.0
+        for term in ("mutex", "lock"):
+            p = idx.postings("body", term, need_positions=False)
+            pos = int(np.searchsorted(p.doc_ids, d))
+            tf = float(p.tfs[pos]) if pos < p.df and p.doc_ids[pos] == d else 0.0
+            if tf:
+                s += math.log(idx.num_docs / p.df) * tf
+        assert row["score"] == pytest.approx(s, rel=1e-12)
+    # no idf clamp: the df > N/2 term BM25 zeroes must still score > 0
+    t2 = eng.search("q", "check").to_pandas()
+    assert len(t2) and (t2["score"] > 0).all()
+    # structured ops ride the generic registered-model reducers
+    ta = eng.search("q", "#and( mutex lock )").to_pandas()
+    to = eng.search("q", "#or( mutex lock )").to_pandas()
+    assert len(ta) and len(to) >= len(ta)
+    # an op absent from tfidf's combine map raises cleanly
+    with pytest.raises(ValueError):
+        eng.search("q", "#wand( mutex lock )")
 
 
 def test_andnot_is_setminus_scored_by_positive(built_index):
