@@ -3042,9 +3042,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 110 SQL-backed entries (full rows+schema+hash check
+    # The registry has 111 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 60 must sit beyond the window no matter the order. The
+    # 61 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3069,7 +3069,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (driver-verified r3; text_rake + cur_gopher_rules cover its
     # tokenize/bincount kernel in-window), text_textrank in /
     # se_andnot_tf out (driver-verified r3; se_percolate hash-checks
-    # #ANDNOT among its stored-query families).
+    # #ANDNOT among its stored-query families), se_filreq (Indri filter
+    # operators) in / se_bm25_term_kstem out (driver-verified r3; the
+    # incremental/deleted/merged/tiered entries hash-check the identical
+    # BM25 SQL shape, KSTEM rules keep their pytest suite).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3127,7 +3130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_phrase_suggest": gate.se_phrase_suggest,
         # prefix completion (Lucene suggest module analog, new in r4)
         "se_complete": gate.se_complete,
-        "se_bm25_term_kstem": gate.se_bm25_term_kstem,
+        # Indri filter operators (new in r4): #filreq/#filrej — filter
+        # legs gate membership but never touch scores (ES filter context)
+        "se_filreq": gate.se_filreq,
         # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
         # weighted per-field tfs combined BEFORE one saturation, union-df
         # idf — the semantics score-level #WSUM cannot express
@@ -3272,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders_per_cust": relational.top_orders_per_customer,  # driver-verified r3, code unchanged; in-window sibling cur_cap_per_source runs the IDENTICAL hash-partition + in-partition vectorized rank machinery (the shared bounded-dispatch pattern), and events_funnel/events_retention hash-check the same user-hash map_groups shape (rotated out for events_retention)
         "text_token_counts": textstats.token_counts,  # driver-verified r3, code unchanged; in-window siblings text_rake + cur_gopher_rules hash-check the same _flat_tokens analyzer tokenize + bincount kernel and text_bpe_tokens the subword counting surface (rotated out for se_tfidf)
         "se_andnot_tf": gate.se_andnot_tf,  # driver-verified r3, code unchanged; in-window sibling se_percolate hash-checks #ANDNOT evaluation semantics among its stored-query families, and the set-minus-scored-by-positive property keeps its all-four-models pytest (rotated out for text_textrank)
+        "se_bm25_term_kstem": gate.se_bm25_term_kstem,  # driver-verified r3, code unchanged; the in-window se_bm25_incremental/deleted/merged/tiered entries hash-check the identical BM25 term-scoring SQL shape, and the KSTEM profile's stemming rules keep their dedicated pytest suite (test_stemmer) (rotated out for se_filreq)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3390,6 +3396,15 @@ def oracle_sql() -> dict[str, str]:
         # KSTEM-invariant (pytest), so the oracle scores the stem directly
         "se_bm25_term_kstem": _bm25_terms_sql(["join"]),
         "se_tfidf": _tfidf_sql(["dup", "spark"]),
+        # filter-require: full-corpus stats + final-row membership pred —
+        # precisely the stale_stats live-pred shape (filter context never
+        # touches scoring)
+        "se_filreq": _bm25_terms_sql(
+            ["dup", "spark"],
+            live_pred="doc_id IN (SELECT DISTINCT doc_id FROM tok"
+                      " WHERE term = 'merge')",
+            stale_stats=True,
+        ),
         "eval_metrics": _EVAL_METRICS_SQL,
         "se_search_after": _SEARCH_AFTER_SQL,
         "se_collapse": _COLLAPSE_SQL,

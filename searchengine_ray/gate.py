@@ -77,6 +77,17 @@ def se_bm25_near(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#near/1( hash join )")
 
 
+def se_filreq(sf_dir: str):
+    """Indri #filreq (filter-require; the ES bool-filter-context analog):
+    BM25 'dup spark' restricted to documents matching 'merge'. The filter
+    leg never touches scores or corpus statistics, so the oracle is the
+    plain BM25 SQL with a FINAL-row membership predicate only — exactly
+    the stale-stats live-pred machinery the deletion gates proved."""
+    return _score_table(
+        sf_dir, "bm25", "#filreq( merge #sum( dup spark ) )"
+    )
+
+
 def se_tfidf(sf_dir: str):
     """Classic TF-IDF via the REGISTERED-model path (config.register_model
     built-in 'tfidf'): the extension surface the reference documents as

@@ -521,6 +521,27 @@ class Evaluator:
         model = self.model
         if name == "#score":
             return self._score_leaf(node)
+        if name in ("#filreq", "#filrej"):
+            # Indri filter operators (#filreq/#filrej, the Indri query
+            # language's filter-require/filter-reject; no reference
+            # counterpart — QryEval has no filters): args = (filter,
+            # query), match = query docs that do (#filreq) / do not
+            # (#filrej) match the filter, scores UNTOUCHED from the query
+            # leg — the Elasticsearch bool-filter-context semantics (the
+            # filter never contributes to the score). The query leg must
+            # itself match (Indri's smoothed-belief scoring of
+            # query-non-matching filter docs is deliberately not
+            # reproduced — documented divergence). Shard-safe: the
+            # filter test is doc-local, no cross-shard state.
+            if len(node.args) != 2:
+                raise ValueError(f"{name} takes exactly (filter, query)")
+            fd, _ = self.sop(node.args[0])
+            docs, scores = self.sop(node.args[1])
+            if len(docs):
+                m = np.isin(docs, fd)
+                keep = m if name == "#filreq" else ~m
+                docs, scores = docs[keep], scores[keep]
+            return docs, scores
         if name == "#andnot":
             # Lucene BooleanQuery MUST/MUST_NOT analog (no reference
             # counterpart — QryEval has no negation): docs of the first

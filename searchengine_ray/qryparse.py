@@ -32,7 +32,8 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # a case to QryParser.createOperator" (`QryParser.java:22-30, 99-130`,
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
-SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot"}
+SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
+             "#filreq", "#filrej"}
 IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard", "#regexp"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
@@ -290,6 +291,26 @@ def parse_string(query: str, analyze) -> Op:
 def optimize(node):
     """Delete empty operators, collapse single-arg non-SCORE operators."""
     if isinstance(node, Term):
+        return node
+    if node.name in ("#filreq", "#filrej"):
+        # Indri filter operators, positional: args[0] is the FILTER leg,
+        # args[1] the scored query (Indri's argument order). An empty
+        # filter requires nothing (#filreq matches nothing) / rejects
+        # nothing (#filrej IS its query); an empty query matches nothing.
+        # NOTE: a BARE stopword filter leg is dropped by the ANALYZER at
+        # parse time, before this node sees it — positional identity
+        # can't survive term analysis, so that case raises the arity
+        # error below; a STRUCTURED empty filter (e.g. #syn( the ))
+        # keeps its node through parsing and gets the semantics above.
+        if len(node.args) != 2:
+            raise ValueError(f"{node.name} takes exactly (filter, query)")
+        f = optimize(node.args[0])
+        q = optimize(node.args[1])
+        if q is None:
+            return None
+        if f is None:
+            return q if node.name == "#filrej" else None
+        node.args = [f, q]
         return node
     if node.name == "#andnot":
         # positional semantics: args[0] is the MUST leg, the rest are

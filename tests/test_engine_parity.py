@@ -420,3 +420,54 @@ def test_andnot_is_setminus_scored_by_positive(built_index):
         )
         assert have == want, model
         assert len(have) < pos.num_rows  # the filter actually removed docs
+
+
+def test_filreq_filrej_filter_context(built_index):
+    """Indri #filreq/#filrej (ES bool-filter-context semantics): the
+    filter leg gates membership, never scores — checked under all five
+    models against the plain query-leg search; filreq and filrej
+    partition the query's matches; arity and empty-filter semantics."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+
+    for model in (
+        "bm25", "rankedboolean", "unrankedboolean", "indri", "tfidf"
+    ):
+        eng = SearchEngine(
+            built_index, ModelParams(model=model, top_k=1 << 30)
+        )
+        q = eng.search("q", "mutex")
+        f = eng.search("q", "thread")
+        req = eng.search("q", "#filreq( thread mutex )")
+        rej = eng.search("q", "#filrej( thread mutex )")
+        f_ids = set(f.column("doc_id").to_pylist())
+        scores = dict(
+            zip(q.column("doc_id").to_pylist(), q.column("score").to_pylist())
+        )
+        want_req = {d: s for d, s in scores.items() if d in f_ids}
+        want_rej = {d: s for d, s in scores.items() if d not in f_ids}
+        have_req = dict(zip(req.column("doc_id").to_pylist(),
+                            req.column("score").to_pylist()))
+        have_rej = dict(zip(rej.column("doc_id").to_pylist(),
+                            rej.column("score").to_pylist()))
+        assert have_req == want_req, model
+        assert have_rej == want_rej, model
+        # the two filters partition the query's matches, both non-trivially
+        assert set(have_req) | set(have_rej) == set(scores)
+        assert not (set(have_req) & set(have_rej))
+        assert have_req and have_rej, model
+
+    eng = SearchEngine(built_index, ModelParams(model="bm25", top_k=10))
+    # arity: a filter op needs exactly (filter, query)
+    with pytest.raises(ValueError):
+        eng.search("q", "#filreq( mutex )")
+    # a BARE stopword filter leg vanishes at analysis, so positional
+    # identity is lost -> arity error (documented in optimize())
+    with pytest.raises(ValueError):
+        eng.search("q", "#filrej( the mutex )")
+    # a STRUCTURED empty filter keeps its node: #filrej rejects nothing
+    # -> the node IS its query; #filreq requires nothing -> matches none
+    base = eng.search("q", "mutex").to_pandas()
+    kept = eng.search("q", "#filrej( #syn( the ) mutex )").to_pandas()
+    assert kept.equals(base)
+    assert eng.search("q", "#filreq( #syn( the ) mutex )").num_rows == 0
