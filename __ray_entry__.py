@@ -1444,6 +1444,60 @@ FROM rec WHERE pick IS NOT NULL
 """
 
 
+def _sq8_sql(n_queries: int = 10, k: int = 10) -> str:
+    """SQ8 ANN (sq8.sq8_topk) fully re-derived in DuckDB — train (per-dim
+    min/span over normalized vectors; at sf0.01 the engine's bounded
+    hash-thinned sample keeps every row, so full-table stats equal the
+    sample's), encode (the identical floor/clamp affine), integer query
+    weights, and the order-free int64 dot. No literals: every stage of
+    the pipeline is independently recomputed. Scoring carries ZERO float
+    accumulation; the only float is the elementwise normalize/affine,
+    IEEE-identical on both sides (the PQ-oracle precedent covers the
+    normalization ulp risk)."""
+    scale = 1 << 20
+    return f"""
+WITH en AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) = 0
+         THEN 1.0
+         ELSE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) END AS nrm
+  FROM embeddings),
+vd AS (
+  SELECT vec_id, unnest(list_transform(v, x -> x / nrm)) AS x,
+         unnest(range(len(v))) AS d
+  FROM en),
+st AS (SELECT d, min(x) AS mn, max(x) - min(x) AS sp FROM vd GROUP BY d),
+cd AS (
+  SELECT vec_id, vd.d,
+    CASE WHEN st.sp <= 0 THEN 0
+         ELSE CAST(least(255.0, greatest(0.0,
+                floor((x - st.mn) * 255 / st.sp + 0.5))) AS BIGINT)
+    END AS code
+  FROM vd JOIN st ON st.d = vd.d),
+qw AS (
+  SELECT vec_id AS query_id, vd.d,
+    CASE WHEN st.sp <= 0 THEN 0
+         ELSE CAST(floor(x * st.sp * {scale} / 255 + 0.5) AS BIGINT)
+    END AS w
+  FROM vd JOIN st ON st.d = vd.d
+  WHERE vec_id < {n_queries}),
+sc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(c.code * q.w) AS BIGINT) AS score
+  FROM cd c JOIN qw q ON q.d = c.d
+  WHERE c.vec_id != q.query_id
+  GROUP BY q.query_id, c.vec_id)
+SELECT query_id, neighbor_id, score,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id)
+       AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {k}
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH s AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -3038,13 +3092,13 @@ FROM fin
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
         ann, annpq, bpe, curation, dedup, gate, mmr, multimodal, rake,
-        relational, sketch, textextras, textrank, textstats, windows,
+        relational, sketch, sq8, textextras, textrank, textstats, windows,
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 111 SQL-backed entries (full rows+schema+hash check
+    # The registry has 112 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 61 must sit beyond the window no matter the order. The
+    # 62 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3072,7 +3126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # #ANDNOT among its stored-query families), se_filreq (Indri filter
     # operators) in / se_bm25_term_kstem out (driver-verified r3; the
     # incremental/deleted/merged/tiered entries hash-check the identical
-    # BM25 SQL shape, KSTEM rules keep their pytest suite).
+    # BM25 SQL shape, KSTEM rules keep their pytest suite), ann_sq8 in /
+    # cur_cross_dup_spans out (driver-verified r3; cur_scrub_ngrams +
+    # dedup_ngram_jaccard hash-check both of its stages in-window).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3221,6 +3277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per query, top-k most-similar OTHER-label vectors — brute_topk's
         # broadcast/scan/bounded-fold with a same-label -inf mask
         "ann_hardneg": ann.hard_negative_topk,
+        # SQ8 scalar-quantization ANN (new in r4): int8 codes, EXACT-
+        # INTEGER surrogate scoring (codes·w dot, no float accumulation);
+        # train+encode+weights+dot all re-derived literal-free in SQL
+        "ann_sq8": sq8.sq8_topk,
         # count-min sketch heavy-hitter term counts: registers + min-probe
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,
@@ -3239,7 +3299,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_decontam_bloom": curation.decontaminate_bloom,
         # Lee-et-al-style cross-doc duplicate-span coverage: two bounded
         # hash hops, no broadcast (the dup-gram set is corpus-scale)
-        "cur_cross_dup_spans": curation.cross_dup_spans,
         "cur_pack_sequences": curation.pack_sequences,
         # CCNet/RefinedWeb-style cross-corpus boilerplate n-gram scrub and
         # the Gopher duplicate-n-gram character-coverage rule
@@ -3278,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": textstats.token_counts,  # driver-verified r3, code unchanged; in-window siblings text_rake + cur_gopher_rules hash-check the same _flat_tokens analyzer tokenize + bincount kernel and text_bpe_tokens the subword counting surface (rotated out for se_tfidf)
         "se_andnot_tf": gate.se_andnot_tf,  # driver-verified r3, code unchanged; in-window sibling se_percolate hash-checks #ANDNOT evaluation semantics among its stored-query families, and the set-minus-scored-by-positive property keeps its all-four-models pytest (rotated out for text_textrank)
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,  # driver-verified r3, code unchanged; the in-window se_bm25_incremental/deleted/merged/tiered entries hash-check the identical BM25 term-scoring SQL shape, and the KSTEM profile's stemming rules keep their dedicated pytest suite (test_stemmer) (rotated out for se_filreq)
+        "cur_cross_dup_spans": curation.cross_dup_spans,  # driver-verified r3, code unchanged; in-window siblings cur_scrub_ngrams (gram-hash chain + df shuffle) and dedup_ngram_jaccard (gram-bucket -> doc-pair two-hop machinery) hash-check both of its stages, and the Lee-et-al span semantics keep their brute-force pytest (rotated out for ann_sq8)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3434,6 +3494,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _pq_sql(),
         "ann_mmr": _mmr_sql(),
         "ann_hardneg": _ANN_HARDNEG_SQL,
+        "ann_sq8": _sq8_sql(),
         "dedup_semantic": _semdedup_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the

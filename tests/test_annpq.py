@@ -159,3 +159,79 @@ def test_pq_codes_are_compressed(ray_session, tmp_path):
     import pyarrow as pa
 
     assert all(sch.field(f"c{m}").type == pa.uint8() for m in range(16))
+
+
+def test_sq8_matches_numpy_and_recalls(ray_session):
+    """SQ8 integer-surrogate top-k == a full-matrix numpy recount of the
+    identical train/encode/weight/dot chain, and recall vs exact cosine
+    stays high (SQ8 is the near-exact compression tier, unlike PQ)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.ann import batch_matrix, brute_topk
+    from searchengine_ray.sq8 import SQ_SCALE, sq8_topk, sq_encode, sq_train
+
+    sf = "/root/testdata/sf0.001"
+    got = sq8_topk(sf).to_pandas()
+
+    tbl = pq.read_table(sf + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = batch_matrix(tbl)
+    mins, spans = sq_train(mat)  # sample == full at this size
+    codes = sq_encode(mat, mins, spans).astype(np.int64)
+    assert codes.min() >= 0 and codes.max() <= 255
+    qm = mat[ids < 10]
+    w = np.floor(qm * spans[None, :] * float(SQ_SCALE) / 255.0 + 0.5
+                 ).astype(np.int64)
+    w[:, spans <= 0] = 0
+    sims = (w @ codes.T).astype(np.float64)
+    sims[np.arange(10)[:, None] == ids[None, :]] = -np.inf
+    want = []
+    for qi in range(10):
+        order = np.lexsort((ids, -sims[qi]))[:10]
+        want += [
+            (qi, int(ids[j]), int(sims[qi, j]), r + 1)
+            for r, j in enumerate(order)
+        ]
+    have = list(map(tuple, got[
+        ["query_id", "neighbor_id", "score", "rank"]
+    ].itertuples(index=False)))
+    assert have == want
+    assert not (got.query_id == got.neighbor_id).any()
+
+    exact = brute_topk(sf).to_pandas()
+    overlap = 0
+    for qi in range(10):
+        a = set(got[got.query_id == qi].neighbor_id)
+        b = set(exact[exact.query_id == qi].neighbor_id)
+        overlap += len(a & b)
+    assert overlap / 100 >= 0.8
+
+
+def test_sq8_zero_span_dimension(ray_session, tmp_path):
+    """A constant dimension (span 0) encodes 0 and contributes nothing —
+    no div-by-zero, rankings driven by the varying dims only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.sq8 import sq8_topk
+
+    rng = np.random.default_rng(3)
+    n, dim = 40, 8
+    mat = rng.normal(size=(n, dim))
+    mat[:, 2] = 0.0  # constant dim BEFORE normalization stays proportional
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in mat],
+            type=pa.list_(pa.float32()),
+        ),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    got = sq8_topk(str(d), n_queries=3, k=5).to_pandas()
+    assert len(got) == 15
+    assert got.groupby("query_id")["rank"].max().tolist() == [5, 5, 5]
