@@ -3096,9 +3096,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 112 SQL-backed entries (full rows+schema+hash check
+    # The registry has 113 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 62 must sit beyond the window no matter the order. The
+    # 63 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3128,7 +3128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # incremental/deleted/merged/tiered entries hash-check the identical
     # BM25 SQL shape, KSTEM rules keep their pytest suite), ann_sq8 in /
     # cur_cross_dup_spans out (driver-verified r3; cur_scrub_ngrams +
-    # dedup_ngram_jaccard hash-check both of its stages in-window).
+    # dedup_ngram_jaccard hash-check both of its stages in-window),
+    # se_range_filter (numeric doc-values) in / dedup_embedding_lsh out
+    # (driver-verified r3; dedup_minhash covers the LSH machinery and
+    # the ann_* gates the cosine surface in-window).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3189,6 +3192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Indri filter operators (new in r4): #filreq/#filrej — filter
         # legs gate membership but never touch scores (ES filter context)
         "se_filreq": gate.se_filreq,
+        # numeric doc-values #range filter (new in r4, ES range query /
+        # Lucene NumericDocValues): per-shard corpus values, lazy load
+        "se_range_filter": gate.se_range_filter,
         # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
         # weighted per-field tfs combined BEFORE one saturation, union-df
         # idf — the semantics score-level #WSUM cannot express
@@ -3221,10 +3227,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # components chain (strict superset of the rotated-out
         # dedup_components_dist entry) plus the winner rank
         "dedup_keep_best": dedup.keep_best_in_cluster,
-        # hyperplane LSH: seeded hyperplanes inlined as literals in the
-        # oracle (see _emb_lsh_sql); exact sibling dedup_embedding is
-        # parked below (twice driver-verified, same cosine kernel)
-        "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,
         # ordered-step conversion funnel (new in r4): pruned read, ONE
         # user-hash shuffle, L vectorized minimum.at passes per bucket,
         # L-integer driver fold; greedy first-touch semantics in SQL
@@ -3338,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_andnot_tf": gate.se_andnot_tf,  # driver-verified r3, code unchanged; in-window sibling se_percolate hash-checks #ANDNOT evaluation semantics among its stored-query families, and the set-minus-scored-by-positive property keeps its all-four-models pytest (rotated out for text_textrank)
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,  # driver-verified r3, code unchanged; the in-window se_bm25_incremental/deleted/merged/tiered entries hash-check the identical BM25 term-scoring SQL shape, and the KSTEM profile's stemming rules keep their dedicated pytest suite (test_stemmer) (rotated out for se_filreq)
         "cur_cross_dup_spans": curation.cross_dup_spans,  # driver-verified r3, code unchanged; in-window siblings cur_scrub_ngrams (gram-hash chain + df shuffle) and dedup_ngram_jaccard (gram-bucket -> doc-pair two-hop machinery) hash-check both of its stages, and the Lee-et-al span semantics keep their brute-force pytest (rotated out for ann_sq8)
+        "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,  # driver-verified r3, code unchanged; in-window siblings dedup_minhash (band-bucket -> capped-group -> exact-verify LSH machinery) and ann_sq8/ann_pq/ann_hardneg (normalize + cosine surface) hash-check both halves; the hyperplane-sign path keeps its recall-vs-brute pytest (rotated out for se_range_filter)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3463,6 +3466,14 @@ def oracle_sql() -> dict[str, str]:
             ["dup", "spark"],
             live_pred="doc_id IN (SELECT DISTINCT doc_id FROM tok"
                       " WHERE term = 'merge')",
+            stale_stats=True,
+        ),
+        # numeric doc-values range filter: scoring untouched, final-row
+        # BETWEEN membership only (the filter-context claim in SQL form)
+        "se_range_filter": _bm25_terms_sql(
+            ["dup", "spark"],
+            live_pred="doc_id IN (SELECT doc_id FROM documents"
+                      " WHERE n_chars BETWEEN 150 AND 350)",
             stale_stats=True,
         ),
         "eval_metrics": _EVAL_METRICS_SQL,

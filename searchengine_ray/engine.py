@@ -92,10 +92,13 @@ class SearchEngine:
         index_dir: str,
         params: ModelParams | None = None,
         parts: list[int] | None = None,
+        docvalues_dir: str | None = None,
     ):
         from .stem import get_stemmer
 
         self.index = InvertedIndex(index_dir, parts=parts)
+        if docvalues_dir is not None:
+            self.index.attach_docvalues(docvalues_dir)
         self.params = params or ModelParams()
         stemmer = get_stemmer(self.index.stemmer_name)
         self._analyze = lambda tok: analyze_query_token(tok, stemmer)
@@ -253,8 +256,11 @@ class QueryEvalActor:
         index_dir: str,
         params: ModelParams | None = None,
         parts: list[int] | None = None,
+        docvalues_dir: str | None = None,
     ):
-        self.engine = SearchEngine(index_dir, params, parts=parts)
+        self.engine = SearchEngine(
+            index_dir, params, parts=parts, docvalues_dir=docvalues_dir
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         items = list(

@@ -39,7 +39,8 @@ def engine_for(sf_dir: str, model: str) -> SearchEngine:
     key = (os.path.abspath(sf_dir), model)
     if key not in _ENGINE_CACHE:
         _ENGINE_CACHE[key] = SearchEngine(
-            index_for(sf_dir), ModelParams(model=model, top_k=1 << 30)
+            index_for(sf_dir), ModelParams(model=model, top_k=1 << 30),
+            docvalues_dir=sf_dir,  # numeric #range doc values (lazy)
         )
     return _ENGINE_CACHE[key]
 
@@ -85,6 +86,18 @@ def se_filreq(sf_dir: str):
     the stale-stats live-pred machinery the deletion gates proved."""
     return _score_table(
         sf_dir, "bm25", "#filreq( merge #sum( dup spark ) )"
+    )
+
+
+def se_range_filter(sf_dir: str):
+    """Numeric doc-values #range inside #filreq (the ES filtered range
+    query): BM25 'dup spark' restricted to docs with n_chars in
+    [150, 350]. The range leaf consults per-shard corpus doc values and
+    never touches scoring, so the oracle is plain BM25 SQL + a final-row
+    BETWEEN membership predicate."""
+    return _score_table(
+        sf_dir, "bm25",
+        "#filreq( #range( n_chars 150 350 ) #sum( dup spark ) )",
     )
 
 

@@ -150,6 +150,72 @@ class InvertedIndex:
             if name.startswith("len_")
         }
         self.n_local_docs = len(self._doc_ids)
+        # numeric doc values (ES doc_values / Lucene NumericDocValues
+        # analog): attached at serve time from the corpus table, loaded
+        # lazily per column for THIS shard's doc span only (parquet
+        # row-group pushdown), cached aligned to self._doc_ids
+        self._docvalues_dir: "str | None" = None
+        self._dv_cache: dict[str, np.ndarray] = {}
+        self._dv_valid: dict[str, np.ndarray] = {}
+
+    def attach_docvalues(self, source_dir: "str | None") -> None:
+        """Point numeric doc-values lookups at a corpus directory holding
+        ``documents.parquet`` keyed by ``doc_id`` (the build's external
+        corpus key). No I/O happens until a ``#range`` query runs."""
+        self._docvalues_dir = source_dir
+
+    def docvalues_docs_in_range(
+        self, column: str, lo: float, hi: float
+    ) -> np.ndarray:
+        """LIVE shard doc_ids whose numeric doc value lies in [lo, hi].
+
+        Docs absent from the corpus table (e.g. segment-appended rows
+        from another source) carry no value and match no range — the ES
+        missing-field semantics. Deleted docs never match."""
+        if self._docvalues_dir is None:
+            raise ValueError(
+                "#range needs numeric doc values: construct the engine "
+                "with docvalues_dir=<corpus dir with documents.parquet>"
+            )
+        if column not in self._dv_cache:
+            import pyarrow.parquet as _pq
+
+            path = os.path.join(self._docvalues_dir, "documents.parquet")
+            if not len(self._doc_ids):
+                self._dv_cache[column] = np.empty(0, np.float64)
+                self._dv_valid[column] = np.empty(0, bool)
+            else:
+                tbl = _pq.read_table(
+                    path,
+                    columns=["doc_id", column],
+                    filters=[
+                        ("doc_id", ">=", int(self._doc_ids[0])),
+                        ("doc_id", "<=", int(self._doc_ids[-1])),
+                    ],
+                )
+                ids = tbl.column("doc_id").to_numpy()
+                vals = tbl.column(column).to_numpy(zero_copy_only=False)
+                if not np.issubdtype(np.asarray(vals).dtype, np.number):
+                    raise ValueError(
+                        f"doc-values column {column!r} is not numeric"
+                    )
+                order = np.argsort(ids)
+                ids, vals = ids[order], np.asarray(vals, np.float64)[order]
+                pos = np.searchsorted(ids, self._doc_ids)
+                pos_c = np.clip(pos, 0, max(0, len(ids) - 1))
+                valid = (
+                    (pos < len(ids)) & (len(ids) > 0)
+                    & (ids[pos_c] == self._doc_ids)
+                )
+                out = np.full(len(self._doc_ids), np.nan)
+                out[valid] = vals[pos_c[valid]]
+                self._dv_cache[column] = out
+                self._dv_valid[column] = valid
+        v = self._dv_cache[column]
+        ok = self._dv_valid[column] & (v >= lo) & (v <= hi)
+        docs = self._doc_ids[ok]
+        keep = self._live_mask(docs)
+        return docs if keep is None else docs[keep]
 
     # ---- corpus statistics (Idx.java:60-63, 198-228) ----
     @property

@@ -521,6 +521,22 @@ class Evaluator:
         model = self.model
         if name == "#score":
             return self._score_leaf(node)
+        if name == "#range":
+            # numeric doc-values range filter (ES range query in filter
+            # context / Lucene NumericDocValues; no reference counterpart
+            # — QryEval has no numeric fields): matches LIVE docs whose
+            # corpus doc value lies in [lo, hi], constant score 1.0 under
+            # every model (a pure filter leaf, meant for #filreq/#filrej
+            # / boolean legs; values ride the CORPUS table per shard, see
+            # InvertedIndex.docvalues_docs_in_range). Shard-safe: each
+            # shard consults only its own doc span.
+            col, lo, hi = node.args
+            try:
+                lo_f, hi_f = float(lo), float(hi)
+            except ValueError as e:
+                raise ValueError(f"#range bounds must be numeric: {e}")
+            docs = self.index.docvalues_docs_in_range(col, lo_f, hi_f)
+            return docs, np.ones(len(docs), np.float64)
         if name in ("#filreq", "#filrej"):
             # Indri filter operators (#filreq/#filrej, the Indri query
             # language's filter-require/filter-reject; no reference

@@ -33,7 +33,7 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
-             "#filreq", "#filrej"}
+             "#filreq", "#filrej", "#range"}
 IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard", "#regexp"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
@@ -262,6 +262,14 @@ def parse_string(query: str, analyze) -> Op:
     rest = rest[: rest.rfind(")")].strip()
 
     raw_pattern = tree.name in RAW_PATTERN_OPS
+    # #range takes RAW string args (column lo hi): numeric tokens are
+    # bounds, never weights, and the column name is not analyzed
+    if tree.name == "#range":
+        while rest:
+            tok, rest = _pop_term(rest)
+            tree.args.append(tok.lower())
+            rest = rest.strip()
+        return tree
     while rest:
         weight = None
         head = rest.split(None, 1)
@@ -291,6 +299,13 @@ def parse_string(query: str, analyze) -> Op:
 def optimize(node):
     """Delete empty operators, collapse single-arg non-SCORE operators."""
     if isinstance(node, Term):
+        return node
+    if node.name == "#range":
+        # raw string args (column, lo, hi) — nothing to optimize, nothing
+        # to descend into; arity checked here so a malformed node fails
+        # at parse/optimize time like other syntax errors
+        if len(node.args) != 3:
+            raise QuerySyntaxError("#range takes exactly (column lo hi)")
         return node
     if node.name in ("#filreq", "#filrej"):
         # Indri filter operators, positional: args[0] is the FILTER leg,
