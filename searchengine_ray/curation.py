@@ -1599,7 +1599,7 @@ def _flat_words(t: pa.Table) -> tuple[int, np.ndarray, pa.Array]:
 
 
 def gopher_rules(
-    sf_dir: str,
+    docs,
     min_words: int = GOPHER_MIN_WORDS,
     max_words: int = GOPHER_MAX_WORDS,
     min_mwl: int = GOPHER_MIN_MEAN_WORD_LEN,
@@ -1613,6 +1613,8 @@ def gopher_rules(
 ):
     """Per-doc Gopher quality signals + the composite pass/fail verdict.
 
+    ``docs`` is an sf_dir path or a zero-arg callable returning the corpus
+    Dataset (the ``rake_keyphrases`` dual surface).
     Every rule is evaluated in EXACT INTEGER arithmetic (ratio bounds as
     cross-multiplications, the reported mean word length as a floor-division
     micro-unit), so the DuckDB oracle replays the verdict with zero float
@@ -1709,6 +1711,5 @@ def gopher_rules(
             }
         )
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        rules, batch_format="pyarrow"
-    )
+    ds = _read_docs(docs, ["doc_id", "text"]) if isinstance(docs, str) else docs()
+    return ds.map_batches(rules, batch_format="pyarrow")
