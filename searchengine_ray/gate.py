@@ -89,6 +89,30 @@ def se_filreq(sf_dir: str):
     )
 
 
+def se_percolate_scored(sf_dir: str):
+    """Scored percolation: every corpus doc scored against two stored BM25
+    queries with the serving index's statistics — per-pair scores equal
+    the serving engine's bitwise (pytest-pinned), so the oracle is the
+    UNION of the same per-query BM25 SQL the serving gates use, tagged."""
+    from .percolate import percolate_scored
+
+    ds = percolate_scored(
+        sf_dir, index_for(sf_dir),
+        [("q1", "dup spark"), ("q2", "#near/1( hash join )")],
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pc.round(t.column("score"), ndigits=6),
+            }
+        )
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
 def se_range_filter(sf_dir: str):
     """Numeric doc-values #range inside #filreq (the ES filtered range
     query): BM25 'dup spark' restricted to docs with n_chars in

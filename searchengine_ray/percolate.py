@@ -158,3 +158,137 @@ def percolate(sf_dir: str, queries, stemmer_name: str = "none"):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scored percolation (the ES percolate query WITH _score): each matching
+# (document, stored query) pair carries the retrieval-model score the doc
+# WOULD receive from the attached serving index — tf/positions/doclen come
+# from the streaming document, corpus statistics (N, avgdl, per-node
+# df/ctf) come from the index, captured ONCE at actor construction via the
+# same stats_override mechanism the sharded two-phase serving path uses.
+# For documents that are in the corpus this equals the serving engine's
+# score EXACTLY (pytest-pinned), which is the semantic contract: "score
+# this stream as if served". ES scores percolation against a one-document
+# MemoryIndex (degenerate idf); scoring with live-index statistics is the
+# production variant for alerting-with-relevance next to a serving index.
+# ---------------------------------------------------------------------------
+
+_SCORED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("query_id", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class _ScoredBatchPostings(_BatchPostings):
+    """Batch postings + the index-surface statistics the scoring leaves
+    consult: global N / field sums from the attached index, per-doc
+    lengths from the analyzed batch."""
+
+    def __init__(self, ab, n_docs: int, sum_len: int, doc_count: int):
+        super().__init__(ab)
+        self._batch_doc_lens = ab.doc_lens.astype(np.float64)
+        self._g_n_docs = n_docs
+        self._g_sum_len = sum_len
+        self._g_doc_count = doc_count
+
+    @property
+    def num_docs(self) -> int:
+        return self._g_n_docs
+
+    def doclen(self, field: str, docs: np.ndarray) -> np.ndarray:
+        if field != "body":
+            raise NotImplementedError("scored percolation is body-only")
+        return self._batch_doc_lens[np.asarray(docs, np.int64)]
+
+    def sum_field_lengths(self, field: str) -> int:
+        return self._g_sum_len
+
+    def doc_count(self, field: str) -> int:
+        return self._g_doc_count
+
+
+class ScoredPercolator:
+    """Actor-pool callable: stored queries parse once with the INDEX's
+    analyzer profile, per-node global (df, ctf) capture once from the
+    index (model-sized — the index itself is NOT retained in the actor),
+    then every batch scores through the real :class:`Evaluator` with the
+    stats injected. Emits (doc_id, query_id, score) for every match."""
+
+    def __init__(self, index_dir: str, queries, params=None):
+        from .engine import SearchEngine
+        from .operators import collect_iop_nodes
+
+        eng = SearchEngine(index_dir, params)
+        if eng.params.model != "bm25":
+            raise ValueError("scored percolation currently scores BM25")
+        self.params = eng.params
+        self.globals_ = (
+            eng.index.num_docs,
+            eng.index.sum_field_lengths("body"),
+            eng.index.doc_count("body"),
+        )
+        ev = Evaluator(eng.index, self.params)
+        self.trees = []
+        for qid, q in queries:
+            tree = eng.parse(q)
+            nodes = collect_iop_nodes(tree)
+            stats = [
+                (p.stat_df, p.stat_ctf)
+                for p in (ev.iop(n) for n in nodes)
+            ]
+            self.trees.append((qid, tree, stats))
+        # the actor keeps only model-sized state; the index reader (and
+        # its postings cache) is dropped here
+        del ev, eng
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .operators import collect_iop_nodes
+
+        doc_ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        idx = _ScoredBatchPostings(analyze_batch(texts), *self.globals_)
+        out_doc, out_q, out_s = [], [], []
+        for qid, tree, stats in self.trees:
+            ev = Evaluator(idx, self.params)
+            ev.stats_override = {
+                id(n): s for n, s in zip(collect_iop_nodes(tree), stats)
+            }
+            rows, scores = ev.evaluate(tree)
+            out_doc.append(doc_ids[rows])
+            out_s.append(scores)
+            out_q.extend([qid] * len(rows))
+        docs = (
+            np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)
+        )
+        scores = (
+            np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(docs.astype(np.int64), type=pa.int64()),
+                "query_id": pa.array(out_q, type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        ).cast(_SCORED_SCHEMA)
+
+
+def percolate_scored(sf_dir: str, index_dir: str, queries, params=None):
+    """Score every corpus document against the stored queries with the
+    attached index's statistics: one actor-pool ``map_batches`` pass,
+    output (doc_id, query_id, score) match rows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        ScoredPercolator,
+        fn_constructor_args=(index_dir, list(queries)),
+        fn_constructor_kwargs={"params": params},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

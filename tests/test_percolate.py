@@ -88,3 +88,52 @@ def test_percolator_non_body_field_raises():
     p = Percolator([("a", "dup.keywords")])
     with pytest.raises(NotImplementedError):
         p(t)
+
+
+def test_scored_percolation_equals_serving_scores(ray_session):
+    """The scored-percolation contract: for corpus docs, every (doc,
+    stored query) match carries the serving engine's BM25 score BITWISE
+    (global stats injected via stats_override, tf/dl from the stream) —
+    across flat, derived-positional, and field queries."""
+    from searchengine_ray.gate import engine_for, index_for
+    from searchengine_ray.percolate import percolate_scored
+
+    # body-only, like all percolation (the documented adapter contract);
+    # flat #SUM plus a derived positional list (global derived df/ctf)
+    queries = [
+        ("f", "dup spark"),
+        ("n", "#near/1( hash join )"),
+        ("w", "#sum( #window/8( vector scan ) merge )"),
+    ]
+    out = percolate_scored(SF, index_for(SF), queries).to_pandas()
+    eng = engine_for(SF, "bm25")
+    for qid, q in queries:
+        want = (
+            eng.search("x", q).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        got = (
+            out[out.query_id == qid]
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(got) == len(want) and len(want) > 0, qid
+        assert (got.doc_id.values == want.doc_id.values).all(), qid
+        assert (got.score.values == want.score.values).all(), qid
+
+
+def test_scored_percolator_keeps_no_index_and_validates_model(ray_session):
+    """The actor state is model-sized (no index reader retained) and
+    non-BM25 scoring raises up front."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.gate import index_for
+    from searchengine_ray.percolate import ScoredPercolator
+
+    p = ScoredPercolator(index_for(SF), [("q", "dup spark")])
+    assert not any(
+        "InvertedIndex" in type(v).__name__ for v in vars(p).values()
+    )
+    with pytest.raises(ValueError, match="BM25"):
+        ScoredPercolator(
+            index_for(SF), [("q", "dup")],
+            params=ModelParams(model="indri"),
+        )
