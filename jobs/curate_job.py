@@ -53,24 +53,31 @@ def main() -> None:
 
     from searchengine_ray.curation import curation_pipeline, lm_perplexity
 
+    def _fresh(subdir: str) -> str:
+        # write_parquet APPENDS uniquely-named files; the idempotence
+        # contract is a fresh overwrite of our own output subdirs, so a
+        # retry over a partially-written destination can't duplicate rows
+        import shutil
+
+        path = os.path.join(args.out, subdir)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        return path
+
     t0 = time.time()
     kept = curation_pipeline(args.corpus, min_tokens=args.min_tokens)
-    kept.write_parquet(os.path.join(args.out, "survivors"))
+    kept.write_parquet(_fresh("survivors"))
     report = {"survivors_sec": round(time.time() - t0, 3)}
 
     if args.lm_scores:
         t0 = time.time()
-        lm_perplexity(args.corpus).write_parquet(
-            os.path.join(args.out, "lm_scores")
-        )
+        lm_perplexity(args.corpus).write_parquet(_fresh("lm_scores"))
         report["lm_scores_sec"] = round(time.time() - t0, 3)
     if args.bpe_counts:
         from searchengine_ray.bpe import bpe_token_counts
 
         t0 = time.time()
-        bpe_token_counts(args.corpus).write_parquet(
-            os.path.join(args.out, "bpe_counts")
-        )
+        bpe_token_counts(args.corpus).write_parquet(_fresh("bpe_counts"))
         report["bpe_counts_sec"] = round(time.time() - t0, 3)
 
     n = ray.data.read_parquet(os.path.join(args.out, "survivors")).count()

@@ -65,7 +65,15 @@ def main() -> None:
     else:
         ds = percolate(args.corpus, queries,
                        stemmer_name=args.stemmer or "none")
-    ds.write_parquet(os.path.join(args.out, "matches"))
+    matches_dir = os.path.join(args.out, "matches")
+    # write_parquet APPENDS uniquely-named files: a retry over a
+    # partially-written destination would duplicate pairs, so the
+    # idempotence contract is a fresh overwrite of OUR OWN output subdir
+    import shutil
+
+    if os.path.isdir(matches_dir):
+        shutil.rmtree(matches_dir)
+    ds.write_parquet(matches_dir)
     print(json.dumps({
         "matches_dir": os.path.join(args.out, "matches"),
         "n_queries": len(queries),

@@ -1586,16 +1586,12 @@ def _flat_words(t: pa.Table) -> tuple[int, np.ndarray, pa.Array]:
     stream) because Gopher's symbol/alpha rules inspect raw words; one
     Arrow regex split over the whole column, empties dropped.
     """
+    from .textstats import flatten_list_column
+
     n = t.num_rows
     lists = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    offsets = lists.offsets.to_numpy()
-    offsets = offsets - offsets[0]
-    flat = lists.flatten()
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    return n, doc_idx[keep], flat.filter(pa.array(keep))
+    doc_idx, flat = flatten_list_column(lists, n)
+    return n, doc_idx, flat
 
 
 def gopher_rules(
@@ -1637,6 +1633,7 @@ def gopher_rules(
     from .textstats import _flat_tokens
 
     stop = tuple(sorted(STOPWORDS)) if stopwords is None else stopwords
+    stop_arr = pa.array(sorted(stop))
 
     def rules(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -1658,14 +1655,11 @@ def gopher_rules(
         )
         symbol_words = np.bincount(widx[symbol], minlength=n).astype(np.int64)
         # --- line rules (split on \n, empties KEPT — they are lines) ---
+        from .textstats import flatten_list_column
+
         lines = pc.split_pattern(t.column("text"), pattern="\n")
-        if isinstance(lines, pa.ChunkedArray):
-            lines = lines.combine_chunks()
-        loff = lines.offsets.to_numpy()
-        loff = loff - loff[0]
-        lflat = lines.flatten()
-        lidx = np.repeat(np.arange(n, dtype=np.int64), np.diff(loff))
-        n_lines = np.diff(loff).astype(np.int64)
+        lidx, lflat = flatten_list_column(lines, n, drop_empty=False)
+        n_lines = np.bincount(lidx, minlength=n).astype(np.int64)
         bullet = pc.match_substring_regex(lflat, "^[-*•]").to_numpy(
             zero_copy_only=False
         )
@@ -1674,15 +1668,25 @@ def gopher_rules(
             lflat, r"(\.\.\.|…)$"
         ).to_numpy(zero_copy_only=False)
         ellipsis_lines = np.bincount(lidx[ell], minlength=n).astype(np.int64)
-        # --- stopword rule (analyzer tokens; distinct required-stop hits) ---
+        # --- stopword rule (analyzer tokens; distinct required-stop hits)
+        # ONE is_in pass + a distinct-(doc, code) count over the stop
+        # subset (the token_stats n_unique kernel) — not |stoplist|
+        # full-column scans, which would multiply the dominant per-batch
+        # traffic and degrade with caller-supplied stoplists ---
         _, tidx, toks = _flat_tokens(t)
         stop_hits = np.zeros(n, dtype=np.int64)
-        for w in stop:  # model-sized loop (|stoplist|), each pass vectorized
-            eq = pc.equal(toks, w).to_numpy(zero_copy_only=False)
-            if eq.any():
-                stop_hits += (
-                    np.bincount(tidx[eq], minlength=n) > 0
-                ).astype(np.int64)
+        smask = pc.is_in(toks, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        if smask.any():
+            codes = toks.dictionary_encode().indices.to_numpy()
+            sd, sc = tidx[smask], codes[smask]
+            order = np.lexsort((sc, sd))
+            sd, sc = sd[order], sc[order]
+            first = np.empty(len(sd), dtype=bool)
+            first[0] = True
+            first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+            stop_hits = np.bincount(sd[first], minlength=n).astype(np.int64)
         # --- composite verdict: all-integer cross-multiplied bounds ---
         ok = (n_words >= min_words) & (n_words <= max_words)
         ok &= (min_mwl * n_words <= tot_chars) & (

@@ -277,6 +277,7 @@ def run_queries(
     queries: "list[tuple[str, str]] | object",
     params: ModelParams | None = None,
     concurrency: int = 4,
+    docvalues_dir: str | None = None,
 ) -> pa.Table:
     """Evaluate a query set with an actor pool; returns the full result table
     (small: n_queries x top_k rows), ordered by (qid, rank)."""
@@ -291,7 +292,10 @@ def run_queries(
     n = qds.count()
     out = qds.map_batches(
         QueryEvalActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "params": params},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "params": params,
+            "docvalues_dir": docvalues_dir,
+        },
         batch_format="pyarrow",
         batch_size=max(1, -(-n // max(1, concurrency))),
         concurrency=min(concurrency, max(1, n)),
@@ -314,8 +318,15 @@ def run_queries(
 class _EngineActor:
     """Plain Ray actor wrapping SearchEngine (long-lived serving pool)."""
 
-    def __init__(self, index_dir: str, params: ModelParams | None):
-        self.engine = SearchEngine(index_dir, params)
+    def __init__(
+        self,
+        index_dir: str,
+        params: ModelParams | None,
+        docvalues_dir: "str | None" = None,
+    ):
+        self.engine = SearchEngine(
+            index_dir, params, docvalues_dir=docvalues_dir
+        )
 
     def ping(self) -> bool:
         return True
@@ -337,11 +348,15 @@ class QueryService:
         index_dir: str,
         params: ModelParams | None = None,
         num_actors: int = 8,
+        docvalues_dir: "str | None" = None,
     ):
         import ray
 
         Actor = ray.remote(num_cpus=1)(_EngineActor)
-        self.actors = [Actor.remote(index_dir, params) for _ in range(num_actors)]
+        self.actors = [
+            Actor.remote(index_dir, params, docvalues_dir)
+            for _ in range(num_actors)
+        ]
         ray.get([a.ping.remote() for a in self.actors])  # block until loaded
 
     def warm(self, items: list[tuple[str, str]]) -> None:
@@ -420,10 +435,18 @@ class _ShardWorker:
     scores with the globally-merged stats injected."""
 
     def __init__(
-        self, index_dir: str, part: "int | list[int]", params: ModelParams
+        self,
+        index_dir: str,
+        part: "int | list[int]",
+        params: ModelParams,
+        docvalues_dir: "str | None" = None,
     ):
         parts = [part] if isinstance(part, int) else list(part)
         self.index = InvertedIndex(index_dir, parts=parts)
+        if docvalues_dir is not None:
+            # per-shard lazy numeric doc values (#range): each worker
+            # loads only its own doc span's column slices
+            self.index.attach_docvalues(docvalues_dir)
         self.params = params
 
     def ping(self) -> bool:
@@ -506,6 +529,7 @@ class ShardedQueryService:
         index_dir: str,
         parts: list[int],
         params: ModelParams | None = None,
+        docvalues_dir: "str | None" = None,
     ):
         import json as _json
         import os as _os
@@ -520,7 +544,8 @@ class ShardedQueryService:
         self._analyze = lambda tok: analyze_query_token(tok, _stemmer)
         Worker = ray.remote(num_cpus=1)(_ShardWorker)
         self.workers = [
-            Worker.remote(index_dir, p, self.params) for p in parts
+            Worker.remote(index_dir, p, self.params, docvalues_dir)
+            for p in parts
         ]
         ray.get([w.ping.remote() for w in self.workers])
 

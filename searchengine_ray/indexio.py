@@ -199,16 +199,23 @@ class InvertedIndex:
                     raise ValueError(
                         f"doc-values column {column!r} is not numeric"
                     )
-                order = np.argsort(ids)
-                ids, vals = ids[order], np.asarray(vals, np.float64)[order]
-                pos = np.searchsorted(ids, self._doc_ids)
-                pos_c = np.clip(pos, 0, max(0, len(ids) - 1))
-                valid = (
-                    (pos < len(ids)) & (len(ids) > 0)
-                    & (ids[pos_c] == self._doc_ids)
-                )
-                out = np.full(len(self._doc_ids), np.nan)
-                out[valid] = vals[pos_c[valid]]
+                if len(ids) == 0:
+                    # zero overlap with this shard's doc span (e.g. a
+                    # segment appended from another source): every doc is
+                    # missing-field -> matches no range
+                    out = np.full(len(self._doc_ids), np.nan)
+                    valid = np.zeros(len(self._doc_ids), dtype=bool)
+                else:
+                    order = np.argsort(ids)
+                    ids = ids[order]
+                    vals = np.asarray(vals, np.float64)[order]
+                    pos = np.searchsorted(ids, self._doc_ids)
+                    pos_c = np.clip(pos, 0, len(ids) - 1)
+                    valid = (pos < len(ids)) & (
+                        ids[pos_c] == self._doc_ids
+                    )
+                    out = np.full(len(self._doc_ids), np.nan)
+                    out[valid] = vals[pos_c[valid]]
                 self._dv_cache[column] = out
                 self._dv_valid[column] = valid
         v = self._dv_cache[column]

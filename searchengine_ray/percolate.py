@@ -115,8 +115,11 @@ class Percolator:
     def __init__(self, queries, stemmer_name: str = "none") -> None:
         from .stem import get_stemmer
 
-        stemmer = get_stemmer(stemmer_name)
-        analyze = lambda tok: analyze_query_token(tok, stemmer)  # noqa: E731
+        # ONE profile for both sides: queries stem at parse, the document
+        # stream stems in __call__ — a query-only stem would silently
+        # never match on a stemmed profile
+        self._stemmer = get_stemmer(stemmer_name)
+        analyze = lambda tok: analyze_query_token(tok, self._stemmer)  # noqa: E731
         self.params = ModelParams(model="unrankedboolean", top_k=1 << 62)
         self.trees = [
             (qid, parse_query(q, DEFAULT_OP["unrankedboolean"], analyze))
@@ -126,7 +129,7 @@ class Percolator:
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_numpy()
         texts = t.column("text").to_pylist()
-        idx = _BatchPostings(analyze_batch(texts))
+        idx = _BatchPostings(analyze_batch(texts, stemmer=self._stemmer))
         out_doc, out_q = [], []
         for qid, tree in self.trees:
             ev = Evaluator(idx, self.params)
@@ -221,11 +224,18 @@ class ScoredPercolator:
     def __init__(self, index_dir: str, queries, params=None):
         from .engine import SearchEngine
         from .operators import collect_iop_nodes
+        from .stem import get_stemmer
 
         eng = SearchEngine(index_dir, params)
         if eng.params.model != "bm25":
             raise ValueError("scored percolation currently scores BM25")
         self.params = eng.params
+        # the STREAM must be analyzed with the index's recorded stemmer
+        # profile — queries are parsed through eng.parse (which stems), so
+        # an unstemmed batch analysis would silently never match stemmed
+        # terms on a stemmed index
+        self.stemmer_name = eng.index.stemmer_name
+        self._stemmer = get_stemmer(self.stemmer_name)
         self.globals_ = (
             eng.index.num_docs,
             eng.index.sum_field_lengths("body"),
@@ -250,7 +260,9 @@ class ScoredPercolator:
 
         doc_ids = t.column("doc_id").to_numpy()
         texts = t.column("text").to_pylist()
-        idx = _ScoredBatchPostings(analyze_batch(texts), *self.globals_)
+        idx = _ScoredBatchPostings(
+            analyze_batch(texts, stemmer=self._stemmer), *self.globals_
+        )
         out_doc, out_q, out_s = [], [], []
         for qid, tree, stats in self.trees:
             ev = Evaluator(idx, self.params)

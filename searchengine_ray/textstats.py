@@ -50,6 +50,27 @@ def _read_docs(sf_dir: str, doc_ids=None):
     )
 
 
+def flatten_list_column(
+    lists, n: int, drop_empty: bool = True
+) -> tuple[np.ndarray, pa.Array]:
+    """Pre-split ListArray (or ChunkedArray) over ``n`` rows ->
+    (row_idx int64 per element, flat element array). The SINGLE copy of
+    the offsets/flatten/repeat scaffolding every flat-stream kernel uses
+    (tokens, whitespace words, lines): slice-offset-safe
+    (``offsets - offsets[0]``), optionally dropping empty-string elements
+    (the leading/trailing/consecutive-separator artifacts of splits)."""
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy()
+    offsets = offsets - offsets[0]  # slice-offset-safe
+    flat = lists.flatten()
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    if not drop_empty:
+        return row_idx, flat
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return row_idx[keep], flat.filter(pa.array(keep))
+
+
 def _flat_tokens(t: pa.Table) -> tuple[int, np.ndarray, pa.Array]:
     """Batch -> (n_docs, doc_idx int64 per token, flat token StringArray).
 
@@ -60,15 +81,8 @@ def _flat_tokens(t: pa.Table) -> tuple[int, np.ndarray, pa.Array]:
     n = t.num_rows
     low = pc.utf8_lower(t.column("text"))
     lists = pc.split_pattern_regex(low, pattern="[^a-z0-9_]+")
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    offsets = lists.offsets.to_numpy()
-    offsets = offsets - offsets[0]  # slice-offset-safe
-    flat = lists.flatten()
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-    keep = pc.not_equal(flat, "")
-    keep_np = keep.to_numpy(zero_copy_only=False)
-    return n, doc_idx[keep_np], flat.filter(keep)
+    doc_idx, flat = flatten_list_column(lists, n)
+    return n, doc_idx, flat
 
 
 def token_stats(sf_dir: str):

@@ -137,3 +137,50 @@ def test_scored_percolator_keeps_no_index_and_validates_model(ray_session):
             index_for(SF), [("q", "dup")],
             params=ModelParams(model="indri"),
         )
+
+
+def test_percolation_on_stemmed_profile(ray_session, tmp_path):
+    """Regression (session review finding): queries stem at parse, so the
+    document STREAM must stem with the same profile — membership takes
+    the profile explicitly, scored percolation reads it from the index.
+    On a porter index, 'running' must percolate docs containing 'runs'."""
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.gate import engine_for  # noqa: F401 (style par)
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.percolate import Percolator, percolate_scored
+
+    texts = ["the runner runs fast", "walking walks", "runs running runs",
+             "unrelated words here"]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    import pyarrow.parquet as papq
+
+    papq.write_table(tbl, sf / "documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(str(sf), idx, BuildConfig(stemmer="porter"))
+
+    # membership: explicit profile, both sides stem
+    p = Percolator([("q", "running")], stemmer_name="porter")
+    got = p(tbl.select(["doc_id", "text"]))
+    assert set(got.column("doc_id").to_pylist()) == {0, 2}
+
+    # scored: profile read from the index; scores == serving bitwise
+    out = percolate_scored(str(sf), idx, [("q", "running walks")]).to_pandas()
+    eng = SearchEngine(idx, ModelParams(model="bm25", top_k=1 << 30))
+    want = eng.search("x", "running walks").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    got2 = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(got2) == len(want) > 0
+    assert (got2.doc_id.values == want.doc_id.values).all()
+    assert (got2.score.values == want.score.values).all()

@@ -104,3 +104,24 @@ def test_range_error_paths(range_ctx):
         eng.search("q", "#range( n_chars low high )")
     with pytest.raises(ValueError):  # non-numeric column
         eng.search("q", "#range( lang 0 10 )")
+
+
+def test_range_disjoint_docvalues_matches_nothing(range_ctx, tmp_path):
+    """Regression (session review finding): a doc-values source whose
+    doc_ids have ZERO overlap with the shard's span (e.g. a segment from
+    another corpus) must apply missing-field semantics — no matches, no
+    IndexError from the empty pushdown read."""
+    import pyarrow.parquet as pq
+
+    sf, idx, _ = range_ctx
+    other = tmp_path / "other"
+    other.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1000, 1001], pa.int64()),
+            "n_chars": pa.array([5, 6], pa.int64()),
+        }),
+        other / "documents.parquet",
+    )
+    eng = _engine(idx, str(other))
+    assert eng.search("q", "#range( n_chars 0 1000000 )").num_rows == 0
