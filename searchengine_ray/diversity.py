@@ -76,14 +76,21 @@ def xquad(
     n = len(iids) or 1
     selected: list[tuple[int, float]] = []
     while remaining and len(selected) < cfg.max_result_ranking_length:
+        # the selected-set novelty product depends only on (intent,
+        # selected), never on the candidate — hoisting it out of the
+        # candidate loop drops an O(|remaining|) redundant factor per
+        # iteration with bit-identical arithmetic (same *= sequence)
+        already = {}
+        for iid in iids:
+            a = 1.0
+            for sd, _ in selected:
+                a *= 1 - doc_scores[sd].get(iid, 0.0)
+            already[iid] = a
         best_doc, best_score = -1, -float("inf")
         for d in remaining:
             s = (1 - cfg.lam) * doc_scores[d].get("__orig__", 0.0)
             for iid in iids:
-                already = 1.0
-                for sd, _ in selected:
-                    already *= 1 - doc_scores[sd].get(iid, 0.0)
-                s += cfg.lam / n * doc_scores[d].get(iid, 0.0) * already
+                s += cfg.lam / n * doc_scores[d].get(iid, 0.0) * already[iid]
             if s > best_score:
                 best_doc, best_score = d, s
         selected.append((best_doc, best_score))
@@ -100,7 +107,15 @@ def pm2(
     cfg = cfg or DiversityConfig(algorithm="pm2")
     doc_scores, remaining = normalize_scores(orig, intents, cfg)
     iids = sorted(intents)
-    n = len(iids) or 1
+    if not iids:
+        # no intents for this query: PM2 scores ONLY quotient-weighted
+        # intent coverage, so every doc scores 0 — emit the original rank
+        # order truncated (stable sort keeps it), instead of the former
+        # KeyError on the undefined max-quotient intent
+        return [
+            (d, 0.0) for d in remaining[: cfg.max_result_ranking_length]
+        ]
+    n = len(iids)
     v = cfg.max_result_ranking_length / n
     s_state = {iid: 0.0 for iid in iids}
     selected: list[tuple[int, float]] = []
@@ -138,6 +153,9 @@ def read_intents_file(path: str) -> dict[str, dict[str, str]]:
             line = line.strip()
             if not line:
                 continue
+            if ":" not in line or "." not in line.split(":", 1)[0]:
+                continue  # comment/header/malformed — skip, like the
+                # length-checked trec_run/qrels readers in evalmetrics
             head, q = line.split(":", 1)
             qid, iid = head.split(".", 1)
             out.setdefault(qid.strip(), {})[iid.strip()] = q.strip()

@@ -79,3 +79,15 @@ def partition_count_for_rows(
     """Bucket count from a driver-known row count (e.g. an LSH candidate
     set) instead of parquet footers."""
     return max(floor, math.ceil(n_rows * bytes_per_row / target_bytes))
+
+
+def append_hash_bucket(t, col: str, nparts: int, name: str = "ku"):
+    """Append the int32 hash-bucket column the bounded-dispatch groupby
+    keys on: ``t[col] % nparts``. ONE copy of the bucketing rule (any
+    future change — e.g. salting or negative-key handling — lands here,
+    not in per-operator closures)."""
+    import numpy as np
+    import pyarrow as pa
+
+    b = (t.column(col).to_numpy() % nparts).astype(np.int32)
+    return t.append_column(name, pa.array(b))

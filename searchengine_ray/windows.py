@@ -92,7 +92,6 @@ def hopping_counts(
             * (hop_minutes * 60)
         ).astype("datetime64[s]").astype("datetime64[us]")
         et = t.column("event_type").to_numpy(zero_copy_only=False)
-        n = len(ts)
         starts = np.concatenate(
             [base - np.uint64(i) * hop for i in range(k)]
         )
@@ -119,7 +118,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     max_session_events)."""
     import ray.data
 
-    from .partitioning import partition_count
+    from .partitioning import append_hash_bucket, partition_count
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
@@ -133,8 +132,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     nparts = partition_count(f"{sf_dir}/events.parquet", ("user_id", "ts"))
 
     def add_ku(t: pa.Table) -> pa.Table:
-        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
-        return t.append_column("ku", pa.array(ku))
+        return append_hash_bucket(t, "user_id", nparts)
 
     def per_partition(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -193,7 +191,7 @@ def asof_join_purchase_click(sf_dir: str):
     """
     import ray.data
 
-    from .partitioning import partition_count
+    from .partitioning import append_hash_bucket, partition_count
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -213,8 +211,7 @@ def asof_join_purchase_click(sf_dir: str):
             value_set=pa.array(["purchase", "click"]),
         )
         t = t.filter(keep)
-        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
-        return t.append_column("ku", pa.array(ku))
+        return append_hash_bucket(t, "user_id", nparts)
 
     def asof_partition(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -300,7 +297,7 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
 
     win = np.int64(window_minutes * 60 * 1_000_000)  # us
 
-    from .partitioning import partition_count
+    from .partitioning import append_hash_bucket, partition_count
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -320,8 +317,7 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
             t.column("event_type"), value_set=pa.array(["error", "click"])
         )
         t = t.filter(keep)
-        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
-        return t.append_column("ku", pa.array(ku))
+        return append_hash_bucket(t, "user_id", nparts)
 
     def join_partition(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -340,15 +336,22 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
         is_click = pc.equal(t.column("event_type"), "click").to_numpy(
             zero_copy_only=False
         )
-        rel = ts - ts.min()  # fits well under 2^42 for any sane span
-        if rel.max() >= 1 << 42:
-            raise ValueError("time span too large for the packed range key")
-        if u.max() >= 1 << 22:
+        rel = ts - ts.min()
+        # pack (user, rel) into one uint64 sort key with an ADAPTIVE
+        # layout: users remap to dense per-partition codes (np.unique),
+        # so arbitrary — including negative — user_ids never overflow or
+        # wrap, and the span field takes exactly the bits it needs. The
+        # loud guard now only fires when bits(users-in-bucket) +
+        # bits(span-µs) > 63, i.e. millions of co-bucketed users AND a
+        # multi-decade log simultaneously.
+        uniq_u, uinv = np.unique(u, return_inverse=True)
+        shift = np.uint64(int(max(int(rel.max()), 1)).bit_length())
+        if (len(uniq_u) - 1).bit_length() + int(shift) > 63:
             raise ValueError(
-                "user_id too large for the packed range key (>= 2^22); "
-                "widen the key layout or pre-bucket users"
+                "user-count x time-span exceeds the 63-bit packed range "
+                "key; split the log by time range first"
             )
-        key = (u.astype(np.uint64) << np.uint64(42)) | rel.astype(np.uint64)
+        key = (uinv.astype(np.uint64) << shift) | rel.astype(np.uint64)
 
         c_order = np.argsort(key[is_click], kind="stable")
         ck = key[is_click][c_order]
@@ -356,13 +359,16 @@ def range_join_error_click(sf_dir: str, window_minutes: int = 60):
         e_key = key[~is_click]
         e_eid = eid[~is_click]
         e_u = u[~is_click]
+        e_uinv = uinv[~is_click]
         e_rel = rel[~is_click].astype(np.uint64)
         if len(ck) == 0 or len(e_key) == 0:
             return empty
-        # window = (ts - win, ts) strictly earlier; clamp at the user's own
-        # key-space base BEFORE subtracting — uint64 e_key - win would wrap
-        # for errors within `win` of the span start and poison searchsorted
-        user_base = e_u.astype(np.uint64) << np.uint64(42)
+        # window = [ts - win, ts): inclusive lower bound (matches the
+        # oracle's c.ts >= e.ts - win and the fuzz test), strict upper;
+        # clamp at the user's own key-space base BEFORE subtracting —
+        # uint64 e_key - win would wrap for errors within `win` of the
+        # span start and poison searchsorted
+        user_base = e_uinv.astype(np.uint64) << shift
         lo_key = np.where(
             e_rel >= np.uint64(win), e_key - np.uint64(win), user_base
         )
@@ -428,7 +434,7 @@ def funnel_counts(
     """
     import ray.data
 
-    from .partitioning import partition_count
+    from .partitioning import append_hash_bucket, partition_count
 
     path = f"{sf_dir}/events.parquet"
     ds = ray.data.read_parquet(
@@ -441,8 +447,7 @@ def funnel_counts(
     INF = np.iinfo(np.int64).max
 
     def add_ku(t: pa.Table) -> pa.Table:
-        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
-        return t.append_column("ku", pa.array(ku))
+        return append_hash_bucket(t, "user_id", nparts)
 
     def per_partition(t: pa.Table) -> pa.Table:
         counts = np.zeros(n_steps, dtype=np.int64)
@@ -517,15 +522,14 @@ def retention_cohorts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    from .partitioning import partition_count
+    from .partitioning import append_hash_bucket, partition_count
 
     path = f"{sf_dir}/events.parquet"
     ds = ray.data.read_parquet(path, columns=["user_id", "ts"])
     nparts = partition_count(path, ("user_id", "ts"))
 
     def add_ku(t: pa.Table) -> pa.Table:
-        ku = (t.column("user_id").to_numpy() % nparts).astype(np.int32)
-        return t.append_column("ku", pa.array(ku))
+        return append_hash_bucket(t, "user_id", nparts)
 
     def per_partition(t: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -114,3 +114,69 @@ def test_asof_join_fuzz(ray_session, tmp_path, seed):
     assert got["click_event_id"].tolist() == (
         want["event_id_c"].astype(int).tolist()
     )
+
+
+def test_range_join_long_span_and_negative_users(ray_session, tmp_path):
+    """Regression (session review findings): the former fixed 42/22-bit
+    packed key rejected logs spanning > ~51 days and silently WRAPPED
+    negative user_ids under uint64. The adaptive dense-user-code layout
+    must handle a 90-day span with negative ids and match brute force."""
+    from searchengine_ray.windows import range_join_error_click
+
+    rng = np.random.default_rng(9)
+    n = 300
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = rng.integers(0, 90 * 86_400 * 1_000_000, size=n)  # 90 days
+    offs[0] = 0
+    ts = base + offs.astype("timedelta64[us]")
+    users = rng.integers(-6, 6, size=n).astype(np.int64)  # incl. negatives
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": users,
+        "event_type": rng.choice(["click", "error"], size=n),
+        "value": rng.random(n),
+        "props": ["{}"] * n,
+    })
+    d = tmp_path / "long"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    got = (
+        range_join_error_click(str(d), window_minutes=60 * 24)
+        .to_pandas()
+        .sort_values(["error_event_id", "click_event_id"])
+        .reset_index(drop=True)
+    )
+    win = np.int64(60 * 24 * 60 * 1_000_000)
+    e = df[df.event_type == "error"]
+    c = df[df.event_type == "click"]
+    m = e.merge(c, on="user_id", suffixes=("", "_c"))
+    m = m[(m.ts_c < m.ts) & (m.ts_c >= m.ts - pd.Timedelta(int(win), "us"))]
+    want = pd.DataFrame({
+        "error_event_id": m.event_id.values,
+        "click_event_id": m.event_id_c.values,
+        "user_id": m.user_id.values,
+        "gap_us": (m.ts.values - m.ts_c.values).astype("timedelta64[us]")
+                  .astype(np.int64),
+    }).sort_values(["error_event_id", "click_event_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pm2_empty_intents_degenerates_to_original_order(ray_session):
+    """Regression (session review finding): pm2 with no intents raised
+    KeyError: None; it must emit the original rank order truncated with
+    zero PM2 scores (PM2 scores only intent coverage), like xquad's
+    degenerate behavior."""
+    from searchengine_ray.diversity import DiversityConfig, pm2, xquad
+
+    orig = [(1, 3.0), (2, 2.0), (3, 1.0)]
+    cfg = DiversityConfig(algorithm="pm2", max_result_ranking_length=2)
+    got = pm2(orig, {}, cfg)
+    assert [d for d, _ in got] == [1, 2]
+    assert all(s == 0.0 for _, s in got)
+    # xquad on the same input keeps working (pre-existing behavior)
+    xq = xquad(orig, {}, DiversityConfig(algorithm="xquad",
+                                         max_result_ranking_length=2))
+    assert [d for d, _ in xq] == [1, 2]
