@@ -3394,19 +3394,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
         "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
         "events_tumbling": windows.tumbling_counts,  # twice driver-verified (r1+r2); sibling: events_hopping (same code path)
-        # --- rows-only (no SQL oracle; pytest-verified) ----------------
-        # multimodal (deterministic synthetic media; decode backends are
-        # documented fakes — the Ray plumbing is the deliverable). sf_dir
-        # is unused: no real media bytes exist in this environment.
+        # multimodal — hash-gated since r5: payloads are the UTF-8 bytes of
+        # documents.text (media_from_documents), the decode rule is the
+        # SQL-derivable ByteDecodeBackend byte-tiling, and the feature
+        # stages emit exact integer aggregates, so the oracles re-derive
+        # every value with ascii(substr(...)) + range() laterals. No real
+        # media bytes exist in this environment; a real PIL/ffmpeg backend
+        # plugs into the same stages (uint8 pixels / int16 PCM keep the
+        # integer features exact).
         "mm_image_features": lambda sf_dir: multimodal.image_pipeline(
-            multimodal.media_dataset()
+            multimodal.media_from_documents(sf_dir),
+            backend=multimodal.ByteDecodeBackend(),
         ),
         "mm_audio_features": lambda sf_dir: multimodal.audio_pipeline(
-            multimodal.media_dataset()
+            multimodal.media_from_documents(sf_dir),
+            backend=multimodal.ByteDecodeBackend(),
         ),
         "mm_video_frames": lambda sf_dir: multimodal.video_pipeline(
-            multimodal.media_dataset()
+            multimodal.media_from_documents(sf_dir),
+            backend=multimodal.ByteDecodeBackend(),
         ),
+    }
+
+
+def _mm_sqls() -> dict[str, str]:
+    """Oracles for the three multimodal gates: re-derive the
+    ByteDecodeBackend decode (pixel/sample p = payload byte at
+    ``(p + offset) % L``) and the exact integer feature sums directly from
+    documents.text with ascii(substr(...)) over range() laterals.  The
+    media-table derivation (kind = doc_id%3 cycle, metadata = integer
+    functions of doc_id) mirrors multimodal.media_from_documents literally;
+    text is pure ASCII in the test tables so byte == code point."""
+    from searchengine_ray import multimodal as mm
+
+    byte = "ascii(substr(text, CAST({pos} % L AS INT) + 1, 1))"
+    img = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS L,
+         16 + (doc_id*7)%48 AS w, 16 + (doc_id*5)%48 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+  CAST(SUM(CASE WHEN p%3=0 THEN {byte.format(pos='p')} ELSE 0 END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN p%3=1 THEN {byte.format(pos='p')} ELSE 0 END) AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN p%3=2 THEN {byte.format(pos='p')} ELSE 0 END) AS BIGINT) AS sum_b,
+  CAST(MAX(w*h) AS BIGINT) AS n_pix
+FROM m, LATERAL (SELECT unnest(range(0, 3*w*h)) AS p) t
+GROUP BY media_id
+"""
+    # audio: pcm(i) = byte(i) - 128; mean-crossings via the exact
+    # cross-multiplied compare pcm*n >= sum(pcm)  <=>  byte*n >= sum(byte)
+    # (adding the constant 128*n to both sides).
+    sums = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS L,
+         (100 + (doc_id*13)%900) * {mm.AUDIO_SAMPLES_PER_MS} AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+tot AS (
+  SELECT media_id, CAST(SUM({byte.format(pos='i')}) AS BIGINT) AS s
+  FROM m, LATERAL (SELECT unnest(range(0, n)) AS i) t
+  GROUP BY media_id
+)
+"""
+    audio = f"""{sums}
+SELECT m.media_id,
+  CAST(SUM(({byte.format(pos='i')} - 128) * ({byte.format(pos='i')} - 128)) AS BIGINT) AS energy,
+  CAST(SUM(CASE WHEN i > 0 AND
+      (({byte.format(pos='i')}) * n >= tot.s) !=
+      (({byte.format(pos='(i-1)')}) * n >= tot.s)
+      THEN 1 ELSE 0 END) AS BIGINT) AS mean_crossings,
+  CAST(MAX(n) AS BIGINT) AS n_samples
+FROM m JOIN tot ON tot.media_id = m.media_id,
+     LATERAL (SELECT unnest(range(0, n)) AS i) t
+GROUP BY m.media_id
+"""
+    npix = 3 * mm.VIDEO_FRAME_W * mm.VIDEO_FRAME_H
+    video = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS L
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(f AS INT) AS frame,
+  CAST(SUM({byte.format(pos=f'(p + f*{mm.VIDEO_FRAME_STRIDE})')}) AS BIGINT) AS intensity_sum
+FROM m, LATERAL (SELECT unnest(range(0, 3)) AS f) tf,
+     LATERAL (SELECT unnest(range(0, {npix})) AS p) tp
+GROUP BY media_id, f
+"""
+    return {
+        "mm_image_features": img,
+        "mm_audio_features": audio,
+        "mm_video_frames": video,
     }
 
 
@@ -3583,4 +3661,5 @@ SELECT prefix, suggestion, df FROM c WHERE rn <= 5
         "sketch_cms_counts": _cms_sql(),
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "events_hourly_users_hll": _hll_estimate_sql(),
+        **_mm_sqls(),
     }

@@ -3,10 +3,22 @@
 ``map_batches`` stages.
 
 The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this environment, so
-the decode kernels are deterministic fakes behind ``DecodeBackend`` — the
-Ray-side plumbing (schema, batch sizing for large payloads, actor-pool
-signatures, output layout) is real and tested. Swapping in a real backend
-means implementing three methods; nothing else changes.
+two deterministic backends stand in behind ``DecodeBackend``:
+
+* ``FakeDecodeBackend`` — payload-hash-seeded random arrays (plumbing tests).
+* ``ByteDecodeBackend`` — pixels/PCM are pure integer functions of the
+  payload bytes (tile the payload over the pixel/sample grid).  Because the
+  decode rule is byte-exact and the feature stages emit exact integer
+  aggregates, the whole pipeline is verifiable against a SQL oracle that
+  re-derives the same sums with ``ascii(substr(...))`` + ``range()`` — this
+  is what promotes the mm_* gates from rows-only to hash-checked.
+
+The Ray-side plumbing (schema, batch sizing for large payloads, actor-pool
+signatures, output layout) is real; swapping in a real backend means
+implementing three methods; nothing else changes.  The feature stages are
+backend-agnostic and integer-domain by design: real decoders produce uint8
+RGB pixels and int16 PCM, for which channel sums / energy / mean-crossing
+counts are exact integers too.
 
 Scale notes: binary payloads dominate block size — callers should lower
 ``batch_size`` (payloads x batch x concurrency must fit worker heaps) and
@@ -32,15 +44,25 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+# ByteDecodeBackend constants (mirrored literally in the SQL oracles).
+AUDIO_SAMPLES_PER_MS = 4
+VIDEO_FRAME_W = 16
+VIDEO_FRAME_H = 16
+VIDEO_FRAME_STRIDE = 7919  # frame f starts at byte offset f*stride (prime)
+
 
 class DecodeBackend:
-    """Deterministic fake decoders. A real deployment subclasses this with
-    PIL / libav implementations; the pipeline code is backend-agnostic."""
+    """Decoder interface. A real deployment subclasses this with PIL /
+    libav implementations; the pipeline code is backend-agnostic.
+
+    Contracts: ``decode_image`` -> uint8 array (h, w, 3);
+    ``decode_audio`` -> integer PCM 1-D array (real audio is int16);
+    ``sample_video_frames`` -> list of n uint8 frames."""
 
     def decode_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
         raise NotImplementedError(
             "real image decoding needs PIL/opencv (not in this environment); "
-            "use FakeDecodeBackend for plumbing tests"
+            "use ByteDecodeBackend / FakeDecodeBackend for plumbing tests"
         )
 
     def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
@@ -62,11 +84,44 @@ class FakeDecodeBackend(DecodeBackend):
         seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
         n = max(1, duration_ms * 16)  # 16 kHz fake PCM
-        return rng.standard_normal(n).astype(np.float32)
+        return rng.integers(-32768, 32768, size=n, dtype=np.int16)
 
     def sample_video_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
         return [
             self.decode_image(payload + bytes([i]), 32, 32) for i in range(n)
+        ]
+
+
+class ByteDecodeBackend(DecodeBackend):
+    """SQL-derivable deterministic decode: tile the payload bytes over the
+    pixel / sample grid.  Every output element is
+    ``payload[(pos + offset) % len(payload)]`` so a DuckDB oracle can
+    re-derive the downstream integer features with
+    ``ascii(substr(text, pos % L + 1, 1))`` over ``range()`` laterals
+    (payloads in the gates are the UTF-8 bytes of ``documents.text``,
+    which is pure ASCII — byte == code point)."""
+
+    def decode_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        idx = np.arange(3 * w * h, dtype=np.int64) % len(b)
+        return b[idx].reshape(h, w, 3)
+
+    def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        n = max(1, duration_ms * AUDIO_SAMPLES_PER_MS)
+        idx = np.arange(n, dtype=np.int64) % len(b)
+        # 8-bit unsigned PCM convention: recenter at 128.
+        return b[idx].astype(np.int64) - 128
+
+    def sample_video_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        npix = 3 * VIDEO_FRAME_W * VIDEO_FRAME_H
+        pos = np.arange(npix, dtype=np.int64)
+        return [
+            b[(pos + f * VIDEO_FRAME_STRIDE) % len(b)].reshape(
+                VIDEO_FRAME_H, VIDEO_FRAME_W, 3
+            )
+            for f in range(n)
         ]
 
 
@@ -100,7 +155,7 @@ class PillowDecodeBackend(DecodeBackend):
 def default_backend() -> DecodeBackend:
     """Pillow-backed image decode when the library exists, else the
     deterministic fake — explicit opt-in keeps the mm_* gate outputs
-    environment-independent (pipelines default to FakeDecodeBackend)."""
+    environment-independent (gate pipelines pass ByteDecodeBackend)."""
     try:
         return PillowDecodeBackend()
     except ImportError:
@@ -108,8 +163,44 @@ def default_backend() -> DecodeBackend:
 
 
 class ImageFeatures:
-    """Actor stage: decode + feature-extract images (mean RGB, a tiny
-    grayscale 'embedding'). Backend loads ONCE per actor in __init__."""
+    """Actor stage: decode images, emit exact per-channel byte sums.
+
+    Integer-domain on purpose: for any uint8 RGB decode (real PIL included)
+    ``sum_r/g/b`` and ``n_pix`` are exact, so the stage is hash-verifiable
+    end-to-end with ByteDecodeBackend. Backend loads ONCE per actor."""
+
+    def __init__(self, backend: DecodeBackend | None = None):
+        self.backend = backend or FakeDecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sums = []
+        for payload, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("meta_width").to_pylist(),
+            batch.column("meta_height").to_pylist(),
+        ):
+            img = self.backend.decode_image(payload, w, h)
+            sums.append(img.reshape(-1, 3).sum(axis=0, dtype=np.int64))
+        s = np.asarray(sums, dtype=np.int64).reshape(-1, 3)
+        npix = (
+            batch.column("meta_width").to_numpy().astype(np.int64)
+            * batch.column("meta_height").to_numpy().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "sum_r": pa.array(s[:, 0], type=pa.int64()),
+                "sum_g": pa.array(s[:, 1], type=pa.int64()),
+                "sum_b": pa.array(s[:, 2], type=pa.int64()),
+                "n_pix": pa.array(npix, type=pa.int64()),
+            }
+        )
+
+
+class ImageEmbedding:
+    """Actor stage: decode + produce a tiny grayscale embedding
+    (``list<float32>``) plus float mean RGB — the float-feature demo kept
+    alongside the integer-gated ImageFeatures stage."""
 
     def __init__(self, backend: DecodeBackend | None = None, resize: int = 8):
         self.backend = backend or FakeDecodeBackend()
@@ -143,38 +234,50 @@ class ImageFeatures:
 
 
 class AudioFeatures:
-    """Actor stage: decode audio, emit RMS energy + zero-crossing rate."""
+    """Actor stage: decode integer PCM, emit exact energy (sum of squared
+    samples), mean-crossing count, and sample count.
+
+    ``mean_crossings`` counts sign changes of ``pcm[i] - mean(pcm)`` using
+    the cross-multiplied integer compare ``pcm[i]*n >= sum(pcm)`` — exact
+    for any integer PCM (real int16 audio included), so the stage is
+    hash-verifiable with ByteDecodeBackend."""
 
     def __init__(self, backend: DecodeBackend | None = None):
         self.backend = backend or FakeDecodeBackend()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rms, zcr = [], []
+        energy, crossings, nsamp = [], [], []
         for payload, dur in zip(
             batch.column("payload").to_pylist(),
             batch.column("meta_duration_ms").to_pylist(),
         ):
-            pcm = self.backend.decode_audio(payload, dur)
-            rms.append(float(np.sqrt(np.mean(pcm**2))))
-            zcr.append(float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))))
+            pcm = self.backend.decode_audio(payload, dur).astype(np.int64)
+            n = len(pcm)
+            total = int(pcm.sum())
+            above = pcm * n >= total  # pcm[i] >= mean, exact integers
+            energy.append(int((pcm * pcm).sum()))
+            crossings.append(int(np.count_nonzero(above[1:] != above[:-1])))
+            nsamp.append(n)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "rms": pa.array(rms, type=pa.float64()),
-                "zcr": pa.array(zcr, type=pa.float64()),
+                "energy": pa.array(energy, type=pa.int64()),
+                "mean_crossings": pa.array(crossings, type=pa.int64()),
+                "n_samples": pa.array(nsamp, type=pa.int64()),
             }
         )
 
 
 class VideoFrameSample:
-    """Actor stage: sample n frames per video, explode to one row per frame."""
+    """Actor stage: sample n frames per video, explode to one row per frame
+    with the exact integer pixel-byte sum per frame."""
 
     def __init__(self, backend: DecodeBackend | None = None, n_frames: int = 3):
         self.backend = backend or FakeDecodeBackend()
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, means = [], [], []
+        ids, frame_idx, sums = [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
@@ -184,12 +287,12 @@ class VideoFrameSample:
             ):
                 ids.append(mid)
                 frame_idx.append(i)
-                means.append(float(frame.mean()))
+                sums.append(int(frame.sum(dtype=np.int64)))
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "frame": pa.array(frame_idx, type=pa.int32()),
-                "mean_intensity": pa.array(means, type=pa.float64()),
+                "intensity_sum": pa.array(sums, type=pa.int64()),
             }
         )
 
@@ -220,11 +323,12 @@ def _only_kind(media, kind: str):
     return media.map_batches(flt, batch_format="pyarrow")
 
 
-def image_pipeline(media, concurrency: int = 2):
-    """Dataset of MEDIA_SCHEMA -> image features via an actor pool (small
-    batches: payloads are the block-size driver)."""
+def image_pipeline(media, concurrency: int = 2, backend=None):
+    """Dataset of MEDIA_SCHEMA -> exact integer image features via an actor
+    pool (small batches: payloads are the block-size driver)."""
     return _only_kind(media, "image").map_batches(
         ImageFeatures,
+        fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=16,
         concurrency=concurrency,
@@ -232,10 +336,25 @@ def image_pipeline(media, concurrency: int = 2):
     )
 
 
-def audio_pipeline(media, concurrency: int = 2):
-    """Dataset of MEDIA_SCHEMA -> audio features via an actor pool."""
+def image_embedding_pipeline(media, concurrency: int = 2, backend=None):
+    """Dataset of MEDIA_SCHEMA -> float mean-RGB + list<float32> embedding
+    (the float-output demo path; not hash-gated)."""
+    return _only_kind(media, "image").map_batches(
+        ImageEmbedding,
+        fn_constructor_kwargs={"backend": backend},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def audio_pipeline(media, concurrency: int = 2, backend=None):
+    """Dataset of MEDIA_SCHEMA -> exact integer audio features via an actor
+    pool."""
     return _only_kind(media, "audio").map_batches(
         AudioFeatures,
+        fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=16,
         concurrency=concurrency,
@@ -243,12 +362,12 @@ def audio_pipeline(media, concurrency: int = 2):
     )
 
 
-def video_pipeline(media, concurrency: int = 2, n_frames: int = 3):
-    """Dataset of MEDIA_SCHEMA -> sampled-frame features via an actor pool
-    (one output row per sampled frame)."""
+def video_pipeline(media, concurrency: int = 2, n_frames: int = 3, backend=None):
+    """Dataset of MEDIA_SCHEMA -> sampled-frame integer features via an
+    actor pool (one output row per sampled frame)."""
     return _only_kind(media, "video").map_batches(
         VideoFrameSample,
-        fn_constructor_kwargs={"n_frames": n_frames},
+        fn_constructor_kwargs={"n_frames": n_frames, "backend": backend},
         batch_format="pyarrow",
         batch_size=8,
         concurrency=concurrency,
@@ -257,10 +376,49 @@ def video_pipeline(media, concurrency: int = 2, n_frames: int = 3):
 
 
 def media_dataset(n: int = 64, seed: int = 5, num_blocks: int = 4):
-    """Deterministic synthetic media Dataset (the queries() entry point —
-    no real image/audio bytes exist in this environment)."""
+    """Deterministic synthetic media Dataset (plumbing tests — no real
+    image/audio bytes exist in this environment)."""
     import ray.data
 
     return ray.data.from_arrow(synth_media_table(n, seed)).repartition(
         num_blocks
     )
+
+
+def media_from_documents(sf_dir: str):
+    """Derive a MEDIA_SCHEMA Dataset deterministically from the documents
+    table: payload = UTF-8 bytes of ``text``, kind cycles by ``doc_id % 3``,
+    metadata is an integer function of ``doc_id``.  This is the gate input —
+    a DuckDB oracle can re-derive every payload byte from the same parquet,
+    which (with ByteDecodeBackend) makes the mm_* pipelines hash-checkable.
+
+    Derivation mirrored literally in the SQL oracles:
+      kind            = ['image','audio','video'][doc_id % 3]
+      meta_width      = 16 + (doc_id * 7) % 48
+      meta_height     = 16 + (doc_id * 5) % 48
+      meta_duration_ms = 100 + (doc_id * 13) % 900
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    kinds = pa.array(["image", "audio", "video"], type=pa.string())
+
+    def to_media(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").combine_chunks()
+        ids = doc_id.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": doc_id,
+                "kind": pc.take(kinds, pa.array(ids % 3)),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+                "meta_width": pa.array(16 + (ids * 7) % 48, type=pa.int32()),
+                "meta_height": pa.array(16 + (ids * 5) % 48, type=pa.int32()),
+                "meta_duration_ms": pa.array(
+                    100 + (ids * 13) % 900, type=pa.int32()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_media, batch_format="pyarrow")

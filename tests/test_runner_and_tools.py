@@ -194,6 +194,7 @@ def test_multimodal_plumbing():
     from searchengine_ray.multimodal import (
         AudioFeatures,
         VideoFrameSample,
+        image_embedding_pipeline,
         image_pipeline,
         synth_media_table,
     )
@@ -201,15 +202,20 @@ def test_multimodal_plumbing():
     media = ray.data.from_arrow(synth_media_table(30))
     img = image_pipeline(media, concurrency=2).to_pandas()
     assert len(img) == 10  # 30 rows, kind cycles image/audio/video
-    assert set(img.columns) >= {"media_id", "mean_r", "embedding"}
-    assert len(img["embedding"].iloc[0]) == 64
+    assert set(img.columns) == {"media_id", "sum_r", "sum_g", "sum_b", "n_pix"}
+    assert (img["sum_r"] <= 255 * img["n_pix"]).all()
+
+    emb = image_embedding_pipeline(media, concurrency=2).to_pandas()
+    assert set(emb.columns) >= {"media_id", "mean_r", "embedding"}
+    assert len(emb["embedding"].iloc[0]) == 64
 
     audio = (
         media.filter(lambda r: r["kind"] == "audio")
         .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=2)
         .to_pandas()
     )
-    assert (audio["rms"] > 0).all()
+    assert (audio["energy"] > 0).all()
+    assert (audio["n_samples"] > 0).all()
 
     frames = (
         media.filter(lambda r: r["kind"] == "video")
@@ -219,11 +225,73 @@ def test_multimodal_plumbing():
     assert len(frames) == 10 * 3  # n_frames per video
 
     # determinism: the fake backend is payload-seeded
-    img2 = image_pipeline(ray.data.from_arrow(synth_media_table(30)), 2).to_pandas()
+    emb2 = image_embedding_pipeline(
+        ray.data.from_arrow(synth_media_table(30)), 2
+    ).to_pandas()
     assert np.allclose(
-        np.vstack(img["embedding"].map(np.asarray)),
-        np.vstack(img2["embedding"].map(np.asarray)),
+        np.vstack(emb["embedding"].map(np.asarray)),
+        np.vstack(emb2["embedding"].map(np.asarray)),
     )
+
+
+def test_byte_backend_matches_bruteforce():
+    """ByteDecodeBackend decode + integer feature stages equal a direct
+    Python brute-force over the payload bytes (the same arithmetic the SQL
+    oracles re-derive with ascii(substr(...)))."""
+    import pyarrow as pa
+
+    from searchengine_ray.multimodal import (
+        AUDIO_SAMPLES_PER_MS,
+        VIDEO_FRAME_STRIDE,
+        AudioFeatures,
+        ByteDecodeBackend,
+        ImageFeatures,
+        VideoFrameSample,
+    )
+
+    payloads = [b"hello world, bytes!", b"0123456789abcdef" * 3, b"Zq"]
+    w, h, dur = 5, 4, 7
+    batch = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta_width": pa.array([w] * 3, type=pa.int32()),
+            "meta_height": pa.array([h] * 3, type=pa.int32()),
+            "meta_duration_ms": pa.array([dur] * 3, type=pa.int32()),
+        }
+    )
+    be = ByteDecodeBackend()
+    img = ImageFeatures(be)(batch).to_pandas()
+    aud = AudioFeatures(be)(batch).to_pandas()
+    vid = VideoFrameSample(be, n_frames=2)(batch).to_pandas()
+
+    for r, payload in enumerate(payloads):
+        L = len(payload)
+        # image: pixel p = payload[p % L], channel = p % 3
+        px = [payload[p % L] for p in range(3 * w * h)]
+        for c, col in enumerate(["sum_r", "sum_g", "sum_b"]):
+            assert img[col].iloc[r] == sum(px[c::3])
+        assert img["n_pix"].iloc[r] == w * h
+        # audio: pcm i = payload[i % L] - 128
+        n = dur * AUDIO_SAMPLES_PER_MS
+        pcm = [payload[i % L] - 128 for i in range(n)]
+        assert aud["energy"].iloc[r] == sum(v * v for v in pcm)
+        total = sum(pcm)
+        above = [v * n >= total for v in pcm]
+        assert aud["mean_crossings"].iloc[r] == sum(
+            above[i] != above[i - 1] for i in range(1, n)
+        )
+        assert aud["n_samples"].iloc[r] == n
+        # video: frame f pixel p = payload[(p + f*stride) % L]
+        for f in range(2):
+            want = sum(
+                payload[(p + f * VIDEO_FRAME_STRIDE) % L]
+                for p in range(3 * 16 * 16)
+            )
+            got = vid[(vid.media_id == r) & (vid.frame == f)][
+                "intensity_sum"
+            ].iloc[0]
+            assert got == want
 
 
 def test_real_backend_raises():
