@@ -3089,6 +3089,25 @@ FROM fin
 """
 
 
+def _ann_sq8_gate(sf_dir: str):
+    """ann_sq8 with the oracle-parity precondition made loud: _sq8_sql
+    trains min/span over the FULL embeddings table while sq8_topk trains on
+    a hash-thinned sample capped at sample_rows=4096 — identical only while
+    every row survives the sample. Assert that here so a larger gate corpus
+    fails with a clear message instead of a silent hash mismatch."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray import sq8
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n > 4096:
+        raise AssertionError(
+            f"ann_sq8 gate requires embeddings rows <= sample_rows=4096 for "
+            f"full-table-vs-sample train parity; got {n} rows"
+        )
+    return sq8.sq8_topk(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
         ann, annpq, bpe, curation, dedup, gate, mmr, multimodal, rake,
@@ -3286,7 +3305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQ8 scalar-quantization ANN (new in r4): int8 codes, EXACT-
         # INTEGER surrogate scoring (codes·w dot, no float accumulation);
         # train+encode+weights+dot all re-derived literal-free in SQL
-        "ann_sq8": sq8.sq8_topk,
+        "ann_sq8": _ann_sq8_gate,
         # count-min sketch heavy-hitter term counts: registers + min-probe
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,

@@ -161,7 +161,12 @@ class InvertedIndex:
     def attach_docvalues(self, source_dir: "str | None") -> None:
         """Point numeric doc-values lookups at a corpus directory holding
         ``documents.parquet`` keyed by ``doc_id`` (the build's external
-        corpus key). No I/O happens until a ``#range`` query runs."""
+        corpus key). No I/O happens until a ``#range`` query runs.
+        Re-attaching a different directory drops the per-column cache so a
+        live reader never serves the previous corpus' values."""
+        if source_dir != self._docvalues_dir:
+            self._dv_cache.clear()
+            self._dv_valid.clear()
         self._docvalues_dir = source_dir
 
     def docvalues_docs_in_range(
@@ -181,6 +186,10 @@ class InvertedIndex:
             import pyarrow.parquet as _pq
 
             path = os.path.join(self._docvalues_dir, "documents.parquet")
+            if column not in _pq.read_schema(path).names:
+                raise ValueError(
+                    f"unknown doc-values column {column!r} in {path}"
+                )
             if not len(self._doc_ids):
                 self._dv_cache[column] = np.empty(0, np.float64)
                 self._dv_valid[column] = np.empty(0, bool)

@@ -558,6 +558,12 @@ def retention_cohorts(sf_dir: str):
         first[1:] = (uu[1:] != uu[:-1]) | (oo[1:] != oo[:-1])
         cd, od = cohort[uu[first]], oo[first]
         # pre-aggregate the bucket's cells before the tiny global shuffle
+        if len(od) and int(od.max()) >= (1 << 20):
+            raise ValueError(
+                "retention_cohorts: cohort offset "
+                f"{int(od.max())} days >= 2^20 would collide packed "
+                "cells — the event span exceeds ~2.8k years (bad data?)"
+            )
         key = cd * (1 << 20) + od  # offsets < 2^20 days ≈ 2.8k years
         cells, cnt = np.unique(key, return_counts=True)
         return pa.table(

@@ -704,3 +704,32 @@ def test_retention_offset_zero_is_every_user_and_matches_brute():
     ).fetchone()[0]
     assert got[got["offset_days"] == 0]["users"].sum() == n_users
     assert (got["users"] > 0).all() and (got["offset_days"] >= 0).all()
+
+
+def test_retention_guard_on_packed_cell_overflow(tmp_path):
+    """ADVICE r4: an anomalous future-dated event that widens a user's
+    offset span past 2^20 days must raise loudly instead of silently
+    colliding packed (cohort, offset) cells."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.windows import retention_cohorts
+
+    day_us = 86_400_000_000
+    ts = pa.array(
+        [0, (1 << 20) * day_us],  # same user, offset exactly 2^20 days
+        type=pa.timestamp("us"),
+    )
+    t = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([0.0, 0.0]),
+        "props": pa.array(["", ""]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    with pytest.raises(Exception, match="2\\^20|collide"):
+        retention_cohorts(str(d)).to_pandas()

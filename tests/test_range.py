@@ -125,3 +125,43 @@ def test_range_disjoint_docvalues_matches_nothing(range_ctx, tmp_path):
     )
     eng = _engine(idx, str(other))
     assert eng.search("q", "#range( n_chars 0 1000000 )").num_rows == 0
+
+
+def test_range_unknown_column_raises_value_error(range_ctx):
+    """ADVICE r4: a column absent from documents.parquet must surface as
+    the same clean ValueError the numeric/arity paths raise, not a raw
+    pyarrow error."""
+    sf, idx, _ = range_ctx
+    eng = _engine(idx, sf)
+    with pytest.raises(ValueError, match="unknown doc-values column"):
+        eng.search("q", "#range( no_such_column 0 10 )")
+
+
+def test_attach_docvalues_invalidates_cache(range_ctx, tmp_path):
+    """ADVICE r4: re-attaching a DIFFERENT corpus dir on a live reader must
+    drop the per-column cache — stale values from the first corpus must not
+    be served for already-queried columns."""
+    import pyarrow.parquet as pq
+
+    sf, idx, texts = range_ctx
+    eng = _engine(idx, sf)
+    first = set(
+        eng.search("q", "#range( n_chars 60 120 )").column("doc_id").to_pylist()
+    )
+    assert first  # cache is now warm for n_chars
+
+    # second corpus: same doc_ids, shifted values -> nothing in [60, 120]
+    other = tmp_path / "other2"
+    other.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+            "n_chars": pa.array([10**6] * 60, type=pa.int64()),
+        }),
+        other / "documents.parquet",
+    )
+    eng.index.attach_docvalues(str(other))
+    assert eng.search("q", "#range( n_chars 60 120 )").num_rows == 0
+    # re-attaching the SAME dir keeps the (now re-warmed) cache valid
+    eng.index.attach_docvalues(str(other))
+    assert eng.search("q", "#range( n_chars 999999 1000001 )").num_rows == 60
