@@ -1003,26 +1003,56 @@ def _finalize(out_dir: str, cfg: BuildConfig) -> None:
     _atomic_write(lexicon, os.path.join(out_dir, "lexicon"))
 
     fields = list(cfg.fields)
-    # NOTE: assumes one docmap row per doc. A retried build that re-chunked
-    # its tokenize batches can leave duplicate rows (identical content);
-    # the index READER dedupes them, but these corpus sums would inflate —
-    # resume from the partition manifest (the normal path) never hits this.
-    docmap = ray.data.read_parquet(
-        os.path.join(out_dir, "docmap"), columns=[f"len_{f}" for f in fields]
+    # Docmap rows can be duplicated by Ray task retries (identical rows in
+    # overlapping files WITHIN one partition — see _write_docmap). The
+    # reader dedupes on doc_id; mirror that here so corpus sums never
+    # inflate: doc ranges are disjoint ACROSS partitions, so dedupe is
+    # partition-local (each task loads one partition's docmap, bounded by
+    # the partition doc count — the same bound the shard reader assumes).
+    # Conflicting duplicates (same doc_id, different lengths) raise loudly.
+    dm_root = os.path.join(out_dir, "docmap")
+    part_dirs = sorted(
+        os.path.join(dm_root, d)
+        for d in os.listdir(dm_root)
+        if os.path.isdir(os.path.join(dm_root, d))
+    ) or [dm_root]
+    len_cols = [f"len_{f}" for f in fields]
+
+    def partial(batch: dict) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        out: list[pa.Table] = []
+        for d in batch["dir"]:
+            t = _pq.read_table(d, columns=["doc_id"] + len_cols)
+            ids = t.column("doc_id").to_numpy()
+            uniq, first = np.unique(ids, return_index=True)
+            if len(uniq) != len(ids):
+                # duplicates must be retry copies: identical len rows
+                full = t.to_pandas()
+                if len(full.drop_duplicates()) != len(uniq):
+                    raise ValueError(
+                        f"{d}: conflicting docmap duplicates (same doc_id, "
+                        "different lengths) — corrupt partition output"
+                    )
+                t = t.take(np.sort(first))
+            cols = {"n_docs": pa.array([t.num_rows], type=pa.int64())}
+            for f in fields:
+                c = t.column(f"len_{f}")
+                cols[f"sum_{f}"] = pa.array(
+                    [pc.sum(c).as_py() or 0], type=pa.int64()
+                )
+                cols[f"cnt_{f}"] = pa.array(
+                    [pc.sum(pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0],
+                    type=pa.int64(),
+                )
+            out.append(pa.table(cols))
+        return pa.concat_tables(out)
+
+    pdf = (
+        ray.data.from_items([{"dir": d} for d in part_dirs])
+        .map_batches(partial, batch_size=1)
+        .to_pandas()
     )
-
-    def partial(t: pa.Table) -> pa.Table:
-        cols = {"n_docs": pa.array([t.num_rows], type=pa.int64())}
-        for f in fields:
-            c = t.column(f"len_{f}")
-            cols[f"sum_{f}"] = pa.array([pc.sum(c).as_py() or 0], type=pa.int64())
-            cols[f"cnt_{f}"] = pa.array(
-                [pc.sum(pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0],
-                type=pa.int64(),
-            )
-        return pa.table(cols)
-
-    pdf = docmap.map_batches(partial, batch_format="pyarrow").to_pandas()
     stats: dict = {
         "n_docs": int(pdf["n_docs"].sum()),
         "stemmer": cfg.stemmer,

@@ -615,6 +615,19 @@ def evaluate_sharded(
 # ---------------------------------------------------------------------------
 
 
+def _as_table(results) -> pa.Table:
+    """Normalize a result container (pa.Table / pandas.DataFrame /
+    ray Dataset) to an Arrow table. Output-bounded: results are already
+    top-k x n_queries."""
+    import pandas as pd
+
+    if isinstance(results, pa.Table):
+        return results
+    if isinstance(results, pd.DataFrame):
+        return pa.Table.from_pandas(results, preserve_index=False)
+    return pa.Table.from_pandas(results.to_pandas(), preserve_index=False)
+
+
 def format_trec(
     results: pa.Table, run_id: str = "reference", style: str = "hw6"
 ) -> str:
@@ -628,21 +641,28 @@ def format_trec(
     """
     hw1 = style == "hw1"
     sep = "\t" if hw1 else " "
-    df = results.to_pandas()
-    lines: list[str] = []
-
-    def fmt(qid, ext, rank, score):
-        s = f"{score:f}" if hw1 else f"{score:.18f}"
-        return sep.join((str(qid), "Q0", str(ext), str(rank), s, run_id))
-
-    for qid, g in df.groupby("qid", sort=True):
-        if len(g) == 0:
-            lines.append(fmt(qid, "dummy", 1, 0.0))
-            continue
-        g = g.sort_values("rank")
-        for _, row in g.iterrows():
-            rank = int(row["rank"]) - (1 if hw1 else 0)
-            lines.append(fmt(qid, row.external_id, rank, row.score))
+    t = _as_table(results).sort_by(
+        [("qid", "ascending"), ("rank", "ascending")]
+    )
+    off = 1 if hw1 else 0
+    lines = [
+        sep.join(
+            (
+                str(q),
+                "Q0",
+                str(e),
+                str(int(r) - off),
+                f"{s:f}" if hw1 else f"{s:.18f}",
+                run_id,
+            )
+        )
+        for q, e, r, s in zip(
+            t.column("qid").to_pylist(),
+            t.column("external_id").to_pylist(),
+            t.column("rank").to_pylist(),
+            t.column("score").to_pylist(),
+        )
+    ]
     return "\n".join(lines) + "\n"
 
 
@@ -653,6 +673,7 @@ def write_trec(
     run_id: str = "reference",
     style: str = "hw6",
 ) -> None:
+    results = _as_table(results)
     text = format_trec(results, run_id, style=style)
     if all_qids:
         present = set(results.column("qid").to_pylist())

@@ -1,0 +1,66 @@
+"""Corpus-sums resume trap (VERDICT r4 item 7): a retried build can leave
+overlapping-but-identical docmap files inside one partition; the reader
+dedupes on doc_id and _finalize must mirror that — identical duplicates
+leave stats.json unchanged, conflicting duplicates raise."""
+
+import json
+import os
+import shutil
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+
+def _docmap_file(idx: str) -> str:
+    dm = os.path.join(idx, "docmap")
+    for root, _dirs, files in os.walk(dm):
+        for f in files:
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise AssertionError("no docmap parquet found")
+
+
+@pytest.fixture()
+def small_index(ray_session, fixture_corpus, tmp_path):
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(doc_bucket_size=64, skip_block_docs=16, num_partitions=2)
+    build_index(lambda: ray.data.from_arrow(fixture_corpus), out, cfg)
+    return out
+
+
+def test_identical_duplicate_docmap_rows_do_not_inflate_stats(small_index):
+    from searchengine_ray.build import _finalize
+    from searchengine_ray.config import BuildConfig
+
+    with open(os.path.join(small_index, "stats.json")) as f:
+        before = json.load(f)
+
+    src = _docmap_file(small_index)
+    shutil.copy(src, src.replace(".parquet", "_retry.parquet"))
+    _finalize(small_index, BuildConfig())
+
+    with open(os.path.join(small_index, "stats.json")) as f:
+        after = json.load(f)
+    assert after == before
+
+
+def test_conflicting_duplicate_docmap_rows_raise(small_index):
+    from searchengine_ray.build import _finalize
+    from searchengine_ray.config import BuildConfig
+
+    src = _docmap_file(small_index)
+    t = pq.read_table(src)
+    col = next(n for n in t.schema.names if n.startswith("len_"))
+    bad = t.set_column(
+        t.schema.get_field_index(col), col,
+        pc.add(t.column(col), 1),
+    )
+    pq.write_table(bad, src.replace(".parquet", "_conflict.parquet"))
+    with pytest.raises(Exception, match="conflicting docmap duplicates"):
+        _finalize(small_index, BuildConfig())
