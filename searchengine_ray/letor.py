@@ -50,6 +50,38 @@ class LetorConfig:
     lr: float = 0.05
     seed: int = 42
     feature_disable: frozenset = field(default_factory=frozenset)  # 1-based ids
+    # external svm_rank binaries (`RetrievalModelLeToR.java:339-342,
+    # 423-426`): when both paths point at existing executables,
+    # make_ranker() shells out through the byte-exact svm_light files
+    # instead of the in-repo LinearRanker. Reference param names:
+    # letor:svmRankLearnPath / letor:svmRankClassifyPath /
+    # letor:svmRankParamC (see letor_config_from_params).
+    svm_rank_learn_path: "str | None" = None
+    svm_rank_classify_path: "str | None" = None
+    svm_c: float = 0.001  # letor:svmRankParamC default (LeToR.java:72)
+
+
+def letor_config_from_params(params: dict, **overrides) -> "LetorConfig":
+    """Build a LetorConfig from a reference-style flat param dict
+    (``config.read_param_file``), honoring the reference's letor:* keys
+    (`RetrievalModelLeToR.java:60-90`)."""
+    disable = frozenset(
+        int(x)
+        for x in params.get("letor:featureDisable", "").split(",")
+        if x.strip()
+    )
+    kw = dict(
+        k1=float(params.get("BM25:k_1", 1.2)),
+        b=float(params.get("BM25:b", 0.75)),
+        mu=float(params.get("Indri:mu", 1500.0)),
+        lam=float(params.get("Indri:lambda", 0.01)),
+        feature_disable=disable,
+        svm_rank_learn_path=params.get("letor:svmRankLearnPath"),
+        svm_rank_classify_path=params.get("letor:svmRankClassifyPath"),
+        svm_c=float(params.get("letor:svmRankParamC", 0.001)),
+    )
+    kw.update(overrides)
+    return LetorConfig(**kw)
 
 
 def _query_terms(query: str, stemmer=None) -> list[str]:
@@ -290,6 +322,88 @@ class LinearRanker:
 
     def score(self, F: np.ndarray) -> np.ndarray:
         return F @ self.w
+
+
+class SvmRankRanker:
+    """External svm_rank driver, same interface as :class:`LinearRanker`.
+
+    Replays the reference's subprocess flow through the byte-exact
+    svm_light files: ``svm_rank_learn -c C train model``
+    (`RetrievalModelLeToR.java:339-342`) at fit time and
+    ``svm_rank_classify test model scores``
+    (`RetrievalModelLeToR.java:423-426`) at score time, with NaN missing
+    values skipped in the feature lines and scores read back positionally
+    (`:443-451`). Construct via :func:`make_ranker`, which falls back to
+    LinearRanker when the binaries are absent (this container has none)."""
+
+    def __init__(self, cfg: LetorConfig, workdir: "str | None" = None):
+        import tempfile
+
+        if not (cfg.svm_rank_learn_path and cfg.svm_rank_classify_path):
+            raise ValueError(
+                "SvmRankRanker needs letor:svmRankLearnPath and "
+                "letor:svmRankClassifyPath"
+            )
+        self.cfg = cfg
+        self.workdir = workdir or tempfile.mkdtemp(prefix="svmrank_")
+        self.model_path = f"{self.workdir}/model.dat"
+
+    def _run(self, argv: list[str]) -> None:
+        import subprocess
+
+        r = subprocess.run(argv, capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"{argv[0]} failed ({r.returncode}): "
+                f"{(r.stderr or r.stdout).strip()[:500]}"
+            )
+
+    def fit(self, groups: "list[tuple[np.ndarray, np.ndarray]]") -> None:
+        """groups: per query (features NxF normalized, relevance labels N).
+        Labels write as str(relevance + 3) like the reference's training
+        vectors (`RetrievalModelLeToR.java:276-334`)."""
+        rows = []
+        for qi, (F, y) in enumerate(groups, start=1):
+            for r, (label, feat) in enumerate(zip(y, F)):
+                rows.append((str(int(label) + 3), str(qi), feat, f"doc{r}"))
+        train = f"{self.workdir}/train.dat"
+        write_svm_features(train, rows, self.cfg.feature_disable)
+        self._run(
+            [self.cfg.svm_rank_learn_path, "-c", str(self.cfg.svm_c),
+             train, self.model_path]
+        )
+
+    def score(self, F: np.ndarray) -> np.ndarray:
+        rows = [("0", "1", feat, f"doc{r}") for r, feat in enumerate(F)]
+        test = f"{self.workdir}/test.dat"
+        scores = f"{self.workdir}/scores.dat"
+        write_svm_features(test, rows, self.cfg.feature_disable)
+        self._run(
+            [self.cfg.svm_rank_classify_path, test, self.model_path, scores]
+        )
+        s = read_svm_scores(scores)
+        if len(s) != len(F):
+            raise RuntimeError(
+                f"svm_rank_classify returned {len(s)} scores for "
+                f"{len(F)} rows (positional contract broken)"
+            )
+        return np.asarray(s, dtype=float)
+
+
+def make_ranker(cfg: LetorConfig, workdir: "str | None" = None):
+    """The reference's ranker selection, environment-aware: external
+    svm_rank when BOTH configured binaries exist and are executable, else
+    the in-repo LinearRanker (this container ships no svm_rank)."""
+    import os
+
+    lp, cp = cfg.svm_rank_learn_path, cfg.svm_rank_classify_path
+    if (
+        lp and cp
+        and os.path.isfile(lp) and os.access(lp, os.X_OK)
+        and os.path.isfile(cp) and os.access(cp, os.X_OK)
+    ):
+        return SvmRankRanker(cfg, workdir=workdir)
+    return LinearRanker(cfg)
 
 
 def rerank(

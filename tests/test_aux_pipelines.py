@@ -408,3 +408,91 @@ def test_train_ppmi_svd_deterministic_roundtrip(tmp_path):
     # tiny vocab smaller than dim pads with zeros (rank <= vocab)
     v3 = train_ppmi_svd([["a", "b"]], dim=8, window=2)
     assert len(v3["a"]) == 8 and np.all(v3["a"][2:] == 0)
+
+
+def test_svm_rank_subprocess_plumbing(tmp_path):
+    """VERDICT r4 item 5: the external svm_rank path. Fake binaries stand in
+    for svm_rank_learn/svm_rank_classify and prove the file/score plumbing
+    round-trips: fit writes the reference's train file (labels rel+3,
+    svm_light layout), score writes the test file, shells out, and reads
+    the positional score file back."""
+    import os
+
+    import numpy as np
+
+    from searchengine_ray.letor import (
+        LetorConfig,
+        LinearRanker,
+        SvmRankRanker,
+        letor_config_from_params,
+        make_ranker,
+        read_svm_features,
+    )
+
+    learn = tmp_path / "svm_rank_learn"
+    classify = tmp_path / "svm_rank_classify"
+    learn.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "# argv: -c C trainfile modelfile\n"
+        "assert sys.argv[1] == '-c'\n"
+        "train, model = sys.argv[3], sys.argv[4]\n"
+        "open(model, 'w').write(open(train).read())\n"
+    )
+    classify.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "# argv: testfile modelfile scorefile; score = f1 + 2*f2\n"
+        "test, model, out = sys.argv[1], sys.argv[2], sys.argv[3]\n"
+        "lines = []\n"
+        "for line in open(test):\n"
+        "    body = line.split('#')[0].split()\n"
+        "    f = dict(t.split(':') for t in body[2:])\n"
+        "    lines.append(float(f.get('1', 0)) + 2*float(f.get('2', 0)))\n"
+        "open(out, 'w').write(''.join(f'{s!r}\\n' for s in lines))\n"
+    )
+    os.chmod(learn, 0o755)
+    os.chmod(classify, 0o755)
+
+    params = {
+        "letor:svmRankLearnPath": str(learn),
+        "letor:svmRankClassifyPath": str(classify),
+        "letor:svmRankParamC": "0.01",
+    }
+    cfg = letor_config_from_params(params)
+    assert cfg.svm_c == 0.01
+
+    ranker = make_ranker(cfg, workdir=str(tmp_path / "wk"))
+    os.makedirs(tmp_path / "wk", exist_ok=True)
+    assert isinstance(ranker, SvmRankRanker)
+
+    F = np.array([[0.5, 1.0, 0.0], [1.0, 0.0, 0.25], [0.0, 0.0, 1.0]])
+    y = np.array([1, 0, 0])
+    ranker.fit([(F, y)])
+    # train file round-trips with the reference's label offset (+3)
+    rows = read_svm_features(f"{ranker.workdir}/train.dat")
+    assert [r[0] for r in rows] == ["4", "3", "3"]
+    # zeros are WRITTEN (only NaN / disabled ids skip, like the reference)
+    assert rows[0][1] == "1" and rows[0][2] == {1: 0.5, 2: 1.0, 3: 0.0}
+
+    got = ranker.score(F)
+    assert np.allclose(got, F[:, 0] + 2 * F[:, 1])
+
+    # absent binaries -> LinearRanker fallback
+    assert isinstance(
+        make_ranker(LetorConfig(svm_rank_learn_path="/no/such",
+                                svm_rank_classify_path="/no/such")),
+        LinearRanker,
+    )
+    assert isinstance(make_ranker(LetorConfig()), LinearRanker)
+
+    # a failing binary surfaces loudly
+    bad = tmp_path / "bad"
+    bad.write_text("#!/bin/sh\nexit 3\n")
+    os.chmod(bad, 0o755)
+    cfg_bad = LetorConfig(svm_rank_learn_path=str(bad),
+                          svm_rank_classify_path=str(classify))
+    r2 = make_ranker(cfg_bad, workdir=str(tmp_path / "wk2"))
+    os.makedirs(tmp_path / "wk2", exist_ok=True)
+    with pytest.raises(RuntimeError, match="failed"):
+        r2.fit([(F, y)])
