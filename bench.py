@@ -332,10 +332,133 @@ def run_scaling() -> None:
     )
 
 
+def run_stress() -> None:
+    """10x-bench-scale build stress (VERDICT r4 item 3): sf0.1 replicated
+    x400 = 2M docs through the full build pipeline with object-store /
+    spill accounting and per-partition wall stats — turns the "survives
+    100x" design argument into a measurement. One JSON line; the r5 run is
+    committed as BENCH_stress_sf1_r05.json and analyzed in BASELINE.md."""
+    import re
+
+    import ray
+
+    factor = int(os.environ.get("GRAFT_STRESS_FACTOR", str(BENCH_FACTOR * 10)))
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from searchengine_ray.benchcorpus import replicated_corpus_factory
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig, ModelParams
+    from searchengine_ray.engine import QueryService
+
+    calib0 = _calibrate()
+    steal0 = _steal_jiffies()
+    factory = replicated_corpus_factory(SF_DIR, factor)
+    idx_dir = "/tmp/stress_index"
+    if os.path.exists(idx_dir):
+        shutil.rmtree(idx_dir)
+    os.sync()
+    t0 = time.time()
+    build_index(factory, idx_dir, BuildConfig(), n_docs=factory.n_docs)
+    build_sec = time.time() - t0
+
+    # object-store / spill accounting for THIS session (the build is the
+    # only workload that ran): did the pipeline stay within the store or
+    # lean on disk spill, and how much? grpc isn't installed here, so read
+    # the session's spill directory + raylet log directly instead of
+    # ray.internal_api.memory_summary.
+    import glob
+
+    import ray._private.worker as _rw
+
+    session = _rw._global_node.get_session_dir_path()
+    spill_files = [
+        p
+        for d in glob.glob(os.path.join(session, "ray_spilled_objects*"))
+        for p in glob.glob(os.path.join(d, "*"))
+    ]
+    spilled_mb = round(
+        sum(os.path.getsize(p) for p in spill_files) / 2**20, 1
+    )
+    raylet_log = os.path.join(session, "logs", "raylet.out")
+    spill_log_lines = 0
+    if os.path.exists(raylet_log):
+        with open(raylet_log, errors="replace") as f:
+            spill_log_lines = sum(
+                1 for line in f if re.search(r"Spilled.*MiB", line)
+            )
+
+    with open(os.path.join(idx_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    walls = sorted(
+        e["wall_s"] for e in manifest["partitions"].values() if "wall_s" in e
+    )
+    index_bytes = sum(
+        os.path.getsize(os.path.join(r, fn))
+        for r, _d, fs in os.walk(idx_dir)
+        for fn in fs
+    )
+
+    # serving sanity at stress scale: warm pool, median of 3 passes
+    os.sync()
+    time.sleep(3)
+    queries = make_queries(48)
+    svc = QueryService(
+        idx_dir, ModelParams(model="bm25", top_k=100), num_actors=min(16, NCPU)
+    )
+    svc.warm(queries)
+    qt = []
+    for _ in range(3):
+        t0 = time.time()
+        res = svc.search_batch(queries)
+        qt.append(time.time() - t0)
+        assert res.num_rows > 0
+    qt.sort()
+    svc.shutdown()
+    calib1 = _calibrate()
+    steal1 = _steal_jiffies()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "stress_build_10x_bench_scale",
+                "docs": factory.n_docs,
+                "factor": factor,
+                "num_cpus": NCPU,
+                "build_sec": round(build_sec, 3),
+                "build_docs_per_sec": round(factory.n_docs / build_sec, 1),
+                "query_qps_median": round(len(queries) / qt[1], 2),
+                "index_bytes": index_bytes,
+                "partitions": len(walls),
+                "partition_wall_s_min": walls[0] if walls else None,
+                "partition_wall_s_median": walls[len(walls) // 2]
+                if walls
+                else None,
+                "partition_wall_s_max": walls[-1] if walls else None,
+                "object_store_spilled_mb": spilled_mb,
+                "spill_log_lines": spill_log_lines,
+                "calib_sec_start": calib0,
+                "calib_sec_end": calib1,
+                "steal_jiffies_delta": steal1 - steal0,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         run_scaling_worker()
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--stress" in sys.argv:
+        run_stress()
     else:
         print(json.dumps(run_bench()))
