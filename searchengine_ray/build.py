@@ -1015,6 +1015,10 @@ def _finalize(out_dir: str, cfg: BuildConfig) -> None:
         os.path.join(dm_root, d)
         for d in os.listdir(dm_root)
         if os.path.isdir(os.path.join(dm_root, d))
+        # true partitions only — skip crash leftovers like part_00003.tmp
+        # (same filter as the tiered-merge scan): a stale .tmp dir holds
+        # near-duplicate rows of its real sibling and would double-count
+        and d.startswith("part_") and d.split("_", 1)[1].isdigit()
     ) or [dm_root]
     len_cols = [f"len_{f}" for f in fields]
 

@@ -634,10 +634,13 @@ def format_trec(
     """trec_eval output.
 
     ``style="hw6"`` (default): `qid Q0 extId rank score runid`
-    space-separated, %.18f scores, rank FROM 1, dummy row for empty result
-    sets (`Homeworks/HW6/QryEval/QryEval.java:212-232`).
-    ``style="hw1"``: TAB-separated, %f scores, rank FROM 0, dummy rank 1
+    space-separated, %.18f scores, rank FROM 1
+    (`Homeworks/HW6/QryEval/QryEval.java:212-232`).
+    ``style="hw1"``: TAB-separated, %f scores, rank FROM 0
     (`Homeworks/HW1/QryEval/QryEval.java:226-243`).
+    Dummy rows for queries with EMPTY result sets are emitted by
+    :func:`write_trec` via ``all_qids`` (a results table carries no row at
+    all for an empty query, so only the caller knows the full qid set).
     """
     hw1 = style == "hw1"
     sep = "\t" if hw1 else " "

@@ -777,23 +777,27 @@ def ltr_rerank(sf_dir: str):
     )
 
 
-def _drmm_trained(sf_dir: str):
+def _drmm_trained(sf_dir: str, vectors=None):
     """(trained scorer, initial ranking, candidate texts) — the exact seeded
-    training replay shared by :func:`drmm_rerank` and the weight-literal SQL
-    oracle (``__ray_entry__._drmm_rerank_sql``)."""
+    training replay shared by :func:`drmm_rerank` / :func:`drmm_w2v_rerank`
+    and the weight-literal SQL oracle (``__ray_entry__._drmm_rerank_sql``).
+    ``vectors`` selects the term-vector backend (None = the synthetic
+    TermVectors stand-in)."""
     import pyarrow.parquet as pq
 
     from .drmm import DrmmConfig, DrmmScorer
 
     eng = engine_for(sf_dir, "bm25")
-    scorer = DrmmScorer(eng.index, DrmmConfig(seed=7, epochs=5, n_pairs=100))
+    scorer = DrmmScorer(
+        eng.index, DrmmConfig(seed=7, epochs=5, n_pairs=100), vectors=vectors
+    )
     initial = _ranking(sf_dir, "bm25", "dup", 30)
-    need = [d for d, _ in initial]
+    need = {d for d, _ in initial}
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     texts = {
         int(d): x
         for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-        if int(d) in set(need)
+        if int(d) in need
     }
     qrels = {"1": {d: (1 if i < 10 else 0) for i, (d, _) in enumerate(initial)}}
     scorer.train({"1": "dup"}, qrels, texts)
@@ -830,7 +834,12 @@ def w2v_db_for(sf_dir: str) -> str:
 
     from .wordvec import MAP_FILENAME, train_ppmi_svd, write_word2vec_db
 
-    key = os.path.abspath(sf_dir)
+    # cache key includes the corpus file's (mtime, size) fingerprint so a
+    # REGENERATED documents.parquet at the same path retrains instead of
+    # silently serving stale embeddings (review finding r5)
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
     if key not in _W2V_CACHE:
         out = os.path.join(
             "/tmp/se_ray_w2v", hashlib.md5(key.encode()).hexdigest()[:12]
@@ -847,33 +856,13 @@ def w2v_db_for(sf_dir: str) -> str:
 
 
 def _drmm_w2v_trained(sf_dir: str):
-    """(trained scorer, initial ranking, candidate texts) like
-    :func:`_drmm_trained`, but term vectors come from a REAL
+    """:func:`_drmm_trained` with term vectors from a REAL
     :class:`searchengine_ray.wordvec.Word2VecFile` database on disk
     (trained by :func:`w2v_db_for`) instead of the synthetic TermVectors
     stand-in — the reference file format end-to-end."""
-    import pyarrow.parquet as pq
-
-    from .drmm import DrmmConfig, DrmmScorer
     from .wordvec import Word2VecFile
 
-    eng = engine_for(sf_dir, "bm25")
-    scorer = DrmmScorer(
-        eng.index,
-        DrmmConfig(seed=7, epochs=5, n_pairs=100),
-        vectors=Word2VecFile(w2v_db_for(sf_dir)),
-    )
-    initial = _ranking(sf_dir, "bm25", "dup", 30)
-    need = [d for d, _ in initial]
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = {
-        int(d): x
-        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-        if int(d) in set(need)
-    }
-    qrels = {"1": {d: (1 if i < 10 else 0) for i, (d, _) in enumerate(initial)}}
-    scorer.train({"1": "dup"}, qrels, texts)
-    return scorer, initial, texts
+    return _drmm_trained(sf_dir, vectors=Word2VecFile(w2v_db_for(sf_dir)))
 
 
 def drmm_w2v_rerank(sf_dir: str):

@@ -345,7 +345,13 @@ class SvmRankRanker:
                 "letor:svmRankClassifyPath"
             )
         self.cfg = cfg
-        self.workdir = workdir or tempfile.mkdtemp(prefix="svmrank_")
+        if workdir is None:
+            workdir = tempfile.mkdtemp(prefix="svmrank_")
+        else:
+            import os
+
+            os.makedirs(workdir, exist_ok=True)
+        self.workdir = workdir
         self.model_path = f"{self.workdir}/model.dat"
 
     def _run(self, argv: list[str]) -> None:

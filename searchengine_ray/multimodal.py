@@ -101,20 +101,29 @@ class ByteDecodeBackend(DecodeBackend):
     (payloads in the gates are the UTF-8 bytes of ``documents.text``,
     which is pure ASCII — byte == code point)."""
 
+    @staticmethod
+    def _bytes(payload: bytes) -> np.ndarray:
+        if not len(payload):
+            raise ValueError(
+                "ByteDecodeBackend: empty payload (a zero-length media "
+                "blob has no bytes to tile)"
+            )
+        return np.frombuffer(payload, dtype=np.uint8)
+
     def decode_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
-        b = np.frombuffer(payload, dtype=np.uint8)
+        b = self._bytes(payload)
         idx = np.arange(3 * w * h, dtype=np.int64) % len(b)
         return b[idx].reshape(h, w, 3)
 
     def decode_audio(self, payload: bytes, duration_ms: int) -> np.ndarray:
-        b = np.frombuffer(payload, dtype=np.uint8)
+        b = self._bytes(payload)
         n = max(1, duration_ms * AUDIO_SAMPLES_PER_MS)
         idx = np.arange(n, dtype=np.int64) % len(b)
         # 8-bit unsigned PCM convention: recenter at 128.
         return b[idx].astype(np.int64) - 128
 
     def sample_video_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
-        b = np.frombuffer(payload, dtype=np.uint8)
+        b = self._bytes(payload)
         npix = 3 * VIDEO_FRAME_W * VIDEO_FRAME_H
         pos = np.arange(npix, dtype=np.int64)
         return [
@@ -404,6 +413,30 @@ def media_from_documents(sf_dir: str):
     kinds = pa.array(["image", "audio", "video"], type=pa.string())
 
     def to_media(t: pa.Table) -> pa.Table:
+        # loud oracle preconditions (the _ann_sq8_gate pattern): the SQL
+        # side indexes CHARACTERS via ascii(substr(text, ...)) while this
+        # side tiles BYTES, identical only for non-empty pure-ASCII text —
+        # fail with a clear message instead of an opaque hash mismatch
+        # (or a remainder-by-zero) on a corpus that breaks the premise.
+        import pyarrow.compute as _pc
+
+        if not t.num_rows:
+            return pa.table(
+                {f.name: pa.array([], type=f.type) for f in MEDIA_SCHEMA}
+            )
+        nbytes = _pc.binary_length(_pc.cast(t.column("text"), pa.binary()))
+        nchars = _pc.utf8_length(t.column("text"))
+        if not _pc.all(_pc.greater(nbytes, 0)).as_py():
+            raise ValueError(
+                "media_from_documents: empty documents.text row — media "
+                "payloads must be non-empty"
+            )
+        if not _pc.all(_pc.equal(nbytes, nchars)).as_py():
+            raise ValueError(
+                "media_from_documents: non-ASCII documents.text — the "
+                "byte-tiling decode and the ascii(substr()) oracles only "
+                "agree on pure-ASCII corpora"
+            )
         doc_id = t.column("doc_id").combine_chunks()
         ids = doc_id.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(

@@ -462,9 +462,10 @@ def test_svm_rank_subprocess_plumbing(tmp_path):
     cfg = letor_config_from_params(params)
     assert cfg.svm_c == 0.01
 
+    # a fresh (not-yet-existing) workdir must be created by the ranker
     ranker = make_ranker(cfg, workdir=str(tmp_path / "wk"))
-    os.makedirs(tmp_path / "wk", exist_ok=True)
     assert isinstance(ranker, SvmRankRanker)
+    assert os.path.isdir(tmp_path / "wk")
 
     F = np.array([[0.5, 1.0, 0.0], [1.0, 0.0, 0.25], [0.0, 0.0, 1.0]])
     y = np.array([1, 0, 0])
@@ -493,6 +494,5 @@ def test_svm_rank_subprocess_plumbing(tmp_path):
     cfg_bad = LetorConfig(svm_rank_learn_path=str(bad),
                           svm_rank_classify_path=str(classify))
     r2 = make_ranker(cfg_bad, workdir=str(tmp_path / "wk2"))
-    os.makedirs(tmp_path / "wk2", exist_ok=True)
     with pytest.raises(RuntimeError, match="failed"):
         r2.fit([(F, y)])

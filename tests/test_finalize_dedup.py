@@ -64,3 +64,25 @@ def test_conflicting_duplicate_docmap_rows_raise(small_index):
     pq.write_table(bad, src.replace(".parquet", "_conflict.parquet"))
     with pytest.raises(Exception, match="conflicting docmap duplicates"):
         _finalize(small_index, BuildConfig())
+
+
+def test_crash_leftover_tmp_dir_is_ignored(small_index):
+    """Review finding r5: a crash-leftover part_XXXXX.tmp docmap dir (an
+    _atomic_write that died between write and rename) holds near-duplicate
+    rows of its real sibling; _finalize must skip it like the tiered-merge
+    scan does, leaving stats.json unchanged."""
+    from searchengine_ray.build import _finalize
+    from searchengine_ray.config import BuildConfig
+
+    with open(os.path.join(small_index, "stats.json")) as f:
+        before = json.load(f)
+
+    dm = os.path.join(small_index, "docmap")
+    real = next(d for d in sorted(os.listdir(dm))
+                if os.path.isdir(os.path.join(dm, d)))
+    shutil.copytree(os.path.join(dm, real), os.path.join(dm, real + ".tmp"))
+    _finalize(small_index, BuildConfig())
+
+    with open(os.path.join(small_index, "stats.json")) as f:
+        after = json.load(f)
+    assert after == before

@@ -516,3 +516,36 @@ def test_sharded_query_service_pool(built_index):
             )
     finally:
         svc.shutdown()
+
+
+def test_media_from_documents_preconditions(ray_session, tmp_path):
+    """Review finding r5: the mm oracles' premises fail LOUDLY — empty
+    text and non-ASCII text raise clear errors instead of an opaque hash
+    mismatch or a remainder-by-zero inside an actor; ByteDecodeBackend
+    refuses empty payloads directly too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.multimodal import ByteDecodeBackend, media_from_documents
+
+    with pytest.raises(ValueError, match="empty payload"):
+        ByteDecodeBackend().decode_image(b"", 4, 4)
+
+    def write(docs, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+            }),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    with pytest.raises(Exception, match="empty documents.text"):
+        media_from_documents(write(["ok text", ""], "empty")).to_pandas()
+    with pytest.raises(Exception, match="non-ASCII"):
+        media_from_documents(write(["ok", "café"], "nonascii")).to_pandas()
+    # the happy path still works
+    assert len(media_from_documents(write(["a b", "c d"], "ok")).to_pandas()) == 2
