@@ -3121,9 +3121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 119 SQL-backed entries (full rows+schema+hash check
+    # The registry has 120 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 69 must sit beyond the window no matter the order. The
+    # 70 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3136,7 +3136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # named inline below): se_bm25_deleted, se_filreq, cur_dsir_weights,
     # cur_lm_perplexity. Late r5: cluster_kmeans (full-corpus exact-integer
     # Lloyd's, new operator) in / events_retention out (r4-verified,
-    # siblings named inline below). Late-r4 addition: ann_hardneg
+    # siblings named inline below); dedup_semantic_kmeans (SemDeDup over
+    # the kmeans cells, zero-literal oracle) in / se_complete out
+    # (r4-verified, siblings named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3219,8 +3221,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the LM scorer's quantized add-one bigram NLL + per-edit penalty,
         # combos replayed as a recursive-CTE oracle
         "se_phrase_suggest": gate.se_phrase_suggest,
-        # prefix completion (Lucene suggest module analog, new in r4)
-        "se_complete": gate.se_complete,
         # numeric doc-values #range filter (new in r4, ES range query /
         # Lucene NumericDocValues) evaluated INSIDE #filreq — one gate
         # covers both the range leaf and the Indri filter-context
@@ -3319,6 +3319,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # centroid updates — init + every assignment + every update + the
         # final labels replayed literal-free in SQL (see _kmeans_sql)
         "cluster_kmeans": kmeans.kmeans_assign,
+        # SemDeDup over the full-corpus kmeans cells (new late r5): the
+        # literal-free sibling of dedup_semantic — cell chain + dist2
+        # keep-priority + per-cell greedy ALL re-derived in SQL with zero
+        # inlined centroids (see _semdedup_kmeans_sql)
+        "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,
         # count-min sketch heavy-hitter term counts: registers + min-probe
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,
@@ -3371,6 +3376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_complete": gate.se_complete,  # driver-verified r4, code unchanged; in-window siblings cover both halves: se_prefix_tf hash-checks the prefix dictionary-expansion surface (the completer's candidate cut) and se_phrase_suggest the suggest-family ranking machinery; the completion weights/tie rules keep their pytest suite (rotated out for dedup_semantic_kmeans, new late r5)
         "events_retention": windows.retention_cohorts,  # driver-verified r4, code unchanged; in-window sibling events_funnel runs the IDENTICAL pruned-read + user-hash-partition + per-bucket vectorized machinery (retention's lexsort-distinct is ALSO hash-checked in-window by events_hourly_users_hll's per-bucket distinct path), and events_tumbling/hopping keep the window-bucketing surface parked-verified (rotated out for cluster_kmeans, new in r5)
         "se_bm25_deleted": gate.se_bm25_deleted,  # driver-verified r4, code unchanged; in-window sibling se_bm25_expunged runs the same delete_documents tombstone machinery (expunge STARTS from the tombstone phase) and the stale-stats live-pred SQL shape stays exercised by its oracle (rotated out for mm_image_features)
         "se_filreq": gate.se_filreq,  # driver-verified r4, code unchanged; in-window sibling se_range_filter evaluates the IDENTICAL #FILREQ filter-context path (its query is #filreq( #range(...) ...)), and the filter-op family keeps the 60-case randomized fuzz suite (rotated out for mm_audio_features)
@@ -3514,17 +3520,19 @@ GROUP BY media_id, f
     }
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 256) -> str:
-    """Literal-free replay of kmeans.kmeans_assign: quantize
-    (floor(double(x)*2^8), exact), init = k smallest vec_ids, then per
-    iteration the argmin assignment (ties -> smallest j, ORDER BY d2, j ==
-    numpy argmin first-hit), per-cluster integer sums and the TRUNCATING
-    `//` mean (DuckDB `//` truncates toward zero; the engine's _trunc_div
-    matches), empty clusters keeping the previous centroid via COALESCE.
-    Output = final assignment + exact int64 squared-L2."""
+def _kmeans_chain_sql(k: int = 8, iters: int = 2, scale: int = 256) -> str:
+    """The shared literal-free CTE chain replaying kmeans.kmeans_fit +
+    the final labeling: quantize (floor(double(x)*2^8), exact), init = k
+    smallest vec_ids, then per iteration the argmin assignment (ties ->
+    smallest j, ORDER BY d2, j == numpy argmin first-hit), per-cluster
+    integer sums and the TRUNCATING `//` mean (DuckDB `//` truncates
+    toward zero; the engine's _trunc_div matches), empty clusters keeping
+    the previous centroid via COALESCE. Ends with ``fin(vec_id, cluster,
+    dist2)``. Returned WITHOUT the leading WITH so callers can prepend
+    WITH or WITH RECURSIVE and append their own CTEs."""
     quant = f"CAST(floor(CAST(x AS DOUBLE)*{scale}) AS BIGINT)"
     sql = [
-        f"""WITH q AS (
+        f"""q AS (
   SELECT vec_id, list_transform(embedding, x -> {quant}) AS v
   FROM embeddings
 ), c0 AS (
@@ -3561,11 +3569,64 @@ def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 256) -> str:
          SUM((q.v[t.di+1]-c.v[t.di+1])*(q.v[t.di+1]-c.v[t.di+1])) AS d2
   FROM q, c{iters} c, LATERAL (SELECT unnest(range(0, len(q.v))) AS di) t
   GROUP BY q.vec_id, c.j
-)
-SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM df
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1"""
+), fin AS (
+  SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM df
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) = 1
+)"""
     )
     return "".join(sql)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 256) -> str:
+    """Literal-free replay of kmeans.kmeans_assign (see
+    _kmeans_chain_sql for the chain contract)."""
+    return (
+        f"WITH {_kmeans_chain_sql(k, iters, scale)}\n"
+        "SELECT vec_id, cluster, dist2 FROM fin"
+    )
+
+
+def _semdedup_kmeans_sql(
+    eps: float = 0.4, k: int = 8, iters: int = 2, scale: int = 256
+) -> str:
+    """dedup.semantic_dedup_kmeans replayed with ZERO literals: cells +
+    dist2 come from the shared exact-integer kmeans chain, then the
+    per-cell sequential greedy runs as a recursive CTE over the
+    (dist2 DESC, vec_id ASC) keep-priority order — kept iff cosine to
+    every already-kept member is <= eps, else dup_of the most-similar
+    kept member (ties -> earliest-kept, matching np.argmax) — the same
+    kept-set-as-BIGINT[] recursion the _semdedup_sql / div_* oracles
+    use."""
+    return f"""
+WITH RECURSIVE {_kmeans_chain_sql(k, iters, scale)},
+m AS (
+  SELECT f.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         f.cluster AS cell, f.dist2,
+         CAST(row_number() OVER (PARTITION BY f.cluster
+              ORDER BY f.dist2 DESC, f.vec_id) AS BIGINT) AS rk
+  FROM fin f JOIN embeddings e USING (vec_id)),
+rec(cell, rk, kept, vec_id, is_kept, dup_of) AS (
+  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+         CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT cell FROM m)
+  UNION ALL
+  SELECT m.cell, m.rk,
+    CASE WHEN d.dup IS NULL THEN list_append(r.kept, m.vec_id)
+         ELSE r.kept END,
+    m.vec_id, d.dup IS NULL, coalesce(d.dup, -1)
+  FROM rec r
+  JOIN m ON m.cell = r.cell AND m.rk = r.rk + 1
+  LEFT JOIN LATERAL (
+    SELECT k.vec_id AS dup
+    FROM unnest(r.kept) AS u(kid)
+    JOIN m k ON k.cell = m.cell AND k.vec_id = u.kid
+    WHERE list_cosine_similarity(k.emb, m.emb) > {eps}
+    ORDER BY list_cosine_similarity(k.emb, m.emb) DESC,
+             list_position(r.kept, k.vec_id)
+    LIMIT 1) d ON true)
+SELECT r.vec_id, r.cell, r.is_kept AS kept, r.dup_of, m.dist2
+FROM rec r JOIN m ON m.cell = r.cell AND m.vec_id = r.vec_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3680,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hardneg": _ANN_HARDNEG_SQL,
         "ann_sq8": _sq8_sql(),
         "cluster_kmeans": _kmeans_sql(),
+        "dedup_semantic_kmeans": _semdedup_kmeans_sql(),
         "dedup_semantic": _semdedup_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the

@@ -990,6 +990,97 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_kmeans(
+    sf_dir: str,
+    eps: float = 0.4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 256,
+):
+    """SemDeDup with cells from the FULL-CORPUS exact-integer Lloyd's
+    k-means (``kmeans.kmeans_fit``) instead of :func:`semantic_dedup`'s
+    sampled float trainer — the composition the paper actually runs at
+    scale (train real clusters, dedup within each), and the literal-free
+    gate variant: the whole cell chain (init → assignments → trunc-div
+    updates) is SQL-derivable, so the oracle carries NO centroid literals.
+
+    Keep-priority follows the paper's keep-low-centroid-similarity choice
+    translated to the integer metric: within a cell, members scan in
+    (dist2 DESC, vec_id ASC) order — farthest from centroid first — and an
+    item is KEPT iff its cosine to every already-kept member is <= eps,
+    else DROPPED as a duplicate of its most-similar kept member. Same
+    partition-then-quadratic shape as :func:`semantic_dedup`: one
+    ``map_batches`` assignment with the k×dim int64 centroids broadcast
+    once, one ``groupby(cell).map_groups`` greedy, O(|cell|²) sims per
+    cell bounded by choosing k ∝ N.
+
+    Returns (vec_id, cell, kept, dup_of, dist2) — ``dup_of`` = -1 for kept
+    rows; ``dist2`` the exact int64 squared-L2 to the final centroid.
+    """
+    import ray
+    import ray.data
+
+    from .ann import batch_matrix
+    from .kmeans import _assign, _quant_matrix, kmeans_fit
+
+    cents = kmeans_fit(sf_dir, k, iters, scale)
+    cref = ray.put(cents)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        q = _quant_matrix(t, scale)
+        lab, d2 = _assign(q, ray.get(cref))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "embedding": t.column("embedding"),
+                "cell": pa.array(lab.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d2, pa.int64()),
+            }
+        )
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        d2 = g.column("dist2").to_numpy()
+        mat = batch_matrix(g)
+        order = np.lexsort((ids, -d2))  # dist2 DESC, vec_id ASC
+        ids, d2, mat = ids[order], d2[order], mat[order]
+        n = len(ids)
+        sims = mat @ mat.T
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            ki = np.flatnonzero(kept[:i])
+            if len(ki):
+                s = sims[i, ki]
+                j = int(np.argmax(s))
+                if s[j] > eps:
+                    dup_of[i] = ids[ki[j]]
+                    continue
+            kept[i] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(
+                    np.full(n, g.column("cell")[0].as_py(), dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "kept": pa.array(kept),
+                "dup_of": pa.array(dup_of, type=pa.int64()),
+                "dist2": pa.array(d2, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+
+
 def embedding_dup_pairs_lsh(
     sf_dir: str,
     threshold: float = 0.4,

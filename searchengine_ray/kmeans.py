@@ -88,16 +88,16 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lab, d2[np.arange(q.shape[0]), lab]
 
 
-def kmeans_assign(
+def kmeans_fit(
     sf_dir: str,
     k: int = KM_K,
     iters: int = KM_ITERS,
     scale: int = KM_SCALE,
-):
+) -> np.ndarray:
     """Run ``iters`` full-corpus Lloyd iterations from the k-smallest-id
-    init, then stream out the final assignment as a Dataset with columns
-    (vec_id, cluster, dist2) — dist2 the exact int64 squared-L2 to the
-    final centroid."""
+    init and return the final (k, dim) int64 centroid matrix. Each
+    iteration is one shuffle-free ``map_batches`` pass; see the module
+    docstring for the determinism contract."""
     import ray
     import ray.data
 
@@ -164,6 +164,23 @@ def kmeans_assign(
         new[nz] = _trunc_div(tot[nz], cnt[nz, None])
         cents = new
 
+    return cents
+
+
+def kmeans_assign(
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scale: int = KM_SCALE,
+):
+    """:func:`kmeans_fit` + one labeling pass: stream out the final
+    assignment as a Dataset with columns (vec_id, cluster, dist2) — dist2
+    the exact int64 squared-L2 to the final centroid."""
+    import ray
+    import ray.data
+
+    cents = kmeans_fit(sf_dir, k, iters, scale)
+
     # --- final assignment pass (streams; never materialized) ------------
     fref = ray.put(cents)
 
@@ -179,4 +196,6 @@ def kmeans_assign(
             }
         )
 
-    return scan().map_batches(label, batch_format="pyarrow")
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(label, batch_format="pyarrow")

@@ -141,6 +141,55 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     assert set(out[out.vec_id.isin([0, 1])].cluster) == {1}
 
 
+def test_semantic_dedup_kmeans_properties_and_reference(ray_session):
+    """SemDeDup over the exact-integer kmeans cells: (a) cells and dist2
+    equal kmeans_assign's, (b) kept set is an eps-independent set within
+    each cell, (c) every dropped item is > eps similar to its recorded
+    kept representative under the (dist2 DESC, vec_id ASC) scan order —
+    all recounted locally from the raw embeddings."""
+    from searchengine_ray.ann import _load_matrix
+    from searchengine_ray.dedup import semantic_dedup_kmeans
+    from searchengine_ray.kmeans import kmeans_assign
+
+    eps = 0.4
+    out = semantic_dedup_kmeans(SF, eps=eps).to_pandas().sort_values("vec_id")
+    lab = kmeans_assign(SF).to_pandas().sort_values("vec_id")
+    assert list(out["vec_id"]) == list(lab["vec_id"])
+    assert list(out["cell"]) == list(lab["cluster"])
+    assert list(out["dist2"]) == list(lab["dist2"])
+
+    ids, mat = _load_matrix(SF)  # L2-normalized, sorted below
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cell = out["cell"].to_numpy()
+    d2 = out["dist2"].to_numpy()
+    by_id = out.set_index("vec_id")
+    n_dropped = 0
+    for c in np.unique(cell):
+        m = cell == c
+        cids, cmat, cd2 = ids[m], mat[m], d2[m]
+        o = np.lexsort((cids, -cd2))  # dist2 DESC, vec_id ASC
+        cids, cmat = cids[o], cmat[o]
+        S = cmat @ cmat.T
+        kept_idx = []
+        for i in range(len(cids)):
+            row = by_id.loc[cids[i]]
+            if kept_idx:
+                s = S[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] > eps:
+                    assert not row["kept"]
+                    assert row["dup_of"] == cids[kept_idx[j]]
+                    n_dropped += 1
+                    continue
+            assert row["kept"] and row["dup_of"] == -1
+            kept_idx.append(i)
+        K = S[np.ix_(kept_idx, kept_idx)]
+        np.fill_diagonal(K, 0.0)
+        assert (K <= eps).all()
+    assert n_dropped > 0  # the planted near-dups collapse
+
+
 def test_kmeans_guards(ray_session):
     import pyarrow as pa
 
