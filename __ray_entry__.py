@@ -3121,9 +3121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 120 SQL-backed entries (full rows+schema+hash check
+    # The registry has 121 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 70 must sit beyond the window no matter the order. The
+    # 71 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3138,7 +3138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Lloyd's, new operator) in / events_retention out (r4-verified,
     # siblings named inline below); dedup_semantic_kmeans (SemDeDup over
     # the kmeans cells, zero-literal oracle) in / se_complete out
-    # (r4-verified, siblings named inline below). Late-r4 addition: ann_hardneg
+    # (r4-verified, siblings named inline below); cluster_exemplars
+    # (per-cluster top-m) in / text_top_bigrams out (r4-verified on the
+    # current kernel, siblings named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3274,9 +3276,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # serving path and a driver hash gate
         "se_tfidf": gate.se_tfidf,
         # text analysis
-        # rotated back IN r4: combiner vectorized onto the lexsort kernel
-        # this round — changed code gets re-verified
-        "text_top_bigrams": textextras.top_bigrams,
         # real BPE tokenizer (new in r4, Sennrich et al. 2016): trained on
         # a reference slice, vectorized non-overlapping merge passes, the
         # oracle replays the full apply path with merge literals
@@ -3324,6 +3323,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep-priority + per-cell greedy ALL re-derived in SQL with zero
         # inlined centroids (see _semdedup_kmeans_sql)
         "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,
+        # per-cluster exemplars (new late r5): rank 1..m closest-to-
+        # centroid members per cell — batch partial top-m + bounded
+        # driver fold, the brute_topk pattern over the kmeans labels
+        "cluster_exemplars": kmeans.cluster_exemplars,
         # count-min sketch heavy-hitter term counts: registers + min-probe
         # recomputed EXACTLY in SQL (see _cms_sql)
         "sketch_cms_counts": sketch.cms_term_counts,
@@ -3376,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "text_top_bigrams": textextras.top_bigrams,  # driver-verified r4 (on THIS round's vectorized kernel), code unchanged since; in-window siblings text_pmi hash-checks the same bigram/unigram dictionary-encode counting machinery and cur_dup_ngram_chars the per-doc analyzer-gram counting surface (rotated out for cluster_exemplars, new late r5)
         "se_complete": gate.se_complete,  # driver-verified r4, code unchanged; in-window siblings cover both halves: se_prefix_tf hash-checks the prefix dictionary-expansion surface (the completer's candidate cut) and se_phrase_suggest the suggest-family ranking machinery; the completion weights/tie rules keep their pytest suite (rotated out for dedup_semantic_kmeans, new late r5)
         "events_retention": windows.retention_cohorts,  # driver-verified r4, code unchanged; in-window sibling events_funnel runs the IDENTICAL pruned-read + user-hash-partition + per-bucket vectorized machinery (retention's lexsort-distinct is ALSO hash-checked in-window by events_hourly_users_hll's per-bucket distinct path), and events_tumbling/hopping keep the window-bucketing surface parked-verified (rotated out for cluster_kmeans, new in r5)
         "se_bm25_deleted": gate.se_bm25_deleted,  # driver-verified r4, code unchanged; in-window sibling se_bm25_expunged runs the same delete_documents tombstone machinery (expunge STARTS from the tombstone phase) and the stale-stats live-pred SQL shape stays exercised by its oracle (rotated out for mm_image_features)
@@ -3629,6 +3633,20 @@ FROM rec r JOIN m ON m.cell = r.cell AND m.vec_id = r.vec_id
 """
 
 
+def _cluster_exemplars_sql(
+    m: int = 5, k: int = 8, iters: int = 2, scale: int = 256
+) -> str:
+    """kmeans.cluster_exemplars replayed literal-free: the shared kmeans
+    chain, then rank 1..m per cluster by (dist2 ASC, vec_id ASC)."""
+    return f"""
+WITH {_kmeans_chain_sql(k, iters, scale)}
+SELECT cluster, vec_id, dist2,
+       CAST(row_number() OVER (PARTITION BY cluster
+            ORDER BY dist2, vec_id) AS BIGINT) AS rank
+FROM fin
+QUALIFY rank <= {m}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "se_bm25_term": _bm25_terms_sql(["dup"]),
@@ -3742,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8": _sq8_sql(),
         "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic_kmeans": _semdedup_kmeans_sql(),
+        "cluster_exemplars": _cluster_exemplars_sql(),
         "dedup_semantic": _semdedup_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
         # same oracle: the distributed hash-min must agree with the

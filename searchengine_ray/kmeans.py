@@ -199,3 +199,78 @@ def kmeans_assign(
     return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(label, batch_format="pyarrow")
+
+
+def cluster_exemplars(
+    sf_dir: str,
+    m: int = 5,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scale: int = KM_SCALE,
+) -> pa.Table:
+    """Prototype selection: per final cluster, the ``m`` members closest
+    to the centroid — rank 1..m by (dist2 ASC, vec_id ASC). The standard
+    follow-up to clustering (cluster labeling, medoid-ish summaries,
+    few-shot exemplar picks for curriculum buckets).
+
+    Scale shape: one labeling ``map_batches`` pass emits each batch's own
+    per-cluster top-m candidates (≤ k·m rows per batch), folded by a
+    bounded driver merge (output-sized: exactly ≤ k·m rows survive) — the
+    same partial-top-k + driver-fold pattern as ``ann.brute_topk``, never
+    a corpus-wide sort. Returns (cluster, vec_id, dist2, rank)."""
+    import ray
+    import ray.data
+
+    cents = kmeans_fit(sf_dir, k, iters, scale)
+    fref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(fref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        q = _quant_matrix(t, scale)
+        lab, d2 = _assign(q, c)
+        keep = np.zeros(len(ids), dtype=bool)
+        order = np.lexsort((ids, d2))  # dist2 ASC, vec_id ASC
+        lab_o = lab[order]
+        for j in np.unique(lab_o):
+            keep[order[np.flatnonzero(lab_o == j)[:m]]] = True
+        return pa.table(
+            {
+                "cluster": pa.array(lab[keep].astype(np.int64), pa.int64()),
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "dist2": pa.array(d2[keep], pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    if len(rows) > _MAX_PARTIAL_ROWS:
+        raise ValueError(
+            f"cluster_exemplars: {len(rows)} candidate rows exceeds the "
+            f"driver-fold guard {_MAX_PARTIAL_ROWS}; raise batch/block size"
+        )
+    rows.sort(key=lambda r: (r["cluster"], r["dist2"], r["vec_id"]))
+    out = {"cluster": [], "vec_id": [], "dist2": [], "rank": []}
+    prev, rk = None, 0
+    for r in rows:
+        rk = rk + 1 if r["cluster"] == prev else 1
+        prev = r["cluster"]
+        if rk > m:
+            continue
+        out["cluster"].append(r["cluster"])
+        out["vec_id"].append(r["vec_id"])
+        out["dist2"].append(r["dist2"])
+        out["rank"].append(rk)
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "dist2": pa.array(out["dist2"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )

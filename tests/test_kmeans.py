@@ -190,6 +190,31 @@ def test_semantic_dedup_kmeans_properties_and_reference(ray_session):
     assert n_dropped > 0  # the planted near-dups collapse
 
 
+def test_cluster_exemplars_recounted_from_assignment(ray_session):
+    """cluster_exemplars == the (dist2 ASC, vec_id ASC) top-m slice of
+    kmeans_assign's full labeling, recounted in pandas; ranks are 1..m
+    dense per cluster and every cluster with members appears."""
+    from searchengine_ray.kmeans import cluster_exemplars, kmeans_assign
+
+    m = 5
+    ex = (
+        cluster_exemplars(SF, m=m)
+        .to_pandas()
+        .sort_values(["cluster", "rank"])
+        .reset_index(drop=True)
+    )
+    lab = kmeans_assign(SF).to_pandas()
+    lab = lab.sort_values(["cluster", "dist2", "vec_id"])
+    want = lab.groupby("cluster").head(m).reset_index(drop=True)
+    want["rank"] = want.groupby("cluster").cumcount() + 1
+    want = want[["cluster", "vec_id", "dist2", "rank"]]
+    assert ex.equals(want)
+    sizes = ex.groupby("cluster")["rank"].agg(["min", "max", "count"])
+    assert (sizes["min"] == 1).all()
+    assert (sizes["max"] == sizes["count"]).all()
+    assert set(ex.cluster.unique()) == set(lab.cluster.unique())
+
+
 def test_kmeans_guards(ray_session):
     import pyarrow as pa
 
