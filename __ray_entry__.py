@@ -3600,7 +3600,10 @@ def _semdedup_kmeans_sql(
     every already-kept member is <= eps, else dup_of the most-similar
     kept member (ties -> earliest-kept, matching np.argmax) — the same
     kept-set-as-BIGINT[] recursion the _semdedup_sql / div_* oracles
-    use."""
+    use. Zero-literal covers the cell chain (exact integer); the greedy's
+    cosine carries _semdedup_sql's float caveat (normalize-then-dot vs
+    list_cosine_similarity's dot-then-divide can differ by ulps at an
+    eps knife edge — none exists in the gate corpus)."""
     return f"""
 WITH RECURSIVE {_kmeans_chain_sql(k, iters, scale)},
 m AS (

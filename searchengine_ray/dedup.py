@@ -891,6 +891,31 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
 
 
+def _semdedup_greedy(
+    ids: np.ndarray, mat: np.ndarray, eps: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """The SemDeDup within-cluster sequential greedy, shared by
+    :func:`semantic_dedup` and :func:`semantic_dedup_kmeans` (only their
+    keep-priority SORT differs; rows arrive here already in scan order):
+    row i is KEPT iff its cosine to every already-kept row is <= eps,
+    else dup_of its most-similar kept row (ties -> earliest-kept,
+    np.argmax first-hit). ``mat`` rows are L2-normalized float64."""
+    n = len(ids)
+    sims = mat @ mat.T
+    kept = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        ki = np.flatnonzero(kept[:i])
+        if len(ki):
+            s = sims[i, ki]
+            j = int(np.argmax(s))
+            if s[j] > eps:
+                dup_of[i] = ids[ki[j]]
+                continue
+        kept[i] = True
+    return kept, dup_of
+
+
 def semantic_dedup(
     sf_dir: str,
     eps: float = 0.4,
@@ -958,18 +983,7 @@ def semantic_dedup(
         order = np.lexsort((ids, csim))  # keep-priority: farthest first
         ids, csim, mat = ids[order], csim[order], mat[order]
         n = len(ids)
-        sims = mat @ mat.T
-        kept = np.zeros(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        for i in range(n):
-            ki = np.flatnonzero(kept[:i])
-            if len(ki):
-                s = sims[i, ki]
-                j = int(np.argmax(s))
-                if s[j] > eps:
-                    dup_of[i] = ids[ki[j]]
-                    continue
-            kept[i] = True
+        kept, dup_of = _semdedup_greedy(ids, mat, eps)
         return pa.table(
             {
                 "vec_id": pa.array(ids, type=pa.int64()),
@@ -1003,6 +1017,13 @@ def semantic_dedup_kmeans(
     scale (train real clusters, dedup within each), and the literal-free
     gate variant: the whole cell chain (init → assignments → trunc-div
     updates) is SQL-derivable, so the oracle carries NO centroid literals.
+    Precision contract: the CELL half (cells, dist2, keep-priority order)
+    is exact-integer and bit-for-bit vs SQL; the within-cell greedy's
+    cosine is float64 with the same caveat as :func:`semantic_dedup` —
+    the engine computes normalize-then-dot while DuckDB's
+    list_cosine_similarity does dot-then-divide, so a pair sitting within
+    a few ulps of ``eps`` (or two kept members near-tied as most-similar)
+    could in principle flip; the gate corpus has no such knife-edge pair.
 
     Keep-priority follows the paper's keep-low-centroid-similarity choice
     translated to the integer metric: within a cell, members scan in
@@ -1049,18 +1070,7 @@ def semantic_dedup_kmeans(
         order = np.lexsort((ids, -d2))  # dist2 DESC, vec_id ASC
         ids, d2, mat = ids[order], d2[order], mat[order]
         n = len(ids)
-        sims = mat @ mat.T
-        kept = np.zeros(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        for i in range(n):
-            ki = np.flatnonzero(kept[:i])
-            if len(ki):
-                s = sims[i, ki]
-                j = int(np.argmax(s))
-                if s[j] > eps:
-                    dup_of[i] = ids[ki[j]]
-                    continue
-            kept[i] = True
+        kept, dup_of = _semdedup_greedy(ids, mat, eps)
         return pa.table(
             {
                 "vec_id": pa.array(ids, type=pa.int64()),

@@ -62,10 +62,12 @@ def _quant_matrix(t: pa.Table, scale: int) -> np.ndarray:
     if n == 0:
         return np.zeros((0, 0), dtype=np.int64)
     q = np.floor(flat.reshape(n, -1).astype(np.float64) * float(scale))
-    if np.abs(q).max(initial=0.0) >= _COORD_BOUND:
+    # inverted comparison so NaN (all comparisons False) also trips the
+    # guard instead of silently casting to garbage int64
+    if not np.abs(q).max(initial=0.0) < _COORD_BOUND:
         raise ValueError(
-            "kmeans: quantized coordinate exceeds the int64-safe bound "
-            f"{_COORD_BOUND}; lower `scale` for this embedding range"
+            "kmeans: quantized coordinate is NaN or exceeds the int64-safe "
+            f"bound {_COORD_BOUND}; clean or rescale this embedding column"
         )
     return q.astype(np.int64)
 
@@ -81,7 +83,11 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(n, dim) int64 × (k, dim) int64 -> (labels, dist2), ties to the
     smallest centroid index. Expanded ||q||²-2qc+||c||² would need care
     with overflow ordering; the direct (n,k,d) diff is exact and the batch
-    bounds keep it small (n×k×d int64 = a few MB at batch 1024)."""
+    bounds keep it small (n×k×d int64 = a few MB at batch 1024). Empty
+    batches (Ray Data can yield zero-row blocks) short-circuit — the (0,0)
+    matrix from _quant_matrix would not broadcast against (k, dim)."""
+    if q.shape[0] == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
     diff = q[:, None, :] - cents[None, :, :]
     d2 = np.einsum("nkd,nkd->nk", diff, diff)
     lab = np.argmin(d2, axis=1)
@@ -121,6 +127,11 @@ def kmeans_fit(
         )
 
     cands = scan().map_batches(init_cands, batch_format="pyarrow").take_all()
+    if len(cands) > _MAX_PARTIAL_ROWS:
+        raise ValueError(
+            f"kmeans: {len(cands)} init-candidate rows exceeds the "
+            f"driver-fold guard {_MAX_PARTIAL_ROWS}; raise batch/block size"
+        )
     if len(cands) < k:
         raise ValueError(f"kmeans: need at least k={k} vectors, got {len(cands)}")
     cands.sort(key=lambda r: r["vec_id"])

@@ -215,6 +215,70 @@ def test_cluster_exemplars_recounted_from_assignment(ray_session):
     assert set(ex.cluster.unique()) == set(lab.cluster.unique())
 
 
+def test_assign_and_quant_handle_empty_and_nan():
+    """Regressions from the r5 session review: (a) _assign must not
+    broadcast-crash on an empty batch (Ray Data can yield zero-row
+    blocks); (b) a NaN embedding must trip the coordinate guard loudly
+    instead of casting to garbage int64 (NaN compares False against any
+    bound, so the guard must be comparison-inverted)."""
+    import pyarrow as pa
+
+    from searchengine_ray.kmeans import _assign, _quant_matrix
+
+    cents = np.ones((8, 16), dtype=np.int64)
+    lab, d2 = _assign(np.zeros((0, 0), dtype=np.int64), cents)
+    assert lab.shape == (0,) and d2.shape == (0,)
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([[0.5, float("nan")]], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        _quant_matrix(t, 256)
+
+
+def test_kmeans_pipeline_survives_empty_block(ray_session):
+    """A zero-row row group in the embeddings parquet must flow through
+    fit/assign/exemplars/semdedup without a broadcast crash and leave the
+    results identical to the same data without the empty block."""
+    import pyarrow as pa
+
+    from searchengine_ray.dedup import semantic_dedup_kmeans
+    from searchengine_ray.kmeans import cluster_exemplars, kmeans_assign
+
+    src = pq.read_table(f"{SF}/embeddings.parquet").select(
+        ["vec_id", "embedding"]
+    )
+    small = src.slice(0, 80)
+    empty = small.schema.empty_table()
+    for name, parts in (
+        ("plain", [small]),
+        ("withempty", [small.slice(0, 40), empty, small.slice(40, 40)]),
+    ):
+        d = f"/tmp/kmeans_emptyblock_{name}"
+        os.makedirs(d, exist_ok=True)
+        w = pq.ParquetWriter(f"{d}/embeddings.parquet", small.schema)
+        for p in parts:
+            w.write_table(p)
+        w.close()
+    a = kmeans_assign("/tmp/kmeans_emptyblock_plain", k=4).to_pandas()
+    b = kmeans_assign("/tmp/kmeans_emptyblock_withempty", k=4).to_pandas()
+    key = ["vec_id", "cluster", "dist2"]
+    assert (
+        a.sort_values("vec_id")[key]
+        .reset_index(drop=True)
+        .equals(b.sort_values("vec_id")[key].reset_index(drop=True))
+    )
+    ex = cluster_exemplars("/tmp/kmeans_emptyblock_withempty", m=3, k=4)
+    assert ex.num_rows > 0
+    sd = semantic_dedup_kmeans(
+        "/tmp/kmeans_emptyblock_withempty", k=4
+    ).to_pandas()
+    assert len(sd) == 80
+
+
 def test_kmeans_guards(ray_session):
     import pyarrow as pa
 
