@@ -2199,6 +2199,37 @@ WHERE CAST(v % 1000000 AS BIGINT)
 """
 
 
+def _mixture_sql() -> str:
+    """curation.mixture_sample replayed with DATA-DERIVED rates: per-lang
+    char budgets and the min(1e6, target*total//chars) keep rates are
+    recomputed in HUGEINT (no rate literals — only the operator's target
+    shares appear, as a VALUES table), then the same splitmix64 micro-draw
+    filter as _strat_sql. Languages missing from the targets inner-join
+    away (rate 0)."""
+    from searchengine_ray.curation import MIXTURE_SEED, MIXTURE_TARGETS_MICRO
+
+    targets = ", ".join(
+        f"('{k}', {v})" for k, v in MIXTURE_TARGETS_MICRO.items()
+    )
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id', 'lang', 'text'], 'doc_id', MIXTURE_SEED)},
+d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(v % 1000000 AS BIGINT) AS draw FROM sx3),
+stats AS (SELECT lang, SUM(n_chars) AS chars FROM d GROUP BY lang),
+tot AS (SELECT SUM(chars) AS total FROM stats),
+rates AS (
+  SELECT s.lang,
+         LEAST(1000000, (CAST(t.micro AS HUGEINT) * tot.total) // s.chars)
+         AS keep_micro
+  FROM stats s JOIN (VALUES {targets}) t(lang, micro) ON t.lang = s.lang,
+       tot
+  WHERE s.chars > 0 AND t.micro > 0)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM d JOIN rates r ON r.lang = d.lang
+WHERE d.draw < r.keep_micro
+"""
+
+
 def _reservoir_sql() -> str:
     from searchengine_ray.curation import RESERVOIR_SEED
 
@@ -3121,9 +3152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 121 SQL-backed entries (full rows+schema+hash check
+    # The registry has 122 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 71 must sit beyond the window no matter the order. The
+    # 72 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3140,7 +3171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the kmeans cells, zero-literal oracle) in / se_complete out
     # (r4-verified, siblings named inline below); cluster_exemplars
     # (per-cluster top-m) in / text_top_bigrams out (r4-verified on the
-    # current kernel, siblings named inline below). Late-r4 addition: ann_hardneg
+    # current kernel, siblings named inline below); cur_mixture_sample
+    # (data-derived target-mixture rates) in / cur_sample_stratified out
+    # (r4-verified; the mixture entry's filter is a strict superset). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3333,7 +3366,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational building blocks
         "rel_shipping_priority": relational.shipping_priority,
         # training-data curation
-        "cur_sample_stratified": curation.sample_stratified,
+        # target-mixture rebalancing (new late r5, DoReMi/Pile domain
+        # weights, subsample-only): per-lang char budgets + keep rates
+        # DATA-DERIVED and re-derived in HUGEINT by the oracle — the
+        # fixed-rate sibling cur_sample_stratified rotated out (below)
+        "cur_mixture_sample": curation.mixture_sample,
         "cur_cap_per_source": curation.cap_per_source,
         "cur_pii_redact": curation.pii_redact,
         # Gopher composite quality rules (new in r4): all-integer
@@ -3379,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "cur_sample_stratified": curation.sample_stratified,  # driver-verified r4, code unchanged; in-window sibling cur_mixture_sample runs the IDENTICAL splitmix64 micro-rate keep filter (same _hash64 chain, same draw<thresh shape) with data-derived rates — a strict superset of this entry's fixed-rate check — and cur_dsir_select keeps the splitmix keep-draw surface in-window too (rotated out for cur_mixture_sample, new late r5)
         "text_top_bigrams": textextras.top_bigrams,  # driver-verified r4 (on THIS round's vectorized kernel), code unchanged since; in-window siblings text_pmi hash-checks the same bigram/unigram dictionary-encode counting machinery and cur_dup_ngram_chars the per-doc analyzer-gram counting surface (rotated out for cluster_exemplars, new late r5)
         "se_complete": gate.se_complete,  # driver-verified r4, code unchanged; in-window siblings cover both halves: se_prefix_tf hash-checks the prefix dictionary-expansion surface (the completer's candidate cut) and se_phrase_suggest the suggest-family ranking machinery; the completion weights/tie rules keep their pytest suite (rotated out for dedup_semantic_kmeans, new late r5)
         "events_retention": windows.retention_cohorts,  # driver-verified r4, code unchanged; in-window sibling events_funnel runs the IDENTICAL pruned-read + user-hash-partition + per-bucket vectorized machinery (retention's lexsort-distinct is ALSO hash-checked in-window by events_hourly_users_hll's per-bucket distinct path), and events_tumbling/hopping keep the window-bucketing surface parked-verified (rotated out for cluster_kmeans, new in r5)
@@ -3795,6 +3833,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders_per_cust": _TOP_ORDERS_PER_CUST_SQL,
         "cur_split_train_test": _split_sql(),
         "cur_sample_stratified": _strat_sql(),
+        "cur_mixture_sample": _mixture_sql(),
         "cur_cap_per_source": _CAP_PER_SOURCE_SQL,
         "cur_sample_per_source": _reservoir_sql(),
         "cur_pii_redact": _pii_sql(),

@@ -84,6 +84,108 @@ def split_train_test(
     )
 
 
+MIXTURE_SEED = 23
+#: target corpus-mixture shares in micro-units (DoReMi / The Pile-style
+#: domain weights): what fraction of the OUTPUT character budget each
+#: language should get. en is down-weighted vs its natural ~43% share;
+#: de/es targets exceed their natural share, so their keep rate caps at
+#: 1e6 (you cannot over-sample without repetition — this operator only
+#: drops; the cap is the honest budget shortfall).
+MIXTURE_TARGETS_MICRO: dict[str, int] = {
+    "en": 400_000,
+    "zh": 150_000,
+    "es": 150_000,
+    "de": 150_000,
+    "fr": 100_000,
+}
+
+
+def mixture_sample(
+    sf_dir: str,
+    targets_micro: dict[str, int] | None = None,
+    seed: int = MIXTURE_SEED,
+):
+    """Target-mixture rebalancing (the DoReMi / Pile domain-weights
+    controller, subsample-only): measure each language's ACTUAL share of
+    the character budget, derive the per-language keep rate that moves
+    the output toward the target shares, then keep each doc by the usual
+    splitmix64 micro-rate draw. Unlike :func:`sample_stratified` (fixed
+    operator-constant rates) the rates here are DATA-DERIVED:
+
+        keep_micro[l] = min(1e6, targets_micro[l] * total_chars
+                                 // chars[l])
+
+    in exact arbitrary-precision integers (the oracle re-derives them in
+    HUGEINT — no rate literals). Languages absent from ``targets_micro``
+    drop entirely. Returns the kept (doc_id, lang, n_chars) rows.
+
+    Scale shape: pass 1 is a shuffle-free per-batch (lang, chars) partial
+    fold — driver state = n_languages rows, guarded; pass 2 is the same
+    stateless hash-filter scan as sample_stratified. Decisions replay
+    identically on any re-run or re-shard.
+    """
+    import pyarrow.compute as pc
+
+    targets = MIXTURE_TARGETS_MICRO if targets_micro is None else targets_micro
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").combine_chunks().dictionary_encode()
+        chars = pc.utf8_length(t.column("text")).to_numpy().astype(np.int64)
+        codes = langs.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 scatter-add (bincount's float weights would round past 2^53)
+        sums = np.zeros(len(langs.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, chars)
+        return pa.table(
+            {
+                "lang": langs.dictionary,
+                "chars": pa.array(sums, pa.int64()),
+            }
+        )
+
+    rows = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    if len(rows) > 100_000:
+        raise ValueError(
+            f"mixture_sample: {len(rows)} partial rows — lang cardinality "
+            "x blocks exceeds the driver-fold guard; pre-bucket languages"
+        )
+    chars: dict[str, int] = {}
+    for r in rows:
+        chars[r["lang"]] = chars.get(r["lang"], 0) + int(r["chars"])
+    total = sum(chars.values())
+    # Python ints: targets*total can pass 2^63 at corpus scale
+    rates = {
+        lg: min(1_000_000, (targets.get(lg, 0) * total) // c)
+        for lg, c in chars.items()
+        if c > 0 and targets.get(lg, 0) > 0
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        draw = (_hash64(ids, seed) % np.uint64(1_000_000)).astype(np.int64)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        thresh = np.fromiter(
+            (rates.get(lg, 0) for lg in langs), dtype=np.int64,
+            count=len(langs),
+        )
+        n_chars = pc.utf8_length(t.column("text")).cast(pa.int64())
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_chars": n_chars,
+            }
+        )
+        return out.filter(pa.array(draw < thresh))
+
+    return _read_docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def sample_stratified(
     sf_dir: str,
     rates_micro: dict[str, int] | None = None,

@@ -889,3 +889,51 @@ def test_gopher_rules_sf_corpus_discriminates():
     # every doc failing a re-derivable rule must fail overall; every doc
     # passing overall must pass all re-derivable rules
     assert not (df["passes"] & ~re_ok).any()
+
+
+def test_mixture_sample_matches_bruteforce(ray_session):
+    """mixture_sample: the data-derived keep rates and the splitmix keep
+    decisions recounted in pure Python from the raw table; the capped
+    languages (target share above natural share) must keep ALL docs, and
+    a language absent from the targets must vanish."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import (
+        MIXTURE_SEED, MIXTURE_TARGETS_MICRO, mixture_sample,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    ids = tbl.column("doc_id").to_numpy()
+    langs = tbl.column("lang").to_numpy(zero_copy_only=False)
+    chars = np.array([len(t) for t in tbl.column("text").to_pylist()], dtype=np.int64)
+
+    per = collections.Counter()
+    for lg, c in zip(langs, chars):
+        per[lg] += int(c)
+    total = sum(per.values())
+    rates = {
+        lg: min(1_000_000, (MIXTURE_TARGETS_MICRO.get(lg, 0) * total) // c)
+        for lg, c in per.items()
+        if c > 0 and MIXTURE_TARGETS_MICRO.get(lg, 0) > 0
+    }
+    draw = (_hash64(ids, MIXTURE_SEED) % np.uint64(1_000_000)).astype(np.int64)
+    keep = np.array([d < rates.get(lg, 0) for d, lg in zip(draw, langs)])
+    want = {
+        (int(i), lg, int(c))
+        for i, lg, c, k in zip(ids, langs, chars, keep)
+        if k
+    }
+
+    out = mixture_sample(SF).to_pandas()
+    got = {(int(r.doc_id), r.lang, int(r.n_chars)) for r in out.itertuples()}
+    assert got == want
+
+    # capped languages keep everything
+    for lg, r in rates.items():
+        if r == 1_000_000:
+            assert (out.lang == lg).sum() == (langs == lg).sum()
+    # dropping a language from the targets removes it entirely
+    t2 = {k: v for k, v in MIXTURE_TARGETS_MICRO.items() if k != "en"}
+    out2 = mixture_sample(SF, targets_micro=t2).to_pandas()
+    assert (out2.lang == "en").sum() == 0 and len(out2) > 0
