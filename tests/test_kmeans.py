@@ -279,6 +279,44 @@ def test_kmeans_pipeline_survives_empty_block(ray_session):
     assert len(sd) == 80
 
 
+def test_kmeans_fuzz_random_corpora_vs_scalar(ray_session):
+    """Seeded fuzz: 5 random small corpora with planted exact duplicates
+    (tie pressure on the smallest-j rule) and tight clusters (empty-
+    cluster pressure after updates) — engine must equal the scalar
+    reference on every one, across two (k, iters) shapes."""
+    import pyarrow as pa
+
+    from searchengine_ray.kmeans import kmeans_assign
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n, d = 40 + 10 * seed, 4
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        # plant duplicates: rows 2i+1 copy row 2i for the first 10 rows
+        for i in range(0, 10, 2):
+            mat[i + 1] = mat[i]
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        tmp = f"/tmp/kmeans_fuzz_{seed}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(t, f"{tmp}/embeddings.parquet")
+        for k, iters in ((3, 1), (5, 3)):
+            got = kmeans_assign(tmp, k=k, iters=iters).to_pandas()
+            want = _scalar_lloyd(ids, mat, k=k, iters=iters, scale=256)
+            assert len(got) == n
+            for r in got.itertuples():
+                assert (r.cluster, r.dist2) == want[r.vec_id], (
+                    seed, k, iters, r.vec_id,
+                )
+
+
 def test_kmeans_guards(ray_session):
     import pyarrow as pa
 
