@@ -124,8 +124,6 @@ def mixture_sample(
     stateless hash-filter scan as sample_stratified. Decisions replay
     identically on any re-run or re-shard.
     """
-    import pyarrow.compute as pc
-
     targets = MIXTURE_TARGETS_MICRO if targets_micro is None else targets_micro
 
     def partial(t: pa.Table) -> pa.Table:

@@ -39,6 +39,8 @@ and ``dedup.semantic_dedup`` (LSH cells).
 
 from __future__ import annotations
 
+from math import isqrt
+
 import numpy as np
 import pyarrow as pa
 
@@ -62,12 +64,18 @@ def _quant_matrix(t: pa.Table, scale: int) -> np.ndarray:
     if n == 0:
         return np.zeros((0, 0), dtype=np.int64)
     q = np.floor(flat.reshape(n, -1).astype(np.float64) * float(scale))
-    # inverted comparison so NaN (all comparisons False) also trips the
-    # guard instead of silently casting to garbage int64
-    if not np.abs(q).max(initial=0.0) < _COORD_BOUND:
+    dim = q.shape[1]
+    # dist2 = sum over dim of diff^2 with |diff| <= 2*max|q|, so int64
+    # safety needs 4*dim*max|q|^2 < 2^63 — the bound must SCALE with the
+    # dimension, capped by the flat 2^24 used in the SQL contract.
+    # Inverted comparison so NaN (all comparisons False) also trips the
+    # guard instead of silently casting to garbage int64.
+    bound = min(_COORD_BOUND, isqrt((1 << 61) // max(dim, 1)))
+    if not np.abs(q).max(initial=0.0) < bound:
         raise ValueError(
             "kmeans: quantized coordinate is NaN or exceeds the int64-safe "
-            f"bound {_COORD_BOUND}; clean or rescale this embedding column"
+            f"bound {bound} (dim={dim}); clean or rescale this embedding "
+            "column"
         )
     return q.astype(np.int64)
 
@@ -116,12 +124,15 @@ def kmeans_fit(
     def init_cands(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy()
         take = np.argsort(ids, kind="stable")[:k]
-        q = _quant_matrix(t, scale)
+        # quantize ONLY the selected rows — the full batch gets quantized
+        # (and guard-checked) anyway in every assignment pass
+        q = _quant_matrix(t.take(pa.array(take)), scale)
         return pa.table(
             {
                 "vec_id": pa.array(ids[take], pa.int64()),
                 "v": pa.array(
-                    [q[i].tolist() for i in take], pa.list_(pa.int64())
+                    [q[i].tolist() for i in range(len(take))],
+                    pa.list_(pa.int64()),
                 ),
             }
         )

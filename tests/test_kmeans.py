@@ -238,6 +238,26 @@ def test_assign_and_quant_handle_empty_and_nan():
     with pytest.raises(ValueError, match="NaN"):
         _quant_matrix(t, 256)
 
+    # (c) the bound must scale with dimension: a coordinate safe at dim=2
+    # (|q| ~ 2^23 < 2^24) overflows int64 dist2 at dim=100000 and must
+    # raise there instead of silently wrapping
+    big = float(1 << 23) / 256.0
+    t2 = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([[big, -big]], pa.list_(pa.float32())),
+        }
+    )
+    assert _quant_matrix(t2, 256).shape == (1, 2)  # fine at dim=2
+    t3 = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([[big] * 100_000], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="int64-safe bound"):
+        _quant_matrix(t3, 256)
+
 
 def test_kmeans_pipeline_survives_empty_block(ray_session):
     """A zero-row row group in the embeddings parquet must flow through
