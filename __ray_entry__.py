@@ -1534,6 +1534,7 @@ QUALIFY rank <= 10
 def _ivf_sql(
     sf_dir: str = "/root/testdata/sf0.01", n_queries: int = 10, k: int = 10,
     n_cells: int = 16, nprobe: int = 4, seed: int = 99,
+    train_half: bool = False,
 ) -> str:
     """IVF ANN reproduced in DuckDB. The centroid matrix is the engine's
     own seeded-sample k-means output inlined as DOUBLE[] literals — the
@@ -1547,7 +1548,12 @@ def _ivf_sql(
     restricted to (query, row) pairs whose cell the query probes — the
     FLOP pruning under test — self-exclusion, and per-query top-k with
     (sim desc, id asc) ties. Falls back to a constant-false SQL if the
-    gate corpus is missing so oracle_sql() never raises at import."""
+    gate corpus is missing so oracle_sql() never raises at import.
+    ``train_half=True`` is the ann_ivf_incremental variant: centroids
+    train on the first half of the corpus only (= the engine's base
+    build before ivf_add appends the frozen-centroid second half), while
+    assignment/probe/top-k still run over the FULL table — exactly what
+    the segmented index serves."""
     import pyarrow.parquet as _pq
 
     from searchengine_ray.ann import _kmeans, batch_matrix
@@ -1556,6 +1562,11 @@ def _ivf_sql(
     if not os.path.exists(path):
         return "SELECT 1 WHERE 1=0"
     tbl = _pq.read_table(path, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    if train_half:
+        import pyarrow.compute as _pc
+
+        split = tbl.num_rows // 2
+        tbl = tbl.filter(_pc.less(tbl.column("vec_id"), split))
     centers = _kmeans(batch_matrix(tbl), n_cells, seed)
     rows = ",\n    ".join(
         "({}, CAST([{}] AS DOUBLE[]))".format(
@@ -3152,9 +3163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 122 SQL-backed entries (full rows+schema+hash check
+    # The registry has 123 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 72 must sit beyond the window no matter the order. The
+    # 73 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3173,7 +3184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (per-cluster top-m) in / text_top_bigrams out (r4-verified on the
     # current kernel, siblings named inline below); cur_mixture_sample
     # (data-derived target-mixture rates) in / cur_sample_stratified out
-    # (r4-verified; the mixture entry's filter is a strict superset). Late-r4 addition: ann_hardneg
+    # (r4-verified; the mixture entry's filter is a strict superset);
+    # ann_ivf_incremental (frozen-centroid segment append) in /
+    # ann_hardneg out (r4-verified, siblings named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3338,10 +3351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding-based sibling of xQuAD/PM2; distributed candidate cut
         # + coordinator greedy, replayed as a recursive-CTE oracle
         "ann_mmr": mmr.mmr_rerank,
-        # hard-negative mining (new late r4, DPR Karpukhin et al. 2020):
-        # per query, top-k most-similar OTHER-label vectors — brute_topk's
-        # broadcast/scan/bounded-fold with a same-label -inf mask
-        "ann_hardneg": ann.hard_negative_topk,
+        # incremental IVF (new late r5): base build trained on the first
+        # half, ivf_add appends the second half to the FROZEN centroids as
+        # a new hive segment (the se_bm25_incremental analog on the vector
+        # side); search unions per-segment pruned reads
+        "ann_ivf_incremental": ann.ivf_incremental_topk,
         # SQ8 scalar-quantization ANN (new in r4): int8 codes, EXACT-
         # INTEGER surrogate scoring (codes·w dot, no float accumulation);
         # train+encode+weights+dot all re-derived literal-free in SQL
@@ -3416,6 +3430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "ann_hardneg": ann.hard_negative_topk,  # driver-verified r4, code unchanged; in-window siblings ann_pq/ann_sq8 hash-check the identical broadcast/normalized-scan/bounded-fold cosine machinery and ann_ivf_incremental the probe/top-k surface; the same-label -inf mask keeps its numpy-parity pytest (rotated out for ann_ivf_incremental, new late r5)
         "cur_sample_stratified": curation.sample_stratified,  # driver-verified r4, code unchanged; in-window sibling cur_mixture_sample runs the IDENTICAL splitmix64 micro-rate keep filter (same _hash64 chain, same draw<thresh shape) with data-derived rates — a strict superset of this entry's fixed-rate check — and cur_dsir_select keeps the splitmix keep-draw surface in-window too (rotated out for cur_mixture_sample, new late r5)
         "text_top_bigrams": textextras.top_bigrams,  # driver-verified r4 (on THIS round's vectorized kernel), code unchanged since; in-window siblings text_pmi hash-checks the same bigram/unigram dictionary-encode counting machinery and cur_dup_ngram_chars the per-doc analyzer-gram counting surface (rotated out for cluster_exemplars, new late r5)
         "se_complete": gate.se_complete,  # driver-verified r4, code unchanged; in-window siblings cover both halves: se_prefix_tf hash-checks the prefix dictionary-expansion surface (the completer's candidate cut) and se_phrase_suggest the suggest-family ranking machinery; the completion weights/tie rules keep their pytest suite (rotated out for dedup_semantic_kmeans, new late r5)
@@ -3798,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _pq_sql(),
         "ann_mmr": _mmr_sql(),
         "ann_hardneg": _ANN_HARDNEG_SQL,
+        "ann_ivf_incremental": _ivf_sql(train_half=True),
         "ann_sq8": _sq8_sql(),
         "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic_kmeans": _semdedup_kmeans_sql(),

@@ -280,33 +280,12 @@ def _kmeans(mat: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.nda
     return centers
 
 
-def ivf_build(
-    sf_dir: str,
-    index_dir: str,
-    n_cells: int = 16,
-    seed: int = 99,
-    sample_rows: int = 4096,
-) -> np.ndarray:
-    """Build a cell-partitioned IVF index under ``index_dir``.
-
-    Centroids train driver-side on a seeded hash-thinned sample (bounded —
-    never the full matrix); assignment streams through ``map_batches`` with
-    the centroids broadcast once; vectors land as parquet partitioned by
-    ``cell=<c>/`` so a search can open only probed cells. Returns the
-    centroid matrix (also saved to ``index_dir/centroids.npy``).
-    """
+def _ivf_assigner(centers_ref):
+    """Shared assign-to-nearest-centroid map_batches fn (build + add)."""
     import ray
-    import ray.data
-
-    centers = _kmeans(_sample_matrix(sf_dir, seed, sample_rows), n_cells, seed)
-    os.makedirs(index_dir, exist_ok=True)
-    np.save(os.path.join(index_dir, "centroids.npy"), centers)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"n_cells": int(len(centers)), "seed": seed}, f)
-    cref = ray.put(centers)
 
     def assign(t: pa.Table) -> pa.Table:
-        cen = ray.get(cref)
+        cen = ray.get(centers_ref)
         bm = batch_matrix(t)
         cells = (
             np.argmax(bm @ cen.T, axis=1).astype(np.int32)
@@ -315,11 +294,110 @@ def ivf_build(
         )
         return t.append_column("cell", pa.array(cells, type=pa.int32()))
 
+    return assign
+
+
+def ivf_build(
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = 16,
+    seed: int = 99,
+    sample_rows: int = 4096,
+    centers: "np.ndarray | None" = None,
+) -> np.ndarray:
+    """Build a cell-partitioned IVF index under ``index_dir``.
+
+    Centroids train driver-side on a seeded hash-thinned sample (bounded —
+    never the full matrix) unless a precomputed ``centers`` matrix is
+    passed; assignment streams through ``map_batches`` with the centroids
+    broadcast once; vectors land as parquet partitioned by ``cell=<c>/``
+    so a search can open only probed cells. Returns the centroid matrix
+    (also saved to ``index_dir/centroids.npy``). ``meta.json`` records the
+    segment list — :func:`ivf_add` appends further segments (the Lucene
+    addDocument analog on the vector side: new vectors assign to the
+    EXISTING centroids, no retrain — standard production IVF behavior,
+    with centroid drift accepted until the next rebuild)."""
+    import ray
+    import ray.data
+
+    if centers is None:
+        centers = _kmeans(
+            _sample_matrix(sf_dir, seed, sample_rows), n_cells, seed
+        )
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centers)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"n_cells": int(len(centers)), "seed": seed,
+             "segments": ["vectors"]},
+            f,
+        )
+    cref = ray.put(centers)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(assign, batch_format="pyarrow")
+    ).map_batches(_ivf_assigner(cref), batch_format="pyarrow")
     ds.write_parquet(os.path.join(index_dir, "vectors"), partition_cols=["cell"])
     return centers
+
+
+def ivf_add(
+    index_dir: str,
+    sf_dir: str,
+    min_vec_id: int | None = None,
+    max_vec_id: int | None = None,
+    segment: str | None = None,
+) -> str:
+    """Append vectors to a built IVF index WITHOUT retraining: assign the
+    new rows to the saved centroids and write them as a fresh
+    ``vectors_seg_<name>/`` hive layout; the segment list in ``meta.json``
+    makes the add atomic-ish (data lands first, the meta rewrite commits
+    it) and IDEMPOTENT (a segment name already in the list is skipped, so
+    gate re-runs never double-add). Search reads every listed segment with
+    the same probed-cell partition filter."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    seg = segment or f"{min_vec_id}_{max_vec_id}"
+    seg_dir_name = f"vectors_seg_{seg}"
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    segments = meta.get("segments", ["vectors"])
+    if seg_dir_name in segments:
+        return seg_dir_name  # already applied
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    cref = ray.put(centers)
+    flt = None
+    if min_vec_id is not None:
+        flt = pads.field("vec_id") >= min_vec_id
+    if max_vec_id is not None:
+        f2 = pads.field("vec_id") < max_vec_id
+        flt = f2 if flt is None else flt & f2
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=flt,
+    ).map_batches(_ivf_assigner(cref), batch_format="pyarrow")
+    ds.write_parquet(
+        os.path.join(index_dir, seg_dir_name), partition_cols=["cell"]
+    )
+    meta["segments"] = segments + [seg_dir_name]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return seg_dir_name
+
+
+def _ivf_segments(index_dir: str) -> list[str]:
+    """Segment dirs recorded in meta.json; pre-segment indexes (no
+    'segments' key) fall back to the single base layout."""
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f).get("segments", ["vectors"])
+    return ["vectors"]
 
 
 def ivf_search(
@@ -353,20 +431,26 @@ def ivf_search(
     probed = set(int(c) for c in np.flatnonzero(probe_mask.any(axis=0)))
     ref = ray.put((q_ids, q_mat, probe_mask))
 
-    # ONE read over the hive-partitioned index; the partition filter prunes
+    # One read per index segment (base build + ivf_add appends), unioned
+    # into a single streaming Dataset; each read's partition filter prunes
     # unprobed cell=<c>/ directories at file-listing time, so their bytes
     # never leave storage. The hive "cell" column comes back typed int32.
-    vec_dir = os.path.join(index_dir, "vectors")
-    part = Partitioning("hive", base_dir=vec_dir, field_types={"cell": int})
-    ds = ray.data.read_parquet(
-        vec_dir,
-        columns=["vec_id", "embedding", "cell"],
-        partitioning=part,
-        partition_filter=PathPartitionFilter(
-            PathPartitionParser(part),
-            lambda kv: int(kv.get("cell", -1)) in probed,
-        ),
-    )
+    ds = None
+    for seg in _ivf_segments(index_dir):
+        vec_dir = os.path.join(index_dir, seg)
+        part = Partitioning(
+            "hive", base_dir=vec_dir, field_types={"cell": int}
+        )
+        seg_ds = ray.data.read_parquet(
+            vec_dir,
+            columns=["vec_id", "embedding", "cell"],
+            partitioning=part,
+            partition_filter=PathPartitionFilter(
+                PathPartitionParser(part),
+                lambda kv: int(kv.get("cell", -1)) in probed,
+            ),
+        )
+        ds = seg_ds if ds is None else ds.union(seg_ds)
 
     def scan(t: pa.Table) -> pa.Table:
         qi, qm, pmask = ray.get(ref)
@@ -404,12 +488,15 @@ def ivf_scan_stats(
     nprobe = min(nprobe, n_cells)
     probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
     sizes = np.zeros(n_cells, dtype=np.int64)
-    for c in range(n_cells):
-        cdir = os.path.join(index_dir, "vectors", f"cell={c}")
-        if os.path.isdir(cdir):
-            for fn in os.listdir(cdir):
-                if fn.endswith(".parquet"):
-                    sizes[c] += pq.ParquetFile(os.path.join(cdir, fn)).metadata.num_rows
+    for seg in _ivf_segments(index_dir):
+        for c in range(n_cells):
+            cdir = os.path.join(index_dir, seg, f"cell={c}")
+            if os.path.isdir(cdir):
+                for fn in os.listdir(cdir):
+                    if fn.endswith(".parquet"):
+                        sizes[c] += pq.ParquetFile(
+                            os.path.join(cdir, fn)
+                        ).metadata.num_rows
     total = int(sizes.sum())
     union = np.zeros(n_cells, dtype=bool)
     union[probe.ravel()] = True
@@ -449,5 +536,53 @@ def ivf_topk(
     index_dir = os.path.join("/tmp", "se_ray_ivf", key)
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         ivf_build(sf_dir, index_dir, n_cells=n_cells, seed=seed, sample_rows=sample_rows)
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    return ivf_search(index_dir, q_ids, q_mat, k=k, nprobe=nprobe)
+
+
+def ivf_incremental_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 99,
+    sample_rows: int = 4096,
+) -> pa.Table:
+    """Incremental-IVF gate entry: build the index over the FIRST HALF of
+    the corpus (centroids train on that half alone), :func:`ivf_add` the
+    second half against those frozen centroids, then search the segmented
+    index — the vector-side analog of the text index's base-build +
+    appended-segment gate (``se_bm25_incremental``). The half-corpus
+    staging write is gate plumbing only (a real user calls ivf_add on
+    their new rows directly); the add itself is the scale path: one
+    filtered pruned read, one broadcast-assign pass, one hive write.
+    Idempotent across gate re-runs (segment list in meta.json)."""
+    import hashlib
+
+    path = f"{sf_dir}/embeddings.parquet"
+    split = pq.ParquetFile(path).metadata.num_rows // 2
+    st = os.stat(path)
+    key = hashlib.md5(
+        repr(
+            (os.path.abspath(path), st.st_mtime_ns, st.st_size, n_cells,
+             seed, sample_rows, split, "incr")
+        ).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "se_ray_ivf_incr", key)
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        half_dir = index_dir + "_corpus"
+        os.makedirs(half_dir, exist_ok=True)
+        head = pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", split)],
+        )
+        pq.write_table(head, os.path.join(half_dir, "embeddings.parquet"))
+        ivf_build(
+            half_dir, index_dir, n_cells=n_cells, seed=seed,
+            sample_rows=sample_rows,
+        )
+    ivf_add(index_dir, sf_dir, min_vec_id=split, segment="tail")
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     return ivf_search(index_dir, q_ids, q_mat, k=k, nprobe=nprobe)

@@ -751,3 +751,47 @@ def test_dedup_components_autoroutes_to_distributed(ray_session):
     )
     assert driver.equals(rerouted)
     assert len(driver) > 0
+
+
+def test_ivf_incremental_equals_monolithic_same_centroids(tmp_path, ray_session):
+    """Appending the second half with ivf_add (frozen centroids) must
+    serve results IDENTICAL to a monolithic index built over the full
+    corpus with those same centroids — the segment layout is invisible to
+    search. Also: re-adding the same segment is a no-op (idempotent), and
+    scan stats count both segments."""
+    import pyarrow.parquet as pq_
+
+    from searchengine_ray import ann
+
+    path = f"{SF}/embeddings.parquet"
+    split = pq_.ParquetFile(path).metadata.num_rows // 2
+
+    import os as os_
+
+    half_dir = str(tmp_path / "half")
+    os_.makedirs(half_dir)
+    head = pq_.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", split)],
+    )
+    pq_.write_table(head, f"{half_dir}/embeddings.parquet")
+
+    incr_dir = str(tmp_path / "incr")
+    centers = ann.ivf_build(half_dir, incr_dir, n_cells=8)
+    seg = ann.ivf_add(incr_dir, SF, min_vec_id=split, segment="tail")
+    assert ann.ivf_add(incr_dir, SF, min_vec_id=split, segment="tail") == seg
+
+    mono_dir = str(tmp_path / "mono")
+    ann.ivf_build(SF, mono_dir, n_cells=8, centers=centers)
+
+    q_ids, q_mat = ann._query_matrix(SF, 6)
+    a = ann.ivf_search(incr_dir, q_ids, q_mat, k=5, nprobe=3).to_pandas()
+    b = ann.ivf_search(mono_dir, q_ids, q_mat, k=5, nprobe=3).to_pandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    si = ann.ivf_scan_stats(incr_dir, q_mat, nprobe=3)
+    sm = ann.ivf_scan_stats(mono_dir, q_mat, nprobe=3)
+    assert si == sm  # same per-cell row counts across the two layouts
