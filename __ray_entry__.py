@@ -1534,7 +1534,7 @@ QUALIFY rank <= 10
 def _ivf_sql(
     sf_dir: str = "/root/testdata/sf0.01", n_queries: int = 10, k: int = 10,
     n_cells: int = 16, nprobe: int = 4, seed: int = 99,
-    train_half: bool = False,
+    train_half: bool = False, live_pred: str | None = None,
 ) -> str:
     """IVF ANN reproduced in DuckDB. The centroid matrix is the engine's
     own seeded-sample k-means output inlined as DOUBLE[] literals — the
@@ -1574,6 +1574,11 @@ def _ivf_sql(
         )
         for j in range(len(centers))
     )
+    # corpus-side liveness (ann_ivf_deleted): deleted ids leave the scan /
+    # neighbor side only — queries stay external vectors, centroids stay
+    # the frozen pre-deletion training (stale-stats semantics, matching
+    # the engine's tombstone-then-expunge path)
+    live = live_pred or "TRUE"
     return f"""
 WITH cent(cell, v) AS (VALUES
     {rows}),
@@ -1583,7 +1588,8 @@ asg AS (
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v)
                  DESC, c.cell) AS rn
-    FROM embeddings e CROSS JOIN cent c)
+    FROM embeddings e CROSS JOIN cent c WHERE ({live})
+  )
   WHERE rn = 1),
 probe AS (
   SELECT query_id, cell FROM (
@@ -3163,9 +3169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 123 SQL-backed entries (full rows+schema+hash check
+    # The registry has 124 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 73 must sit beyond the window no matter the order. The
+    # 74 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3186,7 +3192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (data-derived target-mixture rates) in / cur_sample_stratified out
     # (r4-verified; the mixture entry's filter is a strict superset);
     # ann_ivf_incremental (frozen-centroid segment append) in /
-    # ann_hardneg out (r4-verified, siblings named inline below). Late-r4 addition: ann_hardneg
+    # ann_hardneg out (r4-verified, siblings named inline below);
+    # ann_ivf_deleted (vector tombstones + expunge compaction) in /
+    # ann_mmr out (r4-verified, siblings named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3347,10 +3355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compressed uint8 codes + ADC table-gather scan (16x smaller reads); codebooks inlined
         # as oracle literals, encode/table/left-assoc-sum replayed in SQL
         "ann_pq": annpq.pq_topk,
-        # MMR re-ranking (new late r4, Carbonell & Goldstein 1998): the
-        # embedding-based sibling of xQuAD/PM2; distributed candidate cut
-        # + coordinator greedy, replayed as a recursive-CTE oracle
-        "ann_mmr": mmr.mmr_rerank,
+        # IVF deletion + expunge (new late r5): tombstone live-docs +
+        # segment compaction on the vector side, frozen centroids
+        # (stale-stats) — the se_bm25_deleted/expunged analog
+        "ann_ivf_deleted": ann.ivf_deleted_topk,
         # incremental IVF (new late r5): base build trained on the first
         # half, ivf_add appends the second half to the FROZEN centroids as
         # a new hive segment (the se_bm25_incremental analog on the vector
@@ -3430,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "ann_mmr": mmr.mmr_rerank,  # driver-verified r4, code unchanged; in-window sibling dedup_semantic_kmeans hash-checks the identical greedy-with-kept-state recursive-CTE replay (kept ids + max-sim-to-kept penalty surface) and ann_pq/ann_sq8/ann_ivf_incremental the cosine candidate-cut machinery; the scalar-greedy parity + negative-sim regression pytests remain (rotated out for ann_ivf_deleted, new late r5)
         "ann_hardneg": ann.hard_negative_topk,  # driver-verified r4, code unchanged; in-window siblings ann_pq/ann_sq8 hash-check the identical broadcast/normalized-scan/bounded-fold cosine machinery and ann_ivf_incremental the probe/top-k surface; the same-label -inf mask keeps its numpy-parity pytest (rotated out for ann_ivf_incremental, new late r5)
         "cur_sample_stratified": curation.sample_stratified,  # driver-verified r4, code unchanged; in-window sibling cur_mixture_sample runs the IDENTICAL splitmix64 micro-rate keep filter (same _hash64 chain, same draw<thresh shape) with data-derived rates — a strict superset of this entry's fixed-rate check — and cur_dsir_select keeps the splitmix keep-draw surface in-window too (rotated out for cur_mixture_sample, new late r5)
         "text_top_bigrams": textextras.top_bigrams,  # driver-verified r4 (on THIS round's vectorized kernel), code unchanged since; in-window siblings text_pmi hash-checks the same bigram/unigram dictionary-encode counting machinery and cur_dup_ngram_chars the per-doc analyzer-gram counting surface (rotated out for cluster_exemplars, new late r5)
@@ -3814,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_mmr": _mmr_sql(),
         "ann_hardneg": _ANN_HARDNEG_SQL,
         "ann_ivf_incremental": _ivf_sql(train_half=True),
+        "ann_ivf_deleted": _ivf_sql(live_pred="e.vec_id % 7 <> 3"),
         "ann_sq8": _sq8_sql(),
         "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic_kmeans": _semdedup_kmeans_sql(),

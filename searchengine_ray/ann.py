@@ -390,6 +390,93 @@ def ivf_add(
     return seg_dir_name
 
 
+def ivf_delete(index_dir: str, vec_ids) -> int:
+    """Tombstone vectors in a built IVF index (the live-docs analog on
+    the vector side): ids append to ``tombstones.json`` (sorted,
+    deduplicated); search drops them before scoring. Tombstone state is
+    driver/broadcast-sized and grows with deletes — :func:`ivf_expunge`
+    is the compaction path that folds them into the data. Returns the
+    total tombstone count."""
+    tpath = os.path.join(index_dir, "tombstones.json")
+    cur: set[int] = set()
+    if os.path.exists(tpath):
+        with open(tpath) as f:
+            cur = set(json.load(f))
+    cur.update(int(v) for v in vec_ids)
+    tmp = tpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(cur), f)
+    os.replace(tmp, tpath)
+    return len(cur)
+
+
+def ivf_expunge(index_dir: str) -> int:
+    """Compact tombstones out of every segment (expungeDeletes analog):
+    each segment is re-read in full, live rows rewrite into a fresh
+    ``<segment>_x/`` hive layout (cells KEPT — no reassignment, centroids
+    stay frozen), the meta segment list swaps atomically, and the
+    tombstone file clears. Search results are identical before and after
+    (pytest-pinned). Returns the number of rows dropped."""
+    import ray
+    import ray.data
+
+    tpath = os.path.join(index_dir, "tombstones.json")
+    if not os.path.exists(tpath):
+        return 0
+    with open(tpath) as f:
+        tomb = np.array(sorted(json.load(f)), dtype=np.int64)
+    if len(tomb) == 0:
+        os.remove(tpath)
+        return 0
+    tref = ray.put(tomb)
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    dropped = 0
+    new_segments = []
+    for seg in meta.get("segments", ["vectors"]):
+        src = os.path.join(index_dir, seg)
+        dst_name = seg + "_x"
+        before = 0
+
+        def live_only(t: pa.Table) -> pa.Table:
+            tb = ray.get(tref)
+            ids = t.column("vec_id").to_numpy()
+            return t.filter(pa.array(~np.isin(ids, tb)))
+
+        ds = ray.data.read_parquet(src)  # hive cell column comes back
+        before = ds.count()
+        ds = ray.data.read_parquet(src).map_batches(
+            live_only, batch_format="pyarrow"
+        )
+        ds.write_parquet(
+            os.path.join(index_dir, dst_name), partition_cols=["cell"]
+        )
+        after = sum(
+            pq.ParquetFile(os.path.join(r, fn)).metadata.num_rows
+            for r, _d, fs in os.walk(os.path.join(index_dir, dst_name))
+            for fn in fs
+            if fn.endswith(".parquet")
+        )
+        dropped += before - after
+        new_segments.append(dst_name)
+    meta["segments"] = new_segments
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    os.remove(tpath)
+    return int(dropped)
+
+
+def _ivf_tombstones(index_dir: str) -> np.ndarray:
+    tpath = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(tpath):
+        with open(tpath) as f:
+            return np.array(sorted(json.load(f)), dtype=np.int64)
+    return np.zeros(0, dtype=np.int64)
+
+
 def _ivf_segments(index_dir: str) -> list[str]:
     """Segment dirs recorded in meta.json; pre-segment indexes (no
     'segments' key) fall back to the single base layout."""
@@ -429,7 +516,7 @@ def ivf_search(
     probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
     probe_mask[np.arange(len(q_ids))[:, None], probe] = True
     probed = set(int(c) for c in np.flatnonzero(probe_mask.any(axis=0)))
-    ref = ray.put((q_ids, q_mat, probe_mask))
+    ref = ray.put((q_ids, q_mat, probe_mask, _ivf_tombstones(index_dir)))
 
     # One read per index segment (base build + ivf_add appends), unioned
     # into a single streaming Dataset; each read's partition filter prunes
@@ -453,7 +540,10 @@ def ivf_search(
         ds = seg_ds if ds is None else ds.union(seg_ds)
 
     def scan(t: pa.Table) -> pa.Table:
-        qi, qm, pmask = ray.get(ref)
+        qi, qm, pmask, tomb = ray.get(ref)
+        if len(tomb):  # drop tombstoned rows before scoring (live-docs)
+            ids = t.column("vec_id").to_numpy()
+            t = t.filter(pa.array(~np.isin(ids, tomb)))
         cells = np.asarray(t.column("cell").to_numpy(), dtype=np.int64)
         outs = []
         # a block is normally single-cell (one partition dir per file), but
@@ -536,6 +626,53 @@ def ivf_topk(
     index_dir = os.path.join("/tmp", "se_ray_ivf", key)
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         ivf_build(sf_dir, index_dir, n_cells=n_cells, seed=seed, sample_rows=sample_rows)
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    return ivf_search(index_dir, q_ids, q_mat, k=k, nprobe=nprobe)
+
+
+def ivf_deleted_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 99,
+    sample_rows: int = 4096,
+) -> pa.Table:
+    """Deletion gate entry (the se_bm25_deleted/expunged analog on the
+    vector side): build over the full corpus, tombstone ``vec_id % 7 ==
+    3`` (ivf_delete), COMPACT them out (ivf_expunge — so the gate covers
+    the tombstone bookkeeping AND the segment rewrite; tombstone-phase ==
+    post-expunge equality is pytest-pinned), then search. Centroids stay
+    the frozen pre-deletion training — stale-stats semantics, like the
+    text index's deleted gate. The staged-dir rename makes the cached
+    index crash-consistent across gate re-runs."""
+    import hashlib
+    import shutil
+
+    path = f"{sf_dir}/embeddings.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    st = os.stat(path)
+    key = hashlib.md5(
+        repr(
+            (os.path.abspath(path), st.st_mtime_ns, st.st_size, n_cells,
+             seed, sample_rows, "del")
+        ).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "se_ray_ivf_del", key)
+    if not os.path.exists(index_dir):
+        stage = index_dir + ".build"
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        ivf_build(
+            sf_dir, stage, n_cells=n_cells, seed=seed,
+            sample_rows=sample_rows,
+        )
+        ids = np.arange(total, dtype=np.int64)
+        ivf_delete(stage, ids[ids % 7 == 3])  # gate-scale id list; at
+        # corpus scale deletes arrive as bounded batches from a Dataset
+        ivf_expunge(stage)
+        os.rename(stage, index_dir)
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     return ivf_search(index_dir, q_ids, q_mat, k=k, nprobe=nprobe)
 

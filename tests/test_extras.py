@@ -795,3 +795,44 @@ def test_ivf_incremental_equals_monolithic_same_centroids(tmp_path, ray_session)
     si = ann.ivf_scan_stats(incr_dir, q_mat, nprobe=3)
     sm = ann.ivf_scan_stats(mono_dir, q_mat, nprobe=3)
     assert si == sm  # same per-cell row counts across the two layouts
+
+
+def test_ivf_delete_tombstone_equals_expunged(tmp_path, ray_session):
+    """ivf_delete (tombstone phase) and ivf_expunge (segment compaction)
+    must serve IDENTICAL search results, no deleted id may appear as a
+    neighbor in either, and expunge physically drops exactly the
+    tombstoned rows then clears the tombstone file."""
+    import os as os_
+
+    import pyarrow.parquet as pq_
+
+    from searchengine_ray import ann
+
+    idx = str(tmp_path / "idx")
+    ann.ivf_build(SF, idx, n_cells=8)
+    total = pq_.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    ids = np.arange(total, dtype=np.int64)
+    dead = ids[ids % 7 == 3]
+    ann.ivf_delete(idx, dead)
+
+    q_ids, q_mat = ann._query_matrix(SF, 6)
+    key = ["query_id", "rank"]
+    a = (
+        ann.ivf_search(idx, q_ids, q_mat, k=5, nprobe=3)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    dropped = ann.ivf_expunge(idx)
+    assert dropped == len(dead)
+    assert not os_.path.exists(os_.path.join(idx, "tombstones.json"))
+    b = (
+        ann.ivf_search(idx, q_ids, q_mat, k=5, nprobe=3)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert not a.neighbor_id.isin(dead).any()
+    # idempotent: expunging again drops nothing
+    assert ann.ivf_expunge(idx) == 0
