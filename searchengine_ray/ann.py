@@ -349,11 +349,15 @@ def ivf_add(
 ) -> str:
     """Append vectors to a built IVF index WITHOUT retraining: assign the
     new rows to the saved centroids and write them as a fresh
-    ``vectors_seg_<name>/`` hive layout; the segment list in ``meta.json``
-    makes the add atomic-ish (data lands first, the meta rewrite commits
-    it) and IDEMPOTENT (a segment name already in the list is skipped, so
-    gate re-runs never double-add). Search reads every listed segment with
-    the same probed-cell partition filter."""
+    ``vectors_seg_<name>/`` hive layout; ``meta.json`` commits the add
+    (data lands first, the meta rewrite is the commit point) and the
+    ``applied_adds`` name list makes it IDEMPOTENT — across retries
+    (a pre-commit leftover dir is cleared before rewriting, never
+    appended into) and across later expunges (which rename segment dirs
+    but preserve ``applied_adds``). Search reads every listed segment
+    with the same probed-cell partition filter."""
+    import shutil
+
     import pyarrow.dataset as pads
     import ray
     import ray.data
@@ -364,7 +368,11 @@ def ivf_add(
     with open(meta_path) as f:
         meta = json.load(f)
     segments = meta.get("segments", ["vectors"])
-    if seg_dir_name in segments:
+    applied = meta.get("applied_adds", [])
+    # idempotency keys on the ADD name, not the dir name — ivf_expunge
+    # renames dirs to <seg>_x, and a re-add after expunge must still be a
+    # no-op (it would otherwise resurrect compacted-away deletes)
+    if seg in applied or seg_dir_name in segments:
         return seg_dir_name  # already applied
     centers = np.load(os.path.join(index_dir, "centroids.npy"))
     cref = ray.put(centers)
@@ -374,15 +382,20 @@ def ivf_add(
     if max_vec_id is not None:
         f2 = pads.field("vec_id") < max_vec_id
         flt = f2 if flt is None else flt & f2
+    seg_dir = os.path.join(index_dir, seg_dir_name)
+    if os.path.exists(seg_dir):
+        # leftover from a run that died before the meta commit: clear it,
+        # or the retry's write_parquet would APPEND alongside the stale
+        # files and commit every row twice
+        shutil.rmtree(seg_dir)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
         filter=flt,
     ).map_batches(_ivf_assigner(cref), batch_format="pyarrow")
-    ds.write_parquet(
-        os.path.join(index_dir, seg_dir_name), partition_cols=["cell"]
-    )
+    ds.write_parquet(seg_dir, partition_cols=["cell"])
     meta["segments"] = segments + [seg_dir_name]
+    meta["applied_adds"] = applied + [seg]
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -428,44 +441,51 @@ def ivf_expunge(index_dir: str) -> int:
     if len(tomb) == 0:
         os.remove(tpath)
         return 0
+    import shutil
+
     tref = ray.put(tomb)
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    dropped = 0
-    new_segments = []
-    for seg in meta.get("segments", ["vectors"]):
-        src = os.path.join(index_dir, seg)
-        dst_name = seg + "_x"
-        before = 0
 
-        def live_only(t: pa.Table) -> pa.Table:
-            tb = ray.get(tref)
-            ids = t.column("vec_id").to_numpy()
-            return t.filter(pa.array(~np.isin(ids, tb)))
-
-        ds = ray.data.read_parquet(src)  # hive cell column comes back
-        before = ds.count()
-        ds = ray.data.read_parquet(src).map_batches(
-            live_only, batch_format="pyarrow"
-        )
-        ds.write_parquet(
-            os.path.join(index_dir, dst_name), partition_cols=["cell"]
-        )
-        after = sum(
+    def footer_rows(d: str) -> int:
+        return sum(
             pq.ParquetFile(os.path.join(r, fn)).metadata.num_rows
-            for r, _d, fs in os.walk(os.path.join(index_dir, dst_name))
+            for r, _d, fs in os.walk(d)
             for fn in fs
             if fn.endswith(".parquet")
         )
-        dropped += before - after
-        new_segments.append(dst_name)
+
+    def live_only(t: pa.Table) -> pa.Table:
+        tb = ray.get(tref)
+        ids = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(~np.isin(ids, tb)))
+
+    dropped = 0
+    old_segments = meta.get("segments", ["vectors"])
+    new_segments = []
+    for seg in old_segments:
+        src = os.path.join(index_dir, seg)
+        dst = os.path.join(index_dir, seg + "_x")
+        if os.path.exists(dst):
+            # leftover from a run that died before the meta commit; a
+            # retry's write_parquet would APPEND beside the stale files
+            shutil.rmtree(dst)
+        before = footer_rows(src)  # parquet footers only, no Dataset
+        ds = ray.data.read_parquet(src).map_batches(
+            live_only, batch_format="pyarrow"
+        )  # hive cell column comes back from the partitioned layout
+        ds.write_parquet(dst, partition_cols=["cell"])
+        dropped += before - footer_rows(dst)
+        new_segments.append(seg + "_x")
     meta["segments"] = new_segments
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    os.replace(tmp, meta_path)  # <- the swap commits here
     os.remove(tpath)
+    for seg in old_segments:  # reclaim the pre-compaction data
+        shutil.rmtree(os.path.join(index_dir, seg), ignore_errors=True)
     return int(dropped)
 
 
@@ -707,8 +727,16 @@ def ivf_incremental_topk(
         ).encode()
     ).hexdigest()[:16]
     index_dir = os.path.join("/tmp", "se_ray_ivf_incr", key)
-    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
-        half_dir = index_dir + "_corpus"
+    if not os.path.exists(index_dir):
+        # staged-dir rename: centroids.npy lands BEFORE the vectors, so a
+        # build interrupted mid-write must not look cached (same pattern
+        # as ivf_deleted_topk)
+        import shutil
+
+        stage = index_dir + ".build"
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        half_dir = stage + "_corpus"
         os.makedirs(half_dir, exist_ok=True)
         head = pq.read_table(
             path,
@@ -717,9 +745,12 @@ def ivf_incremental_topk(
         )
         pq.write_table(head, os.path.join(half_dir, "embeddings.parquet"))
         ivf_build(
-            half_dir, index_dir, n_cells=n_cells, seed=seed,
+            half_dir, stage, n_cells=n_cells, seed=seed,
             sample_rows=sample_rows,
         )
+        shutil.rmtree(half_dir)  # staging copy, needed only for the build
+        os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+        os.rename(stage, index_dir)
     ivf_add(index_dir, sf_dir, min_vec_id=split, segment="tail")
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     return ivf_search(index_dir, q_ids, q_mat, k=k, nprobe=nprobe)

@@ -836,3 +836,70 @@ def test_ivf_delete_tombstone_equals_expunged(tmp_path, ray_session):
     assert not a.neighbor_id.isin(dead).any()
     # idempotent: expunging again drops nothing
     assert ann.ivf_expunge(idx) == 0
+
+
+def test_ivf_mutation_crash_retry_consistency(tmp_path, ray_session):
+    """Crash/retry regressions from the late-r5 review: (a) a pre-commit
+    leftover segment dir must be cleared on ivf_add retry, not appended
+    into; (b) re-adding a segment AFTER an expunge renamed its dir is a
+    no-op (applied_adds keys the idempotency, so compacted deletes stay
+    dead); (c) expunge reclaims the old segment dirs."""
+    import json as json_
+    import os as os_
+    import shutil as shutil_
+
+    import pyarrow.parquet as pq_
+
+    from searchengine_ray import ann
+
+    path = f"{SF}/embeddings.parquet"
+    split = pq_.ParquetFile(path).metadata.num_rows // 2
+    half_dir = str(tmp_path / "half")
+    os_.makedirs(half_dir)
+    pq_.write_table(
+        pq_.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", split)]),
+        f"{half_dir}/embeddings.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    ann.ivf_build(half_dir, idx, n_cells=8)
+
+    # (a) simulate a died-before-meta-commit add: data written, meta not
+    ann.ivf_add(idx, SF, min_vec_id=split, segment="tail")
+    meta_path = os_.path.join(idx, "meta.json")
+    with open(meta_path) as f:
+        committed = json_.load(f)
+    uncommitted = dict(committed)
+    uncommitted["segments"] = ["vectors"]
+    uncommitted["applied_adds"] = []
+    with open(meta_path, "w") as f:
+        json_.dump(uncommitted, f)  # roll meta back; seg dir remains
+    ann.ivf_add(idx, SF, min_vec_id=split, segment="tail")  # the retry
+    rows = sum(
+        pq_.ParquetFile(os_.path.join(r, fn)).metadata.num_rows
+        for r, _d, fs in os_.walk(os_.path.join(idx, "vectors_seg_tail"))
+        for fn in fs if fn.endswith(".parquet")
+    )
+    total = pq_.ParquetFile(path).metadata.num_rows
+    assert rows == total - split  # each tail row exactly once
+
+    # (b) delete some tail ids, expunge (renames dirs), then re-add
+    ids = np.arange(total, dtype=np.int64)
+    dead = ids[(ids >= split) & (ids % 5 == 0)]
+    ann.ivf_delete(idx, dead)
+    dropped = ann.ivf_expunge(idx)
+    assert dropped == len(dead)
+    assert ann.ivf_add(idx, SF, min_vec_id=split, segment="tail") \
+        == "vectors_seg_tail"  # no-op: applied_adds remembers it
+    q_ids, q_mat = ann._query_matrix(SF, 6)
+    out = ann.ivf_search(idx, q_ids, q_mat, k=5, nprobe=3).to_pandas()
+    assert not out.neighbor_id.isin(dead).any()
+    assert not out.duplicated(["query_id", "neighbor_id"]).any()
+
+    # (c) the pre-compaction dirs are gone; the committed segments exist
+    assert not os_.path.exists(os_.path.join(idx, "vectors"))
+    assert not os_.path.exists(os_.path.join(idx, "vectors_seg_tail"))
+    with open(meta_path) as f:
+        segs = json_.load(f)["segments"]
+    for s in segs:
+        assert os_.path.exists(os_.path.join(idx, s))
