@@ -489,6 +489,63 @@ def ivf_expunge(index_dir: str) -> int:
     return int(dropped)
 
 
+def ivf_merge_segments(index_dir: str) -> int:
+    """forceMerge(1) analog on the vector side: coalesce every segment
+    (base + ivf_add appends) into ONE fresh ``vectors_m<n>/`` hive layout
+    — a pure row redistribution, cells kept, centroids untouched, any
+    pending tombstones compacted in the same pass (so merge implies
+    expunge, like Lucene's forceMerge). Retry-safe the same way as
+    ivf_expunge: a pre-commit leftover destination is cleared, the meta
+    swap is the commit point, old segment dirs reclaim after it. Search
+    results are identical before and after (pytest-pinned). Returns the
+    number of segments merged."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    old_segments = meta.get("segments", ["vectors"])
+    tomb = _ivf_tombstones(index_dir)
+    if len(old_segments) <= 1 and len(tomb) == 0:
+        return len(old_segments)  # already one segment, nothing pending
+    tref = ray.put(tomb)
+    gen = meta.get("merge_gen", 0) + 1
+    dst_name = f"vectors_m{gen}"
+    dst = os.path.join(index_dir, dst_name)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+
+    def live_only(t: pa.Table) -> pa.Table:
+        tb = ray.get(tref)
+        if len(tb) == 0:
+            return t
+        ids = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(~np.isin(ids, tb)))
+
+    ds = None
+    for seg in old_segments:
+        seg_ds = ray.data.read_parquet(os.path.join(index_dir, seg))
+        ds = seg_ds if ds is None else ds.union(seg_ds)
+    ds.map_batches(live_only, batch_format="pyarrow").write_parquet(
+        dst, partition_cols=["cell"]
+    )
+    meta["segments"] = [dst_name]
+    meta["merge_gen"] = gen
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)  # <- commit
+    tpath = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(tpath):
+        os.remove(tpath)
+    for seg in old_segments:
+        shutil.rmtree(os.path.join(index_dir, seg), ignore_errors=True)
+    return len(old_segments)
+
+
 def _ivf_tombstones(index_dir: str) -> np.ndarray:
     tpath = os.path.join(index_dir, "tombstones.json")
     if os.path.exists(tpath):

@@ -903,3 +903,58 @@ def test_ivf_mutation_crash_retry_consistency(tmp_path, ray_session):
         segs = json_.load(f)["segments"]
     for s in segs:
         assert os_.path.exists(os_.path.join(idx, s))
+
+
+def test_ivf_merge_segments_preserves_search(tmp_path, ray_session):
+    """ivf_merge_segments coalesces base + appended segments (and pending
+    tombstones) into ONE layout with identical search results — the
+    forceMerge(1) analog; a second merge with nothing pending is a no-op."""
+    import json as json_
+    import os as os_
+
+    import pyarrow.parquet as pq_
+
+    from searchengine_ray import ann
+
+    path = f"{SF}/embeddings.parquet"
+    total = pq_.ParquetFile(path).metadata.num_rows
+    split = total // 2
+    half_dir = str(tmp_path / "half")
+    os_.makedirs(half_dir)
+    pq_.write_table(
+        pq_.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", split)]),
+        f"{half_dir}/embeddings.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    ann.ivf_build(half_dir, idx, n_cells=8)
+    ann.ivf_add(idx, SF, min_vec_id=split, segment="tail")
+    ids = np.arange(total, dtype=np.int64)
+    dead = ids[ids % 11 == 4]
+    ann.ivf_delete(idx, dead)
+
+    q_ids, q_mat = ann._query_matrix(SF, 6)
+    key = ["query_id", "rank"]
+    before = (
+        ann.ivf_search(idx, q_ids, q_mat, k=5, nprobe=3)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert ann.ivf_merge_segments(idx) == 2  # base + tail
+    with open(os_.path.join(idx, "meta.json")) as f:
+        meta = json_.load(f)
+    assert meta["segments"] == ["vectors_m1"]
+    assert not os_.path.exists(os_.path.join(idx, "tombstones.json"))
+    after = (
+        ann.ivf_search(idx, q_ids, q_mat, k=5, nprobe=3)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert before.equals(after)
+    assert not after.neighbor_id.isin(dead).any()
+    # physical row count = live rows exactly once
+    rows = sum(
+        pq_.ParquetFile(os_.path.join(r, fn)).metadata.num_rows
+        for r, _d, fs in os_.walk(os_.path.join(idx, "vectors_m1"))
+        for fn in fs if fn.endswith(".parquet")
+    )
+    assert rows == total - len(dead)
+    assert ann.ivf_merge_segments(idx) == 1  # no-op on one clean segment
