@@ -224,6 +224,69 @@ SELECT doc_id, round(pow(
 FROM piv CROSS JOIN const CROSS JOIN cstats
 """
 
+# explain (engine.explain; Lucene IndexSearcher.explain / ES _explain
+# analog): per-(doc, term) BM25 leaf breakdown for 'dup spark' — tf, df,
+# doclen, leaf score. Same formula as _bm25_terms_sql's scored CTE, but
+# emitting the component rows instead of the pivoted sum.
+_SE_EXPLAIN_SQL = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('dup','spark') GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, stats.df, dl.dl,
+       round(greatest(0.0, ln((const.n - stats.df + 0.5)/(stats.df + 0.5)))
+             * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)),
+             6) AS score_r
+FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const
+"""
+
+# #DISMAX/30 (operators.py Evaluator.sop "#dismax"; ES dis_max /
+# multi_match best_fields analog): union match over three legs
+# (en.keywords, dup.body, spark.body under BM25), score = best matching
+# leg + 0.30 * (sum of matching legs - best). BM25 leg scores are >= 0
+# (idf clamped at 0), so coalesce(leg, 0) is exact for both the max and
+# the sum; the sum's accumulation order (k + d + s with 0 for missing)
+# matches the engine's child-order += over zero-filled slots bitwise.
+_SE_DISMAX_SQL = f"""
+WITH {_TOK},
+kdl AS (SELECT doc_id, len(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS kdl,
+               len(list_filter(regexp_extract_all(lower(lang), '[a-z0-9_]+'),
+                               x -> x = 'en')) AS tfk
+        FROM documents),
+kconst AS (SELECT CAST(sum(kdl) AS DOUBLE)/count(*) AS avek FROM kdl WHERE kdl > 0),
+kstats AS (SELECT count(*) AS dfk FROM kdl WHERE tfk > 0),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('dup','spark') GROUP BY doc_id, term),
+bstats AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+bscored AS (
+  SELECT btf.doc_id, btf.term,
+         greatest(0.0, ln((const.n - bstats.df + 0.5)/(bstats.df + 0.5)))
+           * btf.tf/(btf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+  FROM btf JOIN dl USING(doc_id) JOIN bstats USING(term) CROSS JOIN const),
+kleg AS (
+  SELECT k.doc_id,
+         greatest(0.0, ln((const.n - kstats.dfk + 0.5)/(kstats.dfk + 0.5)))
+           * k.tfk/(k.tfk + 1.2*(1 - 0.75 + 0.75*k.kdl/kconst.avek)) AS s
+  FROM kdl k CROSS JOIN const CROSS JOIN kconst CROSS JOIN kstats
+  WHERE k.tfk > 0),
+legs AS (
+  SELECT doc_id,
+         max(CASE WHEN leg = 'k' THEN s END) AS s_k,
+         max(CASE WHEN leg = 'd' THEN s END) AS s_d,
+         max(CASE WHEN leg = 's' THEN s END) AS s_s
+  FROM (SELECT doc_id, 'k' AS leg, s FROM kleg
+        UNION ALL
+        SELECT doc_id, CASE term WHEN 'dup' THEN 'd' ELSE 's' END AS leg, s
+        FROM bscored)
+  GROUP BY doc_id)
+SELECT doc_id, round(
+  greatest(coalesce(s_k, 0), coalesce(s_d, 0), coalesce(s_s, 0))
+  + 0.30 * (coalesce(s_k, 0) + coalesce(s_d, 0) + coalesce(s_s, 0)
+            - greatest(coalesce(s_k, 0), coalesce(s_d, 0), coalesce(s_s, 0))),
+  6) AS score_r
+FROM legs
+"""
+
 _SE_WSUM_FIELDS_SQL = f"""
 WITH {_TOK},
 kdl AS (SELECT doc_id, len(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS kdl,
@@ -3169,9 +3232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 124 SQL-backed entries (full rows+schema+hash check
+    # The registry has 126 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 74 must sit beyond the window no matter the order. The
+    # 76 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3194,7 +3257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ann_ivf_incremental (frozen-centroid segment append) in /
     # ann_hardneg out (r4-verified, siblings named inline below);
     # ann_ivf_deleted (vector tombstones + expunge compaction) in /
-    # ann_mmr out (r4-verified, siblings named inline below). Late-r4 addition: ann_hardneg
+    # ann_mmr out (r4-verified, siblings named inline below);
+    # se_dismax (new #DISMAX operator, ES dis_max analog) in /
+    # drmm_rerank out (r4-verified, sibling named inline below);
+    # se_explain (new engine.explain, Lucene explain analog) in /
+    # text_textrank out (r4-verified, siblings named inline
+    # below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3304,8 +3372,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
         "ltr_rerank": gate.ltr_rerank,
-        "drmm_rerank": gate.drmm_rerank,
         "drmm_w2v_rerank": gate.drmm_w2v_rerank,
+        # #DISMAX (new late r5, ES dis_max / multi_match best_fields
+        # analog): union match, best matching leg + tie_breaker * sum of
+        # the others, tie carried by the /n suffix as integer percent —
+        # a keywords-field leg plus two body legs make the cross-field
+        # max real (rotated in for drmm_rerank, below)
+        "se_dismax": gate.se_dismax,
+        # explain (new late r5, Lucene IndexSearcher.explain / ES
+        # _explain analog): per-(doc, term) BM25 leaf breakdown — tf, df,
+        # dl, leaf score from the SAME _score_leaf serving runs; sum of a
+        # doc's rows == its se_bm25_flat score (rotated in for
+        # text_textrank, below)
+        "se_explain": gate.se_explain,
         # dedup
         "dedup_minhash": dedup.minhash_lsh_pairs,
         # rotated back IN r4: its ShingleRows stage moved to the batch-flat
@@ -3338,11 +3417,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-document unsupervised tagger — ONE shuffle-free map_batches
         # scan, batch-global vectorized, integer deg*2^20//freq scores
         "text_rake": rake.rake_keyphrases,
-        # TextRank keywords (new in r4, Mihalcea & Tarau 2004): RAKE's
-        # graph-based sibling — fixed-point INT64 damped power iteration
-        # (order-free integer sums), shuffle-free per-doc scan, the whole
-        # L-iteration chain replayed as `//` CTEs in SQL
-        "text_textrank": textrank.textrank_keywords,
         # PMI collocations (new late r4, Church & Hanks 1990): one combined
         # (key, n) shuffle (bigrams/unigrams/totals in disjoint keyspaces),
         # bounded streaming folds, scalar-libm ln per candidate
@@ -3438,6 +3512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "drmm_rerank": gate.drmm_rerank,  # driver-verified r4, code unchanged; in-window sibling drmm_w2v_rerank runs the IDENTICAL histogram/softmax-idf/MLP rerank machinery with vectors loaded through the real Word2VecFile format — a strict superset of this entry's synthetic-TermVectors check (rotated out for se_dismax, new late r5)
+        "text_textrank": textrank.textrank_keywords,  # driver-verified r4, code unchanged; in-window siblings text_rake (the per-doc integer keyphrase scan over the same _flat_tokens analyzer surface) and text_pmi (cooccurrence counting) hash-check its tokenize/count inputs, and the INT64 damped power iteration keeps its dedicated oracle-parity pytest suite (test_textrank) (rotated out for se_explain, new late r5)
         "ann_mmr": mmr.mmr_rerank,  # driver-verified r4, code unchanged; in-window sibling dedup_semantic_kmeans hash-checks the identical greedy-with-kept-state recursive-CTE replay (kept ids + max-sim-to-kept penalty surface) and ann_pq/ann_sq8/ann_ivf_incremental the cosine candidate-cut machinery; the scalar-greedy parity + negative-sim regression pytests remain (rotated out for ann_ivf_deleted, new late r5)
         "ann_hardneg": ann.hard_negative_topk,  # driver-verified r4, code unchanged; in-window siblings ann_pq/ann_sq8 hash-check the identical broadcast/normalized-scan/bounded-fold cosine machinery and ann_ivf_incremental the probe/top-k surface; the same-label -inf mask keeps its numpy-parity pytest (rotated out for ann_ivf_incremental, new late r5)
         "cur_sample_stratified": curation.sample_stratified,  # driver-verified r4, code unchanged; in-window sibling cur_mixture_sample runs the IDENTICAL splitmix64 micro-rate keep filter (same _hash64 chain, same draw<thresh shape) with data-derived rates — a strict superset of this entry's fixed-rate check — and cur_dsir_select keeps the splitmix keep-draw surface in-window too (rotated out for cur_mixture_sample, new late r5)
@@ -3756,6 +3832,8 @@ def oracle_sql() -> dict[str, str]:
         "se_ranked_or": _SE_RANKED_OR_SQL,
         "se_indri_and": _SE_INDRI_AND_SQL,
         "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
+        "se_dismax": _SE_DISMAX_SQL,
+        "se_explain": _SE_EXPLAIN_SQL,
         "se_bm25f": _SE_BM25F_SQL,
         "se_sigterms": _SE_SIGTERMS_SQL,
         "se_percolate": _SE_PERCOLATE_SQL,

@@ -132,6 +132,72 @@ class SearchEngine:
             }
         )
 
+    def explain(self, qid: str, query: str) -> pa.Table:
+        """Lucene ``IndexSearcher.explain`` / ES ``_explain`` analog (the
+        Explanation tree flattened to rows) for flat BM25 #SUM queries: one
+        row per (matching doc, term leaf) carrying every input of that
+        leaf's score — tf, df (the ``stat_df`` scoring actually uses, stale
+        under tombstones exactly like serving), doclen — plus the leaf
+        score itself, computed by the SAME ``Evaluator._score_leaf`` the
+        serving path runs, so explain output is bitwise-consistent with
+        ``search`` (sum of a doc's rows == its served score under #SUM).
+        Structured operators have no per-leaf additive decomposition under
+        every model, so non-flat trees raise (Lucene's explain likewise
+        only decomposes sum-of-clauses scorers clause-by-clause). No
+        QryEval counterpart — the course engine never explains scores."""
+        from .wand import flat_bm25_terms
+
+        if self.params.model != "bm25":
+            raise ValueError("explain() supports the BM25 model only")
+        tree = self.parse(query)
+        leaves: list = []
+        if tree is not None:
+            if flat_bm25_terms(tree) is None:
+                raise ValueError(
+                    "explain() supports flat BM25 term queries only "
+                    "(#SUM of plain terms)"
+                )
+            leaves = [tree] if tree.name == "#score" else list(tree.args)
+        ev = Evaluator(self.index, self.params)
+        parts: list[pa.Table] = []
+        for leaf in leaves:
+            term_node = leaf.args[0]
+            p = ev.iop(term_node)
+            if p.df == 0:
+                continue
+            docs, scores = ev._score_leaf(leaf)
+            df, _ = ev._iop_stats(term_node)
+            dl = self.index.doclen(term_node.field, docs)
+            n = len(docs)
+            parts.append(
+                pa.table(
+                    {
+                        "qid": pa.array([qid] * n, type=pa.string()),
+                        "doc_id": pa.array(docs, type=pa.int64()),
+                        "term": pa.array([term_node.term] * n, type=pa.string()),
+                        "field": pa.array([term_node.field] * n, type=pa.string()),
+                        "tf": pa.array(p.tfs, type=pa.int64()),
+                        "df": pa.array(np.full(n, df, dtype=np.int64)),
+                        "dl": pa.array(dl, type=pa.int64()),
+                        "score": pa.array(scores, type=pa.float64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "field": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
     def search_after(
         self,
         qid: str,

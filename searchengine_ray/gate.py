@@ -308,6 +308,36 @@ def se_bm25_wsum_fields(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#wsum( 0.4 en.keywords 0.6 dup.body )")
 
 
+def se_explain(sf_dir: str):
+    """Lucene IndexSearcher.explain / ES _explain analog (engine.explain):
+    per-(doc, term) BM25 score breakdown for the flat query 'dup spark' —
+    tf, df, doclen and the leaf score the serving path computes. The sum
+    of a doc's rows equals its se_bm25_flat score, so this gate pins the
+    full decomposition, not just the total."""
+    t = engine_for(sf_dir, "bm25").explain("q", "dup spark")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "term": t.column("term"),
+            "tf": t.column("tf"),
+            "df": t.column("df"),
+            "dl": t.column("dl"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
+def se_dismax(sf_dir: str):
+    """#DISMAX/30 (ES dis_max / multi_match best_fields analog) across a
+    keywords-field leg and two body legs: union match, score = best
+    matching leg + 0.30 * sum of the other matching legs. 'en.keywords'
+    makes the cross-field max real (en docs match it with a different
+    length normalization); 'dup'/'spark' exercise two same-field legs."""
+    return _score_table(
+        sf_dir, "bm25", "#dismax/30( en.keywords dup.body spark.body )"
+    )
+
+
 def se_unranked_and(sf_dir: str):
     """UnrankedBoolean #and: membership of the conjunction."""
     t = engine_for(sf_dir, "unrankedboolean").search("q", "#and( spark join )")

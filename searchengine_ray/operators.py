@@ -558,6 +558,43 @@ class Evaluator:
                 keep = m if name == "#filreq" else ~m
                 docs, scores = docs[keep], scores[keep]
             return docs, scores
+        if name == "#dismax":
+            # Elasticsearch dis_max / multi_match best_fields analog (no
+            # reference counterpart — QryEval has no disjunction-max):
+            # match = union of children; score = best matching child +
+            # tie * (sum of the OTHER matching children). The Indri-style
+            # `/n` suffix carries the tie-breaker as an integer
+            # percentage: #DISMAX/30(...) -> tie_breaker 0.30; bare
+            # #DISMAX is the ES default 0 (pure best-field). Supported
+            # under BM25 / RankedBoolean (child scores) / UnrankedBoolean
+            # (constant 1.0) and registered models; Indri raises like the
+            # reference's unsupported model/operator ladders (geo-mean
+            # belief has no max-of-fields analog). Shard-safe: the
+            # combine is doc-local over child scores.
+            if model == "indri":
+                raise ValueError("indri doesn't support the #DISMAX operator")
+            if not 0 <= node.dist <= 100:
+                raise ValueError(
+                    f"#DISMAX/{node.dist}: tie-breaker must be 0..100 "
+                    "(integer percent)"
+                )
+            results = [self.sop(c) for c in node.args]
+            docs = reduce(np.union1d, [r[0] for r in results])
+            if len(docs) == 0:
+                return docs.astype(np.int64), np.empty(0, np.float64)
+            if model == "unrankedboolean":
+                return docs, np.ones(len(docs), np.float64)
+            vals = [
+                self._align(child, docs, cdocs, cscores)
+                for child, (cdocs, cscores) in zip(node.args, results)
+            ]
+            tie = node.dist / 100.0
+            best = np.full(len(docs), -np.inf)
+            total = np.zeros(len(docs), np.float64)
+            for v, matched in vals:
+                best = np.maximum(best, np.where(matched, v, -np.inf))
+                total += np.where(matched, v, 0.0)
+            return docs, best + tie * (total - best)
         if name == "#andnot":
             # Lucene BooleanQuery MUST/MUST_NOT analog (no reference
             # counterpart — QryEval has no negation): docs of the first

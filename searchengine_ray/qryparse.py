@@ -33,7 +33,7 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
-             "#filreq", "#filrej", "#range"}
+             "#filreq", "#filrej", "#range", "#dismax"}
 IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard", "#regexp"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
@@ -112,7 +112,7 @@ class Op:
         return self.name in IOP_NAMES
 
     def __repr__(self):
-        d = f"/{self.dist}" if self.name in ("#near", "#window") else ""
+        d = f"/{self.dist}" if self.name in ("#near", "#window", "#dismax") else ""
         if self.name in WEIGHTED:
             inner = " ".join(f"{w} {a!r}" for w, a in zip(self.weights, self.args))
         else:

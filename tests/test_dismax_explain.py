@@ -1,0 +1,121 @@
+"""#DISMAX (ES dis_max / multi_match best_fields analog) and
+engine.explain (Lucene IndexSearcher.explain analog): scalar parity vs
+brute recombination of single-leg searches, model ladders, and the
+explain-rows-sum-to-search invariant."""
+
+import numpy as np
+import pytest
+
+
+def _eng(built_index, model="bm25"):
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+
+    return SearchEngine(built_index, ModelParams(model=model, top_k=1 << 30))
+
+
+def _leg(eng, q):
+    t = eng.search("q", q).to_pandas()
+    return dict(zip(t.doc_id, t.score))
+
+
+def test_dismax_parity_vs_manual(ray_session, built_index):
+    """#DISMAX/30 over three legs == union docs, max + 0.3*(sum-max) of
+    the per-leg search() scores (each single-term search IS the leaf)."""
+    eng = _eng(built_index)
+    legs = [
+        _leg(eng, "unit.body"),
+        _leg(eng, "py.keywords"),
+        _leg(eng, "check.body"),
+    ]
+    got = eng.search(
+        "q", "#dismax/30( unit.body py.keywords check.body )"
+    ).to_pandas()
+    docs = sorted(set().union(*[set(d) for d in legs]))
+    assert sorted(got.doc_id) == docs
+    by_doc = dict(zip(got.doc_id, got.score))
+    for d in docs:
+        vals = [lg[d] for lg in legs if d in lg]
+        exp = max(vals) + 0.30 * (sum(vals) - max(vals))
+        assert by_doc[d] == exp, (d, by_doc[d], exp)
+
+
+def test_dismax_default_tie_is_pure_max(ray_session, built_index):
+    eng = _eng(built_index)
+    legs = [_leg(eng, "unit.body"), _leg(eng, "check.body")]
+    got = eng.search("q", "#dismax( unit.body check.body )").to_pandas()
+    for d, s in zip(got.doc_id, got.score):
+        assert s == max(lg[d] for lg in legs if d in lg)
+
+
+def test_dismax_single_leg_collapses(ray_session, built_index):
+    """Optimizer collapses #DISMAX(x) -> x, like #AND(x)."""
+    eng = _eng(built_index)
+    a = eng.search("q", "#dismax/70( unit.body )").to_pandas()
+    b = eng.search("q", "unit.body").to_pandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.score.tolist() == b.score.tolist()
+
+
+def test_dismax_unranked_membership(ray_session, built_index):
+    eng = _eng(built_index, "unrankedboolean")
+    got = eng.search("q", "#dismax( unit.body fault.body )").to_pandas()
+    u = set(_leg(eng, "unit.body")) | set(_leg(eng, "fault.body"))
+    assert set(got.doc_id) == u
+    assert (got.score == 1.0).all()
+
+
+def test_dismax_indri_raises(ray_session, built_index):
+    eng = _eng(built_index, "indri")
+    with pytest.raises(ValueError, match="DISMAX"):
+        eng.search("q", "#dismax( unit check )")
+
+
+def test_dismax_tie_out_of_range_raises(ray_session, built_index):
+    eng = _eng(built_index)
+    with pytest.raises(ValueError, match="tie-breaker"):
+        eng.search("q", "#dismax/101( unit check )")
+
+
+def test_explain_rows_sum_to_search(ray_session, built_index):
+    """Per-doc sum of explain rows == the served flat-BM25 score, and the
+    component columns match the index's own statistics."""
+    eng = _eng(built_index)
+    ex = eng.explain("q", "unit check").to_pandas()
+    served = eng.search("q", "unit check").to_pandas()
+    sums = ex.groupby("doc_id").score.sum()
+    by_doc = dict(zip(served.doc_id, served.score))
+    assert set(sums.index) == set(by_doc)
+    for d, s in sums.items():
+        assert s == pytest.approx(by_doc[d], rel=0, abs=5e-16)
+    # components are the index's statistics, not recomputed ones
+    from searchengine_ray.indexio import InvertedIndex
+
+    idx = InvertedIndex(built_index)
+    for term in ("unit", "check"):
+        rows = ex[ex.term == term]
+        p = idx.postings("body", term, need_positions=False)
+        assert rows.doc_id.tolist() == p.doc_ids.tolist()
+        assert rows.tf.tolist() == p.tfs.tolist()
+        assert (rows.df == p.stat_df).all()
+        np.testing.assert_array_equal(
+            rows.dl.to_numpy(), idx.doclen("body", p.doc_ids)
+        )
+
+
+def test_explain_single_term_and_field(ray_session, built_index):
+    eng = _eng(built_index)
+    ex = eng.explain("q", "py.keywords").to_pandas()
+    assert (ex.term == "py").all() and (ex["field"] == "keywords").all()
+    assert len(ex) > 0
+
+
+def test_explain_structured_raises(ray_session, built_index):
+    eng = _eng(built_index)
+    with pytest.raises(ValueError, match="flat"):
+        eng.explain("q", "#near/1( unit test )")
+
+
+def test_explain_non_bm25_raises(ray_session, built_index):
+    with pytest.raises(ValueError, match="BM25"):
+        _eng(built_index, "indri").explain("q", "unit")
