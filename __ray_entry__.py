@@ -224,6 +224,55 @@ SELECT doc_id, round(pow(
 FROM piv CROSS JOIN const CROSS JOIN cstats
 """
 
+# se_checkindex (checkindex.check_index; Lucene CheckIndex analog): the
+# decoded-index per-field content summary re-derived from the raw corpus.
+# Field texts mirror corpus.derive_corpus_batch (body<-text, title<-the
+# recomputed path, url<-source, keywords<-lang); terms apply the Lucene
+# stoplist, doclen_sum counts stopword positions too (the analyzer
+# contract). The checksum is the same vocabulary-bounded char-polynomial
+# mod 2^61-1 the engine computes (checkindex.term_triple_checksum).
+_CHECKINDEX_MOD = (1 << 61) - 1
+_CHECKINDEX_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 'body' AS field, lower(text) AS s FROM documents
+  UNION ALL
+  SELECT doc_id, 'title',
+         lower('src/' || lang || '/doc_' ||
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt')
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'url', lower(source) FROM documents
+  UNION ALL
+  SELECT doc_id, 'keywords', lower(lang) FROM documents
+),
+tok AS (SELECT doc_id, field,
+               unnest(regexp_extract_all(s, '[a-z0-9_]+')) AS term
+        FROM src),
+dls AS (SELECT field, count(*) AS doclen_sum FROM tok GROUP BY field),
+tt AS (SELECT field, term, count(DISTINCT doc_id) AS df, count(*) AS ctf
+       FROM tok WHERE term NOT IN {_STOPLIST_SQL} GROUP BY field, term),
+ck AS (SELECT field,
+         count(*) AS n_terms, sum(df) AS sum_df, sum(ctf) AS sum_ctf,
+         sum(ctf) AS n_positions,
+         CAST(sum((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(term, ''),
+                                c -> CAST(unicode(c) AS HUGEINT))),
+                 (acc, b) -> (acc * 131 + b) % {_CHECKINDEX_MOD})
+               * 1000003 + df * 8191 + ctf) % {_CHECKINDEX_MOD})
+             % {_CHECKINDEX_MOD} AS BIGINT) AS checksum
+       FROM tt GROUP BY field)
+SELECT ck.field,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(sum_df AS BIGINT) AS sum_df,
+       CAST(sum_ctf AS BIGINT) AS sum_ctf,
+       CAST(n_positions AS BIGINT) AS n_positions,
+       CAST(dls.doclen_sum AS BIGINT) AS doclen_sum,
+       (SELECT count(*) FROM documents) AS n_docs,
+       checksum,
+       TRUE AS lexicon_ok, TRUE AS stats_ok
+FROM ck JOIN dls USING(field)
+"""
+
 # explain (engine.explain; Lucene IndexSearcher.explain / ES _explain
 # analog): per-(doc, term) BM25 leaf breakdown for 'dup spark' — tf, df,
 # doclen, leaf score. Same formula as _bm25_terms_sql's scored CTE, but
@@ -3232,9 +3281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 126 SQL-backed entries (full rows+schema+hash check
+    # The registry has 127 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 76 must sit beyond the window no matter the order. The
+    # 77 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3261,8 +3310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # se_dismax (new #DISMAX operator, ES dis_max analog) in /
     # drmm_rerank out (r4-verified, sibling named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
-    # text_textrank out (r4-verified, siblings named inline
-    # below). Late-r4 addition: ann_hardneg
+    # text_textrank out (r4-verified, siblings named inline below);
+    # se_checkindex (new checkindex.check_index, Lucene CheckIndex
+    # analog) in / cur_length_quantiles out (r4-verified, siblings
+    # named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3385,6 +3436,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc's rows == its se_bm25_flat score (rotated in for
         # text_textrank, below)
         "se_explain": gate.se_explain,
+        # CheckIndex (new late r5, Lucene CheckIndex analog): decode every
+        # postings row through the serving codec, verify every structural
+        # invariant incl. exact skip-metadata recomputation and the
+        # position<doclen bound (partition-local docmap, no broadcast),
+        # emit the per-field content summary with a char-polynomial
+        # mod-2^61-1 checksum the oracle re-derives from raw documents —
+        # one gate pinning the ENTIRE decoded index content (rotated in
+        # for cur_length_quantiles, below)
+        "se_checkindex": gate.se_checkindex,
         # dedup
         "dedup_minhash": dedup.minhash_lsh_pairs,
         # rotated back IN r4: its ShingleRows stage moved to the batch-flat
@@ -3472,7 +3532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher composite quality rules (new in r4): all-integer
         # cross-multiplied bounds, one shuffle-free per-doc scan
         "cur_gopher_rules": curation.gopher_rules,
-        "cur_length_quantiles": curation.length_quantiles,
         # Bloom-filter decontamination (constant-size benchmark state; the
         # oracle rebuilds the filter bit-for-bit incl. false positives)
         "cur_decontam_bloom": curation.decontaminate_bloom,
@@ -3512,6 +3571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "cur_length_quantiles": curation.length_quantiles,  # driver-verified r4, code unchanged; in-window siblings cur_mixture_sample (per-lang integer char/doc aggregates — the identical pruned-scan + per-lang groupby surface) and cur_gopher_rules (exact-integer threshold counting over the same token-stats columns) hash-check its inputs, and the bounded-domain histogram quantile cut keeps its exact-percentile pytest (test_curation.py::test_length_quantiles_exact) (rotated out for se_checkindex, new late r5)
         "drmm_rerank": gate.drmm_rerank,  # driver-verified r4, code unchanged; in-window sibling drmm_w2v_rerank runs the IDENTICAL histogram/softmax-idf/MLP rerank machinery with vectors loaded through the real Word2VecFile format — a strict superset of this entry's synthetic-TermVectors check (rotated out for se_dismax, new late r5)
         "text_textrank": textrank.textrank_keywords,  # driver-verified r4, code unchanged; in-window siblings text_rake (the per-doc integer keyphrase scan over the same _flat_tokens analyzer surface) and text_pmi (cooccurrence counting) hash-check its tokenize/count inputs, and the INT64 damped power iteration keeps its dedicated oracle-parity pytest suite (test_textrank) (rotated out for se_explain, new late r5)
         "ann_mmr": mmr.mmr_rerank,  # driver-verified r4, code unchanged; in-window sibling dedup_semantic_kmeans hash-checks the identical greedy-with-kept-state recursive-CTE replay (kept ids + max-sim-to-kept penalty surface) and ann_pq/ann_sq8/ann_ivf_incremental the cosine candidate-cut machinery; the scalar-greedy parity + negative-sim regression pytests remain (rotated out for ann_ivf_deleted, new late r5)
@@ -3834,6 +3894,7 @@ def oracle_sql() -> dict[str, str]:
         "se_bm25_wsum_fields": _SE_WSUM_FIELDS_SQL,
         "se_dismax": _SE_DISMAX_SQL,
         "se_explain": _SE_EXPLAIN_SQL,
+        "se_checkindex": _CHECKINDEX_SQL,
         "se_bm25f": _SE_BM25F_SQL,
         "se_sigterms": _SE_SIGTERMS_SQL,
         "se_percolate": _SE_PERCOLATE_SQL,

@@ -308,6 +308,21 @@ def se_bm25_wsum_fields(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#wsum( 0.4 en.keywords 0.6 dup.body )")
 
 
+def se_checkindex(sf_dir: str):
+    """Lucene CheckIndex analog (checkindex.check_index): decode EVERY
+    postings row of the built index through the serving codec, verify all
+    structural invariants (ascending docs/positions, df/ctf/first/last,
+    position < doclen, exact skip-metadata recomputation), and emit the
+    per-field content summary — term/df/ctf/position sums plus an
+    order-independent (term, df, ctf) checksum — cross-checked against
+    the lexicon and stats.json (lexicon_ok / stats_ok). The oracle
+    re-derives every column from the raw documents, so this one gate pins
+    the ENTIRE decoded index content per field, not just queried terms."""
+    from .checkindex import check_index
+
+    return check_index(index_for(sf_dir))
+
+
 def se_explain(sf_dir: str):
     """Lucene IndexSearcher.explain / ES _explain analog (engine.explain):
     per-(doc, term) BM25 score breakdown for the flat query 'dup spark' —
