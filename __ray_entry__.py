@@ -224,6 +224,20 @@ SELECT doc_id, round(pow(
 FROM piv CROSS JOIN const CROSS JOIN cstats
 """
 
+# src_roundtrip (sources.roundtrip_check): documents through the Ray
+# JSONL sink->source and CSV sink->source, one row per (format, doc)
+# with every scalar column + sha256(text)[:40] — equal to these rows
+# derived straight from the parquet originals iff both roundtrips are
+# content-lossless (sha256 in DuckDB hashes the same UTF-8 bytes
+# hashlib does; the se_docmap gate proved that equivalence first).
+_SRC_ROUNDTRIP_SQL = """
+SELECT 'csv' AS fmt, doc_id, lang, source, n_chars,
+       substr(sha256(text), 1, 40) AS sha FROM documents
+UNION ALL
+SELECT 'jsonl' AS fmt, doc_id, lang, source, n_chars,
+       substr(sha256(text), 1, 40) AS sha FROM documents
+"""
+
 # se_checkindex (checkindex.check_index; Lucene CheckIndex analog): the
 # decoded-index per-field content summary re-derived from the raw corpus.
 # Field texts mirror corpus.derive_corpus_batch (body<-text, title<-the
@@ -3281,9 +3295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 127 SQL-backed entries (full rows+schema+hash check
+    # The registry has 128 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 77 must sit beyond the window no matter the order. The
+    # 78 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3313,6 +3327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
     # analog) in / cur_length_quantiles out (r4-verified, siblings
+    # named inline below); src_roundtrip (new JSONL+CSV source/sink
+    # roundtrip) in / sketch_cms_counts out (r4-verified, sibling
     # named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
@@ -3516,9 +3532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # centroid members per cell — batch partial top-m + bounded
         # driver fold, the brute_topk pattern over the kmeans labels
         "cluster_exemplars": kmeans.cluster_exemplars,
-        # count-min sketch heavy-hitter term counts: registers + min-probe
-        # recomputed EXACTLY in SQL (see _cms_sql)
-        "sketch_cms_counts": sketch.cms_term_counts,
+        # multi-format source/sink roundtrip (new late r5): documents
+        # through the Ray JSONL and CSV sinks and back through each
+        # reader — per-(format, doc) content rows sha-pinned against the
+        # parquet originals (rotated in for sketch_cms_counts, below)
+        "src_roundtrip": gate.src_roundtrip,
         # relational building blocks
         "rel_shipping_priority": relational.shipping_priority,
         # training-data curation
@@ -3571,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "sketch_cms_counts": sketch.cms_term_counts,  # driver-verified r4, code unchanged; in-window sibling events_hourly_users_hll hash-checks the same splitmix64-hash -> fixed-register-array -> partial-merge-through-one-narrow-shuffle machinery (HLL max-merge vs CMS sum-merge over the identical register pipeline shape), and the CMS one-sided/tight-bound semantics keep their dedicated pytest pair (test_curation.py::test_cms_*) (rotated out for src_roundtrip, new late r5)
         "cur_length_quantiles": curation.length_quantiles,  # driver-verified r4, code unchanged; in-window siblings cur_mixture_sample (per-lang integer char/doc aggregates — the identical pruned-scan + per-lang groupby surface) and cur_gopher_rules (exact-integer threshold counting over the same token-stats columns) hash-check its inputs, and the bounded-domain histogram quantile cut keeps its exact-percentile pytest (test_curation.py::test_length_quantiles_exact) (rotated out for se_checkindex, new late r5)
         "drmm_rerank": gate.drmm_rerank,  # driver-verified r4, code unchanged; in-window sibling drmm_w2v_rerank runs the IDENTICAL histogram/softmax-idf/MLP rerank machinery with vectors loaded through the real Word2VecFile format — a strict superset of this entry's synthetic-TermVectors check (rotated out for se_dismax, new late r5)
         "text_textrank": textrank.textrank_keywords,  # driver-verified r4, code unchanged; in-window siblings text_rake (the per-doc integer keyphrase scan over the same _flat_tokens analyzer surface) and text_pmi (cooccurrence counting) hash-check its tokenize/count inputs, and the INT64 damped power iteration keeps its dedicated oracle-parity pytest suite (test_textrank) (rotated out for se_explain, new late r5)
@@ -3895,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "se_dismax": _SE_DISMAX_SQL,
         "se_explain": _SE_EXPLAIN_SQL,
         "se_checkindex": _CHECKINDEX_SQL,
+        "src_roundtrip": _SRC_ROUNDTRIP_SQL,
         "se_bm25f": _SE_BM25F_SQL,
         "se_sigterms": _SE_SIGTERMS_SQL,
         "se_percolate": _SE_PERCOLATE_SQL,

@@ -308,6 +308,17 @@ def se_bm25_wsum_fields(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#wsum( 0.4 en.keywords 0.6 dup.body )")
 
 
+def src_roundtrip(sf_dir: str):
+    """Multi-format source/sink roundtrip (sources.py): documents exported
+    through the Ray JSONL and CSV sinks, read back through each reader,
+    one row per (format, doc) with every scalar column + sha256(text)
+    prefix. Hash-equal to the parquet-derived oracle iff both roundtrips
+    preserve content exactly (embedded newlines, unicode, int columns)."""
+    from .sources import roundtrip_check
+
+    return roundtrip_check(sf_dir)
+
+
 def se_checkindex(sf_dir: str):
     """Lucene CheckIndex analog (checkindex.check_index): decode EVERY
     postings row of the built index through the serving codec, verify all

@@ -1,0 +1,149 @@
+"""Alternate corpus source formats: JSONL and CSV readers/writers.
+
+The reference ingests whatever Lucene's ecosystem hands it plus its own
+flat file formats (param/query/qrels readers — all implemented elsewhere);
+a 100 TB training-data pipeline additionally meets corpora as JSONL dumps
+and CSV exports long before they become parquet. This module makes those
+first-class Dataset sources/sinks:
+
+- **JSONL** (`ray.data.read_json` / `Dataset.write_json`): one JSON object
+  per line; embedded newlines/quotes live inside JSON string escapes, so
+  files split cleanly at line boundaries and reads parallelize per shard.
+  This is the scale path for text interchange.
+- **CSV** (`ray.data.read_csv` / `Dataset.write_csv`): Arrow CSV with
+  ``newlines_in_values=True`` so quoted document text containing raw
+  newlines round-trips. NOTE (scale): a CSV file with embedded newlines
+  cannot be split mid-file — each file parses as one stream — so shard the
+  EXPORT (one file per input block, which ``write_csv`` already does) and
+  parallelism comes from the file count, not intra-file chunking. Prefer
+  JSONL or parquet when you control the format.
+
+``roundtrip_check`` is the verification surface the ``src_roundtrip`` gate
+uses: export ``documents`` through BOTH sinks, read each back through its
+reader, and emit per-(format, doc) rows carrying every column plus a
+``sha256(text)`` prefix — content-equality against the parquet originals is
+then a pure SQL statement over ``documents``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+
+
+def write_documents_jsonl(sf_dir: str, out_dir: str) -> str:
+    """Export documents.parquet -> line-delimited JSON shards (Ray sink)."""
+    import ray.data
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").write_json(out_dir)
+    return out_dir
+
+
+def write_documents_csv(sf_dir: str, out_dir: str) -> str:
+    """Export documents.parquet -> CSV shards; Arrow's writer quotes
+    embedded newlines so text round-trips."""
+    import ray.data
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").write_csv(out_dir)
+    return out_dir
+
+
+def read_documents_jsonl(path: str):
+    """Documents Dataset from JSONL (newline-delimited JSON)."""
+    import ray.data
+
+    return ray.data.read_json(path)
+
+
+def read_documents_csv(path: str):
+    """Documents Dataset from CSV. ``newlines_in_values`` accepts quoted
+    raw newlines inside ``text`` (see module scale note); column types are
+    pinned because CSV carries no schema — per-FILE inference would type a
+    shard whose every ``text`` is the empty string as null and silently
+    drop the values (one row per file is exactly what a small sharded
+    export produces)."""
+    from pyarrow import csv as pacsv
+
+    import ray.data
+
+    return ray.data.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "doc_id": pa.int64(),
+                "text": pa.string(),
+                "lang": pa.string(),
+                "source": pa.string(),
+                "n_chars": pa.int64(),
+            }
+        ),
+    )
+
+
+_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _checksum_batch(fmt: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sha = [hashlib.sha256(t.encode()).hexdigest()[:40] for t in texts]
+        return pa.table(
+            {
+                "fmt": pa.array([fmt] * batch.num_rows, type=pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "source": batch.column("source").cast(pa.string()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+                "sha": pa.array(sha, type=pa.string()),
+            }
+        )
+
+    return fn
+
+
+_EXPORT_CACHE: dict[str, str] = {}
+
+
+def _export_root(sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key not in _EXPORT_CACHE:
+        root = os.path.join(
+            "/tmp/se_ray_sources", hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        done = os.path.join(root, "_done")
+        if not os.path.exists(done):
+            if os.path.isdir(root):  # crashed half-export: restart clean
+                import shutil
+
+                shutil.rmtree(root)
+            write_documents_jsonl(sf_dir, os.path.join(root, "jsonl"))
+            write_documents_csv(sf_dir, os.path.join(root, "csv"))
+            with open(done, "w") as f:
+                f.write("ok")
+        _EXPORT_CACHE[key] = root
+    return _EXPORT_CACHE[key]
+
+
+def roundtrip_check(sf_dir: str) -> pa.Table:
+    """documents -> (JSONL sink -> JSONL source) and (CSV sink -> CSV
+    source), one content row per (format, doc): every scalar column plus
+    sha256(text)[:40]. Equal to the same rows derived straight from the
+    parquet originals iff both round-trips are lossless."""
+    root = _export_root(sf_dir)
+    parts = []
+    for fmt, reader in (
+        ("csv", read_documents_csv),
+        ("jsonl", read_documents_jsonl),
+    ):
+        ds = reader(os.path.join(root, fmt)).map_batches(
+            _checksum_batch(fmt), batch_format="pyarrow"
+        )
+        parts.append(
+            pa.concat_tables(
+                pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+            )
+        )
+    return pa.concat_tables(parts)
