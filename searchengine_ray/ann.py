@@ -223,6 +223,115 @@ def brute_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
     return _merge_topk(ds.map_batches(batch_topk, batch_format="pyarrow"), k)
 
 
+def range_search(
+    sf_dir: str,
+    n_queries: int = 10,
+    threshold: float = 0.3,
+    max_results: int = 2_000_000,
+) -> pa.Table:
+    """Similarity RANGE search (FAISS ``range_search`` / Lucene
+    ``VectorSimilarityQuery`` analog): ALL (query, neighbor) pairs with
+    cosine >= ``threshold``, self excluded — set semantics, no rank, no k.
+
+    Shape is :func:`brute_topk`'s broadcast scan, but the per-batch
+    reduction is a threshold filter instead of a partial top-k, so the
+    result size is DATA-dependent: ``max_results`` guards the driver fold
+    (raise loudly instead of OOMing when a low threshold makes the output
+    corpus-scale — the ``max_candidates`` pattern from dedup). Output
+    (query_id, neighbor_id, cosine) with cosine rounded like the top-k
+    gates."""
+    import ray
+    import ray.data
+
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    qref = ray.put((q_ids, q_mat))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def batch_range(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(qref)
+        bids = t.column("vec_id").to_numpy()
+        bm = batch_matrix(t)
+        sims = qm @ bm.T
+        sims[qi[:, None] == bids[None, :]] = -np.inf  # exclude self
+        hit_q, hit_b = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qi[hit_q].astype(np.int64)),
+                "neighbor_id": pa.array(bids[hit_b].astype(np.int64)),
+                "cosine": pa.array(sims[hit_q, hit_b], type=pa.float64()),
+            }
+        )
+
+    parts, total = [], 0
+    for b in ds.map_batches(batch_range, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += b.num_rows
+        if total > max_results:
+            raise ValueError(
+                f"range_search(threshold={threshold}) exceeded max_results="
+                f"{max_results}; raise the threshold or the guard"
+            )
+        parts.append(pa.table(b))
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    import pyarrow.compute as _pc
+
+    return out.set_column(
+        out.schema.get_field_index("cosine"),
+        "cosine",
+        _pc.round(out.column("cosine"), ndigits=6),
+    )
+
+
+def filtered_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 10, label: int = 3
+) -> pa.Table:
+    """FILTERED vector search (the ES ``knn`` query's ``filter`` clause /
+    Lucene KnnVectorQuery-with-filter analog): exact top-k cosine
+    neighbors restricted to rows whose ``label`` equals ``label``.
+
+    The metadata predicate pushes into the parquet READ
+    (``filters=[("label", "==", label)]``) so non-matching row groups
+    never leave storage — pre-filtering, the semantics ES applies (the
+    filter restricts the candidate set BEFORE top-k, so k survivors are
+    guaranteed). Queries still come from the unfiltered table; a query
+    matching the filter is self-excluded like brute_topk."""
+    import ray
+    import ray.data
+
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    qref = ray.put((q_ids, q_mat))
+
+    import pyarrow.compute as _pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("label") == label,
+    )
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(qref)
+        bids = t.column("vec_id").to_numpy()
+        bm = batch_matrix(t)
+        sims = qm @ bm.T
+        sims[qi[:, None] == bids[None, :]] = -np.inf
+        return _candidate_rows(qi, sims, bids, k)
+
+    return _merge_topk(ds.map_batches(batch_topk, batch_format="pyarrow"), k)
+
+
 def hard_negative_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
     """Hard-negative mining: per query vector, the top-k most-similar
     vectors whose ``label`` DIFFERS from the query's — the standard

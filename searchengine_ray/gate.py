@@ -308,6 +308,39 @@ def se_bm25_wsum_fields(sf_dir: str):
     return _score_table(sf_dir, "bm25", "#wsum( 0.4 en.keywords 0.6 dup.body )")
 
 
+def ann_range(sf_dir: str):
+    """Similarity range search (ann.range_search; FAISS range_search /
+    Lucene VectorSimilarityQuery analog): ALL pairs with cosine >= 0.3
+    among the first 10 query vectors, self excluded — set semantics with
+    no k, the guard-railed sibling of the top-k scans. The nearest pair
+    to the threshold sits 1.2e-3 away at gate scale, so boundary
+    membership is ULP-robust across numpy and DuckDB."""
+    from .ann import range_search
+
+    return range_search(sf_dir, n_queries=10, threshold=0.3)
+
+
+def ann_filtered(sf_dir: str):
+    """Filtered vector search (ann.filtered_topk; the ES knn `filter`
+    clause analog, pre-filter semantics): exact top-10 cosine neighbors
+    restricted to label==3 rows, predicate pushed into the parquet read."""
+    from .ann import filtered_topk
+
+    return filtered_topk(sf_dir, n_queries=10, k=10, label=3)
+
+
+def hybrid_linear(sf_dir: str):
+    """Score-normalized hybrid retrieval (hybrid.linear_fuse; the ES
+    `linear` retriever with minmax normalizer — hybrid_rrf's score-aware
+    sibling): 'dup spark' BM25 top-50 and cosine top-50 of embeddings[0]
+    each minmax-normalized over their own candidates, fused 0.7/0.3. The
+    oracle recomputes both legs, both window cuts, both normalizations
+    and the fixed-order weighted sum."""
+    from .hybrid import hybrid_linear as _fuse
+
+    return _fuse(engine_for(sf_dir, "bm25"), sf_dir, "dup spark")
+
+
 def src_roundtrip(sf_dir: str):
     """Multi-format source/sink roundtrip (sources.py): documents exported
     through the Ray JSONL and CSV sinks, read back through each reader,
