@@ -1346,6 +1346,101 @@ WHERE CAST(coalesce(i.i,0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i,0)) >= {thre
 """
 
 
+def _decontam_near_sql(
+    n: int = 8, num_perm: int = 128, bands: int = 32, sig_seed: int = 1234,
+    threshold_pct: int = 60,
+) -> str:
+    """Near-duplicate decontamination (curation.decontaminate_near)
+    reproduced END-TO-END in DuckDB: the splitmix64 split chain (same
+    SPLIT_SEED as cur_split_train_test), the n=8 shingle-hash combine
+    (the engine's alternating _POS_MIX mulmod chain, generalized from
+    _minhash_sql's n=3 form), the seeded MinHash permutations inlined as
+    literals, band mixing, candidate pairing TEST-side x TRAIN-side (no
+    bucket cap — membership against the eval set, not train x train),
+    and the exact-INTEGER verdict 100*inter >= pct*union. Output columns
+    are all BIGINT; no float exists anywhere in the comparison."""
+    import numpy as np
+
+    from searchengine_ray.curation import SPLIT_SEED
+    from searchengine_ray.dedup import _POS_MIX, MinHashSignatures
+
+    m = MinHashSignatures(n=n, num_perm=num_perm, seed=sig_seed)
+    rpb = num_perm // bands
+    perm_rows = ",".join(
+        f"({i}, {int(b)}, {int(a) & 0xFFFFFFFF}, {int(a) >> 32})"
+        for i, (a, b) in enumerate(zip(m.a, m.b))
+    )
+    mix = (
+        np.arange(1, rpb + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+    terms = []
+    for j, mx in enumerate(mix):
+        ml, mh = int(mx) & 0xFFFFFFFF, int(mx) >> 32
+        terms.append(
+            f"((s{j} * {ml}) % {_T64} + ((s{j} * {mh}) % 4294967296)"
+            f" * 4294967296) % {_T64}"
+        )
+    bh_expr = "(" + " + ".join(terms) + f") % {_T64}"
+    band_cols = ",\n    ".join(
+        f"max(CASE WHEN i % {rpb} = {j} THEN sv END) AS s{j}"
+        for j in range(rpb)
+    )
+    fnv = """CAST(list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(string_split(term, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % 18446744073709551616) AS HUGEINT)"""
+    leads = ", ".join(f"lead(fh, {k}) OVER w AS f{k}" for k in range(1, n))
+    # h = 0; for k: h = h*_POS_MIX[k%5] + seq[k] (mod 2^64) -> step-k
+    # multiplier is _POS_MIX[k % 5], k = 1..n-1 (step 0's 0*M vanishes)
+    expr = "f0"
+    for k in range(1, n):
+        expr = f"({_mulmod64_sql(expr, int(_POS_MIX[k % 5]))} + f{k}) % {_T64}"
+    return f"""
+WITH {_splitmix_ctes('sx', 'documents', ['doc_id'], 'doc_id', SPLIT_SEED)},
+split AS (SELECT doc_id, CAST(v % 100 AS BIGINT) AS bucket FROM sx3),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+  FROM documents),
+th AS (SELECT term, {fnv} AS fh FROM (SELECT DISTINCT term FROM tok)),
+f AS (SELECT tok.doc_id, tok.pos, th.fh FROM tok JOIN th USING(term)),
+g AS (SELECT doc_id, pos, fh AS f0, {leads}
+      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, ({expr}) AS h FROM g WHERE f{n - 1} IS NOT NULL),
+nsh AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
+perms(i, b, al, ah) AS (VALUES {perm_rows}),
+sig AS (SELECT sh.doc_id, perms.i,
+    min(((sh.h * perms.al) % {_T64}
+         + ((sh.h * perms.ah) % 4294967296) * 4294967296
+         + perms.b) % {_T64}) AS sv
+  FROM sh CROSS JOIN perms GROUP BY sh.doc_id, perms.i),
+bands AS (SELECT doc_id, i // {rpb} AS band,
+    {band_cols}
+  FROM sig GROUP BY doc_id, i // {rpb}),
+bh AS (SELECT doc_id, band, {bh_expr} AS v FROM bands),
+bb AS (SELECT b.doc_id, b.band, b.v FROM bh b JOIN split s USING (doc_id)
+       WHERE s.bucket >= 90),
+tb AS (SELECT b.doc_id, b.band, b.v FROM bh b JOIN split s USING (doc_id)
+       WHERE s.bucket < 90),
+cand AS (SELECT DISTINCT t.doc_id AS a, b.doc_id AS bench
+  FROM tb t JOIN bb b ON t.band = b.band AND t.v = b.v),
+inter AS (SELECT c.a, c.bench, count(*) AS i
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.bench AND sa.h = sb.h
+  GROUP BY c.a, c.bench)
+SELECT c.a AS doc_id, c.bench AS bench_id,
+  CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,
+  CAST(na.cnt + nb.cnt - coalesce(i.i, 0) AS BIGINT) AS n_union
+FROM cand c
+JOIN nsh na ON na.doc_id = c.a JOIN nsh nb ON nb.doc_id = c.bench
+LEFT JOIN inter i ON i.a = c.a AND i.bench = c.bench
+WHERE 100 * coalesce(i.i, 0)
+      >= {threshold_pct} * (na.cnt + nb.cnt - coalesce(i.i, 0))
+"""
+
+
 _DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_TOK},
 sh0 AS (SELECT doc_id,
@@ -3373,9 +3468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 131 SQL-backed entries (full rows+schema+hash check
+    # The registry has 132 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 81 must sit beyond the window no matter the order. The
+    # 82 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3411,7 +3506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in / eval_metrics out; ann_filtered (new ES knn-filter analog)
     # in / cur_pii_redact out; hybrid_linear (new ES linear retriever)
     # in / cur_pack_sequences out (all three r4-verified, siblings
-    # named inline below). Late-r4 addition: ann_hardneg
+    # named inline below); cur_decontam_near (new MinHash-LSH
+    # near-duplicate decontamination) in / text_rake out (r4-verified,
+    # siblings named inline below). Late-r4 addition: ann_hardneg
     # (hard-negative mining) entered the window; cur_split_train_test
     # rotated out (driver-verified r3; cur_pipeline's oracle re-derives its
     # full splitmix chain in-window). Late-r4: se_phrase_suggest (phrase
@@ -3576,10 +3673,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a reference slice, vectorized non-overlapping merge passes, the
         # oracle replays the full apply path with merge literals
         "text_bpe_tokens": bpe.bpe_token_counts,
-        # RAKE keyphrase extraction (new late r4, Rose et al. 2010): the
-        # per-document unsupervised tagger — ONE shuffle-free map_batches
-        # scan, batch-global vectorized, integer deg*2^20//freq scores
-        "text_rake": rake.rake_keyphrases,
+        # NEAR-duplicate decontamination (new late r5, the Dolma/FineWeb
+        # fuzzy rule): MinHash-LSH candidates against the broadcast
+        # test-split side, exact-INTEGER Jaccard verdicts (100*inter >=
+        # pct*union) — catches eval items leaked with small edits that
+        # exact n-gram decontamination misses; the oracle re-derives the
+        # split chain, the n=8 shingle mulmod combine, the seeded
+        # permutations, banding and the verdict with zero float
+        # (rotated in for text_rake, below)
+        "cur_decontam_near": curation.decontaminate_near,
         # PMI collocations (new late r4, Church & Hanks 1990): one combined
         # (key, n) shuffle (bigrams/unigrams/totals in disjoint keyspaces),
         # bounded streaming folds, scalar-libm ln per candidate
@@ -3682,6 +3784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "text_rake": rake.rake_keyphrases,  # driver-verified r4, code unchanged; in-window siblings cur_gopher_rules (the same _flat_tokens analyzer tokenize + integer counting surface) and text_pmi (candidate scoring over cooccurrence counting partials) hash-check its kernels, and the RAKE degree*2^20//freq phrase scoring keeps its dedicated oracle-parity pytest suite (test_rake) (rotated out for cur_decontam_near, new late r5)
         "eval_metrics": gate.eval_metrics,  # driver-verified r4, code unchanged; the trec_eval/ndeval metric formulas keep their exhaustive brute-parity pytest suite (test_evalmetrics, 7 cases incl. alpha-nDCG/P-IA), the qrels/initial-ranking readers they share are driven by the locally-gated div_* oracles every GATE_LOCAL replay, and the ranking surface the metrics consume is hash-checked in-window by every se_bm25_* entry (rotated out for ann_range, new late r5)
         "cur_pii_redact": curation.pii_redact,  # driver-verified r4, code unchanged; its vectorized Arrow RE2 kernels (count_substring_regex / replace_substring_regex) are the same compiled-kernel surface in-window cur_gopher_rules and text_rake drive through the shared tokenize/count stages, and the planted-PII scrub semantics keep their dedicated pytest pair (test_curation.py::test_pii_*) (rotated out for ann_filtered, new late r5)
         "cur_pack_sequences": curation.pack_sequences,  # driver-verified r4, code unchanged; its splitmix64 hash-partition dispatch is the identical _hash64 chain in-window cur_mixture_sample/cur_dsir_select hash-check, the per-stream sequential vectorized pass shape is in-window via events_funnel's per-bucket scan, and the greedy bin-fill invariants keep their pytest (test_curation.py::test_pack_sequences_invariants) (rotated out for hybrid_linear, new late r5)
@@ -3709,7 +3812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_repetition_stats": curation.repetition_stats,  # driver-verified r3, code unchanged; in-window sibling text_top_bigrams hash-checks the same dictionary-encode + adjacent-code bigram-counting kernel, and cur_dup_ngram_chars hash-checks the per-doc analyzer-gram counting surface; the top-run lexsort kernel keeps its pytest (rotated out for cur_gopher_rules)
         "dedup_semantic": dedup.semantic_dedup,  # driver-verified r3, code unchanged; in-window siblings cover each stage: ann_pq's oracle re-derives the centroid-assignment (subvector argmin) surface with inlined literals, ann_mmr's recursive-CTE oracle covers the greedy-with-kept-state replay, and dedup_embedding_lsh hash-checks the cosine/banding dedup machinery; the independent-set/coverage pytests remain (rotated out for events_funnel)
         "rel_top_orders_per_cust": relational.top_orders_per_customer,  # driver-verified r3, code unchanged; in-window sibling cur_cap_per_source runs the IDENTICAL hash-partition + in-partition vectorized rank machinery (the shared bounded-dispatch pattern), and events_funnel/events_retention hash-check the same user-hash map_groups shape (rotated out for events_retention)
-        "text_token_counts": textstats.token_counts,  # driver-verified r3, code unchanged; in-window siblings text_rake + cur_gopher_rules hash-check the same _flat_tokens analyzer tokenize + bincount kernel and text_bpe_tokens the subword counting surface (rotated out for se_tfidf)
+        "text_token_counts": textstats.token_counts,  # driver-verified r3, code unchanged; in-window sibling cur_gopher_rules hash-checks the same _flat_tokens analyzer tokenize + bincount kernel and text_bpe_tokens the subword counting surface (rotated out for se_tfidf; the former in-window sibling text_rake rotated out late r5 with its own siblings named above)
         "se_andnot_tf": gate.se_andnot_tf,  # driver-verified r3, code unchanged; in-window sibling se_percolate hash-checks #ANDNOT evaluation semantics among its stored-query families, and the set-minus-scored-by-positive property keeps its all-four-models pytest (rotated out for text_textrank)
         "se_bm25_term_kstem": gate.se_bm25_term_kstem,  # driver-verified r3, code unchanged; the in-window se_bm25_incremental/deleted/merged/tiered entries hash-check the identical BM25 term-scoring SQL shape, and the KSTEM profile's stemming rules keep their dedicated pytest suite (test_stemmer) (rotated out for se_filreq)
         "cur_cross_dup_spans": curation.cross_dup_spans,  # driver-verified r3, code unchanged; in-window siblings cur_scrub_ngrams (gram-hash chain + df shuffle) and dedup_ngram_jaccard (gram-bucket -> doc-pair two-hop machinery) hash-check both of its stages, and the Lee-et-al span semantics keep their brute-force pytest (rotated out for ann_sq8)
@@ -4014,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range": _ANN_RANGE_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
         "hybrid_linear": _HYBRID_LINEAR_SQL,
+        "cur_decontam_near": _decontam_near_sql(),
         "se_bm25f": _SE_BM25F_SQL,
         "se_sigterms": _SE_SIGTERMS_SQL,
         "se_percolate": _SE_PERCOLATE_SQL,

@@ -1817,3 +1817,258 @@ def gopher_rules(
 
     ds = _read_docs(docs, ["doc_id", "text"]) if isinstance(docs, str) else docs()
     return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def decontaminate_near(
+    sf_dir: str,
+    n: int = DECONTAM_N,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold_pct: int = 60,
+    sig_seed: int = 1234,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    seed: int = SPLIT_SEED,
+    max_bench_docs: int = 100_000,
+    max_pairs: int = 2_000_000,
+):
+    """NEAR-duplicate benchmark decontamination (the fuzzy sibling of
+    :func:`decontaminate`, the rule Dolma/FineWeb-class pipelines apply):
+    flag every non-test document whose n-gram JACCARD similarity with some
+    test-split document reaches ``threshold_pct``/100, with candidates
+    generated by MinHash-LSH banding against the benchmark side — exact
+    n-gram overlap misses an eval item leaked with small edits; this
+    catches it.
+
+    Returns exact-INTEGER verdict rows ``(doc_id, bench_id, n_inter,
+    n_union)`` for verified pairs (``100*n_inter >= threshold_pct *
+    n_union``) — similarity never becomes a float anywhere in the output.
+
+    Scale shape: the benchmark side is eval-sized by construction
+    (guarded by ``max_bench_docs`` — it must fit one broadcast object):
+    ONE pass computes its per-doc distinct shingle-hash sets and MinHash
+    band hashes (:class:`dedup.MinHashSignatures` — the same seeded
+    permutations and band mix the near-dup pipeline uses), folded on the
+    driver and broadcast ONCE via ``ray.put`` as per-band sorted arrays +
+    a concatenated shingle store. The 100-TB training side is then a
+    single shuffle-free ``map_batches`` scan: per batch, signatures ->
+    band hashes -> ``searchsorted`` membership against each band's bench
+    index -> candidate (train doc, bench doc) pairs -> exact-Jaccard
+    verify against the broadcast shingle sets. No all-to-all exchange at
+    any point; driver ingest is the verified-pair stream, guarded by
+    ``max_pairs``. Docs with fewer than ``n`` tokens have no shingles and
+    are skipped on BOTH sides (Jaccard is undefined on an empty set; the
+    exact-dedup operator owns identical-empty handling).
+
+    Split assignment reuses :func:`split_train_test`'s splitmix64 bucket
+    (re-partitioning/re-run stable); "non-test" includes the validation
+    slice, mirroring :func:`decontaminate`.
+    """
+    import ray
+
+    from .dedup import MinHashSignatures, _batch_shingles
+
+    rows_per_band = num_perm // bands
+    mix = (
+        np.arange(1, rows_per_band + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+    test_lo = np.uint64(train_pct + valid_pct)
+    signer = MinHashSignatures(n=n, num_perm=num_perm, seed=sig_seed)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _band_hashes(sig_mat: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) -> (n_docs, bands) multiplicative band mix —
+        the identical kernel minhash_lsh_pairs' explode_bands runs."""
+        out = np.empty((sig_mat.shape[0], bands), dtype=np.uint64)
+        for bi in range(bands):
+            chunk = sig_mat[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            out[:, bi] = (chunk * mix[None, :]).sum(axis=1)  # wraps mod 2^64
+        return out
+
+    def _sigs_and_shingles(sub: pa.Table):
+        """(ids, sig matrix, per-doc sorted shingle lists) for docs WITH
+        shingles; shingle-less docs are dropped (see docstring)."""
+        ids = sub.column("doc_id").to_numpy()
+        gdoc, gh = _batch_shingles(sub, n)  # distinct per doc, doc-grouped
+        if not len(gh):
+            return (np.empty(0, np.int64), np.empty((0, num_perm), np.uint64),
+                    [], np.empty(0, np.int64))
+        starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        present = gdoc[starts]
+        ends = np.append(starts[1:], len(gh))
+        sig_tbl = signer(sub)
+        sig = (
+            sig_tbl.column("sig").combine_chunks().flatten().to_numpy()
+            .view(np.uint64).reshape(sub.num_rows, num_perm)
+        )
+        sets = [np.sort(gh[s:e]) for s, e in zip(starts, ends)]
+        counts = (ends - starts).astype(np.int64)
+        return ids[present], sig[present], sets, counts
+
+    # ---- pass 1: the benchmark (test-split) side, folded + broadcast ----
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        is_test = (_hash64(ids, seed) % np.uint64(100)) >= test_lo
+        sub = t.filter(pa.array(is_test))
+        bids, sig, sets, counts = _sigs_and_shingles(sub)
+        flat = (np.concatenate(sets).view(np.int64) if sets
+                else np.empty(0, np.int64))
+        offs = np.zeros(len(bids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return pa.table(
+            {
+                "bench_id": pa.array(bids, type=pa.int64()),
+                "sig": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (len(bids) + 1) * num_perm, num_perm),
+                        type=pa.int32(),
+                    ),
+                    pa.array(sig.view(np.int64).ravel(), type=pa.int64()),
+                ),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), pa.array(flat, pa.int64())
+                ),
+            }
+        )
+
+    bench_ids_l, bench_sig_l, bench_sets = [], [], []
+    for b in ds.map_batches(bench_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        b = pa.table(b)
+        if b.num_rows == 0:
+            continue
+        bench_ids_l.append(b.column("bench_id").to_numpy())
+        bench_sig_l.append(
+            b.column("sig").combine_chunks().flatten().to_numpy()
+            .view(np.uint64).reshape(b.num_rows, num_perm)
+        )
+        col = b.column("sh").combine_chunks()
+        flat = col.flatten().to_numpy().view(np.uint64)
+        offs = col.offsets.to_numpy()
+        bench_sets.extend(
+            flat[offs[i]:offs[i + 1]] for i in range(b.num_rows)
+        )
+    if bench_ids_l:
+        bench_ids = np.concatenate(bench_ids_l)
+        bench_sig = np.vstack(bench_sig_l)
+    else:
+        bench_ids = np.empty(0, np.int64)
+        bench_sig = np.empty((0, num_perm), np.uint64)
+    if len(bench_ids) > max_bench_docs:
+        raise ValueError(
+            f"benchmark side has {len(bench_ids)} docs > max_bench_docs="
+            f"{max_bench_docs}; near-decontamination broadcasts the bench "
+            "shingle store, so the eval set must stay broadcast-sized"
+        )
+    bench_bh = _band_hashes(bench_sig) if len(bench_ids) else np.empty(
+        (0, bands), np.uint64
+    )
+    band_index = []
+    for bi in range(bands):
+        order = np.argsort(bench_bh[:, bi], kind="stable")
+        band_index.append((bench_bh[order, bi], order.astype(np.int64)))
+    bench_flat = (
+        np.concatenate(bench_sets) if bench_sets else np.empty(0, np.uint64)
+    )
+    bench_offs = np.zeros(len(bench_ids) + 1, dtype=np.int64)
+    if bench_sets:
+        np.cumsum([len(s) for s in bench_sets], out=bench_offs[1:])
+    bench_ref = ray.put(
+        (bench_ids, band_index, bench_flat, bench_offs)
+    )
+
+    # ---- pass 2: the training-side scan --------------------------------
+    thr = int(threshold_pct)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bench_ids, band_index, bench_flat, bench_offs = ray.get(bench_ref)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bench_id": pa.array([], pa.int64()),
+                "n_inter": pa.array([], pa.int64()),
+                "n_union": pa.array([], pa.int64()),
+            }
+        )
+        if not len(bench_ids):
+            return empty
+        ids_all = t.column("doc_id").to_numpy()
+        nontest = (_hash64(ids_all, seed) % np.uint64(100)) < test_lo
+        sub = t.filter(pa.array(nontest))
+        tids, sig, sets, counts = _sigs_and_shingles(sub)
+        if not len(tids):
+            return empty
+        tbh = _band_hashes(sig)
+        cand_t, cand_b = [], []
+        for bi in range(bands):
+            sb, srows = band_index[bi]
+            if not len(sb):
+                continue
+            lo = np.searchsorted(sb, tbh[:, bi], side="left")
+            hi = np.searchsorted(sb, tbh[:, bi], side="right")
+            m = hi > lo
+            if not m.any():
+                continue
+            reps = (hi - lo)[m]
+            trow = np.repeat(np.flatnonzero(m), reps)
+            # flatten the per-doc [lo, hi) bench ranges
+            brow = np.concatenate(
+                [srows[l:h] for l, h in zip(lo[m], hi[m])]
+            )
+            cand_t.append(trow)
+            cand_b.append(brow)
+        if not cand_t:
+            return empty
+        ct = np.concatenate(cand_t)
+        cb = np.concatenate(cand_b)
+        packed = ct.astype(np.uint64) * np.uint64(len(bench_ids)) + cb.astype(
+            np.uint64
+        )
+        _, first = np.unique(packed, return_index=True)
+        ct, cb = ct[first], cb[first]
+        out_t, out_b, out_i, out_u = [], [], [], []
+        for ti, bi_ in zip(ct, cb):
+            a = sets[ti]
+            bset = bench_flat[bench_offs[bi_]:bench_offs[bi_ + 1]]
+            idx = np.searchsorted(bset, a)
+            idx_c = np.minimum(idx, max(0, len(bset) - 1))
+            inter = int((bset[idx_c] == a).sum()) if len(bset) else 0
+            union = int(counts[ti]) + (len(bset) - inter)
+            if union > 0 and 100 * inter >= thr * union:
+                out_t.append(int(tids[ti]))
+                out_b.append(int(bench_ids[bi_]))
+                out_i.append(inter)
+                out_u.append(union)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_t, pa.int64()),
+                "bench_id": pa.array(out_b, pa.int64()),
+                "n_inter": pa.array(out_i, pa.int64()),
+                "n_union": pa.array(out_u, pa.int64()),
+            }
+        )
+
+    parts, total = [], 0
+    for b in ds.map_batches(scan, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        total += b.num_rows
+        if total > max_pairs:
+            raise ValueError(
+                f"near-decontamination exceeded max_pairs={max_pairs}; "
+                "the corpus is pathologically contaminated — raise the "
+                "guard or the threshold"
+            )
+        parts.append(pa.table(b))
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bench_id": pa.array([], pa.int64()),
+                "n_inter": pa.array([], pa.int64()),
+                "n_union": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
