@@ -108,6 +108,24 @@ def _part_dirs(index_dir: str, sub: str) -> list[str]:
     return parts or [root]
 
 
+def _load_docmap_cached(dm_dir: str, len_cols_key: tuple):
+    """Per-worker memo of :func:`_load_docmap` — a partition's ~file-count
+    verify tasks land on few workers and each needs the same docmap; index
+    dirs are immutable once written (the build's atomic-rename convention),
+    so caching by path is safe. Bounded: a worker holds at most 4 partition
+    docmaps."""
+    import functools
+
+    global _DM_CACHE
+    try:
+        cache = _DM_CACHE
+    except NameError:
+        cache = _DM_CACHE = functools.lru_cache(maxsize=4)(
+            lambda d, k: _load_docmap(d, list(k))
+        )
+    return cache(dm_dir, len_cols_key)
+
+
 def _load_docmap(dm_dir: str, len_cols: list[str]):
     """(sorted doc_ids, {field: doclen aligned}) with the reader's
     retry-dedupe rule: identical duplicate rows collapse, conflicting
@@ -269,14 +287,25 @@ def check_index(index_dir: str) -> pa.Table:
             f"{index_dir}: {len(post_parts)} postings partitions vs "
             f"{len(dm_parts)} docmap partitions"
         )
-    pairs = list(zip(post_parts, dm_parts))
+    # work unit = one postings FILE (a partition holds ~merge_partitions
+    # files), paired with its partition's docmap dir — a single-partition
+    # index still fans out across every core instead of one task. The
+    # docmap re-loads once per file; it is bounded by the partition's doc
+    # count (the same bound the shard reader assumes), and rows are never
+    # split across files, so the per-(field, term, bucket) row invariants
+    # verify whole in exactly one task.
+    pairs = [
+        (f, d)
+        for p, d in zip(post_parts, dm_parts)
+        for f in _parquet_files(p)
+    ]
 
     def verify_part(batch: dict) -> pa.Table:
         outs = []
-        for post_dir, dm_dir in zip(batch["post"], batch["dm"]):
-            dm_ids, dm_lens = _load_docmap(dm_dir, len_cols)
-            post = pads.dataset(_parquet_files(post_dir)).to_table()
-            outs.append(_verify_rows(post, dm_ids, dm_lens, skip, post_dir))
+        for post_file, dm_dir in zip(batch["post"], batch["dm"]):
+            dm_ids, dm_lens = _load_docmap_cached(dm_dir, tuple(len_cols))
+            post = pads.dataset([post_file]).to_table()
+            outs.append(_verify_rows(post, dm_ids, dm_lens, skip, post_file))
         return pa.concat_tables(outs)
 
     partials = (
