@@ -3785,7 +3785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
         "text_rake": rake.rake_keyphrases,  # driver-verified r4, code unchanged; in-window siblings cur_gopher_rules (the same _flat_tokens analyzer tokenize + integer counting surface) and text_pmi (candidate scoring over cooccurrence counting partials) hash-check its kernels, and the RAKE degree*2^20//freq phrase scoring keeps its dedicated oracle-parity pytest suite (test_rake) (rotated out for cur_decontam_near, new late r5)
-        "eval_metrics": gate.eval_metrics,  # driver-verified r4, code unchanged; the trec_eval/ndeval metric formulas keep their exhaustive brute-parity pytest suite (test_evalmetrics, 7 cases incl. alpha-nDCG/P-IA), the qrels/initial-ranking readers they share are driven by the locally-gated div_* oracles every GATE_LOCAL replay, and the ranking surface the metrics consume is hash-checked in-window by every se_bm25_* entry (rotated out for ann_range, new late r5)
+        "eval_metrics": gate.eval_metrics,  # driver-verified r4; late r5 ADDED disjoint metrics (recip_rank/Rprec keys + ERR-IA/nERR-IA in ndeval_run) next to the gated ones — the gate selects its three metrics by name so its output is untouched, and it was re-verified hash-green on the changed tree in GATE_LOCAL_r05; the trec_eval/ndeval metric formulas keep their exhaustive brute-parity pytest suite (test_evalmetrics, 7 cases incl. alpha-nDCG/P-IA), the qrels/initial-ranking readers they share are driven by the locally-gated div_* oracles every GATE_LOCAL replay, and the ranking surface the metrics consume is hash-checked in-window by every se_bm25_* entry (rotated out for ann_range, new late r5)
         "cur_pii_redact": curation.pii_redact,  # driver-verified r4, code unchanged; its vectorized Arrow RE2 kernels (count_substring_regex / replace_substring_regex) are the same compiled-kernel surface in-window cur_gopher_rules and text_rake drive through the shared tokenize/count stages, and the planted-PII scrub semantics keep their dedicated pytest pair (test_curation.py::test_pii_*) (rotated out for ann_filtered, new late r5)
         "cur_pack_sequences": curation.pack_sequences,  # driver-verified r4, code unchanged; its splitmix64 hash-partition dispatch is the identical _hash64 chain in-window cur_mixture_sample/cur_dsir_select hash-check, the per-stream sequential vectorized pass shape is in-window via events_funnel's per-bucket scan, and the greedy bin-fill invariants keep their pytest (test_curation.py::test_pack_sequences_invariants) (rotated out for hybrid_linear, new late r5)
         "sketch_cms_counts": sketch.cms_term_counts,  # driver-verified r4, code unchanged; in-window sibling events_hourly_users_hll hash-checks the same splitmix64-hash -> fixed-register-array -> partial-merge-through-one-narrow-shuffle machinery (HLL max-merge vs CMS sum-merge over the identical register pipeline shape), and the CMS one-sided/tight-bound semantics keep their dedicated pytest pair (test_curation.py::test_cms_*) (rotated out for src_roundtrip, new late r5)

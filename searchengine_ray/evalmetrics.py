@@ -70,6 +70,12 @@ def _query_metrics(
     for j, r in enumerate(rel_ranks, start=1):
         ap += j / r
     out["MAP"] = ap / R if R else 0.0
+    # trec_eval m_recip_rank.c: 1/rank of the first relevant, else 0
+    out["recip_rank"] = 1.0 / rel_ranks[0] if rel_ranks else 0.0
+    # trec_eval m_Rprec.c: relevant found in the top R, divided by R
+    out["Rprec"] = (
+        sum(1 for r in rel_ranks if r <= R) / R if R else 0.0
+    )
     # graded nDCG at each cut
     gains = [rels.get(d, 0) for d in ranked]
     ideal = sorted((v for v in rels.values() if v > 0), reverse=True)
@@ -147,6 +153,60 @@ def _alpha_ndcg_at(
     return dcg / idcg if idcg > 0 else 0.0
 
 
+def _err_ia_at(
+    ranked: list[str],
+    sub_rels: dict[str, dict[str, int]],
+    k: int,
+) -> float:
+    """ERR-IA@k (ndeval.c / Chapelle et al. 2009): per subtopic the
+    cascade expected reciprocal rank with binary stop probability
+    R_i = 1/2 for a relevant doc (ndeval judges subtopics binary:
+    (2^1 - 1)/2^1), averaged over the topic's subtopics."""
+    subs = sorted(sub_rels)
+    if not subs:
+        return 0.0
+    total = 0.0
+    for s in subs:
+        not_stopped = 1.0
+        err = 0.0
+        for i, d in enumerate(ranked[:k], start=1):
+            if sub_rels[s].get(d, 0) > 0:
+                err += not_stopped * 0.5 / i
+                not_stopped *= 0.5
+        total += err
+    return total / len(subs)
+
+
+def _ideal_greedy_ranking(
+    sub_rels: dict[str, dict[str, int]], k: int, alpha: float
+) -> list[str]:
+    """The ndeval ideal: greedy by marginal alpha-gain over the judged
+    pool (the SAME ideal ordering ndeval.c evaluates every normalized
+    diversity metric against)."""
+    subs = sorted(sub_rels)
+    pool = {d for s in subs for d, v in sub_rels[s].items() if v > 0}
+    seen = {s: 0 for s in subs}
+    out: list[str] = []
+    for _ in range(min(k, len(pool))):
+        best_doc, best_gain = None, -1.0
+        for d in sorted(pool):
+            g = sum(
+                (1.0 - alpha) ** seen[s]
+                for s in subs
+                if sub_rels[s].get(d, 0) > 0
+            )
+            if g > best_gain:
+                best_doc, best_gain = d, g
+        if best_doc is None or best_gain <= 0:
+            break
+        out.append(best_doc)
+        for s in subs:
+            if sub_rels[s].get(best_doc, 0) > 0:
+                seen[s] += 1
+        pool.discard(best_doc)
+    return out
+
+
 def ndeval_run(
     run: dict[str, list[tuple[str, float]]],
     div_qrels: dict[str, dict[str, dict[str, int]]],
@@ -177,6 +237,12 @@ def ndeval_run(
                 q[f"P-IA@{k}"] = 0.0
         q[f"aNDCG@{andcg_k}"] = _alpha_ndcg_at(
             ranked, div_qrels[qid], andcg_k, alpha
+        )
+        q[f"ERR-IA@{andcg_k}"] = _err_ia_at(ranked, div_qrels[qid], andcg_k)
+        ideal = _ideal_greedy_ranking(div_qrels[qid], andcg_k, alpha)
+        ierr = _err_ia_at(ideal, div_qrels[qid], andcg_k)
+        q[f"nERR-IA@{andcg_k}"] = (
+            q[f"ERR-IA@{andcg_k}"] / ierr if ierr > 0 else 0.0
         )
         per_query[qid] = q
     n = len(per_query)

@@ -113,3 +113,49 @@ def test_runner_prints_metric_row(tmp_path, ray_session, capsys):
     run(run_params)
     cap = capsys.readouterr().out
     assert "trec_eval [" in cap and "P@10=" in cap and "MAP=1.0000" in cap
+
+
+def test_recip_rank_and_rprec_hand_computed():
+    # first relevant at rank 3; R = 2, top-2 holds 1 relevant
+    run = {"1": [("d5", 5.0), ("d4", 4.0), ("d3", 3.0), ("d2", 2.0)]}
+    qrels = {"1": {"d3": 1, "d4": 0, "d9": 1}}
+    q = trec_eval_run(run, qrels, ks=(2,))["per_query"]["1"]
+    assert q["recip_rank"] == pytest.approx(1 / 3)
+    # R=2: top-2 = d5, d4 -> 0 relevant... d4 judged 0 -> Rprec = 0/2
+    assert q["Rprec"] == 0.0
+    # no relevant retrieved at all -> both zero
+    q0 = trec_eval_run({"1": [("dx", 1.0)]}, {"1": {"d9": 1}}, ks=(1,))[
+        "per_query"
+    ]["1"]
+    assert q0["recip_rank"] == 0.0 and q0["Rprec"] == 0.0
+
+
+def test_rprec_counts_only_top_R():
+    run = {"1": [("d1", 3.0), ("d2", 2.0), ("d3", 1.0)]}
+    qrels = {"1": {"d1": 1, "d3": 1}}  # R = 2; d1 in top-2, d3 at rank 3
+    q = trec_eval_run(run, qrels, ks=(2,))["per_query"]["1"]
+    assert q["Rprec"] == 1 / 2
+    assert q["recip_rank"] == 1.0
+
+
+def test_err_ia_hand_computed():
+    # subtopic a: d1, d3 relevant; subtopic b: d2. ranked d1 d2 d3, k=3.
+    # ERR_a = 0.5/1 + 0.5*0.5/3 = 7/12 ; ERR_b = 0.5/2 = 1/4
+    run = {"1": [("d1", 3.0), ("d2", 2.0), ("d3", 1.0)]}
+    dq = {"1": {"a": {"d1": 1, "d3": 1}, "b": {"d2": 1}}}
+    m = ndeval_run(run, dq, andcg_k=3)
+    q = m["per_query"]["1"]
+    assert q["ERR-IA@3"] == pytest.approx((7 / 12 + 1 / 4) / 2)
+    # normalized: ideal covers both subtopics in the first two ranks.
+    # greedy ideal (alpha-gain, doc-id tie-break): d1 then d2 then d3
+    # ERR_a(ideal) = 0.5/1 + 0.25/3 = 7/12 ; ERR_b(ideal) = 0.5/2 = 1/4
+    assert q["nERR-IA@3"] == pytest.approx(1.0)
+
+
+def test_nerr_ia_penalizes_redundancy():
+    # two docs of subtopic a before the only subtopic-b doc: nERR-IA < 1
+    run = {"1": [("d1", 3.0), ("d3", 2.0), ("d2", 1.0)]}
+    dq = {"1": {"a": {"d1": 1, "d3": 1}, "b": {"d2": 1}}}
+    q = ndeval_run(run, dq, andcg_k=3)["per_query"]["1"]
+    assert 0.0 < q["nERR-IA@3"] < 1.0
+    assert q["ERR-IA@3"] < (7 / 12 + 1 / 4) / 2
