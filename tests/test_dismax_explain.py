@@ -119,3 +119,36 @@ def test_explain_structured_raises(ray_session, built_index):
 def test_explain_non_bm25_raises(ray_session, built_index):
     with pytest.raises(ValueError, match="BM25"):
         _eng(built_index, "indri").explain("q", "unit")
+
+
+def test_dismax_sharded_matches_full(ray_session, built_index):
+    """#DISMAX through the doc-sharded two-phase path: the all-reduced
+    leaf stats must reproduce the single-index evaluation exactly."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine, evaluate_sharded
+
+    q = "#dismax/30( unit.body py.keywords check.body )"
+    full = SearchEngine(built_index, ModelParams(model="bm25", top_k=30))
+    want = full.search("q", q).to_pandas()
+    got = evaluate_sharded(
+        built_index, "q", q, parts=[0, 1],
+        params=ModelParams(model="bm25", top_k=30),
+    ).to_pandas()
+    assert list(got["external_id"]) == list(want["external_id"])
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-12
+    )
+
+
+def test_dismax_percolates(ray_session):
+    """A #DISMAX stored query percolates with union-membership semantics
+    identical to the index-backed engine."""
+    from searchengine_ray.gate import engine_for
+    from searchengine_ray.percolate import percolate
+
+    sf = "/root/testdata/sf0.001"
+    t = percolate(sf, [("dm", "#dismax( dup spark )")]).to_pandas()
+    eng = engine_for(sf, "unrankedboolean")
+    want = set(eng.search("x", "#dismax( dup spark )").column("doc_id").to_pylist())
+    assert set(t[t["query_id"] == "dm"]["doc_id"]) == want
+    assert want
