@@ -753,6 +753,125 @@ def ivf_search(
     return _merge_topk(ds.map_batches(scan, batch_format="pyarrow"), k)
 
 
+def ivf_range(
+    index_dir: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    threshold: float,
+    nprobe: int = 4,
+    max_results: int = 2_000_000,
+) -> pa.Table:
+    """RANGE search over a built IVF index (FAISS ``range_search`` on an
+    IVF layout): every (query, neighbor) pair at cosine >= ``threshold``
+    AMONG THE PROBED CELLS — the scale path for :func:`range_search`,
+    trading the same bounded recall as IVF top-k (a qualifying neighbor
+    in an unprobed cell is missed; ``nprobe=n_cells`` makes it exact) for
+    the same I/O pruning: unprobed ``cell=`` partitions never leave
+    storage. Output ⊆ the brute :func:`range_search` pairs by
+    construction. ``max_results`` guards the driver fold like the brute
+    variant."""
+    import ray
+    import ray.data
+
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PathPartitionFilter,
+        PathPartitionParser,
+    )
+
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_cells = len(centers)
+    nprobe = min(nprobe, n_cells)
+    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
+    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
+    probed = set(int(c) for c in np.flatnonzero(probe_mask.any(axis=0)))
+    ref = ray.put((q_ids, q_mat, probe_mask, _ivf_tombstones(index_dir)))
+
+    ds = None
+    for seg in _ivf_segments(index_dir):
+        vec_dir = os.path.join(index_dir, seg)
+        part = Partitioning(
+            "hive", base_dir=vec_dir, field_types={"cell": int}
+        )
+        seg_ds = ray.data.read_parquet(
+            vec_dir,
+            columns=["vec_id", "embedding", "cell"],
+            partitioning=part,
+            partition_filter=PathPartitionFilter(
+                PathPartitionParser(part),
+                lambda kv: int(kv.get("cell", -1)) in probed,
+            ),
+        )
+        ds = seg_ds if ds is None else ds.union(seg_ds)
+
+    def scan(t: pa.Table) -> pa.Table:
+        qi, qm, pmask, tomb = ray.get(ref)
+        if len(tomb):
+            ids = t.column("vec_id").to_numpy()
+            t = t.filter(pa.array(~np.isin(ids, tomb)))
+        cells = np.asarray(t.column("cell").to_numpy(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(cells):
+            qsel = np.flatnonzero(pmask[:, c])
+            if len(qsel) == 0:
+                continue
+            sub = t.filter(pa.array(cells == c))
+            bids = sub.column("vec_id").to_numpy()
+            bm = batch_matrix(sub)
+            sims = qm[qsel] @ bm.T
+            sims[qi[qsel][:, None] == bids[None, :]] = -np.inf
+            hq, hb = np.nonzero(sims >= threshold)
+            out_q.append(qi[qsel][hq].astype(np.int64))
+            out_n.append(bids[hb].astype(np.int64))
+            out_s.append(sims[hq, hb])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cosine": pa.array(
+                    np.concatenate(out_s), type=pa.float64()
+                ),
+            }
+        )
+
+    import pyarrow.compute as _pc
+
+    parts, total = [], 0
+    for b in ds.map_batches(scan, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += b.num_rows
+        if total > max_results:
+            raise ValueError(
+                f"ivf_range(threshold={threshold}) exceeded max_results="
+                f"{max_results}; raise the threshold or the guard"
+            )
+        parts.append(pa.table(b))
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    return out.set_column(
+        out.schema.get_field_index("cosine"),
+        "cosine",
+        _pc.round(out.column("cosine"), ndigits=6),
+    )
+
+
 def ivf_scan_stats(
     index_dir: str, q_mat: np.ndarray, nprobe: int = 4
 ) -> dict[str, int]:

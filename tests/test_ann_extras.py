@@ -121,3 +121,56 @@ def test_hybrid_linear_recombines_the_two_legs(ray_session, built_index):
     assert got.doc_id.tolist() == exp
     for d, s in zip(got.doc_id, got.score_r):
         assert s == round(fused[d], 6)
+
+
+def _ivf_index(sf):
+    """Reuse ivf_topk's cached index build for the same (corpus, params)."""
+    import hashlib
+    import os
+
+    from searchengine_ray.ann import ivf_build
+
+    path = f"{sf}/embeddings.parquet"
+    st = os.stat(path)
+    key = hashlib.md5(
+        repr((os.path.abspath(path), st.st_mtime_ns, st.st_size, 16, 99,
+              4096)).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "se_ray_ivf", key)
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ivf_build(sf, index_dir, n_cells=16, seed=99, sample_rows=4096)
+    return index_dir
+
+
+def test_ivf_range_subset_of_brute_and_exact_at_full_probe(ray_session):
+    from searchengine_ray.ann import _query_matrix, ivf_range, range_search
+
+    idx = _ivf_index(SF)
+    qi, qm = _query_matrix(SF, 10)
+    thr = 0.3
+    brute = range_search(SF, n_queries=10, threshold=thr).to_pandas()
+    bset = set(zip(brute.query_id, brute.neighbor_id))
+
+    part = ivf_range(idx, qi, qm, threshold=thr, nprobe=4).to_pandas()
+    pset = set(zip(part.query_id, part.neighbor_id))
+    assert pset <= bset  # probed-cells pairs only
+    # values agree with brute on the intersection
+    bval = {(q, n): c for q, n, c in
+            zip(brute.query_id, brute.neighbor_id, brute.cosine)}
+    for q, n, c in zip(part.query_id, part.neighbor_id, part.cosine):
+        assert c == bval[(q, n)]
+
+    # probing every cell makes it exact
+    full = ivf_range(idx, qi, qm, threshold=thr, nprobe=16).to_pandas()
+    assert set(zip(full.query_id, full.neighbor_id)) == bset
+
+
+def test_ivf_range_guard_raises(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.ann import _query_matrix, ivf_range
+
+    idx = _ivf_index(SF)
+    qi, qm = _query_matrix(SF, 10)
+    with _pytest.raises(ValueError, match="max_results"):
+        ivf_range(idx, qi, qm, threshold=-1.0, nprobe=16, max_results=50)
