@@ -152,3 +152,36 @@ def test_dismax_percolates(ray_session):
     want = set(eng.search("x", "#dismax( dup spark )").column("doc_id").to_pylist())
     assert set(t[t["query_id"] == "dm"]["doc_id"]) == want
     assert want
+
+
+def test_explain_under_tombstones_keeps_stale_df(
+    ray_session, fixture_corpus, tmp_path
+):
+    """explain() on a tombstoned index: deleted docs' rows vanish, but the
+    df column stays the STALE stat_df scoring uses (Lucene docFreq ignores
+    live-docs until expunge) — and rows still sum to the served scores."""
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig
+    from searchengine_ray.delete import delete_documents
+
+    idx = str(tmp_path / "exp_del")
+    build_index(
+        lambda: ray.data.from_arrow(fixture_corpus), idx,
+        BuildConfig(doc_bucket_size=64, skip_block_docs=16, num_partitions=2),
+    )
+    eng0 = _eng(idx)
+    before = eng0.explain("q", "check").to_pandas()
+    dead = before.doc_id.tolist()[:3]
+    delete_documents(idx, doc_ids=dead)
+
+    eng = _eng(idx)  # reopen: visibility is at open time
+    after = eng.explain("q", "check").to_pandas()
+    assert set(after.doc_id) == set(before.doc_id) - set(dead)
+    # stale stats: df unchanged by the tombstones
+    assert set(after.df) == set(before.df)
+    served = eng.search("q", "check").to_pandas()
+    assert dict(zip(after.doc_id, after.score)) == dict(
+        zip(served.doc_id, served.score)
+    )
