@@ -199,17 +199,25 @@ def _merge_topk(cand, k: int) -> pa.Table:
     ).cast(_TOPK_SCHEMA)
 
 
-def brute_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
+def brute_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 10, filter=None
+) -> pa.Table:
     """Exact top-k cosine neighbors of the first ``n_queries`` vectors
-    (self excluded)."""
+    (self excluded). ``filter`` (a pyarrow compute expression) pushes a
+    metadata predicate into the parquet READ — pre-filtering semantics:
+    the candidate set is restricted BEFORE top-k, so k survivors are
+    guaranteed; non-matching row groups never leave storage."""
     import ray
     import ray.data
 
     q_ids, q_mat = _query_matrix(sf_dir, n_queries)
     qref = ray.put((q_ids, q_mat))
 
+    read_kwargs = {} if filter is None else {"filter": filter}
     ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        **read_kwargs,
     )
 
     def batch_topk(t: pa.Table) -> pa.Table:
@@ -257,36 +265,48 @@ def range_search(
         sims = qm @ bm.T
         sims[qi[:, None] == bids[None, :]] = -np.inf  # exclude self
         hit_q, hit_b = np.nonzero(sims >= threshold)
-        return pa.table(
-            {
-                "query_id": pa.array(qi[hit_q].astype(np.int64)),
-                "neighbor_id": pa.array(bids[hit_b].astype(np.int64)),
-                "cosine": pa.array(sims[hit_q, hit_b], type=pa.float64()),
-            }
+        return _range_pairs_table(
+            qi[hit_q], bids[hit_b], sims[hit_q, hit_b]
         )
 
+    return _guarded_range_fold(
+        ds.map_batches(batch_range, batch_format="pyarrow"),
+        max_results,
+        f"range_search(threshold={threshold})",
+    )
+
+
+def _range_pairs_table(q, n, s) -> pa.Table:
+    """(query_id, neighbor_id, cosine) rows; the shared range-search row
+    schema (empty-safe)."""
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(q, dtype=np.int64)),
+            "neighbor_id": pa.array(np.asarray(n, dtype=np.int64)),
+            "cosine": pa.array(np.asarray(s, dtype=np.float64)),
+        }
+    )
+
+
+def _guarded_range_fold(ds, max_results: int, name: str) -> pa.Table:
+    """Driver fold for range-search variants: concat batches under the
+    ``max_results`` guard (raise loudly instead of OOMing when a low
+    threshold makes the output corpus-scale — the ``max_candidates``
+    pattern from dedup), then round cosine like the top-k gates."""
+    import pyarrow.compute as _pc
+
     parts, total = [], 0
-    for b in ds.map_batches(batch_range, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in ds.iter_batches(batch_format="pyarrow"):
         total += b.num_rows
         if total > max_results:
             raise ValueError(
-                f"range_search(threshold={threshold}) exceeded max_results="
-                f"{max_results}; raise the threshold or the guard"
+                f"{name} exceeded max_results={max_results}; raise the "
+                f"threshold or the guard"
             )
         parts.append(pa.table(b))
     if not parts:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
+        return _range_pairs_table([], [], [])
     out = pa.concat_tables(parts)
-    import pyarrow.compute as _pc
-
     return out.set_column(
         out.schema.get_field_index("cosine"),
         "cosine",
@@ -299,37 +319,19 @@ def filtered_topk(
 ) -> pa.Table:
     """FILTERED vector search (the ES ``knn`` query's ``filter`` clause /
     Lucene KnnVectorQuery-with-filter analog): exact top-k cosine
-    neighbors restricted to rows whose ``label`` equals ``label``.
-
-    The metadata predicate pushes into the parquet READ
-    (``filters=[("label", "==", label)]``) so non-matching row groups
-    never leave storage — pre-filtering, the semantics ES applies (the
-    filter restricts the candidate set BEFORE top-k, so k survivors are
-    guaranteed). Queries still come from the unfiltered table; a query
-    matching the filter is self-excluded like brute_topk."""
-    import ray
-    import ray.data
-
-    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
-    qref = ray.put((q_ids, q_mat))
-
+    neighbors restricted to rows whose ``label`` equals ``label`` —
+    :func:`brute_topk` with the label predicate pushed into the read
+    (pre-filtering, the semantics ES applies). Queries still come from
+    the unfiltered table; a query matching the filter is self-excluded
+    like brute_topk."""
     import pyarrow.compute as _pc
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
+    return brute_topk(
+        sf_dir,
+        n_queries=n_queries,
+        k=k,
         filter=_pc.field("label") == label,
     )
-
-    def batch_topk(t: pa.Table) -> pa.Table:
-        qi, qm = ray.get(qref)
-        bids = t.column("vec_id").to_numpy()
-        bm = batch_matrix(t)
-        sims = qm @ bm.T
-        sims[qi[:, None] == bids[None, :]] = -np.inf
-        return _candidate_rows(qi, sims, bids, k)
-
-    return _merge_topk(ds.map_batches(batch_topk, batch_format="pyarrow"), k)
 
 
 def hard_negative_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
@@ -673,19 +675,13 @@ def _ivf_segments(index_dir: str) -> list[str]:
     return ["vectors"]
 
 
-def ivf_search(
-    index_dir: str,
-    q_ids: np.ndarray,
-    q_mat: np.ndarray,
-    k: int = 10,
-    nprobe: int = 4,
-) -> pa.Table:
-    """Search a built IVF index: read ONLY the probed cells' partitions.
-
-    Each query scores only rows whose cell it probes (FLOP pruning); the
-    read lists only ``cell=<c>`` directories in the union of probed cells
-    (I/O pruning — unprobed partitions never leave storage).
-    """
+def _probed_ivf_dataset(index_dir: str, q_ids, q_mat, nprobe: int):
+    """Shared IVF probing front half: assign each query its ``nprobe``
+    nearest centroids, broadcast (q_ids, q_mat, probe_mask, tombstones)
+    once via ``ray.put``, and build ONE streaming Dataset over all index
+    segments (base build + ivf_add appends) whose partition filter prunes
+    unprobed ``cell=<c>/`` directories at file-listing time — their bytes
+    never leave storage. Returns ``(ds, ref)``."""
     import ray
     import ray.data
 
@@ -704,10 +700,7 @@ def ivf_search(
     probed = set(int(c) for c in np.flatnonzero(probe_mask.any(axis=0)))
     ref = ray.put((q_ids, q_mat, probe_mask, _ivf_tombstones(index_dir)))
 
-    # One read per index segment (base build + ivf_add appends), unioned
-    # into a single streaming Dataset; each read's partition filter prunes
-    # unprobed cell=<c>/ directories at file-listing time, so their bytes
-    # never leave storage. The hive "cell" column comes back typed int32.
+    # The hive "cell" column comes back typed int32.
     ds = None
     for seg in _ivf_segments(index_dir):
         vec_dir = os.path.join(index_dir, seg)
@@ -724,26 +717,53 @@ def ivf_search(
             ),
         )
         ds = seg_ds if ds is None else ds.union(seg_ds)
+    return ds, ref
+
+
+def _ivf_cell_sims(t: pa.Table, ref):
+    """Shared IVF batch-scan back half: drop tombstoned rows (live-docs),
+    then per cell in the batch yield ``(probing_q_ids, bids, sims)`` with
+    self-pairs already at -inf. A block is normally single-cell (one
+    partition dir per file) but mixed batches are handled generally."""
+    import ray
+
+    qi, qm, pmask, tomb = ray.get(ref)
+    if len(tomb):
+        ids = t.column("vec_id").to_numpy()
+        t = t.filter(pa.array(~np.isin(ids, tomb)))
+    cells = np.asarray(t.column("cell").to_numpy(), dtype=np.int64)
+    for c in np.unique(cells):
+        qsel = np.flatnonzero(pmask[:, c])
+        if len(qsel) == 0:
+            continue
+        sub = t.filter(pa.array(cells == c))
+        bids = sub.column("vec_id").to_numpy()
+        bm = batch_matrix(sub)
+        sims = qm[qsel] @ bm.T  # only probing queries x only this cell
+        sims[qi[qsel][:, None] == bids[None, :]] = -np.inf  # exclude self
+        yield qi[qsel], bids, sims
+
+
+def ivf_search(
+    index_dir: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Search a built IVF index: read ONLY the probed cells' partitions.
+
+    Each query scores only rows whose cell it probes (FLOP pruning); the
+    read lists only ``cell=<c>`` directories in the union of probed cells
+    (I/O pruning — unprobed partitions never leave storage).
+    """
+    ds, ref = _probed_ivf_dataset(index_dir, q_ids, q_mat, nprobe)
 
     def scan(t: pa.Table) -> pa.Table:
-        qi, qm, pmask, tomb = ray.get(ref)
-        if len(tomb):  # drop tombstoned rows before scoring (live-docs)
-            ids = t.column("vec_id").to_numpy()
-            t = t.filter(pa.array(~np.isin(ids, tomb)))
-        cells = np.asarray(t.column("cell").to_numpy(), dtype=np.int64)
-        outs = []
-        # a block is normally single-cell (one partition dir per file), but
-        # handle mixed batches generally
-        for c in np.unique(cells):
-            qsel = np.flatnonzero(pmask[:, c])
-            if len(qsel) == 0:
-                continue
-            sub = t.filter(pa.array(cells == c))
-            bids = sub.column("vec_id").to_numpy()
-            bm = batch_matrix(sub)
-            sims = qm[qsel] @ bm.T  # only probing queries x only this cell
-            sims[qi[qsel][:, None] == bids[None, :]] = -np.inf  # exclude self
-            outs.append(_candidate_rows(qi[qsel], sims, bids, k))
+        outs = [
+            _candidate_rows(qids, sims, bids, k)
+            for qids, bids, sims in _ivf_cell_sims(t, ref)
+        ]
         if not outs:
             return _candidate_rows(
                 np.zeros(0, dtype=np.int64), np.zeros((0, 0)), np.zeros(0), k
@@ -770,105 +790,27 @@ def ivf_range(
     storage. Output ⊆ the brute :func:`range_search` pairs by
     construction. ``max_results`` guards the driver fold like the brute
     variant."""
-    import ray
-    import ray.data
-
-    from ray.data.datasource.partitioning import (
-        Partitioning,
-        PathPartitionFilter,
-        PathPartitionParser,
-    )
-
-    centers = np.load(os.path.join(index_dir, "centroids.npy"))
-    n_cells = len(centers)
-    nprobe = min(nprobe, n_cells)
-    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
-    probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
-    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
-    probed = set(int(c) for c in np.flatnonzero(probe_mask.any(axis=0)))
-    ref = ray.put((q_ids, q_mat, probe_mask, _ivf_tombstones(index_dir)))
-
-    ds = None
-    for seg in _ivf_segments(index_dir):
-        vec_dir = os.path.join(index_dir, seg)
-        part = Partitioning(
-            "hive", base_dir=vec_dir, field_types={"cell": int}
-        )
-        seg_ds = ray.data.read_parquet(
-            vec_dir,
-            columns=["vec_id", "embedding", "cell"],
-            partitioning=part,
-            partition_filter=PathPartitionFilter(
-                PathPartitionParser(part),
-                lambda kv: int(kv.get("cell", -1)) in probed,
-            ),
-        )
-        ds = seg_ds if ds is None else ds.union(seg_ds)
+    ds, ref = _probed_ivf_dataset(index_dir, q_ids, q_mat, nprobe)
 
     def scan(t: pa.Table) -> pa.Table:
-        qi, qm, pmask, tomb = ray.get(ref)
-        if len(tomb):
-            ids = t.column("vec_id").to_numpy()
-            t = t.filter(pa.array(~np.isin(ids, tomb)))
-        cells = np.asarray(t.column("cell").to_numpy(), dtype=np.int64)
         out_q, out_n, out_s = [], [], []
-        for c in np.unique(cells):
-            qsel = np.flatnonzero(pmask[:, c])
-            if len(qsel) == 0:
-                continue
-            sub = t.filter(pa.array(cells == c))
-            bids = sub.column("vec_id").to_numpy()
-            bm = batch_matrix(sub)
-            sims = qm[qsel] @ bm.T
-            sims[qi[qsel][:, None] == bids[None, :]] = -np.inf
+        for qids, bids, sims in _ivf_cell_sims(t, ref):
             hq, hb = np.nonzero(sims >= threshold)
-            out_q.append(qi[qsel][hq].astype(np.int64))
+            out_q.append(qids[hq].astype(np.int64))
             out_n.append(bids[hb].astype(np.int64))
             out_s.append(sims[hq, hb])
         if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "cosine": pa.array(
-                    np.concatenate(out_s), type=pa.float64()
-                ),
-            }
+            return _range_pairs_table([], [], [])
+        return _range_pairs_table(
+            np.concatenate(out_q),
+            np.concatenate(out_n),
+            np.concatenate(out_s),
         )
 
-    import pyarrow.compute as _pc
-
-    parts, total = [], 0
-    for b in ds.map_batches(scan, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        total += b.num_rows
-        if total > max_results:
-            raise ValueError(
-                f"ivf_range(threshold={threshold}) exceeded max_results="
-                f"{max_results}; raise the threshold or the guard"
-            )
-        parts.append(pa.table(b))
-    if not parts:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-    out = pa.concat_tables(parts)
-    return out.set_column(
-        out.schema.get_field_index("cosine"),
-        "cosine",
-        _pc.round(out.column("cosine"), ndigits=6),
+    return _guarded_range_fold(
+        ds.map_batches(scan, batch_format="pyarrow"),
+        max_results,
+        f"ivf_range(threshold={threshold})",
     )
 
 

@@ -108,11 +108,24 @@ def _part_dirs(index_dir: str, sub: str) -> list[str]:
     return parts or [root]
 
 
+def _docmap_fingerprint(dm_dir: str) -> tuple:
+    """(name, size, mtime_ns) of every parquet in the docmap dir — the cache
+    key component that invalidates when expunge_deletes/force_merge rewrite
+    the partition content at the same path."""
+    return tuple(
+        (os.path.basename(p), st.st_size, st.st_mtime_ns)
+        for p in _parquet_files(dm_dir)
+        for st in (os.stat(p),)
+    )
+
+
 def _load_docmap_cached(dm_dir: str, len_cols_key: tuple):
     """Per-worker memo of :func:`_load_docmap` — a partition's ~file-count
-    verify tasks land on few workers and each needs the same docmap; index
-    dirs are immutable once written (the build's atomic-rename convention),
-    so caching by path is safe. Bounded: a worker holds at most 4 partition
+    verify tasks land on few workers and each needs the same docmap. Keyed
+    on (path, file fingerprint, columns) rather than path alone because
+    expunge_deletes and force_merge rewrite docmap content at the SAME
+    path, so a long-lived worker must not serve a pre-mutation docmap to a
+    post-mutation check. Bounded: a worker holds at most 4 partition
     docmaps."""
     import functools
 
@@ -121,9 +134,9 @@ def _load_docmap_cached(dm_dir: str, len_cols_key: tuple):
         cache = _DM_CACHE
     except NameError:
         cache = _DM_CACHE = functools.lru_cache(maxsize=4)(
-            lambda d, k: _load_docmap(d, list(k))
+            lambda d, fp, k: _load_docmap(d, list(k))
         )
-    return cache(dm_dir, len_cols_key)
+    return cache(dm_dir, _docmap_fingerprint(dm_dir), len_cols_key)
 
 
 def _load_docmap(dm_dir: str, len_cols: list[str]):
@@ -373,14 +386,44 @@ def check_index(index_dir: str) -> pa.Table:
     ).to_table(columns=["field", "term", "df", "ctf"])
     lex_summary = _field_summary(lex)
 
-    # docmap side: per-field length sums + doc counts (partition partials)
+    # docmap side: per-field length sums + doc counts. Distributed, one
+    # task per partition — Stage A's workers already hold each docmap in
+    # _load_docmap_cached, so on warm workers this pass re-reads nothing;
+    # the driver folds only (n_parts x n_fields) scalar rows.
+    def docmap_partial(batch: dict) -> pa.Table:
+        parts, fs, sums, nds = [], [], [], []
+        for dm_dir in batch["dm"]:
+            dm_ids, dm_lens = _load_docmap_cached(dm_dir, tuple(len_cols))
+            for f in stats["fields"]:
+                parts.append(dm_dir)
+                fs.append(f)
+                sums.append(int(dm_lens[f"len_{f}"].sum()))
+                nds.append(len(dm_ids))
+        return pa.table(
+            {
+                "part": pa.array(parts, type=pa.string()),
+                "field": pa.array(fs, type=pa.string()),
+                "len_sum": pa.array(sums, type=pa.int64()),
+                "part_docs": pa.array(nds, type=pa.int64()),
+            }
+        )
+
     doclen_sum = {f: 0 for f in stats["fields"]}
     n_docs = 0
-    for dm_dir in dm_parts:
-        dm_ids, dm_lens = _load_docmap(dm_dir, len_cols)
-        n_docs += len(dm_ids)
-        for f in stats["fields"]:
-            doclen_sum[f] += int(dm_lens[f"len_{f}"].sum())
+    seen_parts: set[str] = set()
+    for b in (
+        ray.data.from_items([{"dm": d} for d in dm_parts])
+        .map_batches(docmap_partial, batch_size=1, batch_format="numpy")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for i in range(b.num_rows):
+            part = b.column("part")[i].as_py()
+            doclen_sum[b.column("field")[i].as_py()] += b.column(
+                "len_sum"
+            )[i].as_py()
+            if part not in seen_parts:
+                seen_parts.add(part)
+                n_docs += b.column("part_docs")[i].as_py()
 
     rows = []
     for f in sorted(stats["fields"]):

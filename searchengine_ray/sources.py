@@ -108,7 +108,12 @@ _EXPORT_CACHE: dict[str, str] = {}
 
 
 def _export_root(sf_dir: str) -> str:
-    key = os.path.abspath(sf_dir)
+    # Key on the parquet's (path, mtime_ns, size), not path alone — a
+    # regenerated corpus at the same path must re-export, not reuse a stale
+    # /tmp copy (same convention as the IVF fixture cache in the tests).
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
     if key not in _EXPORT_CACHE:
         root = os.path.join(
             "/tmp/se_ray_sources", hashlib.md5(key.encode()).hexdigest()[:12]

@@ -166,3 +166,36 @@ def test_identical_docmap_duplicate_tolerated(
     pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), f)
     out = check_index(dst).to_pandas()
     assert out.lexicon_ok.all() and out.stats_ok.all()
+
+
+def test_docmap_cache_invalidates_on_rewrite(tmp_path):
+    """_load_docmap_cached keys on the partition's file fingerprint, not
+    path alone — expunge/force_merge rewrite docmap content at the same
+    path, and a long-lived worker must not serve the pre-mutation copy."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray import checkindex
+
+    dm = tmp_path / "docmap" / "part_00000"
+    dm.mkdir(parents=True)
+    f = dm / "data.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "len_body": pa.array([10, 20], pa.int64())}),
+        f,
+    )
+    ids1, lens1 = checkindex._load_docmap_cached(str(dm), ("len_body",))
+    assert list(ids1) == [1, 2]
+    # rewrite the partition content at the same path (expunge analog)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([2], pa.int64()),
+                  "len_body": pa.array([20], pa.int64())}),
+        f,
+    )
+    os.utime(f, ns=(2, 2))
+    ids2, lens2 = checkindex._load_docmap_cached(str(dm), ("len_body",))
+    assert list(ids2) == [2]
+    assert list(lens2["len_body"]) == [20]

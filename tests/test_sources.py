@@ -109,3 +109,33 @@ def test_multi_shard_export_reads_whole(ray_session, tmp_path):
     assert len(os.listdir(out)) > 1  # actually sharded
     got = sources.read_documents_jsonl(out).to_pandas()
     assert sorted(got.doc_id.tolist()) == list(range(n))
+
+
+def test_export_cache_invalidates_on_regenerated_corpus(
+    ray_session, tmp_path
+):
+    """A regenerated documents.parquet at the SAME path must re-export —
+    the cache keys on (path, mtime_ns, size), not path alone."""
+    from searchengine_ray import sources
+
+    sf, _ = _tiny_sf(tmp_path)
+    root1 = sources._export_root(sf)
+    # regenerate the corpus at the same path with different content
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": pa.array(["regenerated"], type=pa.string()),
+            "lang": pa.array(["en"], type=pa.string()),
+            "source": pa.array(["t"], type=pa.string()),
+            "n_chars": pa.array([11], type=pa.int64()),
+        }
+    )
+    pq.write_table(t2, os.path.join(sf, "documents.parquet"))
+    os.utime(
+        os.path.join(sf, "documents.parquet"),
+        ns=(1, 1),  # force a distinct mtime even on coarse clocks
+    )
+    root2 = sources._export_root(sf)
+    assert root2 != root1
+    got = sources.read_documents_jsonl(os.path.join(root2, "jsonl"))
+    assert got.to_pandas().text.tolist() == ["regenerated"]
