@@ -2060,6 +2060,39 @@ r AS (SELECT doc_id, round(c, 6) AS score_r,
 SELECT doc_id, score_r, rn FROM r WHERE rn <= 10
 """
 
+# function_score (funcscore.function_score; ES function_score query):
+# final = s * (fvf * gauss) with fvf = ln(1 + 0.001*n_chars) (ln1p
+# modifier) and gauss = exp(-(d*d)/(2*sigma2)), d = max(0, |n_chars -
+# 250| - 0), sigma2 = -(200^2)/(2 ln 0.5). Every literal is e-notation
+# so DuckDB evaluates DOUBLE (not DECIMAL) arithmetic, matching the
+# engine's float64 composition op-for-op; the fold order (functions
+# multiply left-to-right, then boost_mode=multiply with the base) is
+# mirrored by the parenthesization.
+_SE_FUNCSCORE_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         ln(1e0 + 1e-3 * n_chars) AS fvf,
+         greatest(0e0, abs(n_chars - 250e0) - 0e0) AS dist
+  FROM documents
+),
+comb AS (
+  SELECT b.doc_id,
+         b.s * (f.fvf
+                * exp((-(f.dist * f.dist))
+                      / (2e0 * ((-(200e0 * 200e0))
+                                / (2e0 * ln(0.5e0)))))) AS c,
+         e.external_id
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN f USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)
+),
+r AS (SELECT doc_id, round(c, 6) AS score_r,
+             CAST(row_number() OVER (ORDER BY c DESC, external_id)
+                  AS BIGINT) AS rn
+      FROM comb)
+SELECT doc_id, score_r, rn FROM r WHERE rn <= 25
+"""
+
 # Score-normalized hybrid (hybrid.linear_fuse; ES `linear` retriever,
 # minmax normalizer): lexical leg = raw 'dup spark' BM25 cut to top-50 by
 # (score DESC, external_id ASC); vector leg = cosine top-50 of
@@ -3468,9 +3501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 132 SQL-backed entries (full rows+schema+hash check
+    # The registry has 133 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 82 must sit beyond the window no matter the order. The
+    # 83 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3496,6 +3529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ann_mmr out (r4-verified, siblings named inline below);
     # se_dismax (new #DISMAX operator, ES dis_max analog) in /
     # drmm_rerank out (r4-verified, sibling named inline below);
+    # se_function_score (new ES function_score analog over numeric doc
+    # values) in / se_rescore out (r4-verified, sibling named inline
+    # below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
@@ -3654,10 +3690,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user-hash shuffle, L vectorized minimum.at passes per bucket,
         # L-integer driver fold; greedy first-touch semantics in SQL
         "events_funnel": windows.funnel_counts,
-        # window rescoring (new late r4, ES rescore API analog): top-50
-        # BM25 window combined with 2x a derived-list BM25, both legs +
-        # window cut + combine + rank replayed in SQL
-        "se_rescore": gate.se_rescore,
+        # function_score (new late r5, ES function_score query analog):
+        # full-match BM25 combined with field_value_factor(ln1p) x gauss
+        # decay over numeric doc values, multiply/multiply modes — the
+        # raw scoring, both function formulas (identical libm
+        # composition), the fold order and the rank replayed in SQL
+        "se_function_score": gate.se_function_score,
         # score-normalized hybrid (new late r5, ES `linear` retriever
         # with minmax normalizer — hybrid_rrf's score-aware sibling):
         # both legs, both window cuts, both normalizations and the
@@ -3784,6 +3822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_rescore": gate.se_rescore,  # driver-verified r4, code unchanged; in-window sibling hybrid_linear hash-checks the same window-cut + fixed-order weighted-combine + (score DESC, external_id ASC) rank family, and the raw BM25 legs are hash-checked by the se_bm25_* window entries (rotated out for se_function_score, new late r5)
         "text_rake": rake.rake_keyphrases,  # driver-verified r4, code unchanged; in-window siblings cur_gopher_rules (the same _flat_tokens analyzer tokenize + integer counting surface) and text_pmi (candidate scoring over cooccurrence counting partials) hash-check its kernels, and the RAKE degree*2^20//freq phrase scoring keeps its dedicated oracle-parity pytest suite (test_rake) (rotated out for cur_decontam_near, new late r5)
         "eval_metrics": gate.eval_metrics,  # driver-verified r4; late r5 ADDED disjoint metrics (recip_rank/Rprec keys + ERR-IA/nERR-IA in ndeval_run) next to the gated ones — the gate selects its three metrics by name so its output is untouched, and it was re-verified hash-green on the changed tree in GATE_LOCAL_r05; the trec_eval/ndeval metric formulas keep their exhaustive brute-parity pytest suite (test_evalmetrics, 7 cases incl. alpha-nDCG/P-IA), the qrels/initial-ranking readers they share are driven by the locally-gated div_* oracles every GATE_LOCAL replay, and the ranking surface the metrics consume is hash-checked in-window by every se_bm25_* entry (rotated out for ann_range, new late r5)
         "cur_pii_redact": curation.pii_redact,  # driver-verified r4, code unchanged; its vectorized Arrow RE2 kernels (count_substring_regex / replace_substring_regex) are the same compiled-kernel surface in-window cur_gopher_rules and text_rake drive through the shared tokenize/count stages, and the planted-PII scrub semantics keep their dedicated pytest pair (test_curation.py::test_pii_*) (rotated out for ann_filtered, new late r5)
@@ -4105,6 +4144,7 @@ def oracle_sql() -> dict[str, str]:
         "text_rake": _rake_sql(),
         "text_textrank": _textrank_sql(),
         "se_rescore": _RESCORE_SQL,
+        "se_function_score": _SE_FUNCSCORE_SQL,
         "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,

@@ -196,6 +196,40 @@ def se_spell(sf_dir: str):
     return suggest(eng.index, ["stram", "jion", "dat"], k=3)
 
 
+def se_function_score(sf_dir: str):
+    """ES function_score analog (funcscore.function_score): raw 'dup
+    spark' BM25 over the FULL match set, boosted by ln(1 + 0.001*n_chars)
+    (field_value_factor, ln1p modifier) times a gauss decay on n_chars
+    (origin 250, scale 200, decay 0.5) — score_mode=multiply,
+    boost_mode=multiply, top-25 by (final DESC, external_id ASC). The
+    oracle replays the raw scoring and both function formulas with the
+    identical libm composition and fold order (s * (fvf * gauss))."""
+    from .funcscore import function_score
+
+    eng = engine_for(sf_dir, "bm25")
+    return function_score(
+        eng,
+        "q",
+        "dup spark",
+        [
+            {
+                "type": "field_value_factor",
+                "field": "n_chars",
+                "factor": 0.001,
+                "modifier": "ln1p",
+            },
+            {
+                "type": "gauss",
+                "field": "n_chars",
+                "origin": 250,
+                "scale": 200,
+                "decay": 0.5,
+            },
+        ],
+        k=25,
+    )
+
+
 def se_rescore(sf_dir: str):
     """ES rescore-API analog (engine.rescore_topn): the top-50 window of
     the 'dup spark' BM25 ranking combined with 2x the #near/1(hash join)

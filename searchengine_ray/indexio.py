@@ -169,17 +169,13 @@ class InvertedIndex:
             self._dv_valid.clear()
         self._docvalues_dir = source_dir
 
-    def docvalues_docs_in_range(
-        self, column: str, lo: float, hi: float
-    ) -> np.ndarray:
-        """LIVE shard doc_ids whose numeric doc value lies in [lo, hi].
-
-        Docs absent from the corpus table (e.g. segment-appended rows
-        from another source) carry no value and match no range — the ES
-        missing-field semantics. Deleted docs never match."""
+    def _ensure_docvalues(self, column: str) -> None:
+        """Lazy-load one numeric doc-values column for THIS shard's doc
+        span (parquet row-group pushdown), cached aligned to
+        ``self._doc_ids`` with a validity mask."""
         if self._docvalues_dir is None:
             raise ValueError(
-                "#range needs numeric doc values: construct the engine "
+                "numeric doc values are not attached: construct the engine "
                 "with docvalues_dir=<corpus dir with documents.parquet>"
             )
         if column not in self._dv_cache:
@@ -227,11 +223,43 @@ class InvertedIndex:
                     out[valid] = vals[pos_c[valid]]
                 self._dv_cache[column] = out
                 self._dv_valid[column] = valid
+
+    def docvalues_docs_in_range(
+        self, column: str, lo: float, hi: float
+    ) -> np.ndarray:
+        """LIVE shard doc_ids whose numeric doc value lies in [lo, hi].
+
+        Docs absent from the corpus table (e.g. segment-appended rows
+        from another source) carry no value and match no range — the ES
+        missing-field semantics. Deleted docs never match."""
+        self._ensure_docvalues(column)
         v = self._dv_cache[column]
         ok = self._dv_valid[column] & (v >= lo) & (v <= hi)
         docs = self._doc_ids[ok]
         keep = self._live_mask(docs)
         return docs if keep is None else docs[keep]
+
+    def docvalues_for_docs(
+        self, column: str, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(values, valid) aligned to ``docs`` — NaN / False where the doc
+        carries no value for ``column`` (the ES missing-field case). Used
+        by per-doc score functions (function_score); ``docs`` must be
+        shard doc_ids (as returned by evaluation)."""
+        self._ensure_docvalues(column)
+        docs = np.asarray(docs, dtype=np.int64)
+        pos = np.searchsorted(self._doc_ids, docs)
+        pos_c = np.clip(pos, 0, max(len(self._doc_ids) - 1, 0))
+        here = (
+            (pos < len(self._doc_ids)) & (self._doc_ids[pos_c] == docs)
+            if len(self._doc_ids)
+            else np.zeros(len(docs), dtype=bool)
+        )
+        vals = np.full(len(docs), np.nan)
+        valid = np.zeros(len(docs), dtype=bool)
+        vals[here] = self._dv_cache[column][pos_c[here]]
+        valid[here] = self._dv_valid[column][pos_c[here]]
+        return vals, valid
 
     # ---- corpus statistics (Idx.java:60-63, 198-228) ----
     @property
