@@ -2093,6 +2093,30 @@ r AS (SELECT doc_id, round(c, 6) AS score_r,
 SELECT doc_id, score_r, rn FROM r WHERE rn <= 25
 """
 
+# random_score (funcscore, ES random_score function with boost_mode=
+# replace): the match set ranked purely by splitmix64(doc_id, 42) %
+# 2^53 / 2^53 — numerator fits the float64 mantissa and the divisor is a
+# power of two, so the double is EXACT and the oracle replays the hash
+# chain in HUGEINT bit-for-bit (same CTEs the curation samplers pin).
+def _random_score_sql() -> str:
+    return f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('dup', 'spark')),
+{_splitmix_ctes('rx', 'm', ['doc_id'], 'doc_id', 42)},
+r AS (
+  SELECT rx3.doc_id,
+         CAST(v % 9007199254740992 AS DOUBLE) / 9007199254740992e0 AS c,
+         e.external_id
+  FROM rx3 JOIN {_EXT_SUB} e USING (doc_id)
+),
+rr AS (SELECT doc_id, round(c, 6) AS score_r,
+              CAST(row_number() OVER (ORDER BY c DESC, external_id)
+                   AS BIGINT) AS rn
+       FROM r)
+SELECT doc_id, score_r, rn FROM rr WHERE rn <= 20
+"""
+
+
 # Score-normalized hybrid (hybrid.linear_fuse; ES `linear` retriever,
 # minmax normalizer): lexical leg = raw 'dup spark' BM25 cut to top-50 by
 # (score DESC, external_id ASC); vector leg = cosine top-50 of
@@ -3501,9 +3525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 134 SQL-backed entries (full rows+schema+hash check
+    # The registry has 135 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 84 must sit beyond the window no matter the order. The
+    # 85 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3533,7 +3557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # values) in / se_rescore out (r4-verified, sibling named inline
     # below); se_composite_agg (new ES composite-aggregation analog,
     # after-key bucket pagination) in / se_bm25_merged out (r4-verified,
-    # siblings named inline below);
+    # siblings named inline below); se_random_score (ES random_score
+    # function) in / se_percolate out (r4-verified; in-window
+    # se_percolate_scored is a strict superset);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
@@ -3649,7 +3675,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percolation (new late r4, ES percolate analog): stored queries
         # matched per batch by the REAL Evaluator over a batch-postings
         # adapter — membership == index-backed serving, zero drift
-        "se_percolate": gate.se_percolate,
+        # ES random_score (new late r5): deterministic splitmix64 draw
+        # as a function_score function, boost_mode=replace — exact-double
+        # by construction, hash chain replayed in HUGEINT SQL
+        "se_random_score": gate.se_random_score,
         # SCORED percolation (new in r4): per-match BM25 scores with the
         # serving index's statistics injected via stats_override — scores
         # equal the serving engine's bitwise for corpus docs
@@ -3827,6 +3856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_percolate": gate.se_percolate,  # driver-verified r4, code unchanged; in-window sibling se_percolate_scored is a strict superset (same stored-query parse + _BatchPostings matching machinery PLUS serving-stat scoring) (rotated out for se_random_score, new late r5)
         "se_bm25_merged": gate.se_bm25_merged,  # driver-verified r4, code unchanged; in-window sibling se_bm25_tiered exercises the same partition-rewrite merge machinery (policy-selected instead of full) and se_bm25_incremental/se_bm25_expunged hash-check the identical flat-BM25 serving SQL shape (rotated out for se_composite_agg, new late r5)
         "se_rescore": gate.se_rescore,  # driver-verified r4, code unchanged; in-window sibling hybrid_linear hash-checks the same window-cut + fixed-order weighted-combine + (score DESC, external_id ASC) rank family, and the raw BM25 legs are hash-checked by the se_bm25_* window entries (rotated out for se_function_score, new late r5)
         "text_rake": rake.rake_keyphrases,  # driver-verified r4, code unchanged; in-window siblings cur_gopher_rules (the same _flat_tokens analyzer tokenize + integer counting surface) and text_pmi (candidate scoring over cooccurrence counting partials) hash-check its kernels, and the RAKE degree*2^20//freq phrase scoring keeps its dedicated oracle-parity pytest suite (test_rake) (rotated out for cur_decontam_near, new late r5)
@@ -4154,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
         # composite agg: cursor predicate + GROUP BY + bucket-order LIMIT;
         # the LIMIT is deterministic because the ORDER BY key tuple is the
         # bucket identity (unique)
+        "se_random_score": _random_score_sql(),
         "se_composite_agg": """
 SELECT lang, source, count(*) AS doc_count,
        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars

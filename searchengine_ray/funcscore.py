@@ -3,7 +3,8 @@
 Combines a relevance query's score with per-document functions computed
 from numeric doc values: ``field_value_factor`` (value -> modifier(factor
 * value)), decay functions (``gauss`` / ``exp`` / ``linear`` around an
-origin with scale/offset/decay), and constant ``weight``. Function values
+origin with scale/offset/decay), seeded deterministic ``random_score``
+(splitmix64 over doc ids), and constant ``weight``. Function values
 combine under ``score_mode`` (multiply/sum/avg/max/min, clamped at
 ``max_boost``), then merge with the query score under ``boost_mode``
 (multiply/sum/replace/max/min/avg) — the ES semantics per the public
@@ -38,6 +39,20 @@ def _fn_values(index, docs: np.ndarray, spec: dict) -> np.ndarray:
     t = spec["type"]
     if t == "weight":
         return np.full(len(docs), float(spec["weight"]))
+    if t == "random_score":
+        # ES random_score with a seed: deterministic per (doc, seed).
+        # ES hashes _seq_no/_id; here the doc_id plays _id. The value is
+        # splitmix64(doc_id, seed) % 2^53 / 2^53 — uniform in [0, 1) and
+        # EXACT in float64 (the numerator fits the mantissa, the divisor
+        # is a power of two), so the SQL oracle replays it bit-for-bit
+        # through the same HUGEINT splitmix chain the curation samplers
+        # pin.
+        from .sketch import _hash64
+
+        h = _hash64(
+            np.asarray(docs, dtype=np.int64), int(spec.get("seed", 0))
+        )
+        return (h % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53)
     vals, valid = index.docvalues_for_docs(spec["field"], docs)
     if t == "field_value_factor":
         if "missing" in spec:

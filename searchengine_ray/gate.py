@@ -214,6 +214,26 @@ def se_composite_agg(sf_dir: str):
     )
 
 
+def se_random_score(sf_dir: str):
+    """ES random_score (function_score with a seeded random function,
+    boost_mode=replace): the 'dup spark' match set ranked purely by the
+    deterministic splitmix64(doc_id, 42) % 2^53 / 2^53 draw — exact in
+    float64, so the oracle replays the full hash chain in HUGEINT and the
+    power-of-two division bit-for-bit. Top-20 by (draw DESC,
+    external_id ASC)."""
+    from .funcscore import function_score
+
+    eng = engine_for(sf_dir, "bm25")
+    return function_score(
+        eng,
+        "q",
+        "dup spark",
+        [{"type": "random_score", "seed": 42}],
+        boost_mode="replace",
+        k=20,
+    )
+
+
 def se_function_score(sf_dir: str):
     """ES function_score analog (funcscore.function_score): raw 'dup
     spark' BM25 over the FULL match set, boosted by ln(1 + 0.001*n_chars)

@@ -229,3 +229,36 @@ def test_max_boost_and_replace(ray_session):
         eng, "q", "dup", fns, boost_mode="replace", max_boost=3.0, k=5
     ).to_pandas()
     assert (clamped.score_r == 3.0).all()
+
+
+def test_random_score_deterministic_and_exact(ray_session):
+    """random_score: per-doc value == splitmix64(doc_id, seed)%2^53/2^53
+    exactly, stable across calls, different under a different seed."""
+    from searchengine_ray.funcscore import _fn_values, function_score
+    from searchengine_ray.gate import engine_for
+    from searchengine_ray.sketch import _hash64
+
+    docs = np.array([1, 7, 42, 10_000_019], dtype=np.int64)
+    got = _fn_values(None, docs, {"type": "random_score", "seed": 9})
+    exp = (_hash64(docs, 9) % np.uint64(1 << 53)).astype(float) / float(
+        1 << 53
+    )
+    assert np.array_equal(got, exp)
+    assert ((got >= 0) & (got < 1)).all()
+
+    eng = engine_for(SF, "bm25")
+    a = function_score(
+        eng, "q", "dup", [{"type": "random_score", "seed": 1}],
+        boost_mode="replace", k=10,
+    ).to_pandas()
+    b = function_score(
+        eng, "q", "dup", [{"type": "random_score", "seed": 1}],
+        boost_mode="replace", k=10,
+    ).to_pandas()
+    c = function_score(
+        eng, "q", "dup", [{"type": "random_score", "seed": 2}],
+        boost_mode="replace", k=10,
+    ).to_pandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.score_r.tolist() == b.score_r.tolist()
+    assert a.doc_id.tolist() != c.doc_id.tolist()
