@@ -3525,9 +3525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 135 SQL-backed entries (full rows+schema+hash check
+    # The registry has 136 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 85 must sit beyond the window no matter the order. The
+    # 86 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3559,7 +3559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # after-key bucket pagination) in / se_bm25_merged out (r4-verified,
     # siblings named inline below); se_random_score (ES random_score
     # function) in / se_percolate out (r4-verified; in-window
-    # se_percolate_scored is a strict superset);
+    # se_percolate_scored is a strict superset); se_pit_search (new
+    # point-in-time snapshot API) in / se_sigterms out (r4-verified,
+    # siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
@@ -3671,7 +3673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_collapse": gate.se_collapse,
         # significant-terms aggregation (new late r4, ES significant_terms
         # JLH): result-set-vs-corpus term contrast, mul/div-only floats
-        "se_sigterms": gate.se_sigterms,
+        # point-in-time snapshot (new late r5, Lucene open-reader / ES PIT
+        # analog): hardlink snapshot searched AFTER the live index was
+        # tombstoned and expunged — oracle is the full-corpus BM25, so the
+        # hash proves the frozen view survived the compaction bitwise
+        "se_pit_search": gate.se_pit_search,
         # percolation (new late r4, ES percolate analog): stored queries
         # matched per batch by the REAL Evaluator over a batch-postings
         # adapter — membership == index-backed serving, zero drift
@@ -3856,6 +3862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_sigterms": gate.se_sigterms,  # driver-verified r4, code unchanged; its per-term postings df/count surface is covered in-window by se_collapse (the same facet-postings counting se_facets was rotated out onto) and the JLH/significance arithmetic keeps its oracle-parity pytest suite (rotated out for se_pit_search, new late r5)
         "se_percolate": gate.se_percolate,  # driver-verified r4, code unchanged; in-window sibling se_percolate_scored is a strict superset (same stored-query parse + _BatchPostings matching machinery PLUS serving-stat scoring) (rotated out for se_random_score, new late r5)
         "se_bm25_merged": gate.se_bm25_merged,  # driver-verified r4, code unchanged; in-window sibling se_bm25_tiered exercises the same partition-rewrite merge machinery (policy-selected instead of full) and se_bm25_incremental/se_bm25_expunged hash-check the identical flat-BM25 serving SQL shape (rotated out for se_composite_agg, new late r5)
         "se_rescore": gate.se_rescore,  # driver-verified r4, code unchanged; in-window sibling hybrid_linear hash-checks the same window-cut + fixed-order weighted-combine + (score DESC, external_id ASC) rank family, and the raw BM25 legs are hash-checked by the se_bm25_* window entries (rotated out for se_function_score, new late r5)
@@ -4145,6 +4152,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "se_bm25_term": _bm25_terms_sql(["dup"]),
         "se_bm25_flat": _bm25_terms_sql(["dup", "spark"]),
+        # PIT snapshot searched after the live index was tombstoned AND
+        # expunged: the frozen view must equal the FULL-corpus scoring —
+        # the same SQL shape as se_bm25_flat, which is the semantic claim
+        "se_pit_search": _bm25_terms_sql(["dup", "spark"]),
         # tombstone phase: full-corpus stats, survivors-only rows
         "se_bm25_deleted": _bm25_terms_sql(
             ["dup", "spark"], live_pred="doc_id % 7 <> 3", stale_stats=True

@@ -1196,6 +1196,43 @@ def _bm25_dup_spark_on(index_dir: str) -> pa.Table:
     )
 
 
+_PIT_CACHE: dict[str, str] = {}
+
+
+def se_pit_search(sf_dir: str):
+    """Point-in-time reader semantics (pit.open_pit — the Lucene
+    open-IndexReader / ES open_point_in_time analog): snapshot a fresh
+    copy of the gate index, then tombstone doc_id%7==3 AND expunge the
+    LIVE copy — the full postings/docmap/lexicon/stats compaction
+    rewrite — and search the SNAPSHOT. The oracle is the FULL-corpus
+    BM25 table: hash-equality proves the frozen view is bitwise immune
+    to both the tombstones and the rewrite that happened under it."""
+    import shutil
+
+    key = os.path.abspath(sf_dir)
+    if key not in _PIT_CACHE:
+        from .delete import delete_documents, expunge_deletes
+        from .pit import open_pit
+
+        src = index_for(sf_dir)
+        live = src + "_pitlive"
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        shutil.copytree(src, live)
+        p = open_pit(live)
+        ids = (
+            pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+            .to_table(columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        dead = ids[ids % _DELETE_PRED_MOD == _DELETE_PRED_REM]
+        delete_documents(live, doc_ids=dead)
+        expunge_deletes(live)
+        _PIT_CACHE[key] = p.path
+    return _bm25_dup_spark_on(_PIT_CACHE[key])
+
+
 def se_bm25_deleted(sf_dir: str):
     """BM25 'dup spark' with doc_id%7==3 TOMBSTONED (not yet expunged):
     dead docs vanish from every posting list, but term df/ctf, N and avgdl
