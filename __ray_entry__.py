@@ -122,6 +122,20 @@ SELECT ntf.doc_id,
 FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats
 """
 
+# query-time synonym expansion: 'dup' -> #SYN(dup spark merge), BM25 over
+# the fused list's DERIVED stats (df = any-synonym docs, tf = summed
+# occurrences — distinct terms never share a position)
+_SE_SYNONYMS_SQL = f"""
+WITH {_TOK},
+ntf AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term IN ('dup', 'spark', 'merge') GROUP BY doc_id),
+nstats AS (SELECT count(*) AS df FROM ntf)
+SELECT ntf.doc_id,
+       round(greatest(0.0, ln((const.n - nstats.df + 0.5)/(nstats.df + 0.5)))
+             * ntf.tf/(ntf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)), 6) AS score_r
+FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats
+"""
+
 _SE_NEAR_TF_SQL = f"""
 WITH {_TOK}
 SELECT a.doc_id, count(*) AS score
@@ -3525,9 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 136 SQL-backed entries (full rows+schema+hash check
+    # The registry has 137 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 86 must sit beyond the window no matter the order. The
+    # 87 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3561,7 +3575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # function) in / se_percolate out (r4-verified; in-window
     # se_percolate_scored is a strict superset); se_pit_search (new
     # point-in-time snapshot API) in / se_sigterms out (r4-verified,
-    # siblings named inline below);
+    # siblings named inline below); se_synonyms (new query-time synonym
+    # expansion, ES synonym filter analog) in / ltr_rerank out
+    # (r4-verified, siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
@@ -3692,7 +3708,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
-        "ltr_rerank": gate.ltr_rerank,
+        # query-time synonym expansion (new late r5, ES synonym filter
+        # analog): Term leaves rewrite to #SYN before evaluation; BM25
+        # scores the fused list's derived stats, replayed as term IN (...)
+        "se_synonyms": gate.se_synonyms,
         "drmm_w2v_rerank": gate.drmm_w2v_rerank,
         # #DISMAX (new late r5, ES dis_max / multi_match best_fields
         # analog): union match, best matching leg + tie_breaker * sum of
@@ -3862,6 +3881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "ltr_rerank": gate.ltr_rerank,  # driver-verified r4 (trained-weights-as-SQL-literals hash gate), code unchanged; the svm_light byte-exact writers/readers and 18-feature extraction keep their pytest suites, parked ltr_features was driver-verified r2+r3, and in-window drmm_w2v_rerank hash-checks the same rerank-by-trained-weights gate shape end-to-end (rotated out for se_synonyms, new late r5)
         "se_sigterms": gate.se_sigterms,  # driver-verified r4, code unchanged; its per-term postings df/count surface is covered in-window by se_collapse (the same facet-postings counting se_facets was rotated out onto) and the JLH/significance arithmetic keeps its oracle-parity pytest suite (rotated out for se_pit_search, new late r5)
         "se_percolate": gate.se_percolate,  # driver-verified r4, code unchanged; in-window sibling se_percolate_scored is a strict superset (same stored-query parse + _BatchPostings matching machinery PLUS serving-stat scoring) (rotated out for se_random_score, new late r5)
         "se_bm25_merged": gate.se_bm25_merged,  # driver-verified r4, code unchanged; in-window sibling se_bm25_tiered exercises the same partition-rewrite merge machinery (policy-selected instead of full) and se_bm25_incremental/se_bm25_expunged hash-check the identical flat-BM25 serving SQL shape (rotated out for se_composite_agg, new late r5)
@@ -4156,6 +4176,7 @@ def oracle_sql() -> dict[str, str]:
         # expunged: the frozen view must equal the FULL-corpus scoring —
         # the same SQL shape as se_bm25_flat, which is the semantic claim
         "se_pit_search": _bm25_terms_sql(["dup", "spark"]),
+        "se_synonyms": _SE_SYNONYMS_SQL,
         # tombstone phase: full-corpus stats, survivors-only rows
         "se_bm25_deleted": _bm25_terms_sql(
             ["dup", "spark"], live_pred="doc_id % 7 <> 3", stale_stats=True

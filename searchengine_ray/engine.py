@@ -93,6 +93,7 @@ class SearchEngine:
         params: ModelParams | None = None,
         parts: list[int] | None = None,
         docvalues_dir: str | None = None,
+        synonyms: "dict[str, list[str]] | None" = None,
     ):
         from .stem import get_stemmer
 
@@ -102,9 +103,41 @@ class SearchEngine:
         self.params = params or ModelParams()
         stemmer = get_stemmer(self.index.stemmer_name)
         self._analyze = lambda tok: analyze_query_token(tok, stemmer)
+        # Query-time synonym expansion (ES synonym filter analog):
+        # normalize the user's surface forms through THIS index's analyzer
+        # once, so the mapping lives in index-term space — multi-term
+        # entries raise (single-token synonyms only, the non-graph filter),
+        # stopword entries vanish like any analyzed token.
+        self._synonyms: "dict[str, list[str]]" = {}
+        for k, vals in (synonyms or {}).items():
+            kk = self._analyze(k)
+            if len(kk) != 1:
+                raise ValueError(
+                    f"synonym key {k!r} analyzes to {kk} — single-token "
+                    f"keys only"
+                )
+            out = []
+            for v in vals:
+                vv = self._analyze(v)
+                if len(vv) > 1:
+                    raise ValueError(
+                        f"synonym {v!r} analyzes to {vv} — single-token "
+                        f"synonyms only (no graph filter)"
+                    )
+                if vv and vv[0] != kk[0] and vv[0] not in out:
+                    out.append(vv[0])
+            if out:
+                self._synonyms[kk[0]] = out
 
     def parse(self, query: str):
-        return parse_query(query, DEFAULT_OP[self.params.model], self._analyze)
+        tree = parse_query(
+            query, DEFAULT_OP[self.params.model], self._analyze
+        )
+        if self._synonyms and tree is not None:
+            from .qryparse import expand_synonyms
+
+            tree = expand_synonyms(tree, self._synonyms)
+        return tree
 
     def search(self, qid: str, query: str) -> pa.Table:
         tree = self.parse(query)

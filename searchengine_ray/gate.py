@@ -214,6 +214,28 @@ def se_composite_agg(sf_dir: str):
     )
 
 
+def se_synonyms(sf_dir: str):
+    """Query-time synonym expansion (qryparse.expand_synonyms wired via
+    ``SearchEngine(synonyms=)`` — the ES synonym filter's query-time
+    form): the query 'dup' expands to #SYN(dup spark merge).body under
+    BM25, so the fused posting list scores with the DERIVED statistics —
+    df = docs containing ANY synonym, tf = summed occurrences (distinct
+    terms can never share a position) — replayed in SQL as
+    ``term IN (...) GROUP BY doc_id``."""
+    eng = SearchEngine(
+        index_for(sf_dir),
+        ModelParams(model="bm25", top_k=1 << 30),
+        synonyms={"dup": ["spark", "merge"]},
+    )
+    t = eng.search("q", "dup")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def se_random_score(sf_dir: str):
     """ES random_score (function_score with a seeded random function,
     boost_mode=replace): the 'dup spark' match set ranked purely by the

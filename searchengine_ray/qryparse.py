@@ -368,3 +368,30 @@ def parse_query(query: str, default_op: str, analyze) -> "Op | Term | None":
     (`QryEval.java:121-122`), exact parse, optimize."""
     tree = parse_string(f"{default_op}({query})", analyze)
     return optimize(tree)
+
+
+def expand_synonyms(tree, synonyms: "dict[str, list[str]]"):
+    """Query-time synonym expansion — the ES synonym filter in its
+    query-time form (expand=true): every :class:`Term` leaf whose term
+    has an entry becomes ``#SYN(term syn1 ...)`` on the same field. The
+    rewrite composes under every operator because #SYN is an
+    inverted-list operator — ``#NEAR/1(a b)`` over an expanded leaf keeps
+    exact reference lock-step semantics over the fused posting list.
+
+    ``synonyms`` must already be in INDEX-term space (analyzed/stemmed);
+    :class:`~searchengine_ray.engine.SearchEngine` normalizes
+    user-supplied surface forms through its own analyzer at construction
+    so query-side and index-side analysis always agree (the ES rule that
+    the synonym filter sits inside the analyzer chain)."""
+    if isinstance(tree, Term):
+        syns = synonyms.get(tree.term)
+        if not syns:
+            return tree
+        return Op(
+            "#syn",
+            args=[tree] + [Term(s, tree.field) for s in syns],
+            field=tree.field,
+        )
+    if isinstance(tree, Op) and tree.name not in EXPANSION_OPS:
+        tree.args = [expand_synonyms(a, synonyms) for a in tree.args]
+    return tree
