@@ -3539,9 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 137 SQL-backed entries (full rows+schema+hash check
+    # The registry has 138 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 87 must sit beyond the window no matter the order. The
+    # 88 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3577,6 +3577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # point-in-time snapshot API) in / se_sigterms out (r4-verified,
     # siblings named inline below); se_synonyms (new query-time synonym
     # expansion, ES synonym filter analog) in / ltr_rerank out
+    # (r4-verified, siblings named inline below); se_top_hits (new ES
+    # top_hits sub-aggregation) in / dedup_ngram_jaccard out
     # (r4-verified, siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
@@ -3738,7 +3740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_lsh_pairs,
         # rotated back IN r4: its ShingleRows stage moved to the batch-flat
         # _batch_shingles kernel this round — changed code gets re-verified
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # ES top_hits sub-aggregation (new late r5): per-bucket top-k docs
+        # via per-batch partial top-k + bucket-cardinality shuffle
+        "se_top_hits": gate.se_top_hits,
         # keep-best-in-cluster canonicalization (new late r4): the
         # RefinedWeb "keep the longest copy" rule — distributed components
         # x integer quality signals; its oracle re-derives the FULL
@@ -3881,6 +3885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r4 (on the batch-vectorized shingle kernel), code unchanged; in-window dedup_minhash hash-checks the shared shingle/uint64-hash machinery and cur_scrub_ngrams + cur_dup_ngram_chars the n-gram counting kernels; the exact-Jaccard verify keeps its oracle-parity pytest suite (rotated out for se_top_hits, new late r5)
         "ltr_rerank": gate.ltr_rerank,  # driver-verified r4 (trained-weights-as-SQL-literals hash gate), code unchanged; the svm_light byte-exact writers/readers and 18-feature extraction keep their pytest suites, parked ltr_features was driver-verified r2+r3, and in-window drmm_w2v_rerank hash-checks the same rerank-by-trained-weights gate shape end-to-end (rotated out for se_synonyms, new late r5)
         "se_sigterms": gate.se_sigterms,  # driver-verified r4, code unchanged; its per-term postings df/count surface is covered in-window by se_collapse (the same facet-postings counting se_facets was rotated out onto) and the JLH/significance arithmetic keeps its oracle-parity pytest suite (rotated out for se_pit_search, new late r5)
         "se_percolate": gate.se_percolate,  # driver-verified r4, code unchanged; in-window sibling se_percolate_scored is a strict superset (same stored-query parse + _BatchPostings matching machinery PLUS serving-stat scoring) (rotated out for se_random_score, new late r5)
@@ -4177,6 +4182,15 @@ def oracle_sql() -> dict[str, str]:
         # the same SQL shape as se_bm25_flat, which is the semantic claim
         "se_pit_search": _bm25_terms_sql(["dup", "spark"]),
         "se_synonyms": _SE_SYNONYMS_SQL,
+        "se_top_hits": """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS BIGINT) AS rnk
+  FROM documents) t
+WHERE rnk <= 3
+""",
         # tombstone phase: full-corpus stats, survivors-only rows
         "se_bm25_deleted": _bm25_terms_sql(
             ["dup", "spark"], live_pred="doc_id % 7 <> 3", stale_stats=True

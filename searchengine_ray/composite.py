@@ -106,3 +106,81 @@ def composite_agg(
             sum_name: pa.array([r[sum_name] for r in page], pa.int64()),
         }
     )
+
+
+def _group_topk(
+    t: pa.Table, bucket: str, sort_col: str, k: int
+) -> pa.Table:
+    """Vectorized per-bucket top-k of one table: rows ranked by
+    (``sort_col`` DESC, doc_id ASC) within each ``bucket`` value, first
+    ``k`` kept. One lexsort + one boundary scan — no Python per row."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return t
+    b = t.column(bucket).to_numpy(zero_copy_only=False)
+    v = t.column(sort_col).to_numpy()
+    d = t.column("doc_id").to_numpy()
+    order = np.lexsort((d, -v, b))  # bucket asc, value desc, doc asc
+    bs = b[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], bs[1:] != bs[:-1]))
+    )
+    rank = np.arange(len(bs)) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(bs)])))
+    )
+    keep = order[rank < k]
+    return t.take(pa.array(np.sort(keep)))
+
+
+def top_hits(
+    sf_dir: str,
+    bucket: str = "lang",
+    sort_col: str = "n_chars",
+    k: int = 3,
+) -> pa.Table:
+    """The ES ``top_hits`` sub-aggregation: for every ``bucket`` value,
+    the top ``k`` documents by (``sort_col`` DESC, doc_id ASC), returned
+    as (bucket, doc_id, sort_col, rnk).
+
+    Scale shape: each batch reduces to at most k rows PER BUCKET VALUE
+    seen in the batch (the same partial-top-k argument as ANN's
+    _merge_topk — a candidate outside its batch's bucket top-k can never
+    enter the global top-k), so the groupby shuffle moves k x
+    buckets-per-batch rows, never the corpus; the final per-bucket cut
+    runs distributed in map_groups over those partials."""
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=[bucket, "doc_id", sort_col],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _group_topk(t, bucket, sort_col, k)
+
+    def final(t: pa.Table) -> pa.Table:
+        out = _group_topk(t, bucket, sort_col, k)
+        b = out.column(bucket).to_numpy(zero_copy_only=False)
+        v = out.column(sort_col).to_numpy()
+        d = out.column("doc_id").to_numpy()
+        order = np.lexsort((d, -v, b))
+        out = out.take(pa.array(order))
+        return out.append_column(
+            "rnk",
+            pa.array(np.arange(1, out.num_rows + 1, dtype=np.int64)),
+        )
+
+    hits = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        bucket
+    ).map_groups(final, batch_format="pyarrow")
+    # bounded driver fold: k x n_buckets rows, ordered by bucket
+    parts = [
+        pa.table(b) for b in hits.iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts).sort_by(
+        [(bucket, "ascending"), ("rnk", "ascending")]
+    )

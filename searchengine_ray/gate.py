@@ -196,6 +196,17 @@ def se_spell(sf_dir: str):
     return suggest(eng.index, ["stram", "jion", "dat"], k=3)
 
 
+def se_top_hits(sf_dir: str):
+    """ES top_hits sub-aggregation analog (composite.top_hits): per-lang
+    top-3 documents by (n_chars DESC, doc_id ASC) — per-batch partial
+    top-k (the _merge_topk argument applied per bucket), one
+    bucket-cardinality shuffle, distributed per-bucket final cut. The
+    oracle is row_number() OVER (PARTITION BY lang ...) <= 3."""
+    from .composite import top_hits
+
+    return top_hits(sf_dir, bucket="lang", sort_col="n_chars", k=3)
+
+
 def se_composite_agg(sf_dir: str):
     """ES composite-aggregation analog (composite.composite_agg): one
     mid-stream page of 12 (lang, source) buckets strictly after the

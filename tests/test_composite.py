@@ -82,3 +82,42 @@ def test_past_the_end_page_is_empty(ray_session):
     last = (exp.lang.iloc[-1], exp.source.iloc[-1])
     got = composite_agg(SF, size=5, after=last)
     assert got.num_rows == 0
+
+
+def test_top_hits_matches_oracle(ray_session):
+    """Per-lang top-3 by (n_chars DESC, doc_id ASC) == the window-rank
+    SQL, including cross-batch ties (n_chars collides heavily)."""
+    from searchengine_ray.composite import top_hits
+
+    got = top_hits(SF, bucket="lang", sort_col="n_chars", k=3).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT lang, doc_id, n_chars, rnk FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS rnk
+              FROM read_parquet('{SF}/documents.parquet')) t
+            WHERE rnk <= 3 ORDER BY lang, rnk"""
+    ).df()
+    assert got.lang.tolist() == exp.lang.tolist()
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.rnk.tolist() == exp.rnk.tolist()
+    assert got.n_chars.tolist() == exp.n_chars.tolist()
+
+
+def test_group_topk_tie_break(ray_session):
+    """Planted total tie: top-k must be the lowest doc_ids per bucket."""
+    import pyarrow as pa
+
+    from searchengine_ray.composite import _group_topk
+
+    t = pa.table(
+        {
+            "lang": pa.array(["a"] * 5 + ["b"] * 4),
+            "doc_id": pa.array([9, 3, 7, 1, 5, 8, 2, 6, 4], pa.int64()),
+            "n_chars": pa.array([10] * 9, pa.int64()),
+        }
+    )
+    out = _group_topk(t, "lang", "n_chars", 2).to_pandas()
+    assert sorted(out[out.lang == "a"].doc_id) == [1, 3]
+    assert sorted(out[out.lang == "b"].doc_id) == [2, 4]
