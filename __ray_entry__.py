@@ -3539,9 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 138 SQL-backed entries (full rows+schema+hash check
+    # The registry has 139 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 88 must sit beyond the window no matter the order. The
+    # 89 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3579,6 +3579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # expansion, ES synonym filter analog) in / ltr_rerank out
     # (r4-verified, siblings named inline below); se_top_hits (new ES
     # top_hits sub-aggregation) in / dedup_ngram_jaccard out
+    # (r4-verified, siblings named inline below); se_min_should_match
+    # (new ES minimum_should_match) in / cur_decontam_bloom out
     # (r4-verified, siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
@@ -3851,7 +3853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_gopher_rules": curation.gopher_rules,
         # Bloom-filter decontamination (constant-size benchmark state; the
         # oracle rebuilds the filter bit-for-bit incl. false positives)
-        "cur_decontam_bloom": curation.decontaminate_bloom,
+        # ES minimum_should_match (new late r5): clause-count filter over
+        # the flat disjunction, scoring untouched — the stale-stats
+        # live-pred SQL shape with a HAVING clause-count predicate
+        "se_min_should_match": gate.se_min_should_match,
         # CCNet/RefinedWeb-style cross-corpus boilerplate n-gram scrub and
         # the Gopher duplicate-n-gram character-coverage rule
         "cur_scrub_ngrams": curation.scrub_frequent_ngrams,
@@ -3885,6 +3890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "cur_decontam_bloom": curation.decontaminate_bloom,  # driver-verified r4, code unchanged; in-window cur_decontam_near keeps the decontamination family hash-checked (same doc-verdict surface, MinHash-LSH mechanism), parked cur_decontaminate (exact form) was driver-verified r3, and the partitioned-Bloom register state keeps its oracle-parity pytest suite (rotated out for se_min_should_match, new late r5)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r4 (on the batch-vectorized shingle kernel), code unchanged; in-window dedup_minhash hash-checks the shared shingle/uint64-hash machinery and cur_scrub_ngrams + cur_dup_ngram_chars the n-gram counting kernels; the exact-Jaccard verify keeps its oracle-parity pytest suite (rotated out for se_top_hits, new late r5)
         "ltr_rerank": gate.ltr_rerank,  # driver-verified r4 (trained-weights-as-SQL-literals hash gate), code unchanged; the svm_light byte-exact writers/readers and 18-feature extraction keep their pytest suites, parked ltr_features was driver-verified r2+r3, and in-window drmm_w2v_rerank hash-checks the same rerank-by-trained-weights gate shape end-to-end (rotated out for se_synonyms, new late r5)
         "se_sigterms": gate.se_sigterms,  # driver-verified r4, code unchanged; its per-term postings df/count surface is covered in-window by se_collapse (the same facet-postings counting se_facets was rotated out onto) and the JLH/significance arithmetic keeps its oracle-parity pytest suite (rotated out for se_pit_search, new late r5)
@@ -4182,6 +4188,14 @@ def oracle_sql() -> dict[str, str]:
         # the same SQL shape as se_bm25_flat, which is the semantic claim
         "se_pit_search": _bm25_terms_sql(["dup", "spark"]),
         "se_synonyms": _SE_SYNONYMS_SQL,
+        # msm: full #SUM scoring + a final clause-count membership pred —
+        # df/N/avgdl stay full-corpus exactly like the engine (stale_stats)
+        "se_min_should_match": _bm25_terms_sql(
+            ["dup", "spark", "merge"],
+            live_pred="doc_id IN (SELECT doc_id FROM tf"
+                      " GROUP BY doc_id HAVING count(*) >= 2)",
+            stale_stats=True,
+        ),
         "se_top_hits": """
 SELECT lang, doc_id, n_chars, rnk FROM (
   SELECT lang, doc_id, n_chars,

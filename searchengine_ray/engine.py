@@ -275,6 +275,72 @@ class SearchEngine:
             }
         )
 
+    def search_min_should_match(
+        self, qid: str, query: str, m: "int | str"
+    ) -> pa.Table:
+        """ES ``minimum_should_match`` for a flat disjunctive query:
+        evaluate the usual disjunction, then drop docs matching fewer
+        than ``m`` distinct query clauses — scoring is UNTOUCHED (ES
+        semantics: msm constrains the clause count, it never alters the
+        per-clause scores or their statistics, so a surviving doc scores
+        exactly what plain search() gives it). ``m`` is an int or an ES
+        percentage string like ``'75%'`` (floor of the clause count).
+
+        Clauses may be terms or derived lists (#NEAR/#SYN/...); a
+        structured tree (nested score ops) raises, mirroring ES where
+        msm attaches to a bool query's flat should-clause list."""
+        tree = self.parse(query)
+        from .qryparse import Op, Term
+
+        leaves = []
+        if isinstance(tree, Op) and tree.name in ("#sum", "#or", "#wsum"):
+            for c in tree.args:
+                inner = (
+                    c.args[0]
+                    if isinstance(c, Op) and c.name == "#score"
+                    else c
+                )
+                if not getattr(inner, "is_iop", False):
+                    raise ValueError(
+                        "minimum_should_match needs a flat clause list; "
+                        f"nested score operator {c!r} is not a clause"
+                    )
+                leaves.append(inner)
+        else:
+            raise ValueError(
+                "minimum_should_match applies to a flat disjunction "
+                f"(#SUM/#OR/#WSUM), got {tree!r}"
+            )
+        if isinstance(m, str):
+            if not m.endswith("%"):
+                raise ValueError(f"bad minimum_should_match {m!r}")
+            need = (len(leaves) * int(m[:-1])) // 100
+        else:
+            need = int(m)
+        ev = Evaluator(self.index, self.params)
+        docs, scores = ev.evaluate(tree)
+        if len(leaves) and len(docs):
+            matched = np.concatenate(
+                [ev.iop(lf).doc_ids for lf in leaves]
+            )
+            u, cnt = np.unique(matched, return_counts=True)
+            ok = u[cnt >= need]
+            keep = np.isin(docs, ok)
+            docs, scores = docs[keep], scores[keep]
+        docs, scores, ext = select_top_k(
+            self.index, docs, scores, self.params.top_k
+        )
+        n = len(docs)
+        return pa.table(
+            {
+                "qid": pa.array([qid] * n, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "external_id": pa.array(ext.astype(str), type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+            }
+        )
+
     def rescore_topn(
         self,
         qid: str,

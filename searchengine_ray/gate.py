@@ -225,6 +225,23 @@ def se_composite_agg(sf_dir: str):
     )
 
 
+def se_min_should_match(sf_dir: str):
+    """ES minimum_should_match (engine.search_min_should_match): BM25
+    'dup spark merge' keeping only docs matching >= 2 of the 3 clauses —
+    scoring and statistics UNTOUCHED (the ES rule), so the oracle is the
+    full #SUM score table with a final clause-count membership predicate
+    (HAVING count(*) >= 2 over the per-(doc, term) match rows) — the
+    stale-stats live-pred SQL shape."""
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.search_min_should_match("q", "dup spark merge", 2)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def se_synonyms(sf_dir: str):
     """Query-time synonym expansion (qryparse.expand_synonyms wired via
     ``SearchEngine(synonyms=)`` — the ES synonym filter's query-time

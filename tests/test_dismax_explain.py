@@ -185,3 +185,63 @@ def test_explain_under_tombstones_keeps_stale_df(
     assert dict(zip(after.doc_id, after.score)) == dict(
         zip(served.doc_id, served.score)
     )
+
+
+# ---- minimum_should_match (ES bool msm analog) ----
+
+
+def test_msm_filters_by_clause_count(ray_session, built_index):
+    """m=2 keeps exactly the docs matching >= 2 distinct clauses, with
+    scores bitwise equal to the plain search."""
+    eng = _eng(built_index)
+    base = eng.search("q", "unit check open")
+    legs = [_leg(eng, t) for t in ("unit.body", "check.body", "open.body")]
+    got = eng.search_min_should_match("q", "unit check open", 2)
+    exp_docs = {
+        d
+        for d in set().union(*[set(lg) for lg in legs])
+        if sum(d in lg for lg in legs) >= 2
+    }
+    assert set(got.column("doc_id").to_pylist()) == exp_docs
+    base_scores = dict(
+        zip(
+            base.column("doc_id").to_pylist(),
+            base.column("score").to_pylist(),
+        )
+    )
+    for d, s in zip(
+        got.column("doc_id").to_pylist(), got.column("score").to_pylist()
+    ):
+        assert s == base_scores[d]  # scoring untouched
+
+
+def test_msm_percentage_and_bounds(ray_session, built_index):
+    eng = _eng(built_index)
+    full = eng.search("q", "unit check open")
+    # 0 and 1 of 3 clauses -> everything survives (every match matches >=1)
+    got1 = eng.search_min_should_match("q", "unit check open", 1)
+    assert got1.num_rows == full.num_rows
+    # '66%' of 3 -> floor(1.98) = 1; '100%' -> 3 (pure conjunction)
+    got66 = eng.search_min_should_match("q", "unit check open", "66%")
+    assert got66.num_rows == full.num_rows
+    got100 = eng.search_min_should_match("q", "unit check open", "100%")
+    legs = [_leg(eng, t) for t in ("unit.body", "check.body", "open.body")]
+    conj = set(legs[0]) & set(legs[1]) & set(legs[2])
+    assert set(got100.column("doc_id").to_pylist()) == conj
+
+
+def test_msm_derived_clause_and_raises(ray_session, built_index):
+    eng = _eng(built_index)
+    # derived list as a clause is legal (it IS one should clause)
+    got = eng.search_min_should_match(
+        "q", "#sum( #near/1( unit test ) check )", 2
+    )
+    legs = [_leg(eng, "#near/1( unit test )"), _leg(eng, "check.body")]
+    exp = set(legs[0]) & set(legs[1])
+    assert set(got.column("doc_id").to_pylist()) == exp
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="flat"):
+        eng.search_min_should_match("q", "#and( #or( unit check ) open )", 1)
+    with _pt.raises(ValueError, match="minimum_should_match"):
+        eng.search_min_should_match("q", "unit check", "abc")
