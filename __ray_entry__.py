@@ -3539,9 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 139 SQL-backed entries (full rows+schema+hash check
+    # The registry has 140 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 89 must sit beyond the window no matter the order. The
+    # 90 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3581,6 +3581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # top_hits sub-aggregation) in / dedup_ngram_jaccard out
     # (r4-verified, siblings named inline below); se_min_should_match
     # (new ES minimum_should_match) in / cur_decontam_bloom out
+    # (r4-verified, siblings named inline below); se_extended_stats
+    # (new ES extended_stats aggregation) in / cur_dsir_select out
     # (r4-verified, siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
@@ -3869,7 +3871,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the Gumbel-top-k resampling cut over DSIR weights (noise table
         # precomputed with scalar libm over 2^16 bucketed uniforms); calls
         # dsir_weights directly, so the weights sibling rotated out in r5
-        "cur_dsir_select": curation.dsir_select,
+        # ES extended_stats aggregation (new late r5): exact-integer
+        # partials, derived avg/variance doubles
+        "se_extended_stats": gate.se_extended_stats,
         # multimodal (rotated IN r5 — promoted from rows-only to hash
         # gates, never driver-verified before): payloads derive from
         # documents.text, ByteDecodeBackend decode, exact integer feature
@@ -3890,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "cur_dsir_select": curation.dsir_select,  # driver-verified r4, code unchanged; in-window cur_mixture_sample hash-checks the same splitmix64 micro-rate keep-draw filter kernel, its oracle re-derived the dsir_weights chain (which is why the weights sibling parked in r5), and the DSIR ratio arithmetic keeps its oracle-parity pytest suite (rotated out for se_extended_stats, new late r5)
         "cur_decontam_bloom": curation.decontaminate_bloom,  # driver-verified r4, code unchanged; in-window cur_decontam_near keeps the decontamination family hash-checked (same doc-verdict surface, MinHash-LSH mechanism), parked cur_decontaminate (exact form) was driver-verified r3, and the partitioned-Bloom register state keeps its oracle-parity pytest suite (rotated out for se_min_should_match, new late r5)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r4 (on the batch-vectorized shingle kernel), code unchanged; in-window dedup_minhash hash-checks the shared shingle/uint64-hash machinery and cur_scrub_ngrams + cur_dup_ngram_chars the n-gram counting kernels; the exact-Jaccard verify keeps its oracle-parity pytest suite (rotated out for se_top_hits, new late r5)
         "ltr_rerank": gate.ltr_rerank,  # driver-verified r4 (trained-weights-as-SQL-literals hash gate), code unchanged; the svm_light byte-exact writers/readers and 18-feature extraction keep their pytest suites, parked ltr_features was driver-verified r2+r3, and in-window drmm_w2v_rerank hash-checks the same rerank-by-trained-weights gate shape end-to-end (rotated out for se_synonyms, new late r5)
@@ -4188,6 +4193,22 @@ def oracle_sql() -> dict[str, str]:
         # the same SQL shape as se_bm25_flat, which is the semantic claim
         "se_pit_search": _bm25_terms_sql(["dup", "spark"]),
         "se_synonyms": _SE_SYNONYMS_SQL,
+        # extended_stats: exact-integer partials; avg/variance derive from
+        # the integer totals in the engine's exact double expressions
+        "se_extended_stats": """
+SELECT lang, count(*) AS "count",
+       CAST(sum(n_chars) AS BIGINT) AS "sum",
+       min(n_chars) AS "min", max(n_chars) AS "max",
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq,
+       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_r,
+       round((CAST(sum(n_chars * n_chars) AS DOUBLE)
+              - (CAST(sum(n_chars) AS DOUBLE)
+                 * CAST(sum(n_chars) AS DOUBLE))
+                / CAST(count(*) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE), 6) AS variance_r
+FROM documents GROUP BY lang
+""",
         # msm: full #SUM scoring + a final clause-count membership pred —
         # df/N/avgdl stay full-corpus exactly like the engine (stale_stats)
         "se_min_should_match": _bm25_terms_sql(

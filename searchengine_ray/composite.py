@@ -184,3 +184,83 @@ def top_hits(
     return pa.concat_tables(parts).sort_by(
         [(bucket, "ascending"), ("rnk", "ascending")]
     )
+
+
+def extended_stats(
+    sf_dir: str, bucket: str = "lang", value_col: str = "n_chars"
+) -> pa.Table:
+    """The ES ``extended_stats`` aggregation per bucket: count, sum, min,
+    max, sum_of_squares as EXACT int64 (value_col is integer; squares sum
+    without float error — int64 holds ~9e12 rows of 1e3-char docs), plus
+    avg and variance derived from those integers in one double expression
+    each (variance = (sq - s*s/c)/c, the textbook population form ES
+    documents), rounded to 6.
+
+    Scale shape: per-batch Arrow group_by partials (count/sum/min/max/
+    sumsq are all decomposable), one bucket-cardinality shuffle, driver
+    sees n_buckets rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=[bucket, value_col]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).cast(pa.int64())
+        t2 = pa.table(
+            {
+                bucket: t.column(bucket),
+                "v": v,
+                "vsq": pc.multiply_checked(v, v),  # loud on overflow
+            }
+        )
+        g = t2.group_by(bucket).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max"),
+             ("vsq", "sum")]
+        )
+        return pa.table(
+            {
+                bucket: g.column(bucket),
+                "count": g.column("v_count").cast(pa.int64()),
+                "sum": g.column("v_sum").cast(pa.int64()),
+                "min": g.column("v_min").cast(pa.int64()),
+                "max": g.column("v_max").cast(pa.int64()),
+                "sum_sq": g.column("vsq_sum").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(bucket)
+        .aggregate(
+            Sum("count", alias_name="count"),
+            Sum("sum", alias_name="sum"),
+            Min("min", alias_name="min"),
+            Max("max", alias_name="max"),
+            Sum("sum_sq", alias_name="sum_sq"),
+        )
+        .take_all()  # bounded: n_buckets rows
+    )
+    rows.sort(key=lambda r: r[bucket])
+    c = np.array([r["count"] for r in rows], dtype=np.float64)
+    s = np.array([r["sum"] for r in rows], dtype=np.float64)
+    sq = np.array([r["sum_sq"] for r in rows], dtype=np.float64)
+    avg = s / c
+    variance = (sq - (s * s) / c) / c
+    return pa.table(
+        {
+            bucket: pa.array([r[bucket] for r in rows], pa.string()),
+            "count": pa.array([r["count"] for r in rows], pa.int64()),
+            "sum": pa.array([r["sum"] for r in rows], pa.int64()),
+            "min": pa.array([r["min"] for r in rows], pa.int64()),
+            "max": pa.array([r["max"] for r in rows], pa.int64()),
+            "sum_sq": pa.array([r["sum_sq"] for r in rows], pa.int64()),
+            "avg_r": pc.round(pa.array(avg, pa.float64()), ndigits=6),
+            "variance_r": pc.round(
+                pa.array(variance, pa.float64()), ndigits=6
+            ),
+        }
+    )

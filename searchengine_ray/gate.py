@@ -207,6 +207,18 @@ def se_top_hits(sf_dir: str):
     return top_hits(sf_dir, bucket="lang", sort_col="n_chars", k=3)
 
 
+def se_extended_stats(sf_dir: str):
+    """ES extended_stats aggregation analog (composite.extended_stats):
+    per-lang count/sum/min/max/sum_of_squares as exact int64 partials,
+    avg and population variance derived from those integers in one
+    double expression each (round 6) — the float columns carry zero
+    accumulation-order risk because every input to them is an exact
+    integer total."""
+    from .composite import extended_stats
+
+    return extended_stats(sf_dir, bucket="lang", value_col="n_chars")
+
+
 def se_composite_agg(sf_dir: str):
     """ES composite-aggregation analog (composite.composite_agg): one
     mid-stream page of 12 (lang, source) buckets strictly after the

@@ -121,3 +121,30 @@ def test_group_topk_tie_break(ray_session):
     out = _group_topk(t, "lang", "n_chars", 2).to_pandas()
     assert sorted(out[out.lang == "a"].doc_id) == [1, 3]
     assert sorted(out[out.lang == "b"].doc_id) == [2, 4]
+
+
+def test_extended_stats_matches_oracle(ray_session):
+    """Exact-integer partials + derived avg/variance == the SQL, column
+    for column (the integer columns are hash-exact by construction; the
+    doubles share the identical expression)."""
+    from searchengine_ray.composite import extended_stats
+
+    got = extended_stats(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT lang, count(*) AS "count",
+                   CAST(sum(n_chars) AS BIGINT) AS "sum",
+                   min(n_chars) AS "min", max(n_chars) AS "max",
+                   CAST(sum(n_chars*n_chars) AS BIGINT) AS sum_sq,
+                   round(CAST(sum(n_chars) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS avg_r,
+                   round((CAST(sum(n_chars*n_chars) AS DOUBLE)
+                          - (CAST(sum(n_chars) AS DOUBLE)
+                             * CAST(sum(n_chars) AS DOUBLE))
+                            / CAST(count(*) AS DOUBLE))
+                         / CAST(count(*) AS DOUBLE), 6) AS variance_r
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY lang ORDER BY lang"""
+    ).df()
+    for col in ("lang", "count", "sum", "min", "max", "sum_sq",
+                "avg_r", "variance_r"):
+        assert got[col].tolist() == exp[col].tolist(), col
