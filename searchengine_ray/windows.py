@@ -583,3 +583,58 @@ def retention_cohorts(sf_dir: str):
         .groupby(["cohort_day", "offset_days"])
         .aggregate(Sum("users_partial", alias_name="users"))
     )
+
+
+def hourly_pipeline_aggs(sf_dir: str) -> pa.Table:
+    """ES pipeline aggregations over a date histogram (``cumulative_sum``
+    + ``derivative``): hourly event counts, then the running total and
+    the first difference in bucket order. The first bucket's derivative
+    coalesces to 0 — a dtype-stable spelling of ES's skipped-first-bucket
+    (same information, no nullable column).
+
+    Scale shape: the HISTOGRAM is the distributed part (per-batch Arrow
+    group_by partials, one bucket-cardinality shuffle); the pipeline
+    phase is a vectorized pass over n_buckets rows on the coordinator —
+    exactly where ES runs parent pipeline aggs: they reduce the
+    already-reduced bucket list, never the corpus."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"window_start": pc.floor_temporal(t.column("ts"), unit="hour")}
+            )
+            .group_by(["window_start"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: n_buckets rows (hours in the data span)
+    )
+    rows.sort(key=lambda r: r["window_start"])
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(n)
+    diff = np.concatenate(([0], n[1:] - n[:-1])).astype(np.int64)
+    return pa.table(
+        {
+            "window_start": pa.array(
+                [r["window_start"] for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "n": pa.array(n),
+            "cum_n": pa.array(cum),
+            "diff_n": pa.array(diff),
+        }
+    )

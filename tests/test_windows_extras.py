@@ -1,0 +1,49 @@
+"""ES pipeline aggregations over the hourly date histogram
+(windows.hourly_pipeline_aggs): oracle parity and the cumulative /
+derivative invariants."""
+
+import duckdb
+import numpy as np
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_aggs_match_oracle(ray_session):
+    from searchengine_ray.windows import hourly_pipeline_aggs
+
+    got = hourly_pipeline_aggs(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""WITH h AS (SELECT date_trunc('hour', ts) AS window_start,
+                              count(*) AS n
+                       FROM read_parquet('{SF}/events.parquet')
+                       GROUP BY 1)
+            SELECT window_start, n,
+                   CAST(sum(n) OVER (ORDER BY window_start) AS BIGINT)
+                     AS cum_n,
+                   CAST(coalesce(n - lag(n) OVER (ORDER BY window_start),
+                                 0) AS BIGINT) AS diff_n
+            FROM h ORDER BY window_start"""
+    ).df()
+    assert got.window_start.tolist() == exp.window_start.tolist()
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.cum_n.tolist() == exp.cum_n.tolist()
+    assert got.diff_n.tolist() == exp.diff_n.tolist()
+
+
+def test_pipeline_aggs_invariants(ray_session):
+    """cum is monotone and ends at the total event count; diff telescopes
+    back to n; first diff is the coalesced 0."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.windows import hourly_pipeline_aggs
+
+    t = hourly_pipeline_aggs(SF).to_pandas()
+    total = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert t.cum_n.iloc[-1] == total == t.n.sum()
+    assert (np.diff(t.cum_n) == t.n.to_numpy()[1:]).all()
+    assert t.diff_n.iloc[0] == 0
+    assert (
+        t.diff_n.to_numpy()[1:]
+        == t.n.to_numpy()[1:] - t.n.to_numpy()[:-1]
+    ).all()
