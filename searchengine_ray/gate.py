@@ -237,6 +237,30 @@ def se_composite_agg(sf_dir: str):
     )
 
 
+def se_bool_query(sf_dir: str):
+    """The full ES bool query (engine.bool_search): must=dup (scores),
+    should=spark|merge with minimum_should_match=1 (scores), must_not=
+    hash (filter context), filter=#range(n_chars 100 450) (filter
+    context, doc values). Score = the plain 3-term #SUM with full-corpus
+    statistics; membership = the conjunction of all four predicates —
+    each replayed in SQL as the stale-stats live-pred shape."""
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.bool_search(
+        "q",
+        must=["dup"],
+        should=["spark", "merge"],
+        must_not=["hash"],
+        filter=["#range( n_chars 100 450 )"],
+        minimum_should_match=1,
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
 def se_min_should_match(sf_dir: str):
     """ES minimum_should_match (engine.search_min_should_match): BM25
     'dup spark merge' keeping only docs matching >= 2 of the 3 clauses —
