@@ -150,6 +150,23 @@ FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) < 8
 WHERE a.term = 'vector' AND b.term = 'scan'
 """
 
+_SE_SPANFIRST_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE term = 'spark' AND pos < 5 GROUP BY doc_id
+"""
+
+_SE_SPANNOT_SQL = f"""
+WITH {_TOK}
+SELECT a.doc_id, count(*) AS score
+FROM tok a
+WHERE a.term = 'scan' AND NOT EXISTS (
+  SELECT 1 FROM tok b
+  WHERE b.doc_id = a.doc_id AND b.term = 'vector'
+    AND abs(b.pos - a.pos) <= 3)
+GROUP BY a.doc_id
+"""
+
 _SE_SYN_SQL = f"""
 WITH {_TOK}
 SELECT doc_id, count(*) AS score FROM tok
@@ -3983,6 +4000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_near_tf": gate.se_near_tf,              # sibling: se_bm25_near (same #NEAR iop)
         "se_lexicon": gate.se_lexicon,              # twice driver-verified (r1+r2); df/ctf also exercised by every BM25 entry
         "se_near3_tf": gate.se_near3_tf,            # sibling: se_near_tf
+        "se_spanfirst_tf": gate.se_spanfirst_tf,    # new r5: SpanFirstQuery analog
+        "se_spannot_tf": gate.se_spannot_tf,        # new r5: SpanNotQuery analog
         "se_window_docs": gate.se_window_docs,      # twice driver-verified (r1+r2)
         "se_syn_tf": gate.se_syn_tf,                # twice driver-verified (r1+r2)
         "prf_expansion": gate.prf_expansion,        # sibling: prf_e2e_rescore
@@ -4341,6 +4360,8 @@ LIMIT 12
         "se_unranked_and": _SE_UNRANKED_AND_SQL,
         "se_indri_wand": _SE_INDRI_WAND_SQL,
         "se_near3_tf": _SE_NEAR3_SQL,
+        "se_spanfirst_tf": _SE_SPANFIRST_SQL,
+        "se_spannot_tf": _SE_SPANNOT_SQL,
         # KSTEM profile: query 'joins' -> stem 'join'; corpus vocabulary is
         # KSTEM-invariant (pytest), so the oracle scores the stem directly
         "se_bm25_term_kstem": _bm25_terms_sql(["join"]),

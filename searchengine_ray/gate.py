@@ -152,6 +152,26 @@ def se_syn_tf(sf_dir: str):
     return _score_table(sf_dir, "rankedboolean", "#syn( scan sort )", as_int=True)
 
 
+def se_spanfirst_tf(sf_dir: str):
+    """#SPANFIRST/5 (Lucene SpanFirstQuery analog): tf of 'spark' counting
+    only occurrences at token position < 5 — positions are the raw analyzer
+    slots (stopwords occupy positions), identical to the oracle's
+    regexp-extract position index."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#spanfirst/5( spark )", as_int=True
+    )
+
+
+def se_spannot_tf(sf_dir: str):
+    """#SPANNOT/3 (Lucene SpanNotQuery analog, symmetric slop): tf of 'scan'
+    occurrences with NO 'vector' within 3 positions in the same doc — the
+    packed-key double-searchsorted machine vs the oracle's NOT EXISTS
+    anti-join over raw token positions."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#spannot/3( scan vector )", as_int=True
+    )
+
+
 def se_fuzzy_tf(sf_dir: str):
     """#FUZZY (Lucene FuzzyQuery analog): 'spak' at the default maxEdits=2
     expands against the index dictionary (vectorized Levenshtein over the

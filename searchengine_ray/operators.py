@@ -58,6 +58,12 @@ def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Posting
         )
     if node.name in ("#fuzzy", "#prefix", "#wildcard", "#regexp"):
         return _eval_expansion(node, index, need_positions)
+    if node.name == "#spanfirst":
+        return _eval_spanfirst(eval_iop(node.args[0], index, True), node.dist)
+    if node.name == "#spannot":
+        return _eval_spannot(
+            [eval_iop(a, index, True) for a in node.args], node.dist
+        )
     raise ValueError(f"not an inverted-list operator: {node.name}")
 
 
@@ -163,6 +169,82 @@ def _eval_expansion(node, index: InvertedIndex, need_positions: bool) -> Posting
     if not parts:
         return EMPTY_POSTINGS
     return _eval_syn(parts, need_positions)
+
+
+def _refilter_positions(p: Postings, keep: np.ndarray) -> Postings:
+    """Rebuild a derived posting list keeping only the flat positions where
+    ``keep`` is True (per-doc tf recount, empty docs dropped). The result's
+    df/ctf are the derived list's own statistics, like every other iop."""
+    if p.df == 0:
+        return EMPTY_POSTINGS
+    new_tfs = np.add.reduceat(keep.astype(np.int64), p.pos_offsets[:-1])
+    live = new_tfs > 0
+    if not live.any():
+        return EMPTY_POSTINGS
+    tfs = new_tfs[live]
+    pos_offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(
+        p.doc_ids[live], tfs, pos_offsets, p.positions[keep]
+    )
+
+
+def _eval_spanfirst(p: Postings, end: int) -> Postings:
+    """#SPANFIRST/n — Lucene ``SpanFirstQuery`` analog
+    (`SpanFirstQuery`/`SpanPositionRangeQuery`, lucene.apache.org docs):
+    keep only match positions strictly below ``n`` (term positions are the
+    raw analyzer slots, stopword positions included, exactly as stored).
+    Per-doc tf becomes the count of early positions; docs whose matches all
+    sit at position >= n drop out. Doc-local, so doc-sharded serving needs
+    no coordination beyond the usual derived df/ctf all-reduce."""
+    if end < 1:
+        raise ValueError("#spanfirst/n requires n >= 1")
+    if p.df == 0:
+        return EMPTY_POSTINGS
+    return _refilter_positions(p, p.positions < end)
+
+
+def _pack_doc_pos(p: Postings) -> np.ndarray:
+    """Flat (doc_id << 32 | pos) uint64 keys, globally ascending (postings
+    are doc- then position-ascending). Loud guard against key collision —
+    internal doc ids and positions are both far below 2^31 in practice."""
+    if int(p.doc_ids[-1]) >= (1 << 31) or int(p.positions.max()) >= (1 << 31):
+        raise ValueError("#spannot packed key would overflow (doc/pos >= 2^31)")
+    return (_as_u64(np.repeat(p.doc_ids, p.tfs)) << np.uint64(32)) | _as_u64(
+        p.positions
+    )
+
+
+def _eval_spannot(parts: list[Postings], dist: int) -> Postings:
+    """#SPANNOT/n — Lucene ``SpanNotQuery`` analog with symmetric pre/post
+    slop ``n``: positions of the INCLUDE list (args[0]) survive unless some
+    position of ANY exclude list (args[1:]) in the same doc lies within
+    ``n`` slots (``/0`` = exact-overlap exclusion only, the SpanNot
+    default). Vectorized as one packed-key (doc_id << 32 | pos) double
+    searchsorted per exclude list — both lists are doc- then
+    position-ascending so the packed keys are globally sorted."""
+    inc = parts[0]
+    if inc.df == 0:
+        return EMPTY_POSTINGS
+    keep = np.ones(len(inc.positions), dtype=bool)
+    ki = _pack_doc_pos(inc)
+    for exc in parts[1:]:
+        if exc.df == 0:
+            continue
+        ke = _pack_doc_pos(exc)
+        d = np.uint64(dist)
+        # the probe window [ki-dist, ki+dist] can only underflow into doc-1's
+        # key space (pos < dist), never overflow into doc+1 (pos+dist < 2^32),
+        # so candidates sort as [doc-1 keys..., doc keys...]: a same-doc hit
+        # exists iff the LAST candidate in range belongs to this doc
+        lo = np.searchsorted(ke, np.where(ki >= d, ki - d, np.uint64(0)), "left")
+        hi = np.searchsorted(ke, ki + d, "right")
+        hit = hi > lo
+        if hit.any():
+            h = np.flatnonzero(hit)
+            same_doc = (ke[hi[h] - 1] >> np.uint64(32)) == (ki[h] >> np.uint64(32))
+            keep[h[same_doc]] = False
+    return _refilter_positions(inc, keep)
 
 
 def _eval_window_vectorized(parts: list[Postings], dist: int) -> Postings:

@@ -34,7 +34,8 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
              "#filreq", "#filrej", "#range", "#dismax"}
-IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard", "#regexp"}
+IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard",
+             "#regexp", "#spanfirst", "#spannot"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
 #: single argument rewrites against the indexed vocabulary, so the optimizer
@@ -351,6 +352,25 @@ def optimize(node):
             node.args[i] = opt
     if not node.args:
         return None
+    # span operators keep positional semantics a collapse would destroy:
+    # #spanfirst/n(x) restricts x's positions (never collapses); #spannot
+    # is positional (include, excludes...) like #andnot — a lone surviving
+    # arg is ambiguous (the analyzer may have dropped the INCLUDE leg as a
+    # stopword at parse time, same caveat as #filreq above), so under-arity
+    # is a loud error rather than a silent wrong collapse
+    if node.name == "#spanfirst":
+        if len(node.args) != 1:
+            raise QuerySyntaxError("#spanfirst/n takes exactly one argument")
+        if node.dist < 1:
+            raise QuerySyntaxError("#spanfirst/n requires n >= 1")
+        return node
+    if node.name == "#spannot":
+        if len(node.args) < 2:
+            raise QuerySyntaxError(
+                "#spannot/n takes (include, exclude...) — an argument may "
+                "have been dropped by stopword analysis"
+            )
+        return node
     # expansion operators (#fuzzy/#prefix/#wildcard/#regexp) rewrite their
     # single term against the dictionary — collapsing them to the bare term
     # would change semantics, unlike #AND(x) -> x
