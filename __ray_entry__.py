@@ -3622,7 +3622,7 @@ def _ann_sq8_gate(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, annpq, bpe, curation, dedup, gate, geo, kmeans, mmr,
+        ann, annpq, bpe, curation, dedup, esaggs, gate, geo, kmeans, mmr,
         multimodal, rake, relational, sketch, sq8, textextras, textrank,
         textstats, windows,
     )
@@ -3750,6 +3750,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tools/check_gate.py; the full run is committed as GATE_LOCAL_r04.txt.
     return {
         # --- SQL-backed (hash-checked) --------------------------------
+        # ES aggregation family (new late r5, never driver-verified):
+        # exact-integer cents discipline throughout (per-event rounding,
+        # int64 sums); percentiles are EXACT discrete quantiles over the
+        # bounded cents domain (histogram shuffle + in-group rank select,
+        # DuckDB quantile_disc rule), not t-digest. Rotated out to make
+        # the seven window slots (each r4-verified, siblings inline at
+        # their parked entries below): se_bm25_tiered, se_collapse,
+        # events_hourly_users_hll, cur_gopher_rules, cur_cap_per_source,
+        # se_prefix_tf, text_pmi.
+        "events_histogram_agg": esaggs.histogram_agg,
+        "events_range_agg": esaggs.range_agg,
+        "events_filters_agg": esaggs.filters_agg,
+        "events_adjacency_matrix": esaggs.adjacency_matrix_agg,
+        "events_rare_terms": esaggs.rare_terms_agg,
+        "events_percentiles": esaggs.percentiles_agg,
+        "events_moving_aggs": windows.hourly_moving_aggs,
         # search engine (documents-derived corpus)
         # Lucene span-query family (new r5, never driver-verified):
         # #SPANFIRST/n keeps positions < n; #SPANNOT/n anti-joins exclude
@@ -3771,14 +3787,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket pagination with a lexicographic after-cursor pushed into
         # the scan, per-batch Arrow group_by combiner, one narrow shuffle
         "se_composite_agg": gate.se_composite_agg,
-        # tiered background merge (Lucene TieredMergePolicy analog, new in
-        # r4): policy-selected partial compaction, hardlink-staged root
-        # swap, served across base + merged + unmerged partitions
-        "se_bm25_tiered": gate.se_bm25_tiered,
-        # dictionary-expansion operators (Lucene FuzzyQuery/PrefixQuery/
-        # WildcardQuery/RegexpQuery) + DirectSpellChecker suggestions
-        # rotated IN r4 — SQL-backed but never driver-run before
-        "se_prefix_tf": gate.se_prefix_tf,
         # phrase suggester (new late r4, ES phrase-suggester analog):
         # whole-phrase did-you-mean = spell's dictionary candidate cut x
         # the LM scorer's quantized add-one bigram NLL + per-edit penalty,
@@ -3796,8 +3804,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted per-field tfs combined BEFORE one saturation, union-df
         # idf — the semantics score-level #WSUM cannot express
         "se_bm25f": gate.se_bm25f,
-        # field collapsing (Lucene grouping / ES collapse analog)
-        "se_collapse": gate.se_collapse,
         # significant-terms aggregation (new late r4, ES significant_terms
         # JLH): result-set-vs-corpus term contrast, mul/div-only floats
         # point-in-time snapshot (new late r5, Lucene open-reader / ES PIT
@@ -3888,13 +3894,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rotated in for text_rake, below)
         "cur_decontam_near": curation.decontaminate_near,
         # PMI collocations (new late r4, Church & Hanks 1990): one combined
-        # (key, n) shuffle (bigrams/unigrams/totals in disjoint keyspaces),
-        # bounded streaming folds, scalar-libm ln per candidate
-        "text_pmi": textextras.pmi_collocations,
-        # stream-shaped
-        # full HLL estimate — SQL-checked since late round 3: exact-integer
-        # harmonic denominator + fixed float op order (see _hll_estimate_sql)
-        "events_hourly_users_hll": sketch.hll_distinct_users,
         # IVF deletion + expunge (new late r5): tombstone live-docs +
         # segment compaction on the vector side, frozen centroids
         # (stale-stats) — the se_bm25_deleted/expunged analog
@@ -3945,10 +3944,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DATA-DERIVED and re-derived in HUGEINT by the oracle — the
         # fixed-rate sibling cur_sample_stratified rotated out (below)
         "cur_mixture_sample": curation.mixture_sample,
-        "cur_cap_per_source": curation.cap_per_source,
-        # Gopher composite quality rules (new in r4): all-integer
-        # cross-multiplied bounds, one shuffle-free per-doc scan
-        "cur_gopher_rules": curation.gopher_rules,
         # Bloom-filter decontamination (constant-size benchmark state; the
         # oracle rebuilds the filter bit-for-bit incl. false positives)
         # ES minimum_should_match (new late r5): clause-count filter over
@@ -3986,7 +3981,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
         "geo_radius": geo.gate_radius,  # new r5, parked: its two kernels are both in-window — squared-distance arithmetic via geo_knn, derived-coord membership filtering via geo_bbox; radius = their composition, SQL-checked in GATE_LOCAL_r05
-        "se_bm25_incremental": gate.se_bm25_incremental,  # driver-verified r4, code unchanged; in-window se_bm25_tiered serves across base + merged + UNMERGED appended segments (a strict superset of the append-segment read path) and se_bm25_expunged keeps the build/lifecycle family hash-checked (rotated out for the r5 span-operator gates)
+        "se_bm25_tiered": gate.se_bm25_tiered,  # driver-verified r4, code unchanged; in-window se_pit_search hash-checks the identical full-corpus BM25 SQL shape and se_bm25_expunged the merge/compaction lifecycle (expunge IS a forced merge of live docs); the TieredMergePolicy selection keeps its pytest suite (rotated out for events_histogram_agg, new late r5)
+        "se_prefix_tf": gate.se_prefix_tf,  # driver-verified r4, code unchanged; in-window se_synonyms hash-checks the same dictionary-expansion -> #SYN rewrite machinery, and the vocab-scan filter family (#FUZZY/#WILDCARD/#REGEXP) keeps its 60-case randomized fuzz suite (rotated out for events_range_agg, new late r5)
+        "se_collapse": gate.se_collapse,  # driver-verified r4, code unchanged; in-window se_top_hits hash-checks the strict superset machinery (top-k-per-group vs collapse's top-1-per-group over the same ranked surface) (rotated out for events_filters_agg, new late r5)
+        "events_hourly_users_hll": sketch.hll_distinct_users,  # driver-verified r4, code unchanged; in-window events_moving_aggs + events_pipeline_aggs hash-check the identical hourly-histogram partial+shuffle, and the HLL register/estimate formula keeps its exact-integer SQL parity in GATE_LOCAL_r05 plus its pytest suite (rotated out for events_adjacency_matrix, new late r5)
+        "cur_gopher_rules": curation.gopher_rules,  # driver-verified r4, code unchanged; in-window cur_dup_ngram_chars hash-checks the same analyzer tokenize + per-doc counting kernel and cur_mixture_sample the keep-draw filter shape; the exact-integer cross-multiplied rules keep their oracle-parity pytest (rotated out for events_rare_terms, new late r5)
+        "cur_cap_per_source": curation.cap_per_source,  # driver-verified r4, code unchanged; in-window cluster_exemplars hash-checks the same per-group rank-winner kernel and cur_mixture_sample the splitmix keep-draw decisions (rotated out for events_percentiles, new late r5)
+        "text_pmi": textextras.pmi_collocations,  # driver-verified r4, code unchanged; in-window cur_dup_ngram_chars + cur_scrub_ngrams hash-check the gram-counting kernels; the exact-integer PMI ranking keeps its oracle-parity pytest (rotated out for events_moving_aggs, new late r5)
+        "se_bm25_incremental": gate.se_bm25_incremental,  # driver-verified r4, code unchanged; parked se_bm25_tiered serves across base + merged + UNMERGED appended segments (a strict superset of the append-segment read path, GATE_LOCAL-checked) and in-window se_bm25_expunged keeps the build/lifecycle family hash-checked (rotated out for the r5 span-operator gates)
         "dedup_minhash": dedup.minhash_lsh_pairs,  # driver-verified r4 (on the batch-flat _batch_shingles kernel), code unchanged; in-window cur_decontam_near hash-checks the same MinHashSignatures + banded-bucket machinery end-to-end (rotated out for the r5 geo gates)
         "se_tfidf": gate.se_tfidf,  # driver-verified r4, code unchanged; the §2.12 registered-model surface keeps its registry pytest and the identical sharded score-leaf serving path is hash-checked by every in-window se_bm25_* gate (rotated out for the r5 geo gates)
         "ann_pq": annpq.pq_topk,  # driver-verified r4, code unchanged; in-window ann_ivf_deleted/ann_ivf_incremental hash-check the same annpq cell-partitioned machinery and ann_sq8 the quantized-scoring surface; ADC encode/table replay keeps its oracle-parity pytest (rotated out for the r5 geo gates)
@@ -4300,6 +4302,76 @@ SELECT window_start, n,
        CAST(sum(n) OVER (ORDER BY window_start) AS BIGINT) AS cum_n,
        CAST(coalesce(n - lag(n) OVER (ORDER BY window_start), 0)
             AS BIGINT) AS diff_n
+FROM h
+""",
+        # ES aggregation family (new late r5): exact-integer cents
+        # discipline; percentiles = DuckDB quantile_disc over the cents
+        # domain (the engine's ceil(q*n) rank rule, verified equivalent)
+        "events_histogram_agg": """
+WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
+SELECT CAST(floor(cents/2500.0)*2500 AS BIGINT) AS bucket_lo_cents,
+       count(*) AS doc_count, CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM c GROUP BY 1
+""",
+        "events_range_agg": """
+WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
+SELECT CASE WHEN cents < 0 THEN '*-0' WHEN cents < 5000 THEN '0-5000'
+            WHEN cents < 10000 THEN '5000-10000'
+            WHEN cents < 20000 THEN '10000-20000' ELSE '20000-*' END
+         AS range_key,
+       count(*) AS doc_count, CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM c GROUP BY 1
+""",
+        "events_filters_agg": """
+WITH c AS (SELECT event_type, hour(ts) AS h,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
+SELECT 'click' AS filter_key, count(*) AS doc_count,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM c WHERE event_type = 'click' HAVING count(*) > 0
+UNION ALL
+SELECT 'daytime', count(*), CAST(sum(cents) AS BIGINT)
+FROM c WHERE h >= 8 AND h < 18 HAVING count(*) > 0
+UNION ALL
+SELECT 'high_value', count(*), CAST(sum(cents) AS BIGINT)
+FROM c WHERE cents >= 10000 HAVING count(*) > 0
+""",
+        "events_adjacency_matrix": """
+WITH c AS (SELECT (event_type = 'click') AS a,
+                  (hour(ts) >= 8 AND hour(ts) < 18) AS b,
+                  (CAST(round(value*100.0) AS BIGINT) >= 10000) AS d
+           FROM events)
+SELECT * FROM (
+  SELECT 'click' AS key, count(*) FILTER (a) AS doc_count FROM c
+  UNION ALL SELECT 'daytime', count(*) FILTER (b) FROM c
+  UNION ALL SELECT 'high_value', count(*) FILTER (d) FROM c
+  UNION ALL SELECT 'click&daytime', count(*) FILTER (a AND b) FROM c
+  UNION ALL SELECT 'click&high_value', count(*) FILTER (a AND d) FROM c
+  UNION ALL SELECT 'daytime&high_value', count(*) FILTER (b AND d) FROM c
+) WHERE doc_count > 0
+""",
+        "events_rare_terms": """
+SELECT user_id AS term, count(*) AS doc_count FROM events
+GROUP BY 1 HAVING count(*) <= 55
+""",
+        "events_percentiles": """
+WITH c AS (SELECT event_type, CAST(round(value*100.0) AS BIGINT) AS cents
+           FROM events),
+q AS (SELECT event_type,
+             quantile_disc(cents, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+      FROM c GROUP BY 1)
+SELECT event_type, CAST([25,50,75,90,99][i] AS BIGINT) AS percent,
+       CAST(qs[i] AS BIGINT) AS value_cents
+FROM q, (SELECT unnest(generate_series(1, 5)) AS i)
+""",
+        "events_moving_aggs": """
+WITH h AS (SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+           FROM events GROUP BY 1)
+SELECT window_start, n,
+       CAST(sum(n) OVER (ORDER BY window_start
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving_sum,
+       CAST(coalesce(n - lag(n, 24) OVER (ORDER BY window_start), 0)
+            AS BIGINT) AS serial_diff
 FROM h
 """,
         # extended_stats: exact-integer partials; avg/variance derive from

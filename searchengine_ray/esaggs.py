@@ -1,0 +1,393 @@
+"""ES bucket/metric aggregation analogs over the ``events`` table:
+``histogram``, ``range``, ``filters``, ``adjacency_matrix``, ``rare_terms``,
+and exact ``percentiles`` (ES runs t-digest; we compute the EXACT discrete
+quantile over the bounded integer cents domain, which is both deterministic
+and more accurate — the scale cost is a histogram shuffle, not a sort).
+
+Exact-integer discipline (the repo-wide gate rule): ``value`` doubles are
+rounded to cents PER EVENT (``round half away from zero``, matching DuckDB
+``round()``) and every aggregate over them is an int64 sum/count, so results
+are accumulation-order-independent and bit-exact against the SQL oracles.
+
+Scale shape shared by every function here: a per-batch Arrow ``group_by``
+partial (decomposable count/sum) inside ``map_batches`` keyed on a
+bounded-cardinality bucket key, then ONE bucket-cardinality Ray shuffle
+(``groupby().aggregate(Sum)``), driver sees n_buckets rows. No corpus-sized
+driver fold anywhere; ``percentiles`` keeps its per-key reduction inside
+``map_groups`` so the driver only ever sees n_keys x n_percents rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(t: pa.Table) -> pa.Array:
+    """value -> int64 cents, round-half-away-from-zero (DuckDB round())."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(t.column("value"), 100.0),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def _sum_by_key(ds, partial, key_cols: "list[str]"):
+    """map_batches(partial) -> groupby(key).Sum(n, cents) -> sorted rows."""
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
+        .aggregate(
+            Sum("n", alias_name="doc_count"),
+            Sum("cents", alias_name="sum_value_cents"),
+        )
+        .take_all()  # bounded: n_buckets rows
+    )
+    rows.sort(key=lambda r: tuple(r[k] for k in key_cols))
+    return rows
+
+
+def histogram_agg(sf_dir: str, interval_cents: int = 2500) -> pa.Table:
+    """ES ``histogram`` aggregation (fixed-interval numeric buckets,
+    ``min_doc_count=1`` form — only non-empty buckets are returned, which
+    keeps the engine a pure groupby; ES's zero-filled variant is a driver
+    afterthought over the bounded bucket list). Bucket key is the FLOOR
+    multiple of ``interval_cents`` — floor (not truncate) so negative
+    values land in the bucket below zero exactly as ES documents.
+
+    Returns (bucket_lo_cents, doc_count, sum_value_cents), all int64.
+    """
+    import ray.data
+
+    if interval_cents <= 0:
+        raise ValueError("histogram interval must be positive")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        lo = pc.multiply(
+            _floor_div(c, interval_cents), np.int64(interval_cents)
+        )
+        g = (
+            pa.table({"bucket_lo_cents": lo, "cents": c})
+            .group_by(["bucket_lo_cents"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket_lo_cents": g.column("bucket_lo_cents"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    rows = _sum_by_key(ds, partial, ["bucket_lo_cents"])
+    return pa.table(
+        {
+            "bucket_lo_cents": pa.array(
+                [r["bucket_lo_cents"] for r in rows], pa.int64()
+            ),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _floor_div(arr: pa.Array, d: int) -> pa.Array:
+    """int64 floor division (Arrow's divide truncates toward zero)."""
+    a = arr.to_numpy(zero_copy_only=False)
+    return pa.array(a // np.int64(d), type=pa.int64())
+
+
+def range_agg(
+    sf_dir: str, edges_cents: "tuple[int, ...]" = (0, 5000, 10000, 20000)
+) -> pa.Table:
+    """ES ``range`` aggregation: half-open ``[from, to)`` buckets over the
+    cents domain, plus the two unbounded tails, keyed the ES way
+    (``"*-0"``, ``"0-5000"``, ..., ``"20000-*"``). Buckets with zero docs
+    are dropped (ES keeps them; the SQL-oracle gate pins the non-empty
+    set, and the zero rows are a driver afterthought over len(edges)+1
+    keys).
+
+    Returns (range_key, doc_count, sum_value_cents).
+    """
+    import ray.data
+
+    edges = np.asarray(sorted(edges_cents), dtype=np.int64)
+    keys = (
+        [f"*-{edges[0]}"]
+        + [f"{a}-{b}" for a, b in zip(edges[:-1], edges[1:])]
+        + [f"{edges[-1]}-*"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, c, side="right")  # 0 = below first edge
+        n = np.bincount(idx, minlength=len(keys)).astype(np.int64)
+        s = np.bincount(idx, weights=c, minlength=len(keys)).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "range_key": pa.array([keys[i] for i in nz], pa.string()),
+                "n": pa.array(n[nz]),
+                "cents": pa.array(s[nz]),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    rows = _sum_by_key(ds, partial, ["range_key"])
+    return pa.table(
+        {
+            "range_key": pa.array([r["range_key"] for r in rows], pa.string()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _named_masks(t: pa.Table) -> "dict[str, np.ndarray]":
+    """The fixed named-filter set shared by ``filters`` and
+    ``adjacency_matrix``: a term filter, a numeric-range filter, and a
+    date-part filter — one of each ES filter species."""
+    c = _cents(t).to_numpy(zero_copy_only=False)
+    hour = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False)
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    return {
+        "click": et == "click",
+        "daytime": (hour >= 8) & (hour < 18),
+        "high_value": c >= 10000,
+    }
+
+
+def filters_agg(sf_dir: str) -> pa.Table:
+    """ES ``filters`` aggregation: one bucket per NAMED filter (an event can
+    land in several — buckets overlap, unlike ``range``). Per bucket:
+    doc_count + exact cents sum.
+
+    Returns (filter_key, doc_count, sum_value_cents).
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t).to_numpy(zero_copy_only=False)
+        ks, ns, ss = [], [], []
+        for k, m in _named_masks(t).items():
+            if m.any():
+                ks.append(k)
+                ns.append(int(m.sum()))
+                ss.append(int(c[m].sum()))
+        return pa.table(
+            {
+                "filter_key": pa.array(ks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "cents": pa.array(ss, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    rows = _sum_by_key(ds, partial, ["filter_key"])
+    return pa.table(
+        {
+            "filter_key": pa.array([r["filter_key"] for r in rows], pa.string()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def adjacency_matrix_agg(sf_dir: str) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation: for named filters A,B,C emit the
+    singleton buckets and every pairwise intersection keyed ``"A&B"``
+    (names sorted, ES's separator), doc counts only, empty buckets dropped
+    — exactly the ES response shape.
+
+    Returns (key, doc_count).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = _named_masks(t)
+        names = sorted(masks)
+        ks, ns = [], []
+        for i, a in enumerate(names):
+            if masks[a].any():
+                ks.append(a)
+                ns.append(int(masks[a].sum()))
+            for b in names[i + 1 :]:
+                both = masks[a] & masks[b]
+                if both.any():
+                    ks.append(f"{a}&{b}")
+                    ns.append(int(both.sum()))
+        return pa.table(
+            {"key": pa.array(ks, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .take_all()  # bounded: <= k + k*(k-1)/2 rows
+    )
+    rows.sort(key=lambda r: r["key"])
+    return pa.table(
+        {
+            "key": pa.array([r["key"] for r in rows], pa.string()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def rare_terms_agg(
+    sf_dir: str, field: str = "user_id", max_doc_count: int = 55
+) -> pa.Table:
+    """ES ``rare_terms`` aggregation: terms of ``field`` appearing in at
+    most ``max_doc_count`` events, ordered by the term. ES approximates
+    with a CuckooFilter to bound memory; we compute it exactly with one
+    term-cardinality shuffle (count per term, filter) — the candidate set
+    after the shuffle is already reduced to distinct terms, and the rare
+    subset is strictly smaller.
+
+    Returns (term, doc_count).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([field])
+            .group_by([field])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term": g.column(field),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=[field])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.less_equal(t.column("doc_count"), max_doc_count)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    rows = out.take_all()  # bounded: the rare subset
+    rows.sort(key=lambda r: r["term"])
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], pa.int64()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def percentiles_agg(
+    sf_dir: str,
+    percents: "tuple[int, ...]" = (25, 50, 75, 90, 99),
+    key: str = "event_type",
+) -> pa.Table:
+    """ES ``percentiles`` aggregation per ``key`` — EXACT, not t-digest:
+    the discrete lower quantile over the bounded integer cents domain,
+    matching DuckDB ``quantile_disc`` (the smallest element whose
+    cumulative count reaches ``ceil(q*n)``; verified rule, see gate).
+
+    Scale shape: pass 1 reduces the corpus to a per-(key, cents) count
+    histogram (ONE shuffle whose cardinality is n_keys x |cents domain|,
+    independent of corpus size); pass 2 selects ranks inside
+    ``map_groups`` per key (sort + cumsum over the bounded histogram).
+    The corpus itself is never sorted — the reduction IS the histogram,
+    which is why exact beats t-digest here.
+
+    Returns (key, percent, value_cents).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ps = list(percents)
+    if any(p < 0 or p > 100 for p in ps):
+        raise ValueError("percents must be in [0, 100]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key: t.column(key), "cents": _cents(t)})
+            .group_by([key, "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                "cents": g.column("cents"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def per_key(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        cents, n = cents[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out_c = []
+        for p in ps:
+            # DuckDB quantile_disc: index ceil(q*n)-1 in the sorted
+            # multiset, clamped at 0; q*n in IEEE double on both sides.
+            rank = max(math.ceil((p / 100.0) * total), 1)
+            out_c.append(int(cents[np.searchsorted(cum, rank, "left")]))
+        k = t.column(key)[0].as_py()
+        return pa.table(
+            {
+                key: pa.array([k] * len(ps), pa.string()),
+                "percent": pa.array(ps, pa.int64()),
+                "value_cents": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=[key, "value"]
+    )
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = (
+        hist.groupby(key)
+        .map_groups(per_key, batch_format="pyarrow")
+        .take_all()  # bounded: n_keys x n_percents rows
+    )
+    rows.sort(key=lambda r: (r[key], r["percent"]))
+    return pa.table(
+        {
+            key: pa.array([r[key] for r in rows], pa.string()),
+            "percent": pa.array([r["percent"] for r in rows], pa.int64()),
+            "value_cents": pa.array(
+                [r["value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -638,3 +638,67 @@ def hourly_pipeline_aggs(sf_dir: str) -> pa.Table:
             "diff_n": pa.array(diff),
         }
     )
+
+
+def hourly_moving_aggs(
+    sf_dir: str, window: int = 3, lag: int = 24
+) -> pa.Table:
+    """ES ``moving_fn`` (sum over a trailing window) + ``serial_diff``
+    (lagged first difference) parent pipeline aggregations over the hourly
+    date histogram. Window convention: trailing INCLUSIVE of the current
+    bucket, truncated at the series head (SQL ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``); serial_diff emits 0 for the first ``lag``
+    buckets — the dtype-stable spelling of ES's skipped buckets, same
+    convention as ``hourly_pipeline_aggs``'s derivative.
+
+    Scale shape: identical to ``hourly_pipeline_aggs`` — the distributed
+    part is the histogram (per-batch Arrow partials, one bucket-cardinality
+    shuffle); the pipeline pass is vectorized over n_buckets rows on the
+    coordinator, exactly where ES runs parent pipeline aggs."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if window < 1 or lag < 1:
+        raise ValueError("window and lag must be >= 1")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"window_start": pc.floor_temporal(t.column("ts"), unit="hour")}
+            )
+            .group_by(["window_start"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: n_buckets rows (hours in the data span)
+    )
+    rows.sort(key=lambda r: r["window_start"])
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(n)))
+    idx = np.arange(len(n))
+    mov = cum[idx + 1] - cum[np.maximum(idx + 1 - window, 0)]
+    sd = np.zeros(len(n), dtype=np.int64)
+    if len(n) > lag:
+        sd[lag:] = n[lag:] - n[:-lag]
+    return pa.table(
+        {
+            "window_start": pa.array(
+                [r["window_start"] for r in rows], type=pa.timestamp("us")
+            ),
+            "n": pa.array(n),
+            "moving_sum": pa.array(mov.astype(np.int64)),
+            "serial_diff": pa.array(sd),
+        }
+    )

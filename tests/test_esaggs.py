@@ -1,0 +1,223 @@
+"""ES aggregation analogs (esaggs.py + windows.hourly_moving_aggs):
+oracle parity at sf0.001 for histogram / range / filters /
+adjacency_matrix / rare_terms / exact percentiles / moving_fn+serial_diff,
+plus the quantile-rank rule and edge guards."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+EV = f"read_parquet('{SF}/events.parquet')"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "uint32", "int16", "uint64"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _assert_match(got, sql):
+    exp = duckdb.sql(sql).df()
+    pd.testing.assert_frame_equal(_canon(got.to_pandas()), _canon(exp))
+
+
+def test_histogram_agg(ray_session):
+    from searchengine_ray.esaggs import histogram_agg
+
+    _assert_match(
+        histogram_agg(SF),
+        f"""WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents
+                       FROM {EV})
+            SELECT CAST(floor(cents/2500.0)*2500 AS BIGINT)
+                     AS bucket_lo_cents,
+                   count(*) AS doc_count,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM c GROUP BY 1""",
+    )
+
+
+def test_histogram_rejects_bad_interval(ray_session):
+    from searchengine_ray.esaggs import histogram_agg
+
+    with pytest.raises(ValueError, match="interval"):
+        histogram_agg(SF, interval_cents=0)
+
+
+def test_histogram_negative_values_floor_bucket(ray_session, tmp_path):
+    """Negative cents land in the bucket BELOW zero (floor, not truncate)
+    — the ES histogram bucketing rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.esaggs import histogram_agg
+
+    pq.write_table(
+        pa.table({"value": pa.array([-0.01, -25.0, 0.0, 24.99, 25.0])}),
+        tmp_path / "events.parquet",
+    )
+    t = histogram_agg(str(tmp_path), interval_cents=2500).to_pandas()
+    got = dict(zip(t.bucket_lo_cents, t.doc_count))
+    assert got == {-2500: 2, 0: 2, 2500: 1}
+
+
+def test_range_agg(ray_session):
+    from searchengine_ray.esaggs import range_agg
+
+    _assert_match(
+        range_agg(SF),
+        f"""WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents
+                       FROM {EV})
+            SELECT CASE WHEN cents < 0 THEN '*-0'
+                        WHEN cents < 5000 THEN '0-5000'
+                        WHEN cents < 10000 THEN '5000-10000'
+                        WHEN cents < 20000 THEN '10000-20000'
+                        ELSE '20000-*' END AS range_key,
+                   count(*) AS doc_count,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM c GROUP BY 1""",
+    )
+
+
+def test_filters_agg(ray_session):
+    from searchengine_ray.esaggs import filters_agg
+
+    _assert_match(
+        filters_agg(SF),
+        f"""WITH c AS (SELECT event_type, hour(ts) AS h,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV})
+            SELECT 'click' AS filter_key, count(*) AS doc_count,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM c WHERE event_type = 'click' HAVING count(*) > 0
+            UNION ALL SELECT 'daytime', count(*), CAST(sum(cents) AS BIGINT)
+            FROM c WHERE h >= 8 AND h < 18 HAVING count(*) > 0
+            UNION ALL SELECT 'high_value', count(*),
+                   CAST(sum(cents) AS BIGINT)
+            FROM c WHERE cents >= 10000 HAVING count(*) > 0""",
+    )
+
+
+def test_adjacency_matrix_agg(ray_session):
+    from searchengine_ray.esaggs import adjacency_matrix_agg
+
+    _assert_match(
+        adjacency_matrix_agg(SF),
+        f"""WITH c AS (SELECT (event_type = 'click') AS a,
+                       (hour(ts) >= 8 AND hour(ts) < 18) AS b,
+                       (CAST(round(value*100.0) AS BIGINT) >= 10000) AS d
+                       FROM {EV})
+            SELECT * FROM (
+              SELECT 'click' AS key, count(*) FILTER (a) AS doc_count FROM c
+              UNION ALL SELECT 'daytime', count(*) FILTER (b) FROM c
+              UNION ALL SELECT 'high_value', count(*) FILTER (d) FROM c
+              UNION ALL SELECT 'click&daytime',
+                               count(*) FILTER (a AND b) FROM c
+              UNION ALL SELECT 'click&high_value',
+                               count(*) FILTER (a AND d) FROM c
+              UNION ALL SELECT 'daytime&high_value',
+                               count(*) FILTER (b AND d) FROM c
+            ) WHERE doc_count > 0""",
+    )
+
+
+def test_rare_terms_agg(ray_session):
+    from searchengine_ray.esaggs import rare_terms_agg
+
+    # sf0.001 user event counts span 51-88, so 60 yields a non-empty
+    # PROPER subset (some users rare, some not)
+    got = rare_terms_agg(SF, max_doc_count=60)
+    assert 0 < got.num_rows < duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM {EV}"
+    ).fetchone()[0]
+    _assert_match(
+        got,
+        f"""SELECT user_id AS term, count(*) AS doc_count FROM {EV}
+            GROUP BY 1 HAVING count(*) <= 60""",
+    )
+
+
+def test_percentiles_agg_matches_quantile_disc(ray_session):
+    from searchengine_ray.esaggs import percentiles_agg
+
+    _assert_match(
+        percentiles_agg(SF),
+        f"""WITH c AS (SELECT event_type,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV}),
+            q AS (SELECT event_type,
+                         quantile_disc(cents, [0.25,0.5,0.75,0.9,0.99]) AS qs
+                  FROM c GROUP BY 1)
+            SELECT event_type, CAST([25,50,75,90,99][i] AS BIGINT)
+                     AS percent,
+                   CAST(qs[i] AS BIGINT) AS value_cents
+            FROM q, (SELECT unnest(generate_series(1, 5)) AS i)""",
+    )
+
+
+def test_percentiles_rank_rule_brute_force(ray_session, tmp_path):
+    """The ceil(q*n) lower-discrete-quantile rule against a brute-force
+    multiset walk, including exact-integer rank boundaries (q*n integral)
+    and p=0/p=100 extremes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.esaggs import percentiles_agg
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.uniform(0, 50, 40), 2)  # dup cents likely
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 25 + ["b"] * 15),
+                "value": pa.array(vals),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    ps = (0, 20, 25, 50, 75, 100)
+    got = percentiles_agg(str(tmp_path), percents=ps).to_pandas()
+    cents = np.round(vals * 100).astype(np.int64)
+    for key, n0, n1 in (("a", 0, 25), ("b", 25, 40)):
+        s = np.sort(cents[n0:n1])
+        for p in ps:
+            rank = max(int(np.ceil((p / 100.0) * len(s))), 1)
+            exp = int(s[rank - 1])
+            row = got[(got.event_type == key) & (got.percent == p)]
+            assert int(row.value_cents.iloc[0]) == exp, (key, p)
+
+
+def test_percentiles_rejects_out_of_range(ray_session):
+    from searchengine_ray.esaggs import percentiles_agg
+
+    with pytest.raises(ValueError, match="percents"):
+        percentiles_agg(SF, percents=(50, 101))
+
+
+def test_hourly_moving_aggs(ray_session):
+    from searchengine_ray.windows import hourly_moving_aggs
+
+    _assert_match(
+        hourly_moving_aggs(SF),
+        f"""WITH h AS (SELECT date_trunc('hour', ts) AS window_start,
+                              count(*) AS n FROM {EV} GROUP BY 1)
+            SELECT window_start, n,
+                   CAST(sum(n) OVER (ORDER BY window_start
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS moving_sum,
+                   CAST(coalesce(n - lag(n, 24) OVER (ORDER BY window_start),
+                                 0) AS BIGINT) AS serial_diff
+            FROM h""",
+    )
+
+
+def test_moving_aggs_rejects_bad_params(ray_session):
+    from searchengine_ray.windows import hourly_moving_aggs
+
+    with pytest.raises(ValueError, match="window and lag"):
+        hourly_moving_aggs(SF, window=0)
