@@ -110,6 +110,63 @@ SELECT doc_id, round({add}, 6) AS score_r FROM piv
 """
 
 
+def _lmjm_sql(terms: list[str]) -> str:
+    """LM Jelinek-Mercer in the exp domain (gate.se_lmjm /
+    config._lmjm_leaf): per matching term
+    s = 1 + ((1-λ)·(tf/dl)) / (λ·(ctf/C)), multiplied across terms in
+    query order onto a ones accumulator (the prod reducer) — every op is
+    rational IEEE double arithmetic replayed in the identical association:
+    (1.0 - 0.01) folds to the same double on both sides, tf/dl and
+    ctf/clen are exact-int to double divisions, and missing terms
+    contribute the multiplicative identity via coalesce(s_i, 1)."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    piv = ",\n    ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    mul = " * ".join(f"coalesce(s_{i}, 1)" for i in range(len(terms)))
+    return f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+stats AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         1.0 + ((1.0 - 0.01) * (tf.tf / dl.dl))
+               / (0.01 * (stats.ctf / const.clen)) AS s
+  FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id, {piv} FROM scored GROUP BY doc_id)
+SELECT doc_id, {mul} AS score FROM piv
+"""
+
+
+def _f2exp_sql(terms: list[str]) -> str:
+    """Axiomatic F2EXP (gate.se_f2exp / config._f2exp_leaf): per term
+    s = pow(N/df, 0.35) * (tf / (tf + 0.5 + 0.5*dl/avdl)) — the idf power
+    is libm pow on both sides (DuckDB pow == CPython ** verified bitwise),
+    the denominator associates (tf+0.5) + ((0.5*dl)/avdl) in both engines,
+    and the sum accumulates in query order onto a zero accumulator."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    piv = ",\n    ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    add = " + ".join(f"coalesce(s_{i}, 0)" for i in range(len(terms)))
+    return f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         pow(const.n / stats.df, 0.35)
+           * (tf.tf / (tf.tf + 0.5 + 0.5 * dl.dl / const.ave)) AS s
+  FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id, {piv} FROM scored GROUP BY doc_id)
+SELECT doc_id, round({add}, 6) AS score_r FROM piv
+"""
+
+
 _SE_BM25_NEAR_SQL = f"""
 WITH {_TOK},
 ntf AS (SELECT a.doc_id, count(*) AS tf
@@ -3829,6 +3886,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analog): Term leaves rewrite to #SYN before evaluation; BM25
         # scores the fused list's derived stats, replayed as term IN (...)
         "se_synonyms": gate.se_synonyms,
+        # similarity zoo via the §2.12 registered-model surface (new late
+        # r5, never driver-verified; rotated in for ann_sq8 +
+        # cur_dup_ngram_chars, parked below): LM Jelinek-Mercer served in
+        # the exp domain (prod reducer — zero per-doc transcendentals,
+        # rank-identical to Lucene's sum of logs) and Axiomatic F2EXP
+        # (Fang & Zhai 2005; scalar libm pow idf only). First gates to
+        # push the CTF all-reduce through a registered-model leaf.
+        "se_lmjm": gate.se_lmjm,
+        "se_f2exp": gate.se_f2exp,
         "drmm_w2v_rerank": gate.drmm_w2v_rerank,
         # #DISMAX (new late r5, ES dis_max / multi_match best_fields
         # analog): union match, best matching leg + tie_breaker * sum of
@@ -3913,10 +3979,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # metadata predicate pushed into the parquet read (rotated in
         # for cur_pii_redact, below)
         "ann_filtered": gate.ann_filtered,
-        # SQ8 scalar-quantization ANN (new in r4): int8 codes, EXACT-
-        # INTEGER surrogate scoring (codes·w dot, no float accumulation);
-        # train+encode+weights+dot all re-derived literal-free in SQL
-        "ann_sq8": _ann_sq8_gate,
         # full-corpus exact-integer Lloyd's k-means (new in r5): quantized
         # int64 vectors, distributed partial-sum iterations, trunc-div
         # centroid updates — init + every assignment + every update + the
@@ -3953,7 +4015,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet/RefinedWeb-style cross-corpus boilerplate n-gram scrub and
         # the Gopher duplicate-n-gram character-coverage rule
         "cur_scrub_ngrams": curation.scrub_frequent_ngrams,
-        "cur_dup_ngram_chars": curation.dup_ngram_chars,
         # the Gumbel-top-k resampling cut over DSIR weights (noise table
         # precomputed with scalar libm over 2^16 bucketed uniforms); calls
         # dsir_weights directly, so the weights sibling rotated out in r5
@@ -3980,6 +4041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "ann_sq8": _ann_sq8_gate,  # driver-verified r4 (exact-integer surrogate scoring, literal-free train+encode replay), code unchanged; in-window ann_ivf_deleted/ann_ivf_incremental hash-check the quantized cell-partitioned scan machinery and ann_range/ann_filtered the normalize+cosine surface; the SQ8 recall/code-range invariants keep their pytest suite (rotated out for se_lmjm, new late r5)
+        "cur_dup_ngram_chars": curation.dup_ngram_chars,  # driver-verified r4, code unchanged; in-window cur_scrub_ngrams hash-checks the same gram-hash/df counting kernel (the two ship as one family) and cur_decontam_near the shingle-set machinery; the Gopher coverage rule keeps its oracle-parity pytest (rotated out for se_f2exp, new late r5)
         "geo_radius": geo.gate_radius,  # new r5, parked: its two kernels are both in-window — squared-distance arithmetic via geo_knn, derived-coord membership filtering via geo_bbox; radius = their composition, SQL-checked in GATE_LOCAL_r05
         "se_bm25_tiered": gate.se_bm25_tiered,  # driver-verified r4, code unchanged; in-window se_pit_search hash-checks the identical full-corpus BM25 SQL shape and se_bm25_expunged the merge/compaction lifecycle (expunge IS a forced merge of live docs); the TieredMergePolicy selection keeps its pytest suite (rotated out for events_histogram_agg, new late r5)
         "se_prefix_tf": gate.se_prefix_tf,  # driver-verified r4, code unchanged; in-window se_synonyms hash-checks the same dictionary-expansion -> #SYN rewrite machinery, and the vocab-scan filter family (#FUZZY/#WILDCARD/#REGEXP) keeps its 60-case randomized fuzz suite (rotated out for events_range_agg, new late r5)
@@ -4510,6 +4573,8 @@ LIMIT 12
         # KSTEM-invariant (pytest), so the oracle scores the stem directly
         "se_bm25_term_kstem": _bm25_terms_sql(["join"]),
         "se_tfidf": _tfidf_sql(["dup", "spark"]),
+        "se_lmjm": _lmjm_sql(["dup", "spark"]),
+        "se_f2exp": _f2exp_sql(["dup", "spark"]),
         # filter-require: full-corpus stats + final-row membership pred —
         # precisely the stale_stats live-pred shape (filter context never
         # touches scoring)

@@ -110,6 +110,55 @@ register_model(
 )
 
 
+def _lmjm_leaf(tf, dl, stats, params):
+    """LM Jelinek-Mercer smoothing (the Lucene LMJelinekMercerSimilarity
+    lineage) served in the EXP DOMAIN: the true LMJM term score is
+    ``ln(1 + ((1-λ)·tf/dl) / (λ·ctf/C))`` and Lucene sums it over matching
+    terms only — but a per-document ``ln`` is a SIMD numpy transcendental
+    that drifts 1 ULP from libm on ~24% of inputs (measured on this box),
+    so instead the leaf returns the log's ARGUMENT and the model combines
+    with the ``prod`` reducer: score = Π(1 + x_t) = exp(Σ ln(1+x_t)), a
+    strictly monotone transform of the Lucene score, so rankings are
+    identical and every op on the corpus path is rational IEEE arithmetic
+    (+ * /) that DuckDB replays bit-for-bit. λ rides the Indri:lambda
+    param (ModelParams.lam, default 0.01); the per-term collection
+    probability ctf/C is a MODEL-SIZED scalar computed once in Python."""
+    lam = params.lam
+    denom = lam * (stats.ctf / stats.sum_len)
+    return 1.0 + ((1.0 - lam) * (tf / dl)) / denom
+
+
+#: lmjm: #SUM composes multiplicatively (the exp-domain of the Lucene sum
+#: over matching terms; unmatched terms contribute the multiplicative
+#: identity 1.0 exactly as Lucene contributes an additive 0); #OR keeps the
+#: max-of-matching disjunction. No conjunctive map — #AND raises like the
+#: reference's unsupported-operator ladders.
+register_model(
+    "lmjm", _lmjm_leaf, default_op="#sum",
+    combine={"#sum": "prod", "#or": "max"},
+)
+
+
+def _f2exp_leaf(tf, dl, stats, params):
+    """Axiomatic F2EXP (Fang & Zhai, SIGIR 2005 "An Exploration of
+    Axiomatic Approaches to Information Retrieval", eq. F2-EXP; the Lucene
+    AxiomaticF2EXP similarity): score = (N/df)^k · tf/(tf + s + s·dl/avdl)
+    with the published defaults s=0.5, k=0.35. The idf power is a
+    MODEL-SIZED scalar via CPython's libm ``**`` (bit-equal to DuckDB
+    ``pow``, verified on this box); everything per-doc is rational IEEE
+    arithmetic in the exact association the oracle replays:
+    ``(tf + s) + ((s·dl)/avdl)`` then ``idfk · (tf/denom)``."""
+    idfk = (stats.n_docs / stats.df) ** 0.35
+    avdl = stats.sum_len / stats.doc_count
+    return idfk * (tf / (tf + 0.5 + 0.5 * dl / avdl))
+
+
+register_model(
+    "f2exp", _f2exp_leaf, default_op="#sum",
+    combine={"#sum": "sum", "#and": "min", "#or": "max"},
+)
+
+
 @dataclass
 class BuildConfig:
     """Index-build knobs; all partitioning decisions are explicit here."""

@@ -135,6 +135,31 @@ def se_tfidf(sf_dir: str):
     return _score_table(sf_dir, "tfidf", "dup spark")
 
 
+def se_lmjm(sf_dir: str):
+    """LM Jelinek-Mercer (Lucene LMJelinekMercerSimilarity analog) via the
+    registered-model path, scores in the exp domain (config._lmjm_leaf):
+    per matching term 1 + ((1-λ)·tf/dl)/(λ·ctf/C), multiplied across terms
+    — rank-identical to Lucene's sum of logs with zero per-doc
+    transcendentals. First gate to push the CTF all-reduce through the
+    registered-model leaf (tfidf/BM25 only consume df). Scores ship RAW
+    (no round-to-6): every op on the score path is rational IEEE double
+    arithmetic in an association the oracle replays literally, so the
+    doubles match bitwise — and rounding would actually BREAK parity,
+    because exact dyadic scores (e.g. x + 2^-7) sit on 6-decimal halfway
+    points where Arrow rounds half-to-even and DuckDB half-away."""
+    t = engine_for(sf_dir, "lmjm").search("q", "dup spark")
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "score": t.column("score")}
+    )
+
+
+def se_f2exp(sf_dir: str):
+    """Axiomatic F2EXP (Fang & Zhai 2005; Lucene AxiomaticF2EXP analog)
+    via the registered-model path: (N/df)^0.35 · tf/(tf+0.5+0.5·dl/avdl),
+    summed over matching terms in query order."""
+    return _score_table(sf_dir, "f2exp", "dup spark")
+
+
 def se_near_tf(sf_dir: str):
     """#near/1 adjacency tf (RankedBoolean score = tf of the derived list)."""
     return _score_table(sf_dir, "rankedboolean", "#near/1( hash join )", as_int=True)

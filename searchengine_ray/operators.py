@@ -797,6 +797,14 @@ class Evaluator:
             res = np.full(len(docs), -np.finfo(np.float64).max)
             for v, matched in vals:
                 res[matched] = np.maximum(res[matched], v[matched])
+        elif reducer == "prod":
+            # product over matching children (disjunctive match like sum:
+            # unmatched children contribute the multiplicative identity).
+            # Child order = query order onto a ones accumulator; 1.0*x == x
+            # exactly in IEEE, so a one-term product is the bare leaf.
+            res = np.ones(len(docs), np.float64)
+            for v, matched in vals:
+                res[matched] *= v[matched]
         else:  # sum over matching children
             res = np.zeros(len(docs), np.float64)
             for v, matched in vals:
