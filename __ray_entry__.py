@@ -167,6 +167,45 @@ SELECT doc_id, round({add}, 6) AS score_r FROM piv
 """
 
 
+# ES boosting + constant_score (gate.se_boosting): positive = BM25 #SUM of
+# [#constscore/250(#near/1(hash join)), dup, spark] — children accumulate in
+# query order onto a zero accumulator, so the 2.5 constant leads the chain;
+# docs whose body contains 'merge' demote ×(40/100.0) AFTER the combine.
+# Match set = union of the three children's docs (hence the UNION CTE).
+_SE_BOOSTING_SQL = f"""
+WITH {{tok}},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('dup','spark') GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         greatest(0.0, ln((const.n - stats.df + 0.5)/(stats.df + 0.5)))
+           * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+  FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id,
+               max(CASE WHEN term = 'dup' THEN s END) AS s_dup,
+               max(CASE WHEN term = 'spark' THEN s END) AS s_spark
+        FROM scored GROUP BY doc_id),
+near AS (SELECT DISTINCT a.doc_id
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = 'hash' AND b.term = 'join'),
+matched AS (SELECT doc_id FROM piv UNION SELECT doc_id FROM near),
+base AS (
+  SELECT m.doc_id,
+         (CASE WHEN n.doc_id IS NOT NULL THEN 250 / 100.0 ELSE 0 END)
+           + coalesce(p.s_dup, 0) + coalesce(p.s_spark, 0) AS s,
+         list_contains(regexp_extract_all(lower(d.text), '[a-z0-9_]+'),
+                       'merge') AS is_neg
+  FROM matched m
+  LEFT JOIN piv p USING (doc_id)
+  LEFT JOIN near n USING (doc_id)
+  JOIN documents d USING (doc_id))
+SELECT doc_id,
+       round(CASE WHEN is_neg THEN s * (40 / 100.0) ELSE s END, 6) AS score_r
+FROM base
+""".format(tok=_TOK)
+
+
 _SE_BM25_NEAR_SQL = f"""
 WITH {_TOK},
 ntf AS (SELECT a.doc_id, count(*) AS tf
@@ -3895,6 +3934,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # push the CTF all-reduce through a registered-model leaf.
         "se_lmjm": gate.se_lmjm,
         "se_f2exp": gate.se_f2exp,
+        # ES boosting + constant_score queries (new late r5, never
+        # driver-verified; rotated in for dedup_keep_best, parked below):
+        # demotion-without-exclusion (#andnot's softer sibling) wrapping a
+        # BM25 #SUM that carries a constant-score #near leg
+        "se_boosting": gate.se_boosting,
         "drmm_w2v_rerank": gate.drmm_w2v_rerank,
         # #DISMAX (new late r5, ES dis_max / multi_match best_fields
         # analog): union match, best matching leg + tie_breaker * sum of
@@ -3920,12 +3964,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES top_hits sub-aggregation (new late r5): per-bucket top-k docs
         # via per-batch partial top-k + bucket-cardinality shuffle
         "se_top_hits": gate.se_top_hits,
-        # keep-best-in-cluster canonicalization (new late r4): the
-        # RefinedWeb "keep the longest copy" rule — distributed components
-        # x integer quality signals; its oracle re-derives the FULL
-        # components chain (strict superset of the rotated-out
-        # dedup_components_dist entry) plus the winner rank
-        "dedup_keep_best": dedup.keep_best_in_cluster,
         # ordered-step conversion funnel (new in r4): pruned read, ONE
         # user-hash shuffle, L vectorized minimum.at passes per bucket,
         # L-integer driver fold; greedy first-touch semantics in SQL
@@ -4041,6 +4079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "dedup_keep_best": dedup.keep_best_in_cluster,  # driver-verified r4 (oracle re-derives the FULL components chain + integer quality recount + winner rank), code unchanged; in-window cluster_exemplars hash-checks the same lexsort rank-winner kernel and dedup_semantic_kmeans the per-cluster greedy keep machinery; the components chain stays SQL-checked in GATE_LOCAL_r05 via the parked dedup_components entry (driver-verified r1+r2) (rotated out for se_boosting, new late r5)
         "ann_sq8": _ann_sq8_gate,  # driver-verified r4 (exact-integer surrogate scoring, literal-free train+encode replay), code unchanged; in-window ann_ivf_deleted/ann_ivf_incremental hash-check the quantized cell-partitioned scan machinery and ann_range/ann_filtered the normalize+cosine surface; the SQ8 recall/code-range invariants keep their pytest suite (rotated out for se_lmjm, new late r5)
         "cur_dup_ngram_chars": curation.dup_ngram_chars,  # driver-verified r4, code unchanged; in-window cur_scrub_ngrams hash-checks the same gram-hash/df counting kernel (the two ship as one family) and cur_decontam_near the shingle-set machinery; the Gopher coverage rule keeps its oracle-parity pytest (rotated out for se_f2exp, new late r5)
         "geo_radius": geo.gate_radius,  # new r5, parked: its two kernels are both in-window — squared-distance arithmetic via geo_knn, derived-coord membership filtering via geo_bbox; radius = their composition, SQL-checked in GATE_LOCAL_r05
@@ -4575,6 +4614,7 @@ LIMIT 12
         "se_tfidf": _tfidf_sql(["dup", "spark"]),
         "se_lmjm": _lmjm_sql(["dup", "spark"]),
         "se_f2exp": _f2exp_sql(["dup", "spark"]),
+        "se_boosting": _SE_BOOSTING_SQL,
         # filter-require: full-corpus stats + final-row membership pred —
         # precisely the stale_stats live-pred shape (filter context never
         # touches scoring)

@@ -160,6 +160,19 @@ def se_f2exp(sf_dir: str):
     return _score_table(sf_dir, "f2exp", "dup spark")
 
 
+def se_boosting(sf_dir: str):
+    """#BOOSTING + #CONSTSCORE in one query (ES boosting and
+    constant_score analogs): positive leg = BM25 #SUM of a 2.5-constant
+    #near/1(hash join) leg plus 'dup spark'; docs containing 'merge'
+    demote ×0.4. Exercises union-of-children docs with a constant-score
+    child, the fixed #SUM accumulation order, and post-combine scaling."""
+    return _score_table(
+        sf_dir, "bm25",
+        "#boosting/40( #sum( #constscore/250( #near/1( hash join ) ) "
+        "dup spark ) merge )",
+    )
+
+
 def se_near_tf(sf_dir: str):
     """#near/1 adjacency tf (RankedBoolean score = tf of the derived list)."""
     return _score_table(sf_dir, "rankedboolean", "#near/1( hash join )", as_int=True)

@@ -677,6 +677,47 @@ class Evaluator:
                 best = np.maximum(best, np.where(matched, v, -np.inf))
                 total += np.where(matched, v, 0.0)
             return docs, best + tie * (total - best)
+        if name == "#constscore":
+            # Elasticsearch constant_score query analog (no reference
+            # counterpart): the child's match set with every score replaced
+            # by a constant boost. The `/n` suffix carries the boost as an
+            # integer percent (#CONSTSCORE/250 -> 2.5); bare #CONSTSCORE is
+            # the ES default boost 1.0. Composes under every model — inside
+            # a scoring #SUM it contributes a flat additive term, inside
+            # #filreq/#andnot legs only its membership matters. Shard-safe:
+            # purely doc-local.
+            if node.dist < 0:
+                raise ValueError("#CONSTSCORE/n: boost percent must be >= 0")
+            docs, _ = self.sop(node.args[0])
+            boost = (node.dist / 100.0) if node.dist else 1.0
+            return docs, np.full(len(docs), boost, np.float64)
+        if name == "#boosting":
+            # Elasticsearch boosting query analog (no reference
+            # counterpart): match set and scores of the POSITIVE leg
+            # (args[0]), with docs matching ANY negative leg multiplied by
+            # negative_boost — demotion without exclusion (#andnot's softer
+            # sibling). The `/n` suffix carries negative_boost as an
+            # integer percent in 0..100 (#BOOSTING/40 -> 0.4); bare
+            # #BOOSTING is 0 (full demotion, ES's hardest allowed value).
+            # Works under every model — scores are scaled post-combine, so
+            # the per-model ladders never see it. Shard-safe: demotion is
+            # doc-local membership against shard-local negative matches.
+            if not 0 <= node.dist <= 100:
+                raise ValueError(
+                    f"#BOOSTING/{node.dist}: negative_boost must be 0..100 "
+                    "(integer percent)"
+                )
+            docs, scores = self.sop(node.args[0])
+            nb = node.dist / 100.0
+            # union of negative matches FIRST — a doc matching several
+            # negative legs demotes ONCE, like ES's single negative query
+            neg = reduce(
+                np.union1d, [self.sop(c)[0] for c in node.args[1:]]
+            )
+            if len(neg) and len(docs):
+                m = np.isin(docs, neg)
+                scores = np.where(m, scores * nb, scores)
+            return docs, scores
         if name == "#andnot":
             # Lucene BooleanQuery MUST/MUST_NOT analog (no reference
             # counterpart — QryEval has no negation): docs of the first

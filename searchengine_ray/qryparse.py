@@ -33,7 +33,8 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 # `ReadMe.txt:20-31`). register_operator() adds a new name; the evaluator
 # dispatches on the same metadata.
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
-             "#filreq", "#filrej", "#range", "#dismax"}
+             "#filreq", "#filrej", "#range", "#dismax", "#boosting",
+             "#constscore"}
 IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard",
              "#regexp", "#spanfirst", "#spannot"}
 WEIGHTED = {"#wand", "#wsum"}
@@ -113,7 +114,12 @@ class Op:
         return self.name in IOP_NAMES
 
     def __repr__(self):
-        d = f"/{self.dist}" if self.name in ("#near", "#window", "#dismax") else ""
+        d = (
+            f"/{self.dist}"
+            if self.name in ("#near", "#window", "#dismax", "#boosting",
+                             "#constscore")
+            else ""
+        )
         if self.name in WEIGHTED:
             inner = " ".join(f"{w} {a!r}" for w, a in zip(self.weights, self.args))
         else:
@@ -327,6 +333,32 @@ def optimize(node):
         if f is None:
             return q if node.name == "#filrej" else None
         node.args = [f, q]
+        return node
+    if node.name == "#boosting":
+        # ES boosting query, positional: args[0] is the POSITIVE (scored)
+        # leg, the rest are NEGATIVE (demotion) legs — same shape as
+        # #andnot, except negatives demote instead of exclude. An empty
+        # positive kills the node; with no negatives left the node IS its
+        # positive (demoting nothing). The generic single-arg collapse
+        # below would wrongly promote a lone surviving NEGATIVE.
+        pos = optimize(node.args[0]) if node.args else None
+        if pos is None:
+            return None
+        negs = [o for a in node.args[1:] if (o := optimize(a)) is not None]
+        if not negs:
+            return pos
+        node.args = [pos] + negs
+        return node
+    if node.name == "#constscore":
+        # ES constant_score: exactly one child whose match set survives
+        # with a constant score — never collapses to the bare child (that
+        # would restore the child's scores).
+        if len(node.args) != 1:
+            raise QuerySyntaxError("#constscore takes exactly one argument")
+        child = optimize(node.args[0])
+        if child is None:
+            return None
+        node.args = [child]
         return node
     if node.name == "#andnot":
         # positional semantics: args[0] is the MUST leg, the rest are
