@@ -3862,6 +3862,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rare_terms": esaggs.rare_terms_agg,
         "events_percentiles": esaggs.percentiles_agg,
         "events_moving_aggs": windows.hourly_moving_aggs,
+        # calendar date_histogram + multi_terms (new late r5, never
+        # driver-verified; rotated in for se_bm25f + se_percolate_scored,
+        # parked below): calendar-month buckets via exact-integer
+        # civil_from_days (no datetime library on the engine side) and
+        # composite-key terms buckets with the ES count-desc/key-asc
+        # order + size cut
+        "events_date_histogram": esaggs.date_histogram_agg,
+        "events_multi_terms": esaggs.multi_terms_agg,
         # search engine (documents-derived corpus)
         # Lucene span-query family (new r5, never driver-verified):
         # #SPANFIRST/n keeps positions < n; #SPANNOT/n anti-joins exclude
@@ -3896,10 +3904,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter + msm — scoring untouched, four membership predicates;
         # subsumes the rotated-out se_range_filter's range-leaf surface
         "se_bool_query": gate.se_bool_query,
-        # BM25F (new late r4, Robertson et al. 2004 / ES combined_fields):
-        # weighted per-field tfs combined BEFORE one saturation, union-df
-        # idf — the semantics score-level #WSUM cannot express
-        "se_bm25f": gate.se_bm25f,
         # significant-terms aggregation (new late r4, ES significant_terms
         # JLH): result-set-vs-corpus term contrast, mul/div-only floats
         # point-in-time snapshot (new late r5, Lucene open-reader / ES PIT
@@ -3914,10 +3918,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as a function_score function, boost_mode=replace — exact-double
         # by construction, hash chain replayed in HUGEINT SQL
         "se_random_score": gate.se_random_score,
-        # SCORED percolation (new in r4): per-match BM25 scores with the
-        # serving index's statistics injected via stats_override — scores
-        # equal the serving engine's bitwise for corpus docs
-        "se_percolate_scored": gate.se_percolate_scored,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -4079,6 +4079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
         # fully checked by tools/check_gate.py (GATE_LOCAL_r05.txt).
+        "se_bm25f": gate.se_bm25f,  # driver-verified r4, code unchanged; in-window se_bool_query + se_dismax hash-check the multi-field BM25 leg machinery (keywords + body tokenizations), and the field-blended-tf-before-saturation semantics keep their 4-pytest suite incl. a pure-Python scalar recount and the single-field==BM25 algebraic identity (rotated out for events_date_histogram, new late r5)
+        "se_percolate_scored": gate.se_percolate_scored,  # driver-verified r4, code unchanged; parked se_percolate (driver-verified r3) keeps the stored-query membership surface SQL-checked in GATE_LOCAL_r05, in-window se_bool_query drives the same parse+BM25 scoring path, and per-match scores stay pinned bitwise-equal to the serving engine by pytest (rotated out for events_multi_terms, new late r5)
         "dedup_keep_best": dedup.keep_best_in_cluster,  # driver-verified r4 (oracle re-derives the FULL components chain + integer quality recount + winner rank), code unchanged; in-window cluster_exemplars hash-checks the same lexsort rank-winner kernel and dedup_semantic_kmeans the per-cluster greedy keep machinery; the components chain stays SQL-checked in GATE_LOCAL_r05 via the parked dedup_components entry (driver-verified r1+r2) (rotated out for se_boosting, new late r5)
         "ann_sq8": _ann_sq8_gate,  # driver-verified r4 (exact-integer surrogate scoring, literal-free train+encode replay), code unchanged; in-window ann_ivf_deleted/ann_ivf_incremental hash-check the quantized cell-partitioned scan machinery and ann_range/ann_filtered the normalize+cosine surface; the SQ8 recall/code-range invariants keep their pytest suite (rotated out for se_lmjm, new late r5)
         "cur_dup_ngram_chars": curation.dup_ngram_chars,  # driver-verified r4, code unchanged; in-window cur_scrub_ngrams hash-checks the same gram-hash/df counting kernel (the two ship as one family) and cur_decontam_near the shingle-set machinery; the Gopher coverage rule keeps its oracle-parity pytest (rotated out for se_f2exp, new late r5)
@@ -4414,6 +4416,24 @@ WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
 SELECT CAST(floor(cents/2500.0)*2500 AS BIGINT) AS bucket_lo_cents,
        count(*) AS doc_count, CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM c GROUP BY 1
+""",
+        # calendar-month buckets: the engine's integer civil_from_days
+        # must agree with DuckDB's year()/month() on every event day
+        "events_date_histogram": """
+WITH c AS (SELECT year(ts)*100 + month(ts) AS bucket,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS doc_count,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM c GROUP BY 1
+""",
+        # composite-key terms buckets, ES order: count desc, then key asc
+        "events_multi_terms": """
+WITH c AS (SELECT event_type, user_id,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+g AS (SELECT event_type, user_id, count(*) AS doc_count,
+             CAST(sum(cents) AS BIGINT) AS sum_value_cents
+      FROM c GROUP BY 1, 2)
+SELECT * FROM g ORDER BY doc_count DESC, event_type, user_id LIMIT 20
 """,
         "events_range_agg": """
 WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents FROM events)

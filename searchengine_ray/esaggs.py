@@ -391,3 +391,143 @@ def percentiles_agg(
             ),
         }
     )
+
+
+def _civil_from_days(z: np.ndarray) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Days-since-epoch -> (year, month, day), vectorized int64 — the
+    standard proleptic-Gregorian civil_from_days algorithm (Howard
+    Hinnant, "chrono-Compatible Low-Level Date Algorithms", public
+    domain), exact integer arithmetic so calendar bucketing needs no
+    datetime library and replays bit-for-bit against DuckDB year()/
+    month() (both follow the same proleptic Gregorian calendar)."""
+    z = z.astype(np.int64) + 719468
+    era = np.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = np.where(mp < 10, mp + 3, mp - 9)
+    y = y + (m <= 2)
+    return y, m, d
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def date_histogram_agg(
+    sf_dir: str, calendar_interval: str = "month"
+) -> pa.Table:
+    """ES ``date_histogram`` with a CALENDAR interval — the variant a
+    fixed-interval histogram can't express because buckets are unequal
+    (months are 28-31 days; ES docs call this out as the reason
+    ``calendar_interval`` exists). ``month`` buckets key as yyyymm;
+    ``week`` buckets key as the epoch-day of the week's MONDAY (the ES
+    default week start). Timestamps are taken as UTC wall-clock exactly
+    like the repo's other event windows.
+
+    Scale shape: per-batch integer civil-date math + Arrow group_by
+    partial, then one bucket-cardinality shuffle (months over a decade =
+    ~120 buckets). Returns (bucket, doc_count, sum_value_cents).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if calendar_interval not in ("month", "week"):
+        raise ValueError(
+            f"unsupported calendar_interval {calendar_interval!r} "
+            "(month | week)"
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.floor_divide(us, _US_PER_DAY)
+        if calendar_interval == "month":
+            y, m, _ = _civil_from_days(days)
+            bucket = y * 100 + m
+        else:
+            # 1970-01-01 was a Thursday: weekday(Mon=0) = (days+3) mod 7
+            bucket = days - np.mod(days + 3, 7)
+        c = _cents(t)
+        g = (
+            pa.table({"bucket": pa.array(bucket, pa.int64()), "cents": c})
+            .group_by(["bucket"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket": g.column("bucket"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    rows = _sum_by_key(ds, partial, ["bucket"])
+    return pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def multi_terms_agg(sf_dir: str, size: int = 20) -> pa.Table:
+    """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of fields
+    ((event_type, user_id) here), ordered by doc_count descending with a
+    deterministic total tie-break (event_type, user_id ascending — ES
+    breaks count ties by key order too), truncated to ``size`` buckets.
+    Unlike single-field ``terms``, the composite key space can explode,
+    which is why ES caps it server-side; the engine keeps the same shape:
+    per-batch Arrow group_by partial, ONE composite-key shuffle, and the
+    size cut on the driver over the bounded bucket list.
+
+    Returns (event_type, user_id, doc_count, sum_value_cents).
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "user_id": t.column("user_id"),
+                    "cents": c,
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "user_id": g.column("user_id").cast(pa.int64()),
+                "n": g.column("count_all").cast(pa.int64()),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"],
+    )
+    rows = _sum_by_key(ds, partial, ["event_type", "user_id"])
+    rows.sort(key=lambda r: (-r["doc_count"], r["event_type"], r["user_id"]))
+    rows = rows[:size]
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -221,3 +221,76 @@ def test_moving_aggs_rejects_bad_params(ray_session):
 
     with pytest.raises(ValueError, match="window and lag"):
         hourly_moving_aggs(SF, window=0)
+
+
+def test_date_histogram_month(ray_session):
+    from searchengine_ray.esaggs import date_histogram_agg
+
+    _assert_match(
+        date_histogram_agg(SF, "month"),
+        f"""WITH c AS (SELECT year(ts)*100 + month(ts) AS bucket,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV})
+            SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS doc_count,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM c GROUP BY 1""",
+    )
+
+
+def test_date_histogram_week_is_monday_keyed(ray_session):
+    from searchengine_ray.esaggs import date_histogram_agg
+
+    _assert_match(
+        date_histogram_agg(SF, "week"),
+        f"""WITH c AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(date_trunc('week', ts) AS DATE))
+                            AS BIGINT) AS bucket,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV})
+            SELECT bucket, count(*) AS doc_count,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM c GROUP BY 1""",
+    )
+
+
+def test_date_histogram_bad_interval_raises(ray_session):
+    from searchengine_ray.esaggs import date_histogram_agg
+
+    with pytest.raises(ValueError, match="calendar_interval"):
+        date_histogram_agg(SF, "fortnight")
+
+
+def test_civil_from_days_fuzz():
+    """The integer civil_from_days against Python's datetime over a wide
+    window (1600..2400 covers both Gregorian 400-year era boundaries)."""
+    import datetime
+
+    from searchengine_ray.esaggs import _civil_from_days
+
+    rng = np.random.default_rng(11)
+    epoch = datetime.date(1970, 1, 1)
+    days = rng.integers(-135140, 157000, 3000)  # ~1600..2400
+    y, m, d = _civil_from_days(days)
+    for z, yy, mm, dd in zip(days, y, m, d):
+        want = epoch + datetime.timedelta(days=int(z))
+        assert (int(yy), int(mm), int(dd)) == (
+            want.year, want.month, want.day,
+        ), int(z)
+
+
+def test_multi_terms_order_and_cut(ray_session):
+    from searchengine_ray.esaggs import multi_terms_agg
+
+    got = multi_terms_agg(SF, size=10).to_pandas()
+    assert len(got) == 10
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT event_type, user_id,
+                      CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV}),
+            g AS (SELECT event_type, user_id, count(*) AS doc_count,
+                         CAST(sum(cents) AS BIGINT) AS sum_value_cents
+                  FROM c GROUP BY 1, 2)
+            SELECT * FROM g
+            ORDER BY doc_count DESC, event_type, user_id LIMIT 10"""
+    ).df()
+    # ORDERMATTERS here (the ES bucket ordering is part of the contract)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
