@@ -2220,6 +2220,106 @@ r AS (SELECT doc_id, round(c, 6) AS score_r,
 SELECT doc_id, score_r, rn FROM r WHERE rn <= 25
 """
 
+# rank_feature (funcscore, ES rank_feature saturation over n_chars,
+# boost_mode=sum): final = bm25 + n_chars/(n_chars + 250) — the division
+# is BIGINT over (DOUBLE + DOUBLE) on both sides; rank over (final DESC,
+# external_id ASC) top-25.
+_SE_RANK_FEATURE_SQL = f"""
+WITH comb AS (
+  SELECT b.doc_id,
+         b.s + (d.n_chars / (d.n_chars + 250e0)) AS c,
+         e.external_id
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)
+),
+r AS (SELECT doc_id, round(c, 6) AS score_r,
+             CAST(row_number() OVER (ORDER BY c DESC, external_id)
+                  AS BIGINT) AS rn
+      FROM comb)
+SELECT doc_id, score_r, rn FROM r WHERE rn <= 25
+"""
+
+# distance_feature (funcscore, ES distance_feature over n_chars with
+# origin=300 pivot=50, boost_mode=sum): final = bm25 + 50/(50 +
+# |n_chars - 300|) in the identical double composition.
+_SE_DISTANCE_FEATURE_SQL = f"""
+WITH comb AS (
+  SELECT b.doc_id,
+         b.s + (50e0 / (50e0 + abs(d.n_chars - 300e0))) AS c,
+         e.external_id
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)
+),
+r AS (SELECT doc_id, round(c, 6) AS score_r,
+             CAST(row_number() OVER (ORDER BY c DESC, external_id)
+                  AS BIGINT) AS rn
+      FROM comb)
+SELECT doc_id, score_r, rn FROM r WHERE rn <= 25
+"""
+
+# pinned query (esquery.pinned_search): docs 7, 123, 42 pinned in that
+# order ahead of the organic 'dup spark' BM25 ranking with the pinned
+# docs removed from the organic section; top-15 overall. The pinned leg
+# is pure rank arithmetic (VALUES rows 1..3); organic rows shift by 3.
+_SE_PINNED_SQL = f"""
+WITH org AS (
+  SELECT b.doc_id,
+         row_number() OVER (ORDER BY b.s DESC, e.external_id) AS orn
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN {_EXT_SUB} e USING (doc_id)
+  WHERE b.doc_id NOT IN (7, 123, 42)
+),
+pin(doc_id, rn) AS (VALUES (7, 1), (123, 2), (42, 3)),
+allrows AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS is_pinned,
+         CAST(rn AS BIGINT) AS rn
+  FROM pin
+  UNION ALL
+  SELECT doc_id, 0, CAST(orn + 3 AS BIGINT) FROM org)
+SELECT doc_id, is_pinned, rn FROM allrows WHERE rn <= 15
+"""
+
+# terms_set query (esquery.terms_set_search, Lucene CoveringQuery): flat
+# #SUM BM25 over four terms, kept only where the count of DISTINCT
+# matched terms >= greatest(1, n_chars // 150) — scoring untouched, so
+# the score SQL is the plain 4-term sum and the threshold is a final-row
+# predicate (the stale-stats live-pred shape every filter gate uses).
+_SE_TERMS_SET_SQL = f"""
+WITH {_TOK},
+m AS (SELECT doc_id, count(DISTINCT term) AS nm FROM tok
+      WHERE term IN ('dup', 'spark', 'merge', 'hash') GROUP BY doc_id)
+SELECT b.doc_id, round(b.s, 6) AS score_r
+FROM ({_bm25_terms_sql(["dup", "spark", "merge", "hash"], raw=True)}) b
+JOIN m USING (doc_id)
+JOIN documents d USING (doc_id)
+WHERE m.nm >= greatest(1, d.n_chars // 150)
+"""
+
+# match_phrase_prefix (esquery.match_phrase_prefix): 'order s*' with
+# max_expansions=3 — expansion = the first 3 dictionary terms with
+# prefix 's' in sorted order (the cap BITES: the dictionary has six),
+# then #NEAR/1(order, #SYN(exp)) scored as a derived BM25 list exactly
+# like the gated #NEAR path (_SE_BM25_NEAR_SQL shape).
+_SE_MATCH_PHRASE_PREFIX_SQL = f"""
+WITH {_TOK},
+exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+                          WHERE term LIKE 's%'
+                            AND term NOT IN {_STOPLIST_SQL})
+        ORDER BY term LIMIT 3),
+ntf AS (SELECT a.doc_id, count(*) AS tf
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN exp ON b.term = exp.term
+        WHERE a.term = 'order' GROUP BY a.doc_id),
+nstats AS (SELECT count(*) AS df FROM ntf)
+SELECT ntf.doc_id,
+       round(greatest(0.0, ln((const.n - nstats.df + 0.5)/(nstats.df + 0.5)))
+             * ntf.tf/(ntf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)), 6) AS score_r
+FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats
+"""
+
 # random_score (funcscore, ES random_score function with boost_mode=
 # replace): the match set ranked purely by splitmix64(doc_id, 42) %
 # 2^53 / 2^53 — numerator fits the float64 mantissa and the divisor is a
@@ -3918,6 +4018,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as a function_score function, boost_mode=replace — exact-double
         # by construction, hash chain replayed in HUGEINT SQL
         "se_random_score": gate.se_random_score,
+        # ES query-DSL batch (new late r5, never driver-verified):
+        # rank_feature (Lucene FeatureField saturation) and
+        # distance_feature as function_score functions; pinned /
+        # terms_set (CoveringQuery per-doc msm) / match_phrase_prefix
+        # (capped dictionary expansion into #NEAR+#SYN) in esquery.py
+        "se_rank_feature": gate.se_rank_feature,
+        "se_distance_feature": gate.se_distance_feature,
+        "se_pinned": gate.se_pinned,
+        "se_terms_set": gate.se_terms_set,
+        "se_match_phrase_prefix": gate.se_match_phrase_prefix,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -4581,6 +4691,11 @@ WHERE rnk <= 3
         "text_textrank": _textrank_sql(),
         "se_rescore": _RESCORE_SQL,
         "se_function_score": _SE_FUNCSCORE_SQL,
+        "se_rank_feature": _SE_RANK_FEATURE_SQL,
+        "se_distance_feature": _SE_DISTANCE_FEATURE_SQL,
+        "se_pinned": _SE_PINNED_SQL,
+        "se_terms_set": _SE_TERMS_SET_SQL,
+        "se_match_phrase_prefix": _SE_MATCH_PHRASE_PREFIX_SQL,
         # composite agg: cursor predicate + GROUP BY + bucket-order LIMIT;
         # the LIMIT is deterministic because the ORDER BY key tuple is the
         # bucket identity (unique)

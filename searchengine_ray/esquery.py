@@ -1,0 +1,190 @@
+"""ES query-DSL analogs beyond the bool family: ``pinned``,
+``terms_set`` and ``match_phrase_prefix``.
+
+The reference engine (QryEval) has none of these; they are
+beyond-reference serving features built from the same primitives every
+gated operator uses — the structured-query Evaluator, the term
+dictionary, numeric doc values and the (score DESC, external_id ASC)
+comparator — so each is exactly SQL-replayable:
+
+- ``pinned_search``: the ES ``pinned`` query. Given external ids pinned
+  in caller order ahead of every organic match; pinned docs appear even
+  when they don't match the organic query, and are removed from the
+  organic section (each doc at most once, the ES contract).
+- ``terms_set_search``: the ES ``terms_set`` query (Lucene
+  ``CoveringQuery``): a disjunction whose minimum-should-match is
+  PER-DOCUMENT, read from a numeric doc-values column (optionally
+  scaled by an integer divisor — the ``minimum_should_match_script``
+  analog). Scoring is untouched (the msm rule): survivors score their
+  plain disjunction sum.
+- ``match_phrase_prefix``: the ES ``match_phrase_prefix`` query (Lucene
+  ``MultiPhraseQuery`` over a prefix expansion): the last analyzed term
+  expands against the term dictionary in sorted order, capped at
+  ``max_expansions`` (the ES cap), and the phrase evaluates as
+  ``#NEAR/1(prefix-terms..., #SYN(expansions))`` with derived-list
+  statistics — the same machinery the gated #NEAR/#SYN/#PREFIX paths
+  prove.
+
+Sharding note: all three are doc-local given the usual derived-list
+df/ctf all-reduce; prefix expansion against a shard-local dictionary
+equals the local restriction of the global expansion (a term absent
+from a shard has no local postings), the same argument operators.py
+makes for #PREFIX — EXCEPT the ``max_expansions`` cap, which must be
+computed from the merged dictionary to be deterministic; a sharded
+serving path would all-gather the (bounded, sorted) candidate term
+lists first, exactly like the existing derived-stats all-reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pinned_search(
+    engine, qid: str, query: str, ids: list[str], k: int = 10
+) -> pa.Table:
+    """ES ``pinned`` query: ``ids`` (external ids, caller order) rank
+    first — rows 1..len(ids) regardless of organic score or even
+    organic membership — then organic results (pinned removed) in the
+    engine's standard (score DESC, external_id ASC) order. Unknown ids
+    raise (the docmap is authoritative). Returns (doc_id, is_pinned,
+    rn) truncated to ``k``; organic scores are intentionally absent
+    from the output because ES replaces pinned scores with rank
+    constants (1.7014124e38 - slot) and the contract is the ORDER."""
+    index = engine.index
+    rev = getattr(index, "_esq_ext_rev", None)
+    if rev is None:
+        rev = {e: d for d, e in zip(index.all_doc_ids(),
+                                    index.external_ids(index.all_doc_ids()))}
+        index._esq_ext_rev = rev
+    pinned: list[int] = []
+    for e in ids:
+        if e not in rev:
+            raise KeyError(f"pinned id {e!r} not in the index docmap")
+        d = int(rev[e])
+        if d not in pinned:  # ES dedupes repeated pins, first slot wins
+            pinned.append(d)
+    organic = engine.search(qid, query)
+    odocs = organic.column("doc_id").to_numpy()
+    keep = ~np.isin(odocs, np.asarray(pinned, dtype=np.int64))
+    out_docs = pinned + [int(d) for d in odocs[keep]]
+    out_docs = out_docs[:k]
+    n = len(out_docs)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_docs, pa.int64()),
+            "is_pinned": pa.array(
+                [1 if i < len(pinned) else 0 for i in range(n)], pa.int64()
+            ),
+            "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        }
+    )
+
+
+def terms_set_search(
+    engine,
+    qid: str,
+    terms: list[str],
+    msm_field: str,
+    msm_divisor: int = 1,
+) -> pa.Table:
+    """ES ``terms_set`` (Lucene ``CoveringQuery``): match docs whose
+    count of DISTINCT matched terms is >= a per-doc threshold read from
+    the numeric doc-values column ``msm_field`` (floor-divided by
+    ``msm_divisor`` — the minimum_should_match_script analog; ES's
+    plain field form is divisor=1). The effective threshold floors at 1
+    (the union iterator never visits zero-match docs) and a doc whose
+    threshold exceeds ``len(terms)`` can never match — ES does NOT
+    clamp, and neither does this. Docs missing the field don't match.
+    Scoring is the untouched flat disjunction sum (the msm rule), so
+    the oracle is the plain score SQL + a HAVING over distinct matched
+    terms vs the replayed threshold."""
+    from .engine import Evaluator, select_top_k
+    from .qryparse import Op
+
+    if msm_divisor < 1:
+        raise ValueError(f"msm_divisor must be >= 1, got {msm_divisor}")
+    leaves = [engine._parse_clause(t) for t in terms]
+    for lf, t in zip(leaves, terms):
+        if not getattr(lf, "is_iop", False):
+            raise ValueError(f"terms_set clause {t!r} is not a term leaf")
+    ev = Evaluator(engine.index, engine.params)
+    tree = Op("#sum", args=[Op("#score", args=[lf]) for lf in leaves])
+    docs, scores = ev.evaluate(tree)
+    if len(docs):
+        matched = np.concatenate([ev.iop(lf).doc_ids for lf in leaves])
+        u, cnt = np.unique(matched, return_counts=True)
+        nmatch = cnt[np.searchsorted(u, docs)]
+        vals, valid = engine.index.docvalues_for_docs(msm_field, docs)
+        need = np.floor_divide(
+            vals, float(msm_divisor), where=valid, out=np.full_like(vals, np.inf)
+        )
+        keep = valid & (nmatch >= np.maximum(need, 1.0))
+        docs, scores = docs[keep], scores[keep]
+    docs, scores, _ext = select_top_k(
+        engine.index, docs, scores, engine.params.top_k
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pc.round(pa.array(scores, pa.float64()), ndigits=6),
+        }
+    )
+
+
+def match_phrase_prefix(
+    engine, qid: str, phrase: str, max_expansions: int = 50
+) -> pa.Table:
+    """ES ``match_phrase_prefix``: analyze the phrase, expand the LAST
+    token as a prefix against the term dictionary in sorted term order
+    capped at ``max_expansions`` (the ES cap; Lucene enumerates the
+    term dictionary in exactly this order), and evaluate the phrase as
+    ``#NEAR/1(t1..tn-1, #SYN(expansions))`` — the Lucene
+    ``MultiPhraseQuery`` shape, scored under the engine's model with
+    derived-list statistics. Stopwords analyze away and the surviving
+    tokens form the adjacency chain (the repo-wide phrase convention).
+    No expansion -> an empty result, like ES. The final token must
+    survive analysis (a stopword prefix raises: nothing to expand)."""
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+    raw = phrase.split()
+    if not raw:
+        raise ValueError("empty phrase")
+    head: list[str] = []
+    for tok in raw[:-1]:
+        head.extend(engine._analyze(tok))
+    last = engine._analyze(raw[-1])
+    if len(last) != 1:
+        raise ValueError(
+            f"phrase-prefix token {raw[-1]!r} analyzes to {last} — the "
+            "prefix must survive analysis as one token"
+        )
+    prefix = last[0]
+    field = "body"
+    vocab = sorted(
+        t for (_f, t) in engine.index.vocabulary(field)
+        if t.startswith(prefix)
+    )[:max_expansions]
+    n = 0
+    if vocab:
+        syn = "#syn( " + " ".join(vocab) + " )"
+        q = (
+            f"#near/1( {' '.join(head)} {syn} )" if head else syn
+        )
+        t = engine.search(qid, q)
+        n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "score_r": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )

@@ -82,6 +82,55 @@ def _fn_values(index, docs: np.ndarray, spec: dict) -> np.ndarray:
             f"unknown field_value_factor modifier {mod!r} "
             f"(supported: {_MODIFIERS})"
         )
+    if t == "rank_feature":
+        # ES rank_feature query (Lucene FeatureField.new*Query,
+        # lucene.apache.org FeatureField docs): score = boost * fn(S)
+        # where S is the per-doc feature value. ES stores features in a
+        # dedicated rank_feature field; here any numeric doc-values
+        # column plays the feature. Functions (the three Lucene ships):
+        #   saturation  S / (S + pivot)
+        #   log         ln(scaling_factor + S)
+        #   sigmoid     S^exp / (S^exp + pivot^exp)
+        # A doc missing the feature does not match a rank_feature query
+        # in ES; composed additively (boost_mode=sum) the faithful
+        # analog is a 0.0 contribution, which is what missing gets.
+        if "missing" in spec:
+            vals = np.where(valid, vals, float(spec["missing"]))
+            valid = np.ones_like(valid)
+        if valid.any() and (vals[valid] < 0).any():
+            raise ValueError(
+                "rank_feature requires non-negative feature values "
+                "(the ES rank_feature field constraint)"
+            )
+        fn = spec.get("function", "saturation")
+        boost = float(spec.get("boost", 1.0))
+        if fn == "saturation":
+            pivot = float(spec["pivot"])
+            out = vals / (vals + pivot)
+        elif fn == "log":
+            out = np.log(float(spec.get("scaling_factor", 1.0)) + vals)
+        elif fn == "sigmoid":
+            pivot = float(spec["pivot"])
+            expo = float(spec["exponent"])
+            va = vals**expo
+            out = va / (va + pivot**expo)
+        else:
+            raise ValueError(
+                f"unknown rank_feature function {fn!r} "
+                "(saturation | log | sigmoid)"
+            )
+        return np.where(valid, boost * out, 0.0)
+    if t == "distance_feature":
+        # ES distance_feature query: score = boost * pivot / (pivot +
+        # |value - origin|) — the date/geo proximity booster, here over
+        # any numeric doc-values column (dates are numeric epochs
+        # anyway). Missing value -> no match -> 0.0 contribution, same
+        # convention as rank_feature above.
+        origin = float(spec["origin"])
+        pivot = float(spec["pivot"])
+        boost = float(spec.get("boost", 1.0))
+        out = boost * (pivot / (pivot + np.abs(vals - origin)))
+        return np.where(valid, out, 0.0)
     if t in ("gauss", "exp", "linear"):
         origin = float(spec["origin"])
         scale = float(spec["scale"])

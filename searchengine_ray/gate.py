@@ -1470,3 +1470,100 @@ def se_andnot_tf(sf_dir: str):
     return _score_table(
         sf_dir, "rankedboolean", "#andnot( scan sort )", as_int=True
     )
+
+
+def se_rank_feature(sf_dir: str):
+    """ES rank_feature query (Lucene FeatureField saturation function)
+    composed additively with a match query — the standard ES bool
+    [match, rank_feature] shape: BM25 'dup spark' + n_chars/(n_chars +
+    250) via function_score boost_mode=sum, top-25 by (final DESC,
+    external_id ASC). The oracle replays the raw BM25 and the
+    saturation division exactly (BIGINT/DOUBLE -> DOUBLE on both
+    sides)."""
+    from .funcscore import function_score
+
+    eng = engine_for(sf_dir, "bm25")
+    return function_score(
+        eng,
+        "q",
+        "dup spark",
+        [
+            {
+                "type": "rank_feature",
+                "field": "n_chars",
+                "function": "saturation",
+                "pivot": 250,
+            }
+        ],
+        boost_mode="sum",
+        k=25,
+    )
+
+
+def se_distance_feature(sf_dir: str):
+    """ES distance_feature query: proximity boost pivot/(pivot +
+    |n_chars - origin|) with origin=300, pivot=50, added to the BM25
+    'dup spark' score (boost_mode=sum), top-25. The oracle replays the
+    abs/add/divide chain in the identical double composition."""
+    from .funcscore import function_score
+
+    eng = engine_for(sf_dir, "bm25")
+    return function_score(
+        eng,
+        "q",
+        "dup spark",
+        [
+            {
+                "type": "distance_feature",
+                "field": "n_chars",
+                "origin": 300,
+                "pivot": 50,
+            }
+        ],
+        boost_mode="sum",
+        k=25,
+    )
+
+
+def se_pinned(sf_dir: str):
+    """ES pinned query (esquery.pinned_search): external ids of docs
+    7, 123, 42 pinned in that order ahead of the organic 'dup spark'
+    BM25 ranking (pinned removed from the organic section), top-15.
+    The oracle replays the organic ranking + the rank arithmetic; the
+    pinned leg exercises the external-id reverse lookup because the
+    gate passes EXTERNAL ids and the SQL re-derives them from the
+    docmap formula."""
+    from .esquery import pinned_search
+
+    eng = engine_for(sf_dir, "bm25")
+    exts = eng.index.external_ids(np.asarray([7, 123, 42], np.int64))
+    return pinned_search(eng, "q", "dup spark", [str(e) for e in exts], k=15)
+
+
+def se_terms_set(sf_dir: str):
+    """ES terms_set query (Lucene CoveringQuery, esquery
+    .terms_set_search): disjunction over (dup, spark, merge, hash) with
+    a PER-DOC minimum-should-match = floor(n_chars / 150) floored at 1
+    — scoring untouched (the msm rule), so the oracle is the flat #SUM
+    BM25 SQL + a distinct-matched-terms HAVING against the replayed
+    threshold."""
+    from .esquery import terms_set_search
+
+    eng = engine_for(sf_dir, "bm25")
+    return terms_set_search(
+        eng, "q", ["dup", "spark", "merge", "hash"], "n_chars",
+        msm_divisor=150,
+    )
+
+
+def se_match_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix (esquery.match_phrase_prefix): the phrase
+    'order s*' with max_expansions=3 — the dictionary holds six s-terms
+    (scan slow small sort spark stream) so the cap BITES and only the
+    first three in sorted term order expand, exactly what the oracle's
+    ORDER BY term LIMIT 3 replays. Evaluates as #NEAR/1(order,
+    #SYN(scan slow small)) under BM25 with derived-list statistics."""
+    from .esquery import match_phrase_prefix
+
+    eng = engine_for(sf_dir, "bm25")
+    return match_phrase_prefix(eng, "q", "order s", max_expansions=3)

@@ -1,0 +1,209 @@
+"""ES query-DSL analogs (esquery.py: pinned / terms_set /
+match_phrase_prefix) and the rank_feature / distance_feature
+function_score functions — semantics edges plus oracle parity of each
+gate at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+DOCS_PQ = f"read_parquet('{SF}/documents.parquet')"
+
+
+class FakeIndex:
+    def __init__(self, vals, valid=None):
+        self.vals = np.asarray(vals, dtype=float)
+        self.valid = (
+            np.ones(len(self.vals), dtype=bool)
+            if valid is None
+            else np.asarray(valid, dtype=bool)
+        )
+
+    def docvalues_for_docs(self, column, docs):
+        return self.vals.copy(), self.valid.copy()
+
+
+DOCS = np.arange(4, dtype=np.int64)
+
+
+def _fn(vals, valid=None, **spec):
+    from searchengine_ray.funcscore import _fn_values
+
+    return _fn_values(FakeIndex(vals, valid), DOCS, {"field": "x", **spec})
+
+
+def test_rank_feature_saturation_log_sigmoid():
+    v = np.array([0.0, 10.0, 100.0, 250.0])
+    got = _fn(v, type="rank_feature", function="saturation", pivot=50)
+    assert np.array_equal(got, v / (v + 50.0))
+    got = _fn(v, type="rank_feature", function="log", scaling_factor=2.0)
+    assert np.array_equal(got, np.log(2.0 + v))
+    got = _fn(v, type="rank_feature", function="sigmoid", pivot=50,
+              exponent=0.6)
+    assert np.array_equal(got, v**0.6 / (v**0.6 + 50.0**0.6))
+    # boost scales the function value (the ES rank_feature boost)
+    b = _fn(v, type="rank_feature", function="saturation", pivot=50,
+            boost=3.0)
+    assert np.array_equal(b, 3.0 * (v / (v + 50.0)))
+
+
+def test_rank_feature_missing_and_negative():
+    # missing feature -> 0 contribution (the no-match analog) unless a
+    # 'missing' fallback is given
+    got = _fn(np.array([1.0, 2.0, 3.0, 4.0]),
+              valid=[True, False, True, False],
+              type="rank_feature", function="saturation", pivot=1)
+    assert got[1] == 0.0 and got[3] == 0.0 and got[0] == 0.5
+    got = _fn(np.array([1.0, 2.0, 3.0, 4.0]),
+              valid=[True, False, True, True],
+              type="rank_feature", function="saturation", pivot=1,
+              missing=1.0)
+    assert got[1] == 0.5
+    with pytest.raises(ValueError, match="non-negative"):
+        _fn(np.array([1.0, -2.0, 3.0, 4.0]), type="rank_feature",
+            function="saturation", pivot=1)
+    with pytest.raises(ValueError, match="rank_feature function"):
+        _fn(np.ones(4), type="rank_feature", function="swish", pivot=1)
+
+
+def test_distance_feature_formula_and_missing():
+    v = np.array([250.0, 300.0, 400.0, 0.0])
+    got = _fn(v, type="distance_feature", origin=300, pivot=50)
+    assert np.array_equal(got, 50.0 / (50.0 + np.abs(v - 300.0)))
+    assert got[1] == 1.0  # at the origin the boost peaks at 1*boost
+    got = _fn(v, valid=[True, True, False, True],
+              type="distance_feature", origin=300, pivot=50, boost=2.0)
+    assert got[2] == 0.0 and got[1] == 2.0
+
+
+def _engine(sf_dir=SF):
+    from searchengine_ray.gate import engine_for
+
+    return engine_for(sf_dir, "bm25")
+
+
+def test_pinned_order_and_dedupe(ray_session):
+    from searchengine_ray.esquery import pinned_search
+
+    eng = _engine()
+    exts = [str(e) for e in eng.index.external_ids(
+        np.asarray([7, 123, 42], np.int64))]
+    t = pinned_search(eng, "q", "dup spark", exts, k=15).to_pandas()
+    assert list(t["doc_id"][:3]) == [7, 123, 42]
+    assert list(t["is_pinned"][:3]) == [1, 1, 1]
+    assert (t["is_pinned"][3:] == 0).all()
+    assert list(t["rn"]) == list(range(1, 16))
+    # pinned docs never reappear in the organic section
+    assert not set(t["doc_id"][3:]) & {7, 123, 42}
+    # repeated pins collapse to the first slot
+    t2 = pinned_search(eng, "q", "dup spark", [exts[0], exts[0], exts[1]],
+                       k=5).to_pandas()
+    assert list(t2["doc_id"][:2]) == [7, 123]
+    with pytest.raises(KeyError, match="not in the index docmap"):
+        pinned_search(eng, "q", "dup spark", ["nope"], k=5)
+
+
+def test_pinned_nonmatching_doc_still_pins(ray_session):
+    from searchengine_ray.esquery import pinned_search
+
+    eng = _engine()
+    organic = eng.search("q", "dup spark")
+    odocs = set(organic.column("doc_id").to_pylist())
+    nonmatch = next(
+        int(d) for d in eng.index.all_doc_ids() if int(d) not in odocs
+    )
+    ext = str(eng.index.external_ids(np.asarray([nonmatch], np.int64))[0])
+    t = pinned_search(eng, "q", "dup spark", [ext], k=5).to_pandas()
+    assert t["doc_id"][0] == nonmatch and t["is_pinned"][0] == 1
+
+
+def test_terms_set_threshold_semantics(ray_session):
+    from searchengine_ray.esquery import terms_set_search
+
+    eng = _engine()
+    terms = ["dup", "spark", "merge", "hash"]
+    t = terms_set_search(eng, "q", terms, "n_chars", msm_divisor=150)
+    got = set(t.column("doc_id").to_pylist())
+    exp = duckdb.sql(
+        f"""WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                       AS term
+              FROM {DOCS_PQ}),
+            m AS (SELECT doc_id, count(DISTINCT term) AS nm FROM tok
+                  WHERE term IN ('dup','spark','merge','hash')
+                  GROUP BY doc_id)
+            SELECT m.doc_id FROM m JOIN {DOCS_PQ} d USING (doc_id)
+            WHERE m.nm >= greatest(1, d.n_chars // 150)"""
+    ).df()
+    assert got == set(exp["doc_id"])
+    # scores equal the untouched plain disjunction (the msm rule)
+    plain = eng.search("q", " ".join(terms))
+    pmap = dict(zip(plain.column("doc_id").to_pylist(),
+                    plain.column("score").to_pylist()))
+    for d, s in zip(t.column("doc_id").to_pylist(),
+                    t.column("score_r").to_pylist()):
+        assert s == round(pmap[d], 6)
+    with pytest.raises(ValueError, match="msm_divisor"):
+        terms_set_search(eng, "q", terms, "n_chars", msm_divisor=0)
+    with pytest.raises(ValueError, match="must be a single term"):
+        terms_set_search(eng, "q", ["#sum( dup spark )"], "n_chars")
+    # a #range leaf parses as a bool clause but is not an inverted list
+    with pytest.raises(ValueError, match="not a term leaf"):
+        terms_set_search(eng, "q", ["#range( n_chars 100 200 )"], "n_chars")
+
+
+def test_match_phrase_prefix_cap_and_empty(ray_session):
+    from searchengine_ray.esquery import match_phrase_prefix
+
+    eng = _engine()
+    # cap bites: 3 of the 6 s-terms expand; equals the hand-built query
+    t = match_phrase_prefix(eng, "q", "order s", max_expansions=3)
+    manual = eng.search("q", "#near/1( order #syn( scan slow small ) )")
+    assert t.column("doc_id").to_pylist() == manual.column(
+        "doc_id").to_pylist()
+    # uncapped: all six expand
+    t6 = match_phrase_prefix(eng, "q", "order s", max_expansions=50)
+    manual6 = eng.search(
+        "q", "#near/1( order #syn( scan slow small sort spark stream ) )")
+    assert t6.column("doc_id").to_pylist() == manual6.column(
+        "doc_id").to_pylist()
+    # no dictionary term with the prefix -> empty, like ES
+    assert match_phrase_prefix(eng, "q", "order zzz").num_rows == 0
+    # single-token phrase degenerates to the capped prefix disjunction
+    t1 = match_phrase_prefix(eng, "q", "sc", max_expansions=50)
+    assert t1.num_rows > 0
+    with pytest.raises(ValueError, match="survive analysis"):
+        match_phrase_prefix(eng, "q", "order the")
+    with pytest.raises(ValueError, match="max_expansions"):
+        match_phrase_prefix(eng, "q", "order s", max_expansions=0)
+    with pytest.raises(ValueError, match="empty phrase"):
+        match_phrase_prefix(eng, "q", "   ")
+
+
+def test_gates_match_oracles(ray_session):
+    """Full oracle parity for the five new gates at sf0.001 — the same
+    check the driver runs (sorted rows, identical columns)."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    sql = entry.oracle_sql()
+    con = duckdb.connect()
+    for tbl in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{SF}/{tbl}.parquet')"
+        )
+    for name in ("se_rank_feature", "se_distance_feature", "se_pinned",
+                 "se_terms_set", "se_match_phrase_prefix"):
+        got = q[name](SF)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        exp = con.sql(sql[name]).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(exp.columns), name
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        e = exp[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=False), name
