@@ -3970,6 +3970,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order + size cut
         "events_date_histogram": esaggs.date_histogram_agg,
         "events_multi_terms": esaggs.multi_terms_agg,
+        # metric-agg batch (new late r5, never driver-verified):
+        # auto_date_histogram (interval SELECTION from the rounding
+        # ladder rides along as a column), weighted_avg (JSON props
+        # weight extraction + exact int numerator/denominator), exact
+        # MAD (interpolating-median over the bounded cents histogram),
+        # matrix_stats (int64 second moments + fixed-tree correlation)
+        "events_auto_date_histogram": esaggs.auto_date_histogram_agg,
+        "events_weighted_avg": esaggs.weighted_avg_agg,
+        "events_mad": esaggs.mad_agg,
+        "events_matrix_stats": esaggs.matrix_stats_agg,
         # search engine (documents-derived corpus)
         # Lucene span-query family (new r5, never driver-verified):
         # #SPANFIRST/n keeps positions < n; #SPANNOT/n anti-joins exclude
@@ -4535,6 +4545,67 @@ WITH c AS (SELECT year(ts)*100 + month(ts) AS bucket,
 SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS doc_count,
        CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM c GROUP BY 1
+""",
+        # auto interval selection replayed in SQL: the ladder CTE picks
+        # the smallest rung whose aligned bucket count fits the target,
+        # falling back to the top rung — then buckets on it
+        "events_auto_date_histogram": """
+WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+mm AS (SELECT min(s) AS mn, max(s) AS mx FROM c),
+lad(i) AS (VALUES (1),(5),(10),(30),(60),(300),(600),(1800),(3600),(10800),
+                  (43200),(86400),(604800),(2592000),(7776000),(31536000)),
+pick AS (SELECT coalesce(
+           min(CASE WHEN (mx // i) - (mn // i) + 1 <= 20 THEN i END),
+           31536000) AS iv
+         FROM lad, mm)
+SELECT (s // iv) * iv AS bucket_s, iv AS interval_s,
+       count(*) AS doc_count, CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM c, pick GROUP BY 1, 2
+""",
+        # weighted_avg: weight k regex-extracted from the JSON props;
+        # exact integer numerator/denominator, ONE double division
+        "events_weighted_avg": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100.0) AS BIGINT) AS cents,
+                  CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+                    AS k
+           FROM events),
+g AS (SELECT event_type, CAST(sum(cents * k) AS BIGINT) AS w_sum_cents,
+             CAST(sum(k) AS BIGINT) AS w_total
+      FROM c GROUP BY 1)
+SELECT event_type, w_sum_cents, w_total,
+       CAST(w_sum_cents AS DOUBLE) / w_total AS weighted_avg
+FROM g WHERE w_total <> 0
+""",
+        # exact MAD with DuckDB's interpolating median convention
+        "events_mad": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+med AS (SELECT event_type, median(cents) AS m FROM c GROUP BY 1)
+SELECT c.event_type, max(med.m) AS median_cents,
+       median(abs(c.cents - med.m)) AS mad_cents
+FROM c JOIN med USING (event_type) GROUP BY 1
+""",
+        # matrix_stats: exact int64 second moments + the correlation in
+        # the identical double expression tree the engine evaluates
+        "events_matrix_stats": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100.0) AS BIGINT) AS x,
+                  user_id AS y FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x*x) AS BIGINT) AS sum_xx,
+             CAST(sum(y*y) AS BIGINT) AS sum_yy,
+             CAST(sum(x*y) AS BIGINT) AS sum_xy
+      FROM c GROUP BY 1)
+SELECT event_type, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       round((CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+             / (sqrt(CAST(n AS DOUBLE) * sum_xx
+                     - CAST(sum_x AS DOUBLE) * sum_x)
+                * sqrt(CAST(n AS DOUBLE) * sum_yy
+                       - CAST(sum_y AS DOUBLE) * sum_y)), 6) AS corr_r
+FROM g
 """,
         # composite-key terms buckets, ES order: count desc, then key asc
         "events_multi_terms": """

