@@ -2320,6 +2320,104 @@ SELECT ntf.doc_id,
 FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats
 """
 
+# multi_match best_fields (esquery.multi_match): 'en dup' over (body,
+# keywords) with tie 0.2 — two per-field #SUM legs each with their own
+# field statistics (the keywords leg reuses the dismax-gate derivation
+# from documents.lang), combined best + tie*(total - best); a leg only
+# participates where it MATCHES (full outer join + -inf sentinel).
+_SE_MULTI_MATCH_SQL = f"""
+WITH {_TOK},
+kdl AS (SELECT doc_id, len(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS kdl,
+               len(list_filter(regexp_extract_all(lower(lang), '[a-z0-9_]+'),
+                               x -> x = 'en')) AS tfk
+        FROM documents),
+kconst AS (SELECT CAST(sum(kdl) AS DOUBLE)/count(*) AS avek FROM kdl WHERE kdl > 0),
+kstats AS (SELECT count(*) AS dfk FROM kdl WHERE tfk > 0),
+kleg AS (
+  SELECT k.doc_id,
+         greatest(0.0, ln((const.n - kstats.dfk + 0.5)/(kstats.dfk + 0.5)))
+           * k.tfk/(k.tfk + 1.2*(1 - 0.75 + 0.75*k.kdl/kconst.avek)) AS s
+  FROM kdl k CROSS JOIN const CROSS JOIN kconst CROSS JOIN kstats
+  WHERE k.tfk > 0),
+bleg AS (SELECT doc_id, s
+         FROM ({_bm25_terms_sql(["en", "dup"], raw=True)})),
+comb AS (
+  SELECT coalesce(b.doc_id, k.doc_id) AS doc_id,
+         greatest(coalesce(b.s, -1e308), coalesce(k.s, -1e308))
+           + 0.2 * ((coalesce(b.s, 0) + coalesce(k.s, 0))
+                    - greatest(coalesce(b.s, -1e308), coalesce(k.s, -1e308)))
+           AS c
+  FROM bleg b FULL OUTER JOIN kleg k ON b.doc_id = k.doc_id)
+SELECT doc_id, round(c, 6) AS score_r FROM comb
+"""
+
+# collapse with inner_hits (facets.collapse_topn): top-2 per facet with
+# in-group rank — the collapse SQL keeping rn <= 2 and emitting rn.
+_SE_COLLAPSE_INNER_SQL = f"""
+WITH r AS (
+  SELECT lower(d.lang) AS facet, b.doc_id, b.s,
+         row_number() OVER (PARTITION BY lower(d.lang)
+                            ORDER BY b.s DESC, e.external_id) AS rn
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)
+)
+SELECT facet, doc_id, round(s, 6) AS score_r, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 2
+"""
+
+# sampler aggregation (facets.sampler_facets): the keywords terms-agg
+# over ONLY the top-100 docs of the global ranking window.
+_SE_SAMPLER_SQL = f"""
+WITH win AS (
+  SELECT b.doc_id,
+         row_number() OVER (ORDER BY b.s DESC, e.external_id) AS rn
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN {_EXT_SUB} e USING (doc_id)
+  QUALIFY rn <= 100)
+SELECT lower(d.lang) AS facet, count(*) AS n
+FROM documents d JOIN win USING (doc_id)
+GROUP BY lower(d.lang)
+"""
+
+
+# terms agg with per-shard truncation + doc_count_error_upper_bound
+# (esaggs.terms_shard_error_agg): deterministic splitmix64 routing, each
+# shard's local top-5, coordinator merge over REPORTED counts only, and
+# the ES error bound (sum of non-reporting shards' smallest returned
+# count, 0 for untruncated shards).
+def _terms_shard_error_sql(size: int = 5, n_shards: int = 4, seed: int = 97) -> str:
+    return f"""
+WITH ev AS (SELECT event_id, user_id FROM events),
+{_splitmix_ctes('sx', 'ev', ['user_id'], 'event_id', seed)},
+sh AS (SELECT user_id, CAST(v % {n_shards} AS BIGINT) AS shard FROM sx3),
+c AS (SELECT shard, user_id, count(*) AS n FROM sh GROUP BY 1, 2),
+r AS (SELECT c.*,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n DESC, user_id) AS rn,
+             count(*) OVER (PARTITION BY shard) AS nterms
+      FROM c),
+kept AS (SELECT * FROM r WHERE rn <= {size}),
+cut AS (SELECT shard,
+               CASE WHEN max(nterms) > {size} THEN min(n) ELSE 0 END AS cutoff
+        FROM kept GROUP BY shard),
+merged AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS doc_count
+           FROM kept GROUP BY 1),
+err AS (SELECT m.user_id,
+               CAST(coalesce(sum(CASE WHEN k.user_id IS NULL
+                                      THEN c.cutoff END), 0) AS BIGINT) AS e
+        FROM merged m
+        CROSS JOIN cut c
+        LEFT JOIN kept k ON k.shard = c.shard AND k.user_id = m.user_id
+        GROUP BY m.user_id),
+fin AS (SELECT m.user_id, m.doc_count, err.e AS doc_count_error_upper_bound,
+               row_number() OVER (ORDER BY m.doc_count DESC, m.user_id) AS frn
+        FROM merged m JOIN err ON err.user_id = m.user_id)
+SELECT user_id, doc_count, doc_count_error_upper_bound
+FROM fin WHERE frn <= {size}
+"""
+
+
 # random_score (funcscore, ES random_score function with boost_mode=
 # replace): the match set ranked purely by splitmix64(doc_id, 42) %
 # 2^53 / 2^53 — numerator fits the float64 mantissa and the divisor is a
@@ -4038,6 +4136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_pinned": gate.se_pinned,
         "se_terms_set": gate.se_terms_set,
         "se_match_phrase_prefix": gate.se_match_phrase_prefix,
+        # multi_match best_fields desugaring, collapse inner_hits,
+        # sampler agg, terms-agg shard error bound (new late r5,
+        # never driver-verified)
+        "se_multi_match": gate.se_multi_match,
+        "se_collapse_inner": gate.se_collapse_inner,
+        "se_sampler_terms": gate.se_sampler_terms,
+        "events_terms_shard_error": esaggs.terms_shard_error_agg,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -4767,6 +4872,10 @@ WHERE rnk <= 3
         "se_pinned": _SE_PINNED_SQL,
         "se_terms_set": _SE_TERMS_SET_SQL,
         "se_match_phrase_prefix": _SE_MATCH_PHRASE_PREFIX_SQL,
+        "se_multi_match": _SE_MULTI_MATCH_SQL,
+        "se_collapse_inner": _SE_COLLAPSE_INNER_SQL,
+        "se_sampler_terms": _SE_SAMPLER_SQL,
+        "events_terms_shard_error": _terms_shard_error_sql(),
         # composite agg: cursor predicate + GROUP BY + bucket-order LIMIT;
         # the LIMIT is deterministic because the ORDER BY key tuple is the
         # bucket identity (unique)

@@ -841,3 +841,112 @@ def matrix_stats_agg(sf_dir: str) -> pa.Table:
             "corr_r": pa.array(corr, pa.float64()),
         }
     )
+
+
+def terms_shard_error_agg(
+    sf_dir: str, size: int = 5, n_shards: int = 4, seed: int = 97
+) -> pa.Table:
+    """ES ``terms`` aggregation with PER-SHARD truncation and the
+    ``doc_count_error_upper_bound`` it reports — the distributed
+    approximation semantics itself, reproduced deterministically:
+
+    events shard by ``splitmix64(event_id, seed) % n_shards`` (a
+    deterministic stand-in for ES's routing hash, replayable in SQL);
+    each shard returns only its local top-``size`` user_ids by
+    (count desc, user_id asc) — the information an ES data node
+    actually ships; the coordinating merge sums ONLY reported counts
+    (so ``doc_count`` can undercount, exactly like ES), and each
+    merged term's error bound is the sum, over shards that did NOT
+    report it, of that shard's smallest returned count — 0 for shards
+    that returned their full term list (no truncation, nothing
+    missed). Final cut: top-``size`` by (merged count desc, user asc).
+
+    Scale shape: the per-(shard, user) count reduction is ONE
+    decomposable groupby; per-shard ranking runs inside ``map_groups``
+    over bounded per-shard term histograms; the driver merges
+    n_shards x size rows.
+
+    Returns (user_id, doc_count, doc_count_error_upper_bound).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .sketch import _hash64
+
+    if size < 1 or n_shards < 1:
+        raise ValueError("size and n_shards must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        shard = (_hash64(eid.astype(np.int64), seed)
+                 % np.uint64(n_shards)).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "shard": pa.array(shard, pa.int64()),
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                }
+            )
+            .group_by(["shard", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "shard": g.column("shard"),
+                "user_id": g.column("user_id"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, -n))[:size]
+        truncated = len(u) > size
+        cutoff = int(n[order[-1]]) if truncated else 0
+        return pa.table(
+            {
+                "shard": pa.array(
+                    [t.column("shard")[0].as_py()] * len(order), pa.int64()
+                ),
+                "user_id": pa.array(u[order], pa.int64()),
+                "n": pa.array(n[order], pa.int64()),
+                "cutoff": pa.array([cutoff] * len(order), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    kept = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["shard", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+        .take_all()  # bounded: n_shards x size rows
+    )
+    cutoffs = {r["shard"]: r["cutoff"] for r in kept}
+    per_user: dict[int, dict[int, int]] = {}
+    for r in kept:
+        per_user.setdefault(r["user_id"], {})[r["shard"]] = r["n"]
+    merged = []
+    for user, by_shard in per_user.items():
+        doc_count = sum(by_shard.values())
+        err = sum(
+            c for s, c in cutoffs.items() if s not in by_shard
+        )
+        merged.append((user, doc_count, err))
+    merged.sort(key=lambda t: (-t[1], t[0]))
+    merged = merged[:size]
+    return pa.table(
+        {
+            "user_id": pa.array([m[0] for m in merged], pa.int64()),
+            "doc_count": pa.array([m[1] for m in merged], pa.int64()),
+            "doc_count_error_upper_bound": pa.array(
+                [m[2] for m in merged], pa.int64()
+            ),
+        }
+    )

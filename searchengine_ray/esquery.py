@@ -188,3 +188,64 @@ def match_phrase_prefix(
             "score_r": pc.round(t.column("score"), ndigits=6),
         }
     )
+
+
+def multi_match(
+    engine,
+    qid: str,
+    query: str,
+    fields: list[str],
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> pa.Table:
+    """ES ``multi_match``: one analyzed query run against several fields.
+
+    - ``best_fields`` (the ES default): a per-FIELD leg (the query's
+      #SUM against that field) combined under dis_max with
+      ``tie_breaker`` — desugars to
+      ``#DISMAX/t(#SUM(q.f1...), #SUM(q.f2...))``, the gated #DISMAX
+      machinery.
+    - ``most_fields``: the per-field legs simply sum —
+      ``#SUM(t1.f1 t1.f2 t2.f1 ...)`` in (term, field) order, each leg
+      scored with its own field statistics (the documented ES behavior).
+    - ``cross_fields``: blended per-term statistics ACROSS fields is a
+      different scoring model, implemented (and gated) as BM25F in
+      ``bm25f.py`` — requesting it here raises with that pointer rather
+      than shipping a subtly-wrong desugaring.
+
+    The tie_breaker rides the #DISMAX integer-percent suffix, so only
+    multiples of 0.01 in [0, 1] are representable — exactly the gated
+    operator's contract."""
+    toks: list[str] = []
+    for raw in query.split():
+        toks.extend(engine._analyze(raw))
+    if not toks:
+        raise ValueError(f"query {query!r} analyzes to nothing")
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    if match_type == "cross_fields":
+        raise ValueError(
+            "cross_fields blends term statistics across fields — use "
+            "bm25f.bm25f_search (the gated BM25F implementation)"
+        )
+    if match_type == "best_fields":
+        tie = int(round(tie_breaker * 100))
+        if not 0 <= tie <= 100 or abs(tie - tie_breaker * 100) > 1e-9:
+            raise ValueError(
+                f"tie_breaker {tie_breaker} must be a multiple of 0.01 "
+                "in [0, 1] (#DISMAX integer-percent suffix)"
+            )
+        legs = []
+        for f in fields:
+            inner = " ".join(f"{t}.{f}" for t in toks)
+            legs.append(f"#sum( {inner} )" if len(toks) > 1 else inner)
+        q = f"#dismax/{tie}( {' '.join(legs)} )"
+    elif match_type == "most_fields":
+        inner = " ".join(f"{t}.{f}" for t in toks for f in fields)
+        q = f"#sum( {inner} )"
+    else:
+        raise ValueError(
+            f"unknown multi_match type {match_type!r} "
+            "(best_fields | most_fields | cross_fields)"
+        )
+    return engine.search(qid, q)

@@ -119,3 +119,72 @@ def collapse_top1(
             "score": pa.array(scs[order], type=pa.float64()),
         }
     )
+
+
+def collapse_topn(
+    index: InvertedIndex,
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+    field: str = "keywords",
+    inner_size: int = 2,
+) -> pa.Table:
+    """Field collapsing with ``inner_hits`` (ES collapse.inner_hits /
+    Lucene grouping's groupDocs): the top ``inner_size`` docs per facet
+    value under the engine's (score desc, external_id asc) comparator,
+    each with its 1-based rank within the group. ``collapse_top1`` is
+    the ``inner_size=1`` special case kept for its driver-verified
+    surface. Same scale shape: per-shard vectorized membership + partial
+    top-m per facet, global merge compares m rows per (shard, facet).
+
+    Returns (facet, doc_id, score, rn) ordered (facet asc, rn asc).
+    """
+    if inner_size < 1:
+        raise ValueError(f"inner_size must be >= 1, got {inner_size}")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float64)
+    order = np.argsort(doc_ids, kind="stable")
+    d_sorted, s_sorted = doc_ids[order], scores[order]
+    facets, docs, scs, rns = [], [], [], []
+    for _f, term in sorted(index.vocabulary(field), key=lambda ft: ft[1]):
+        p = index.postings(field, term, need_positions=False)
+        if p.df == 0 or len(d_sorted) == 0:
+            continue
+        pos = np.searchsorted(d_sorted, p.doc_ids)
+        pos = np.minimum(pos, len(d_sorted) - 1)
+        hit = pos[d_sorted[pos] == p.doc_ids]
+        if len(hit) == 0:
+            continue
+        cand_d, cand_s = d_sorted[hit], s_sorted[hit]
+        top = np.lexsort((index.ext_ranks(cand_d), -cand_s))[:inner_size]
+        for r, i in enumerate(top, 1):
+            facets.append(term)
+            docs.append(int(cand_d[i]))
+            scs.append(float(cand_s[i]))
+            rns.append(r)
+    return pa.table(
+        {
+            "facet": pa.array(facets, pa.string()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scs, pa.float64()),
+            "rn": pa.array(rns, pa.int64()),
+        }
+    )
+
+
+def sampler_facets(
+    engine, query: str, shard_size: int = 100, field: str = "keywords"
+) -> pa.Table:
+    """ES ``sampler`` aggregation: run the sub-aggregation (here a
+    ``terms``/facet count) over only the best-scoring ``shard_size``
+    docs of the query instead of the full match set — the ES recipe for
+    focusing an aggregation on relevant docs and bounding its cost. The
+    cut uses the engine's global (score desc, external_id asc) order,
+    so the sampled set is deterministic and the oracle replays it as a
+    rank window. Returns (facet, n) like facet_counts."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    t = engine.search("sampler", query)
+    top = t.slice(0, shard_size)
+    return facet_counts(
+        engine.index, top.column("doc_id").to_numpy(), field
+    )

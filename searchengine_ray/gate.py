@@ -1567,3 +1567,64 @@ def se_match_phrase_prefix(sf_dir: str):
 
     eng = engine_for(sf_dir, "bm25")
     return match_phrase_prefix(eng, "q", "order s", max_expansions=3)
+
+
+def se_multi_match(sf_dir: str):
+    """ES multi_match best_fields (esquery.multi_match): the query
+    'en dup' against fields (body, keywords) with tie_breaker 0.2 —
+    desugars to #DISMAX/20(#SUM(en.body dup.body), #SUM(en.keywords
+    dup.keywords)); 'en' only matches the keywords field and 'dup' only
+    the body, so the per-field legs, the cross-field max and the
+    tie-broken sum are all exercised. The oracle replays both field
+    legs with their own statistics and the best + tie*(rest) combine."""
+    from .esquery import multi_match
+
+    eng = engine_for(sf_dir, "bm25")
+    t = multi_match(
+        eng, "q", "en dup", ["body", "keywords"],
+        match_type="best_fields", tie_breaker=0.2,
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )
+
+
+def se_collapse_inner(sf_dir: str):
+    """Field collapsing with inner_hits (facets.collapse_topn): top-2
+    'dup spark' BM25 docs per keywords facet value with in-group rank
+    — the ES collapse.inner_hits / Lucene grouping groupDocs analog;
+    the oracle is the collapse SQL with rn <= 2 kept and emitted."""
+    from .facets import collapse_topn
+
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.search("q", "dup spark")
+    c = collapse_topn(
+        eng.index,
+        t.column("doc_id").to_numpy(),
+        t.column("score").to_numpy(),
+        field="keywords",
+        inner_size=2,
+    )
+    return pa.table(
+        {
+            "facet": c.column("facet"),
+            "doc_id": c.column("doc_id"),
+            "score_r": pc.round(c.column("score"), ndigits=6),
+            "rn": c.column("rn"),
+        }
+    )
+
+
+def se_sampler_terms(sf_dir: str):
+    """ES sampler aggregation (facets.sampler_facets): the keywords
+    terms-agg computed over ONLY the top-100 'dup spark' BM25 docs (the
+    sampler shard_size window) instead of the full match set — the
+    oracle replays the rank window under the global comparator and the
+    per-facet counts."""
+    from .facets import sampler_facets
+
+    eng = engine_for(sf_dir, "bm25")
+    return sampler_facets(eng, "dup spark", shard_size=100, field="keywords")

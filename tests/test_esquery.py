@@ -207,3 +207,124 @@ def test_gates_match_oracles(ray_session):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         e = exp[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, e, check_dtype=False), name
+
+
+def test_multi_match_desugars_to_gated_ops(ray_session):
+    from searchengine_ray.esquery import multi_match
+
+    eng = _engine()
+    best = multi_match(eng, "q", "en dup", ["body", "keywords"],
+                       match_type="best_fields", tie_breaker=0.2)
+    manual = eng.search(
+        "q", "#dismax/20( #sum( en.body dup.body ) "
+             "#sum( en.keywords dup.keywords ) )")
+    assert best.column("doc_id").to_pylist() == manual.column(
+        "doc_id").to_pylist()
+    assert best.column("score").to_pylist() == manual.column(
+        "score").to_pylist()
+    most = multi_match(eng, "q", "en dup", ["body", "keywords"],
+                       match_type="most_fields")
+    manual2 = eng.search(
+        "q", "#sum( en.body en.keywords dup.body dup.keywords )")
+    assert most.column("score").to_pylist() == manual2.column(
+        "score").to_pylist()
+    with pytest.raises(ValueError, match="bm25f"):
+        multi_match(eng, "q", "dup", ["body"], match_type="cross_fields")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match(eng, "q", "dup", ["body"], tie_breaker=0.123)
+    with pytest.raises(ValueError, match="analyzes to nothing"):
+        multi_match(eng, "q", "the", ["body"])
+    with pytest.raises(ValueError, match="at least one field"):
+        multi_match(eng, "q", "dup", [])
+    with pytest.raises(ValueError, match="multi_match type"):
+        multi_match(eng, "q", "dup", ["body"], match_type="phrase")
+
+
+def test_collapse_topn_contains_top1(ray_session):
+    from searchengine_ray.facets import collapse_top1, collapse_topn
+
+    eng = _engine()
+    t = eng.search("q", "dup spark")
+    d = t.column("doc_id").to_numpy()
+    s = t.column("score").to_numpy()
+    one = collapse_top1(eng.index, d, s, field="keywords").to_pandas()
+    two = collapse_topn(eng.index, d, s, field="keywords",
+                        inner_size=2).to_pandas()
+    # rn=1 rows of topn == top1 (same winners per facet)
+    first = two[two["rn"] == 1].set_index("facet")
+    for _, row in one.iterrows():
+        assert first.loc[row["facet"], "doc_id"] == row["doc_id"]
+    # per facet: rn=2's score never beats rn=1's
+    for f, grp in two.groupby("facet"):
+        grp = grp.sort_values("rn")
+        assert list(grp["rn"]) == list(range(1, len(grp) + 1))
+        assert (grp["score"].diff().dropna() <= 1e-12).all()
+    with pytest.raises(ValueError, match="inner_size"):
+        collapse_topn(eng.index, d, s, inner_size=0)
+
+
+def test_sampler_counts_bounded_by_window(ray_session):
+    from searchengine_ray.facets import facet_counts, sampler_facets
+
+    eng = _engine()
+    t = eng.search("q", "dup spark")
+    sampled = sampler_facets(eng, "dup spark", shard_size=100).to_pandas()
+    assert sampled["n"].sum() == min(100, t.num_rows)
+    full = facet_counts(
+        eng.index, t.column("doc_id").to_numpy(), "keywords").to_pandas()
+    fm = dict(zip(full["facet"], full["n"]))
+    for _, r in sampled.iterrows():
+        assert r["n"] <= fm[r["facet"]]
+    with pytest.raises(ValueError, match="shard_size"):
+        sampler_facets(eng, "dup spark", shard_size=0)
+
+
+def test_terms_shard_error_semantics(ray_session):
+    from searchengine_ray.esaggs import terms_shard_error_agg
+
+    got = terms_shard_error_agg(SF, size=5, n_shards=4).to_pandas()
+    assert len(got) == 5
+    # reported count never exceeds the true count; bound is non-negative
+    true = duckdb.sql(
+        f"SELECT user_id, count(*) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY 1"
+    ).df().set_index("user_id")["n"]
+    for _, r in got.iterrows():
+        assert r["doc_count"] <= true[r["user_id"]]
+        assert r["doc_count_error_upper_bound"] >= 0
+        # true count is within reported + bound (the ES guarantee)
+        assert true[r["user_id"]] <= (
+            r["doc_count"] + r["doc_count_error_upper_bound"]
+        )
+    # a single shard with a huge size never truncates: exact counts,
+    # zero error bound
+    exact = terms_shard_error_agg(SF, size=10_000, n_shards=1).to_pandas()
+    assert (exact["doc_count_error_upper_bound"] == 0).all()
+    assert all(exact.set_index("user_id")["doc_count"] == true[
+        exact["user_id"]].values)
+    with pytest.raises(ValueError, match="size and n_shards"):
+        terms_shard_error_agg(SF, size=0)
+
+
+def test_new_gates_match_oracles(ray_session):
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    sql = entry.oracle_sql()
+    con = duckdb.connect()
+    for tbl in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{SF}/{tbl}.parquet')"
+        )
+    for name in ("se_multi_match", "se_collapse_inner", "se_sampler_terms",
+                 "events_terms_shard_error"):
+        got = q[name](SF)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        exp = con.sql(sql[name]).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(exp.columns), name
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        e = exp[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=False), name
