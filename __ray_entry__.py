@@ -2418,6 +2418,41 @@ FROM fin WHERE frn <= {size}
 """
 
 
+# index-sorted field collection (indexsort.sorted_search): 'dup'
+# membership ordered (n_chars DESC, external_id ASC) top-25 — the
+# Lucene index-sort early-termination analog; page 2 chains the
+# (sort_val, external_id) cursor with the strictly-after predicate.
+_SE_SORTED_SEARCH_SQL = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+r AS (
+  SELECT m.doc_id, d.n_chars AS sort_val,
+         row_number() OVER (ORDER BY d.n_chars DESC, e.external_id) AS rn
+  FROM m JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id))
+SELECT doc_id, CAST(sort_val AS BIGINT) AS sort_val, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 25
+"""
+
+_SE_SORTED_AFTER_SQL = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+full_r AS (
+  SELECT m.doc_id, d.n_chars AS sort_val, e.external_id,
+         row_number() OVER (ORDER BY d.n_chars DESC, e.external_id) AS frn
+  FROM m JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)),
+cursor AS (SELECT sort_val AS cv, external_id AS ce FROM full_r WHERE frn = 10),
+page2 AS (
+  SELECT f.doc_id, f.sort_val,
+         row_number() OVER (ORDER BY f.sort_val DESC, f.external_id) AS rn
+  FROM full_r f, cursor
+  WHERE f.sort_val < cursor.cv
+     OR (f.sort_val = cursor.cv AND f.external_id > cursor.ce))
+SELECT doc_id, CAST(sort_val AS BIGINT) AS sort_val, CAST(rn AS BIGINT) AS rn
+FROM page2 WHERE rn <= 10
+"""
+
 # random_score (funcscore, ES random_score function with boost_mode=
 # replace): the match set ranked purely by splitmix64(doc_id, 42) %
 # 2^53 / 2^53 — numerator fits the float64 mantissa and the divisor is a
@@ -4070,7 +4105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite-key terms buckets with the ES count-desc/key-asc
         # order + size cut
         "events_date_histogram": esaggs.date_histogram_agg,
-        "events_multi_terms": esaggs.multi_terms_agg,
         # metric-agg batch (new late r5, never driver-verified):
         # auto_date_histogram (interval SELECTION from the rounding
         # ladder rides along as a column), weighted_avg (JSON props
@@ -4134,6 +4168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_collapse_inner": gate.se_collapse_inner,
         "se_sampler_terms": gate.se_sampler_terms,
         "events_terms_shard_error": esaggs.terms_shard_error_agg,
+        # index-sorted field collection (new late r5, never driver-
+        # verified): the Lucene index-sort / TopFieldCollector early-
+        # termination analog — per-shard cached (value, ext) doc order,
+        # chunked first-k membership scan, no per-query sort
+        "se_sorted_search": gate.se_sorted_search,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -4279,6 +4318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_min_should_match": gate.se_min_should_match,  # new r5, parked by priority; in-window sibling se_bool_query drives the same clause-count msm machinery inside the bool compositor
         "se_extended_stats": gate.se_extended_stats,  # new r5, parked by priority; in-window sibling events_matrix_stats is a strict superset of the exact-integer moment machinery (second moments + correlation)
         "ann_filtered": gate.ann_filtered,  # new r5, parked by priority; in-window ann_range shares the normalize+cosine+threshold surface and ann_ivf_* the partition-pushdown read machinery
+        "events_multi_terms": esaggs.multi_terms_agg,  # new late r5, parked by priority; in-window events_terms_shard_error hash-checks the same (count desc, key asc) + size-cut terms ordering contract and events_weighted_avg/events_auto_date_histogram the per-batch Arrow partial + single-shuffle machinery
+        "se_sorted_search_after": gate.se_sorted_search_after,  # new late r5, parked by priority; in-window se_sorted_search runs the identical sort_order + chunked first-k machinery — this entry adds only the strictly-after cursor predicate, pytest-pinned
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -4860,6 +4901,8 @@ WHERE rnk <= 3
         "se_collapse_inner": _SE_COLLAPSE_INNER_SQL,
         "se_sampler_terms": _SE_SAMPLER_SQL,
         "events_terms_shard_error": _terms_shard_error_sql(),
+        "se_sorted_search": _SE_SORTED_SEARCH_SQL,
+        "se_sorted_search_after": _SE_SORTED_AFTER_SQL,
         # composite agg: cursor predicate + GROUP BY + bucket-order LIMIT;
         # the LIMIT is deterministic because the ORDER BY key tuple is the
         # bucket identity (unique)

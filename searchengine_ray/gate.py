@@ -1628,3 +1628,36 @@ def se_sampler_terms(sf_dir: str):
 
     eng = engine_for(sf_dir, "bm25")
     return sampler_facets(eng, "dup spark", shard_size=100, field="keywords")
+
+
+def se_sorted_search(sf_dir: str):
+    """Index-sorted field collection (indexsort.sorted_search — the
+    Lucene index-sort / ES sort-on-field analog): 'dup' matches ordered
+    by (n_chars DESC, external_id ASC) top-25 from the precomputed
+    per-shard sort order with chunked early termination — no per-query
+    sort. The oracle is the membership CTE ordered by the same keys."""
+    from .indexsort import sorted_search
+
+    eng = engine_for(sf_dir, "bm25")
+    return sorted_search(eng, "q", "dup", "n_chars", descending=True, k=25)
+
+
+def se_sorted_search_after(sf_dir: str):
+    """ES sort + search_after (indexsort.sorted_search_after): page 2
+    (rows 11-20) of the 'dup' (n_chars DESC, external_id ASC) ranking —
+    the cursor is page 1's row-10 (sort_val, external_id), re-derived
+    inside the gate from a k=10 first page so the gate chains the two
+    calls exactly like a paginating client; the oracle applies the
+    strictly-after predicate and re-ranks."""
+    from .indexsort import sorted_search, sorted_search_after
+
+    eng = engine_for(sf_dir, "bm25")
+    p1 = sorted_search(eng, "q", "dup", "n_chars", descending=True, k=10)
+    last_doc = p1.column("doc_id")[-1].as_py()
+    last_val = p1.column("sort_val")[-1].as_py()
+    last_ext = str(eng.index.external_ids(np.asarray([last_doc], np.int64))[0])
+    return sorted_search_after(
+        eng, "q", "dup", "n_chars",
+        after_value=float(last_val), after_external_id=last_ext,
+        descending=True, k=10,
+    )
