@@ -2453,6 +2453,27 @@ SELECT doc_id, CAST(sort_val AS BIGINT) AS sort_val, CAST(rn AS BIGINT) AS rn
 FROM page2 WHERE rn <= 10
 """
 
+# term-suggester popular mode (spell.suggest suggest_mode=popular):
+# candidates keep only df > df(input); absent inputs have qdf 0.
+_SE_SPELL_POPULAR_SQL = f"""
+WITH {_TOK},
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+          WHERE term NOT IN {_STOPLIST_SQL} GROUP BY term),
+q(qterm) AS (VALUES ('scan'), ('stram'), ('dat')),
+qdf AS (SELECT q.qterm, coalesce(v.df, 0) AS qdf
+        FROM q LEFT JOIN vocab v ON v.term = q.qterm),
+cand AS (
+  SELECT qdf.qterm, v.term AS suggestion,
+         CAST(levenshtein(v.term, qdf.qterm) AS BIGINT) AS dist, v.df
+  FROM qdf CROSS JOIN vocab v
+  WHERE levenshtein(v.term, qdf.qterm) <= 2 AND v.term <> qdf.qterm
+    AND v.df > qdf.qdf),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY qterm ORDER BY dist, df DESC, suggestion) AS rn
+           FROM cand)
+SELECT qterm, suggestion, dist, df FROM ranked WHERE rn <= 3
+"""
+
 # random_score (funcscore, ES random_score function with boost_mode=
 # replace): the match set ranked purely by splitmix64(doc_id, 42) %
 # 2^53 / 2^53 — numerator fits the float64 mantissa and the divisor is a
@@ -4104,7 +4125,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # civil_from_days (no datetime library on the engine side) and
         # composite-key terms buckets with the ES count-desc/key-asc
         # order + size cut
-        "events_date_histogram": esaggs.date_histogram_agg,
+        # registered-aggregation extension surface (new late r5): the
+        # §2.12 registry pattern on the aggregation side — the shipped
+        # 'spread' registration runs partial -> declared sum/min/max
+        # combines -> finalize through register_aggregation /
+        # run_aggregation end-to-end (the se_tfidf precedent for models)
+        "events_spread_agg": esaggs.spread_agg,
         # metric-agg batch (new late r5, never driver-verified):
         # auto_date_histogram (interval SELECTION from the rounding
         # ladder rides along as a column), weighted_avg (JSON props
@@ -4320,6 +4346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": gate.ann_filtered,  # new r5, parked by priority; in-window ann_range shares the normalize+cosine+threshold surface and ann_ivf_* the partition-pushdown read machinery
         "events_multi_terms": esaggs.multi_terms_agg,  # new late r5, parked by priority; in-window events_terms_shard_error hash-checks the same (count desc, key asc) + size-cut terms ordering contract and events_weighted_avg/events_auto_date_histogram the per-batch Arrow partial + single-shuffle machinery
         "se_sorted_search_after": gate.se_sorted_search_after,  # new late r5, parked by priority; in-window se_sorted_search runs the identical sort_order + chunked first-k machinery — this entry adds only the strictly-after cursor predicate, pytest-pinned
+        "events_date_histogram": esaggs.date_histogram_agg,  # new late r5, parked by priority (yielded its slot to events_spread_agg, the registry extension surface); in-window events_auto_date_histogram shares the ts-bucket + _sum_by_key machinery and the civil_from_days kernel keeps its 3000-date fuzz pytest across both Gregorian era boundaries
+        "se_spell_popular": gate.se_spell_popular,  # new late r5, parked by priority; the suggest family has no in-window head but is three-times driver-verified historically (se_spell r3, se_complete r4, se_phrase_suggest r4, all parked with green hashes) and this mode adds only the df > qdf candidate predicate over the identical vocab/levenshtein/rank machinery, pytest-pinned
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -4903,6 +4931,17 @@ WHERE rnk <= 3
         "events_terms_shard_error": _terms_shard_error_sql(),
         "se_sorted_search": _SE_SORTED_SEARCH_SQL,
         "se_sorted_search_after": _SE_SORTED_AFTER_SQL,
+        "se_spell_popular": _SE_SPELL_POPULAR_SQL,
+        # registered 'spread' agg: per event_type min/max/count + spread
+        "events_spread_agg": """
+WITH c AS (SELECT event_type AS key,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
+SELECT key, count(*) AS doc_count,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(max(cents) - min(cents) AS BIGINT) AS spread_cents
+FROM c GROUP BY 1
+""",
         # composite agg: cursor predicate + GROUP BY + bucket-order LIMIT;
         # the LIMIT is deterministic because the ORDER BY key tuple is the
         # bucket identity (unique)

@@ -950,3 +950,130 @@ def terms_shard_error_agg(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# aggregation extension surface — the §2.12 registry pattern
+# (qryparse.register_operator / config.register_model) applied to the
+# aggregation side: a user-defined aggregation is (partial, merge specs,
+# finalize), exactly the decomposable map-combine-reduce shape every
+# built-in agg above ships, so a registered agg inherits the same scale
+# story (per-batch Arrow partials, ONE bounded-cardinality shuffle,
+# bounded driver finalize) — the ES scripted_metric analog with the
+# combine made explicit instead of a coordinator-side script.
+# ---------------------------------------------------------------------------
+
+AGG_REGISTRY: "dict[str, dict]" = {}
+
+
+def register_aggregation(
+    name: str,
+    partial,
+    merge: "list[tuple[str, str, str]]",
+    finalize=None,
+    columns: "list[str] | None" = None,
+    key: str = "key",
+) -> None:
+    """Register a named aggregation over the events table.
+
+    ``partial(batch: pa.Table) -> pa.Table`` emits per-batch partial rows
+    (must include ``key``); ``merge`` lists (column, how, alias) with how
+    in {sum, min, max} — the decomposable combine the shuffle runs;
+    ``finalize(rows: list[dict]) -> list[dict]`` optionally derives
+    output columns from the merged partials on the driver (bounded:
+    n_keys rows). ``columns`` prunes the parquet read."""
+    hows = {c[1] for c in merge}
+    bad = hows - {"sum", "min", "max"}
+    if bad:
+        raise ValueError(f"unsupported merge kinds {sorted(bad)}")
+    if name in AGG_REGISTRY:
+        raise ValueError(f"aggregation {name!r} already registered")
+    AGG_REGISTRY[name] = {
+        "partial": partial,
+        "merge": list(merge),
+        "finalize": finalize,
+        "columns": columns,
+        "key": key,
+    }
+
+
+def run_aggregation(name: str, sf_dir: str) -> pa.Table:
+    """Run a registered aggregation: read -> map_batches(partial) ->
+    ONE groupby shuffle with the declared sum/min/max combines ->
+    driver finalize over n_keys rows -> Arrow table sorted by key."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    if name not in AGG_REGISTRY:
+        raise KeyError(
+            f"unknown aggregation {name!r} "
+            f"(registered: {sorted(AGG_REGISTRY)})"
+        )
+    spec = AGG_REGISTRY[name]
+    kinds = {"sum": Sum, "min": Min, "max": Max}
+    aggs = [kinds[how](col, alias_name=alias)
+            for col, how, alias in spec["merge"]]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=spec["columns"]
+    )
+    rows = (
+        ds.map_batches(spec["partial"], batch_format="pyarrow")
+        .groupby(spec["key"])
+        .aggregate(*aggs)
+        .take_all()  # bounded: n_keys rows
+    )
+    if spec["finalize"] is not None:
+        rows = spec["finalize"](rows)
+    rows.sort(key=lambda r: r[spec["key"]])
+    if not rows:
+        return pa.table({})
+    cols = list(rows[0].keys())
+    return pa.table({c: pa.array([r[c] for r in rows]) for c in cols})
+
+
+def _spread_partial(t: pa.Table) -> pa.Table:
+    """Built-in registered example: per event_type cents spread."""
+    c = _cents(t)
+    g = (
+        pa.table({"key": t.column("event_type"), "cents": c})
+        .group_by(["key"])
+        .aggregate([("cents", "min"), ("cents", "max"), ([], "count_all")])
+    )
+    return pa.table(
+        {
+            "key": g.column("key"),
+            "lo": g.column("cents_min").cast(pa.int64()),
+            "hi": g.column("cents_max").cast(pa.int64()),
+            "n": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def _spread_finalize(rows: "list[dict]") -> "list[dict]":
+    return [
+        {
+            "key": r["key"],
+            "doc_count": r["n"],
+            "min_cents": r["lo"],
+            "max_cents": r["hi"],
+            "spread_cents": r["hi"] - r["lo"],
+        }
+        for r in rows
+    ]
+
+
+register_aggregation(
+    "spread",
+    _spread_partial,
+    [("lo", "min", "lo"), ("hi", "max", "hi"), ("n", "sum", "n")],
+    finalize=_spread_finalize,
+    columns=["event_type", "value"],
+)
+
+
+def spread_agg(sf_dir: str) -> pa.Table:
+    """The built-in REGISTERED 'spread' aggregation run through the
+    registry surface end-to-end (the se_tfidf pattern: prove the
+    extension point with a shipped registration): per event_type
+    (doc_count, min_cents, max_cents, spread_cents)."""
+    return run_aggregation("spread", sf_dir)

@@ -1661,3 +1661,18 @@ def se_sorted_search_after(sf_dir: str):
         after_value=float(last_val), after_external_id=last_ext,
         descending=True, k=10,
     )
+
+
+def se_spell_popular(sf_dir: str):
+    """ES term-suggester suggest_mode=popular (spell.suggest): only
+    suggestions STRICTLY more frequent than the input term survive —
+    'scan' (in-dictionary, high df) keeps only more-popular candidates,
+    while absent inputs ('stram', 'dat') behave like always-mode. The
+    oracle recomputes qdf with a LEFT JOIN (0 for absent) and applies
+    the df > qdf predicate inside the candidate cut."""
+    from .spell import suggest
+
+    eng = engine_for(sf_dir, "bm25")
+    return suggest(
+        eng.index, ["scan", "stram", "dat"], suggest_mode="popular"
+    )

@@ -33,22 +33,49 @@ def suggest(
     field: str = "body",
     max_edits: int = 2,
     k: int = 3,
+    suggest_mode: str = "always",
 ) -> pa.Table:
     """Top-k spelling suggestions per input term.
+
+    ``suggest_mode`` is the ES term-suggester knob (the Lucene
+    DirectSpellChecker thresholds behind it): ``always`` (default, the
+    original surface), ``missing`` — suggest only for terms ABSENT from
+    the dictionary (df = 0; the ES default mode), ``popular`` — keep
+    only suggestions strictly MORE frequent than the input term (the
+    "did you mean the common spelling" rule; for an absent input every
+    candidate qualifies).
 
     Returns ``(qterm, suggestion, dist, df)`` rows, ≤k per qterm, in
     deterministic (qterm, rank) order.
     """
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise ValueError(
+            f"unknown suggest_mode {suggest_mode!r} "
+            "(always | missing | popular)"
+        )
     vocab = sorted(t for (_f, t) in index.vocabulary(field))
+    vocab_set = set(vocab)
     out_q: list[str] = []
     out_s: list[str] = []
     out_d: list[int] = []
     out_df: list[int] = []
     for q in terms:
+        qdf = (
+            index.postings(field, q, need_positions=False).stat_df
+            if q in vocab_set
+            else 0
+        )
+        if suggest_mode == "missing" and qdf > 0:
+            continue
         d = _levenshtein_all(q, vocab)
         cand = [
             (t, int(dd)) for t, dd in zip(vocab, d) if dd <= max_edits and t != q
         ]
+        if suggest_mode == "popular":
+            cand = [
+                (t, dd) for t, dd in cand
+                if index.postings(field, t, need_positions=False).stat_df > qdf
+            ]
         if not cand:
             continue
         dfs = np.asarray(

@@ -413,3 +413,71 @@ def test_matrix_stats_moments_and_corr(ray_session):
     # (different algorithms — Welford vs moments — so not bit-equal)
     assert np.allclose(g["corr_r"].round(4), exp["corr4"], atol=1e-4)
     assert (g["corr_r"].abs() <= 1.0).all()
+
+
+def test_registered_spread_agg(ray_session):
+    from searchengine_ray.esaggs import spread_agg
+
+    _assert_match(
+        spread_agg(SF),
+        f"""WITH c AS (SELECT event_type AS key,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV})
+            SELECT key, count(*) AS doc_count,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents,
+                   CAST(max(cents) - min(cents) AS BIGINT) AS spread_cents
+            FROM c GROUP BY 1""",
+    )
+
+
+def test_aggregation_registry_guards(ray_session):
+    from searchengine_ray.esaggs import (AGG_REGISTRY, register_aggregation,
+                                         run_aggregation)
+
+    with pytest.raises(KeyError, match="unknown aggregation"):
+        run_aggregation("nope", SF)
+    with pytest.raises(ValueError, match="already registered"):
+        register_aggregation("spread", lambda t: t, [("x", "sum", "x")])
+    with pytest.raises(ValueError, match="unsupported merge kinds"):
+        register_aggregation("bad", lambda t: t, [("x", "avg", "x")])
+    assert "spread" in AGG_REGISTRY
+
+
+def test_custom_registered_agg_end_to_end(ray_session):
+    """A user-defined registration (distinct users per event_type upper
+    bound via min/max user ids + count) runs through the same surface."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.esaggs import (AGG_REGISTRY, register_aggregation,
+                                         run_aggregation)
+
+    name = "_test_user_span"
+    AGG_REGISTRY.pop(name, None)
+
+    def partial(t):
+        g = (
+            pa.table({"key": t.column("event_type"),
+                      "u": t.column("user_id").cast(pa.int64())})
+            .group_by(["key"])
+            .aggregate([("u", "min"), ("u", "max")])
+        )
+        return pa.table({"key": g.column("key"),
+                         "lo": g.column("u_min").cast(pa.int64()),
+                         "hi": g.column("u_max").cast(pa.int64())})
+
+    register_aggregation(
+        name, partial, [("lo", "min", "lo"), ("hi", "max", "hi")],
+        columns=["event_type", "user_id"],
+    )
+    try:
+        got = run_aggregation(name, SF).to_pandas()
+        exp = duckdb.sql(
+            f"""SELECT event_type AS key, CAST(min(user_id) AS BIGINT) AS lo,
+                       CAST(max(user_id) AS BIGINT) AS hi
+                FROM {EV} GROUP BY 1 ORDER BY 1"""
+        ).df()
+        assert list(got["lo"]) == list(exp["lo"])
+        assert list(got["hi"]) == list(exp["hi"])
+    finally:
+        AGG_REGISTRY.pop(name, None)

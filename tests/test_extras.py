@@ -958,3 +958,30 @@ def test_ivf_merge_segments_preserves_search(tmp_path, ray_session):
     )
     assert rows == total - len(dead)
     assert ann.ivf_merge_segments(idx) == 1  # no-op on one clean segment
+
+
+def test_suggest_modes(ray_session):
+    """ES term-suggester modes: missing suppresses in-dictionary inputs,
+    popular keeps only strictly-more-frequent suggestions, always is the
+    original surface; bad mode raises."""
+    import pytest as _pytest
+
+    from searchengine_ray.gate import engine_for
+    from searchengine_ray.spell import suggest
+
+    idx = engine_for("/root/testdata/sf0.001", "bm25").index
+    always = suggest(idx, ["scan", "stram"]).to_pandas()
+    missing = suggest(idx, ["scan", "stram"], suggest_mode="missing").to_pandas()
+    # 'scan' is in the dictionary -> dropped under missing; 'stram' kept
+    assert "scan" not in set(missing["qterm"])
+    assert set(missing["qterm"]) == {"stram"}
+    # missing rows equal always rows for the absent input
+    a_rows = always[always["qterm"] == "stram"].reset_index(drop=True)
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(a_rows, missing.reset_index(drop=True))
+    popular = suggest(idx, ["scan"], suggest_mode="popular").to_pandas()
+    qdf = idx.postings("body", "scan", need_positions=False).stat_df
+    assert (popular["df"] > qdf).all()
+    with _pytest.raises(ValueError, match="suggest_mode"):
+        suggest(idx, ["scan"], suggest_mode="sometimes")
