@@ -276,6 +276,16 @@ WHERE levenshtein(term, 'spak') <= 2 AND term NOT IN {_STOPLIST_SQL}
 GROUP BY doc_id
 """
 
+# #DFUZZY/1 (unrestricted Damerau, the ES transpositions=true
+# fuzziness): 'sprak'->'spark' is ONE transpose edit — distance 2 under
+# classic Levenshtein, so max_edits=1 separates the two functions.
+_SE_DFUZZY_SQL = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS score FROM tok
+WHERE damerau_levenshtein(term, 'sprak') <= 1 AND term NOT IN {_STOPLIST_SQL}
+GROUP BY doc_id
+"""
+
 _SE_PREFIX_SQL = f"""
 WITH {_TOK}
 SELECT doc_id, count(*) AS score FROM tok
@@ -4348,6 +4358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_sorted_search_after": gate.se_sorted_search_after,  # new late r5, parked by priority; in-window se_sorted_search runs the identical sort_order + chunked first-k machinery — this entry adds only the strictly-after cursor predicate, pytest-pinned
         "events_date_histogram": esaggs.date_histogram_agg,  # new late r5, parked by priority (yielded its slot to events_spread_agg, the registry extension surface); in-window events_auto_date_histogram shares the ts-bucket + _sum_by_key machinery and the civil_from_days kernel keeps its 3000-date fuzz pytest across both Gregorian era boundaries
         "se_spell_popular": gate.se_spell_popular,  # new late r5, parked by priority; the suggest family has no in-window head but is three-times driver-verified historically (se_spell r3, se_complete r4, se_phrase_suggest r4, all parked with green hashes) and this mode adds only the df > qdf candidate predicate over the identical vocab/levenshtein/rank machinery, pytest-pinned
+        "se_dfuzzy_tf": gate.se_dfuzzy_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix runs the same dictionary-expansion -> #SYN machinery and the Damerau distance itself is 500-case fuzz-pinned against DuckDB's damerau_levenshtein in pytest
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -4932,6 +4943,7 @@ WHERE rnk <= 3
         "se_sorted_search": _SE_SORTED_SEARCH_SQL,
         "se_sorted_search_after": _SE_SORTED_AFTER_SQL,
         "se_spell_popular": _SE_SPELL_POPULAR_SQL,
+        "se_dfuzzy_tf": _SE_DFUZZY_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

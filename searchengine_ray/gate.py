@@ -1676,3 +1676,15 @@ def se_spell_popular(sf_dir: str):
     return suggest(
         eng.index, ["scan", "stram", "dat"], suggest_mode="popular"
     )
+
+
+def se_dfuzzy_tf(sf_dir: str):
+    """#DFUZZY/1 (ES fuzziness with transpositions / unrestricted
+    Damerau): 'sprak' reaches 'spark' at distance 1 via the transpose
+    edit that classic Levenshtein counts as 2 — the gate distinguishes
+    the two distance functions at max_edits=1. The oracle is the tf
+    table over DuckDB's damerau_levenshtein (the identical unrestricted
+    definition, 500-case fuzz-pinned)."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#dfuzzy/1( sprak )", as_int=True
+    )

@@ -56,7 +56,7 @@ def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Posting
         return _eval_window_vectorized(
             [eval_iop(a, index, True) for a in node.args], node.dist
         )
-    if node.name in ("#fuzzy", "#prefix", "#wildcard", "#regexp"):
+    if node.name in ("#fuzzy", "#dfuzzy", "#prefix", "#wildcard", "#regexp"):
         return _eval_expansion(node, index, need_positions)
     if node.name == "#spanfirst":
         return _eval_spanfirst(eval_iop(node.args[0], index, True), node.dist)
@@ -92,6 +92,47 @@ def _levenshtein_all(q: str, terms: list[str]) -> np.ndarray:
             )
         prev = cur
     return prev[np.arange(len(terms)), lens]
+
+
+def _damerau(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein (Lowrance-Wagner: transposition
+    of ADJACENT-after-deletions characters counts 1, unlike the
+    restricted/OSA variant) — chosen because it is exactly what DuckDB's
+    ``damerau_levenshtein`` computes, so the #DFUZZY oracle replays the
+    distance function verbatim. Per-pair O(|a|·|b|); the dictionary axis
+    stays bounded like every expansion op (shard vocabulary scan)."""
+    da: dict[str, int] = {}
+    maxdist = len(a) + len(b)
+    d = np.zeros((len(a) + 2, len(b) + 2), dtype=np.int64)
+    d[0, 0] = maxdist
+    for i in range(len(a) + 1):
+        d[i + 1, 0] = maxdist
+        d[i + 1, 1] = i
+    for j in range(len(b) + 1):
+        d[0, j + 1] = maxdist
+        d[1, j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1, j + 1] = min(
+                d[i, j] + cost,          # substitute / match
+                d[i + 1, j] + 1,         # insert
+                d[i, j + 1] + 1,         # delete
+                d[k, l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return int(d[len(a) + 1, len(b) + 1])
+
+
+def _damerau_all(q: str, terms: list[str]) -> np.ndarray:
+    return np.asarray([_damerau(q, t) for t in terms], dtype=np.int64)
 
 
 def _wildcard_to_regex(pat: str) -> str:
@@ -159,8 +200,15 @@ def _eval_expansion(node, index: InvertedIndex, need_positions: bool) -> Posting
         elif node.name == "#regexp":
             matched = _regex_matches(a.term, vocab)
         else:
+            # #fuzzy: classic Levenshtein (Lucene FuzzyQuery's historical
+            # default); #dfuzzy: unrestricted Damerau (the ES `fuzziness`
+            # transpositions=true semantics, distance == DuckDB's
+            # damerau_levenshtein so the oracle replays it verbatim)
             max_edits = node.dist if node.dist > 0 else 2
-            d = _levenshtein_all(a.term, vocab)
+            dist_fn = (
+                _damerau_all if node.name == "#dfuzzy" else _levenshtein_all
+            )
+            d = dist_fn(a.term, vocab)
             matched = [t for t, dd in zip(vocab, d) if dd <= max_edits]
         parts.extend(
             index.postings(a.field, t, need_positions=need_positions)

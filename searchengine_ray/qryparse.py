@@ -35,13 +35,13 @@ FIELD_WHITELIST = ("url", "keywords", "title", "body", "inlink")
 SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
              "#filreq", "#filrej", "#range", "#dismax", "#boosting",
              "#constscore"}
-IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#prefix", "#wildcard",
+IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#dfuzzy", "#prefix", "#wildcard",
              "#regexp", "#spanfirst", "#spannot"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
 #: single argument rewrites against the indexed vocabulary, so the optimizer
 #: must not collapse them to the bare term
-EXPANSION_OPS = {"#fuzzy", "#prefix", "#wildcard", "#regexp"}
+EXPANSION_OPS = {"#fuzzy", "#dfuzzy", "#prefix", "#wildcard", "#regexp"}
 #: expansion operators whose argument is a raw PATTERN, not analyzable text:
 #: `*?` wildcards / regex metacharacters would be destroyed by the analyzer's
 #: [a-z0-9_]+ tokenization, so the parser lowercases the token (preserving

@@ -104,3 +104,41 @@ def test_range_filter_fuzz_between_algebra(ray_session):
         want = q[q.doc_id.isin(keep)].sort_values("doc_id")
         assert got.doc_id.tolist() == want.doc_id.tolist(), (lo, hi, q_leg)
         assert (got.score.values == want.score.values).all(), (lo, hi, q_leg)
+
+
+def test_damerau_matches_duckdb_500_cases():
+    """The unrestricted Damerau DP against DuckDB damerau_levenshtein —
+    the exact function the #DFUZZY oracle uses."""
+    import duckdb
+    import numpy as np
+
+    from searchengine_ray.operators import _damerau
+
+    rng = np.random.default_rng(3)
+    for _ in range(500):
+        a = "".join(rng.choice(list("abcde"), rng.integers(0, 8)))
+        b = "".join(rng.choice(list("abcde"), rng.integers(0, 8)))
+        want = duckdb.sql(
+            f"SELECT damerau_levenshtein('{a}','{b}')"
+        ).fetchone()[0]
+        assert _damerau(a, b) == want, (a, b)
+
+
+def test_dfuzzy_transposition_reaches_spark(ray_session):
+    """#DFUZZY/1 finds 'spark' from the transposed 'sprak' (distance 1
+    under Damerau); classic #FUZZY/1 does not (distance 2)."""
+    from searchengine_ray.gate import engine_for
+
+    eng = engine_for(SF, "rankedboolean")
+    dam = eng.search("q", "#dfuzzy/1( sprak )")
+    lev = eng.search("q", "#fuzzy/1( sprak )")
+    assert dam.num_rows > 0
+    spark = eng.search("q", "spark")
+    assert set(dam.column("doc_id").to_pylist()) >= set(
+        spark.column("doc_id").to_pylist()
+    )
+    # Levenshtein at 1 edit cannot reach 'spark' from 'sprak', so the
+    # classic expansion is a strict subset here
+    assert set(lev.column("doc_id").to_pylist()) < set(
+        dam.column("doc_id").to_pylist()
+    )
