@@ -167,6 +167,10 @@ class InvertedIndex:
         if source_dir != self._docvalues_dir:
             self._dv_cache.clear()
             self._dv_valid.clear()
+            # derived-from-doc-values caches must drop with the columns
+            # they were computed from (indexsort.sort_order attaches one)
+            if hasattr(self, "_sortmap_cache"):
+                self._sortmap_cache.clear()
         self._docvalues_dir = source_dir
 
     def _ensure_docvalues(self, column: str) -> None:

@@ -168,3 +168,20 @@ def test_gates_match_oracles(ray_session):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         e = exp[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, e, check_dtype=False), name
+
+
+def test_sortmap_invalidated_on_docvalues_reattach(ray_session):
+    """Re-attaching a different doc-values dir must drop the cached sort
+    order (the r4-advice staleness class, applied to the new cache)."""
+    from searchengine_ray.indexsort import sort_order
+
+    eng = _engine()
+    before = sort_order(eng.index, "n_chars", descending=True)
+    assert ("n_chars", True) in eng.index._sortmap_cache
+    try:
+        eng.index.attach_docvalues("/tmp/does_not_matter_dir")
+        assert ("n_chars", True) not in eng.index._sortmap_cache
+    finally:
+        eng.index.attach_docvalues(SF)
+    after = sort_order(eng.index, "n_chars", descending=True)
+    assert np.array_equal(before, after)
