@@ -276,6 +276,24 @@ WHERE levenshtein(term, 'spak') <= 2 AND term NOT IN {_STOPLIST_SQL}
 GROUP BY doc_id
 """
 
+# #ORDERED/2 (Lucene/ES intervals, ordered + max_gaps, minimal-interval
+# semantics): minimal pairs = (a = last 'hash' before b, b = first
+# 'join' after a), kept where the gap (b - a - 1) <= 2.
+_SE_ORDERED_SQL = f"""
+WITH {_TOK},
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+cand AS (SELECT b.doc_id, b.pos AS bpos, max(a.pos) AS apos
+         FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos < b.pos
+         GROUP BY b.doc_id, b.pos),
+minimal AS (
+  SELECT c.doc_id, c.apos, c.bpos FROM cand c
+  WHERE c.bpos = (SELECT min(b2.pos) FROM b b2
+                  WHERE b2.doc_id = c.doc_id AND b2.pos > c.apos))
+SELECT doc_id, count(*) AS score FROM minimal
+WHERE bpos - apos - 1 <= 2 GROUP BY doc_id
+"""
+
 # #DFUZZY/1 (unrestricted Damerau, the ES transpositions=true
 # fuzziness): 'sprak'->'spark' is ONE transpose edit — distance 2 under
 # classic Levenshtein, so max_edits=1 separates the two functions.
@@ -4359,6 +4377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_date_histogram": esaggs.date_histogram_agg,  # new late r5, parked by priority (yielded its slot to events_spread_agg, the registry extension surface); in-window events_auto_date_histogram shares the ts-bucket + _sum_by_key machinery and the civil_from_days kernel keeps its 3000-date fuzz pytest across both Gregorian era boundaries
         "se_spell_popular": gate.se_spell_popular,  # new late r5, parked by priority; the suggest family has no in-window head but is three-times driver-verified historically (se_spell r3, se_complete r4, se_phrase_suggest r4, all parked with green hashes) and this mode adds only the df > qdf candidate predicate over the identical vocab/levenshtein/rank machinery, pytest-pinned
         "se_dfuzzy_tf": gate.se_dfuzzy_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix runs the same dictionary-expansion -> #SYN machinery and the Damerau distance itself is 500-case fuzz-pinned against DuckDB's damerau_levenshtein in pytest
+        "se_ordered_tf": gate.se_ordered_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix + se_spanfirst_tf run the positional-derived-list machinery, and the minimal-interval enumeration is 300-case differential-pinned against a brute-force itertools oracle in pytest
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -4944,6 +4963,7 @@ WHERE rnk <= 3
         "se_sorted_search_after": _SE_SORTED_AFTER_SQL,
         "se_spell_popular": _SE_SPELL_POPULAR_SQL,
         "se_dfuzzy_tf": _SE_DFUZZY_SQL,
+        "se_ordered_tf": _SE_ORDERED_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

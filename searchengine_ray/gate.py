@@ -1688,3 +1688,15 @@ def se_dfuzzy_tf(sf_dir: str):
     return _score_table(
         sf_dir, "rankedboolean", "#dfuzzy/1( sprak )", as_int=True
     )
+
+
+def se_ordered_tf(sf_dir: str):
+    """#ORDERED/2 (the Lucene/ES intervals query's ordered + max_gaps
+    rule, MINIMAL-interval semantics): tf of 'hash ... join' spans with
+    at most 2 gap slots — spans #NEAR/1 rejects ('hash X join') count
+    here, and non-minimal enclosing spans do NOT. The oracle enumerates
+    minimal pairs (a = last 'hash' before b, b = first 'join' after a)
+    and gap-filters them — the exact two-sided minimality condition."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#ordered/2( hash join )", as_int=True
+    )

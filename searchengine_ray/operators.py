@@ -58,6 +58,10 @@ def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Posting
         )
     if node.name in ("#fuzzy", "#dfuzzy", "#prefix", "#wildcard", "#regexp"):
         return _eval_expansion(node, index, need_positions)
+    if node.name == "#ordered":
+        return _eval_ordered(
+            [eval_iop(a, index, True) for a in node.args], node.dist
+        )
     if node.name == "#spanfirst":
         return _eval_spanfirst(eval_iop(node.args[0], index, True), node.dist)
     if node.name == "#spannot":
@@ -421,6 +425,85 @@ def _eval_syn(parts: list[Postings], need_positions: bool = True) -> Postings:
     pos_offsets = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(tfs, out=pos_offsets[1:])
     return _make_postings(doc_all[starts], tfs, pos_offsets, pos_all)
+
+
+def _eval_ordered(parts: list[Postings], max_gaps: int) -> Postings:
+    """#ORDERED/g — the Lucene/ES ``intervals`` query's ``ordered`` rule
+    with ``max_gaps`` (intervals docs, lucene.apache.org ``IntervalsSource``;
+    MINIMAL-interval semantics per Clarke et al. / Vigna): enumerate the
+    minimal intervals [s, e] containing the k args IN ORDER (an interval
+    is minimal iff it contains no smaller qualifying interval), keep those
+    whose gap count (e - s + 1 - k) <= g. Differs from #NEAR/n, which
+    bounds each ADJACENT pair's distance and consumes positions; a
+    "hash X Y join" span matches #ORDERED/2 but not #NEAR/1.
+
+    Enumeration is the standard two-pass walk per doc: forward-chain the
+    smallest end, backward-tighten the start, emit, restart past the
+    start — each args' positions are visited once, O(total positions)
+    per doc. Docs = the k-way intersection (bounded), so the per-doc loop
+    runs on candidate docs only; emitted positions are interval ENDS
+    (the #NEAR convention), df/ctf are the derived list's own.
+
+    ``max_gaps=0`` (bare #ORDERED) is the exact-phrase special case.
+    """
+    if max_gaps < 0:
+        raise ValueError(f"#ORDERED/{max_gaps}: max_gaps must be >= 0")
+    if not parts or any(p.df == 0 for p in parts):
+        return EMPTY_POSTINGS
+    if len(parts) < 2:
+        raise ValueError("#ORDERED needs at least 2 arguments")
+    common = reduce(np.intersect1d, [p.doc_ids for p in parts])
+    if len(common) == 0:
+        return EMPTY_POSTINGS
+    rows = [np.searchsorted(p.doc_ids, common) for p in parts]
+    k = len(parts)
+    out_docs: list[int] = []
+    out_tfs: list[int] = []
+    out_pos: list[np.ndarray] = []
+    for di in range(len(common)):
+        pos = [p.positions_for(int(rows[j][di])) for j, p in enumerate(parts)]
+        ends: list[int] = []
+        i0 = 0
+        p0 = pos[0]
+        while i0 < len(p0):
+            # forward: smallest qualifying end for a chain starting >= p0[i0]
+            prev = p0[i0]
+            ok = True
+            chain_end = prev
+            for j in range(1, k):
+                nxt = np.searchsorted(pos[j], prev, side="right")
+                if nxt >= len(pos[j]):
+                    ok = False
+                    break
+                prev = pos[j][nxt]
+                chain_end = prev
+            if not ok:
+                break
+            # backward: tighten each arg to its largest position < the
+            # successor's, making the interval minimal
+            b = chain_end
+            for j in range(k - 2, -1, -1):
+                t = np.searchsorted(pos[j], b, side="left") - 1
+                b = pos[j][t]
+                if j == 0:
+                    start = int(b)
+            if (int(chain_end) - start + 1 - k) <= max_gaps:
+                ends.append(int(chain_end))
+            # restart strictly past the tightened start
+            i0 = int(np.searchsorted(p0, start, side="right"))
+        if ends:
+            out_docs.append(int(common[di]))
+            out_tfs.append(len(ends))
+            out_pos.append(np.asarray(ends, dtype=np.int64))
+    if not out_docs:
+        return EMPTY_POSTINGS
+    tfs = np.asarray(out_tfs, dtype=np.int64)
+    pos_offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(
+        np.asarray(out_docs, dtype=np.int64), tfs, pos_offsets,
+        np.concatenate(out_pos),
+    )
 
 
 def _eval_near(parts: list[Postings], dist: int) -> Postings:

@@ -57,3 +57,76 @@ def test_neark_matches_scalar_sweep(k, dist, seed):
     assert got.doc_ids.tolist() == exp_docs
     for i, d in enumerate(got.doc_ids):
         assert got.positions_for(i).tolist() == exp_pos[int(d)], f"doc {d}"
+
+
+def test_ordered_minimal_intervals_differential():
+    """#ORDERED/g (intervals ordered + max_gaps, minimal-interval
+    semantics) against a brute-force itertools oracle: 300 random
+    position multisets, k in 2..3, g in 0..3."""
+    import itertools
+
+    import numpy as np
+
+    from searchengine_ray.operators import _eval_ordered, _make_postings
+
+    def mk(positions):
+        p = np.asarray(positions, dtype=np.int64)
+        return _make_postings(
+            np.array([0]), np.array([len(p)]), np.array([0, len(p)]), p
+        )
+
+    def brute(pls, g):
+        k = len(pls)
+        ivs = [
+            (c[0], c[-1])
+            for c in itertools.product(*pls)
+            if all(c[i] < c[i + 1] for i in range(k - 1))
+        ]
+        s = set(ivs)
+        minimal = [
+            iv for iv in s
+            if not any(o != iv and o[0] >= iv[0] and o[1] <= iv[1] for o in s)
+        ]
+        return sorted(e for a, e in minimal if e - a + 1 - k <= g)
+
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        k = rng.integers(2, 4)
+        g = int(rng.integers(0, 4))
+        pls = [
+            sorted(rng.choice(np.arange(12), size=rng.integers(1, 6),
+                              replace=False).tolist())
+            for _ in range(k)
+        ]
+        res = _eval_ordered([mk(p) for p in pls], g)
+        got = sorted(res.positions.tolist()) if res.df else []
+        assert got == brute(pls, g), (pls, g)
+
+
+def test_ordered_vs_near_semantics(ray_session):
+    """#ORDERED/2 admits gapped spans #NEAR/1 rejects and is a superset
+    of exact adjacency; guards raise."""
+    import pytest as _pytest
+
+    from searchengine_ray.gate import engine_for
+
+    eng = engine_for("/root/testdata/sf0.001", "rankedboolean")
+    near = eng.search("q", "#near/1( hash join )")
+    ordered = eng.search("q", "#ordered/2( hash join )")
+    assert set(near.column("doc_id").to_pylist()) <= set(
+        ordered.column("doc_id").to_pylist()
+    )
+    assert ordered.num_rows > near.num_rows
+    # max_gaps=0 == the exact-phrase case: same doc set as #near/1 for
+    # 2 args (both demand adjacency; tf may differ due to consume rules)
+    phrase = eng.search("q", "#ordered( hash join )")
+    assert set(phrase.column("doc_id").to_pylist()) == set(
+        near.column("doc_id").to_pylist()
+    )
+    # single-arg #ordered collapses to the bare term in the optimizer
+    # (a one-term interval IS the term — the Lucene intervals semantics);
+    # the evaluator's k>=2 guard stays as an internal invariant
+    one = eng.search("q", "#ordered/1( hash )")
+    bare = eng.search("q", "hash")
+    assert one.column("doc_id").to_pylist() == bare.column(
+        "doc_id").to_pylist()
