@@ -294,6 +294,30 @@ SELECT doc_id, count(*) AS score FROM minimal
 WHERE bpos - apos - 1 <= 2 GROUP BY doc_id
 """
 
+# #UNORDERED/2 (intervals unordered + max_gaps, minimal semantics):
+# the union of both directed #ORDERED minimal-pair sets, gap-filtered
+# (distinct-term endpoints make the union duplicate-free).
+_SE_UNORDERED_SQL = f"""
+WITH {_TOK},
+va AS (SELECT doc_id, pos FROM tok WHERE term = 'vector'),
+sc AS (SELECT doc_id, pos FROM tok WHERE term = 'scan'),
+d1 AS (SELECT s.doc_id, s.pos AS e, max(v.pos) AS st
+       FROM sc s JOIN va v ON v.doc_id = s.doc_id AND v.pos < s.pos
+       GROUP BY s.doc_id, s.pos),
+m1 AS (SELECT d.doc_id, d.st, d.e FROM d1 d
+       WHERE d.e = (SELECT min(s2.pos) FROM sc s2
+                    WHERE s2.doc_id = d.doc_id AND s2.pos > d.st)),
+d2 AS (SELECT v.doc_id, v.pos AS e, max(s.pos) AS st
+       FROM va v JOIN sc s ON s.doc_id = v.doc_id AND s.pos < v.pos
+       GROUP BY v.doc_id, v.pos),
+m2 AS (SELECT d.doc_id, d.st, d.e FROM d2 d
+       WHERE d.e = (SELECT min(v2.pos) FROM va v2
+                    WHERE v2.doc_id = d.doc_id AND v2.pos > d.st)),
+u AS (SELECT doc_id FROM m1 WHERE e - st - 1 <= 2
+      UNION ALL SELECT doc_id FROM m2 WHERE e - st - 1 <= 2)
+SELECT doc_id, count(*) AS score FROM u GROUP BY doc_id
+"""
+
 # #DFUZZY/1 (unrestricted Damerau, the ES transpositions=true
 # fuzziness): 'sprak'->'spark' is ONE transpose edit — distance 2 under
 # classic Levenshtein, so max_edits=1 separates the two functions.
@@ -4378,6 +4402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_spell_popular": gate.se_spell_popular,  # new late r5, parked by priority; the suggest family has no in-window head but is three-times driver-verified historically (se_spell r3, se_complete r4, se_phrase_suggest r4, all parked with green hashes) and this mode adds only the df > qdf candidate predicate over the identical vocab/levenshtein/rank machinery, pytest-pinned
         "se_dfuzzy_tf": gate.se_dfuzzy_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix runs the same dictionary-expansion -> #SYN machinery and the Damerau distance itself is 500-case fuzz-pinned against DuckDB's damerau_levenshtein in pytest
         "se_ordered_tf": gate.se_ordered_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix + se_spanfirst_tf run the positional-derived-list machinery, and the minimal-interval enumeration is 300-case differential-pinned against a brute-force itertools oracle in pytest
+        "se_unordered_tf": gate.se_unordered_tf,  # new late r5, parked by priority; sibling se_ordered_tf (directly above, same differential-fuzz harness) plus in-window se_spanfirst_tf cover the positional machinery; the directed-union identity is itself the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -4964,6 +4989,7 @@ WHERE rnk <= 3
         "se_spell_popular": _SE_SPELL_POPULAR_SQL,
         "se_dfuzzy_tf": _SE_DFUZZY_SQL,
         "se_ordered_tf": _SE_ORDERED_SQL,
+        "se_unordered_tf": _SE_UNORDERED_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

@@ -1700,3 +1700,17 @@ def se_ordered_tf(sf_dir: str):
     return _score_table(
         sf_dir, "rankedboolean", "#ordered/2( hash join )", as_int=True
     )
+
+
+def se_unordered_tf(sf_dir: str):
+    """#UNORDERED/2 (the Lucene/ES intervals unordered + max_gaps rule,
+    minimal-interval semantics): tf of minimal 'vector'/'scan' windows
+    in EITHER order with at most 2 gap slots — the directed-union
+    identity makes the oracle two #ORDERED minimal-pair queries UNIONed
+    (endpoints come from different term lists, so the union is
+    duplicate-free), each gap-filtered. Contrast with #WINDOW/8
+    (se_window_docs): strict-width consume-all vs every minimal
+    window."""
+    return _score_table(
+        sf_dir, "rankedboolean", "#unordered/2( vector scan )", as_int=True
+    )

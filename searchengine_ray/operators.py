@@ -62,6 +62,10 @@ def eval_iop(node, index: InvertedIndex, need_positions: bool = True) -> Posting
         return _eval_ordered(
             [eval_iop(a, index, True) for a in node.args], node.dist
         )
+    if node.name == "#unordered":
+        return _eval_unordered(
+            [eval_iop(a, index, True) for a in node.args], node.dist
+        )
     if node.name == "#spanfirst":
         return _eval_spanfirst(eval_iop(node.args[0], index, True), node.dist)
     if node.name == "#spannot":
@@ -492,6 +496,74 @@ def _eval_ordered(parts: list[Postings], max_gaps: int) -> Postings:
             # restart strictly past the tightened start
             i0 = int(np.searchsorted(p0, start, side="right"))
         if ends:
+            out_docs.append(int(common[di]))
+            out_tfs.append(len(ends))
+            out_pos.append(np.asarray(ends, dtype=np.int64))
+    if not out_docs:
+        return EMPTY_POSTINGS
+    tfs = np.asarray(out_tfs, dtype=np.int64)
+    pos_offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:])
+    return _make_postings(
+        np.asarray(out_docs, dtype=np.int64), tfs, pos_offsets,
+        np.concatenate(out_pos),
+    )
+
+
+def _eval_unordered(parts: list[Postings], max_gaps: int) -> Postings:
+    """#UNORDERED/g — the Lucene/ES ``intervals`` query's ``unordered``
+    rule with ``max_gaps``, minimal-interval semantics: minimal windows
+    [s, e] containing one position of EVERY arg in any order, kept where
+    (e - s + 1 - k) <= g. Differs from #WINDOW/n (the reference's strict
+    max-min < n rule with consume-all-and-advance): #UNORDERED counts
+    every minimal window (overlaps allowed, non-minimal enclosing windows
+    never count) — for 2 args it is exactly the union of the two directed
+    #ORDERED minimal sets, the identity the SQL oracle uses.
+
+    Enumeration: the classic advance-the-minimum sweep generates one
+    candidate window per step (O(total positions) per candidate doc with
+    a k-ary argmin); candidates have strictly increasing starts, so the
+    minimal ones are exactly those whose END is strictly below the
+    running minimum of later ends (a suffix-min filter). Emits window
+    ENDS; derived df/ctf; docs = the k-way intersection."""
+    if max_gaps < 0:
+        raise ValueError(f"#UNORDERED/{max_gaps}: max_gaps must be >= 0")
+    if not parts or any(p.df == 0 for p in parts):
+        return EMPTY_POSTINGS
+    if len(parts) < 2:
+        raise ValueError("#UNORDERED needs at least 2 arguments")
+    common = reduce(np.intersect1d, [p.doc_ids for p in parts])
+    if len(common) == 0:
+        return EMPTY_POSTINGS
+    rows = [np.searchsorted(p.doc_ids, common) for p in parts]
+    k = len(parts)
+    out_docs: list[int] = []
+    out_tfs: list[int] = []
+    out_pos: list[np.ndarray] = []
+    for di in range(len(common)):
+        pos = [p.positions_for(int(rows[j][di])) for j, p in enumerate(parts)]
+        idx = [0] * k
+        cands: list[tuple[int, int]] = []
+        while True:
+            cur = [pos[j][idx[j]] for j in range(k)]
+            s, e = int(min(cur)), int(max(cur))
+            cands.append((s, e))
+            jmin = int(np.argmin(cur))
+            idx[jmin] += 1
+            if idx[jmin] >= len(pos[jmin]):
+                break
+        # starts strictly increase, so [s,e] is minimal iff no LATER
+        # candidate has end <= e: suffix-min filter on ends
+        ends: list[int] = []
+        later_min = None
+        for s, e in reversed(cands):
+            if later_min is None or e < later_min:
+                if (e - s + 1 - k) <= max_gaps:
+                    ends.append(e)
+            if later_min is None or e < later_min:
+                later_min = e
+        if ends:
+            ends.sort()
             out_docs.append(int(common[di]))
             out_tfs.append(len(ends))
             out_pos.append(np.asarray(ends, dtype=np.int64))

@@ -36,7 +36,7 @@ SOP_NAMES = {"#and", "#or", "#sum", "#wand", "#wsum", "#score", "#andnot",
              "#filreq", "#filrej", "#range", "#dismax", "#boosting",
              "#constscore"}
 IOP_NAMES = {"#syn", "#near", "#window", "#fuzzy", "#dfuzzy", "#prefix", "#wildcard",
-             "#regexp", "#spanfirst", "#spannot", "#ordered"}
+             "#regexp", "#spanfirst", "#spannot", "#ordered", "#unordered"}
 WEIGHTED = {"#wand", "#wsum"}
 #: dictionary-expansion operators (Lucene MultiTermQuery analogs): their
 #: single argument rewrites against the indexed vocabulary, so the optimizer

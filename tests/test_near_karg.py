@@ -130,3 +130,57 @@ def test_ordered_vs_near_semantics(ray_session):
     bare = eng.search("q", "hash")
     assert one.column("doc_id").to_pylist() == bare.column(
         "doc_id").to_pylist()
+
+
+def test_unordered_minimal_intervals_differential():
+    """#UNORDERED/g against a brute-force oracle: 400 random disjoint
+    position sets (distinct terms never share a slot), k in 2..3."""
+    import itertools
+
+    import numpy as np
+
+    from searchengine_ray.operators import _eval_unordered, _make_postings
+
+    def mk(positions):
+        p = np.asarray(positions, dtype=np.int64)
+        return _make_postings(
+            np.array([0]), np.array([len(p)]), np.array([0, len(p)]), p
+        )
+
+    def brute(pls, g):
+        k = len(pls)
+        ivs = [(min(c), max(c)) for c in itertools.product(*pls)
+               if len(set(c)) == k]
+        s = set(ivs)
+        minimal = [iv for iv in s
+                   if not any(o != iv and o[0] >= iv[0] and o[1] <= iv[1]
+                              for o in s)]
+        return sorted(e for a, e in minimal if e - a + 1 - k <= g)
+
+    rng = np.random.default_rng(9)
+    for _ in range(400):
+        k = rng.integers(2, 4)
+        g = int(rng.integers(0, 4))
+        allpos = rng.permutation(14)
+        sizes = [int(rng.integers(1, 5)) for _ in range(k)]
+        cut = np.cumsum([0] + sizes)
+        if cut[-1] > 14:
+            continue
+        pls = [sorted(allpos[cut[j]:cut[j + 1]].tolist()) for j in range(k)]
+        res = _eval_unordered([mk(p) for p in pls], g)
+        got = sorted(res.positions.tolist()) if res.df else []
+        assert got == brute(pls, g), (pls, g)
+
+
+def test_unordered_superset_of_ordered(ray_session):
+    """Every ordered minimal interval is an unordered one, so the doc
+    set is a superset; and unordered finds reversed-order spans."""
+    from searchengine_ray.gate import engine_for
+
+    eng = engine_for("/root/testdata/sf0.001", "rankedboolean")
+    o = eng.search("q", "#ordered/2( vector scan )")
+    u = eng.search("q", "#unordered/2( vector scan )")
+    assert set(o.column("doc_id").to_pylist()) <= set(
+        u.column("doc_id").to_pylist()
+    )
+    assert u.num_rows > o.num_rows  # reversed spans exist in this corpus
