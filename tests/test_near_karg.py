@@ -184,3 +184,27 @@ def test_unordered_superset_of_ordered(ray_session):
         u.column("doc_id").to_pylist()
     )
     assert u.num_rows > o.num_rows  # reversed spans exist in this corpus
+
+
+def test_intervals_and_dfuzzy_sharded_match_full(ray_session, built_index):
+    """#ORDERED / #UNORDERED / #DFUZZY under doc-sharded two-phase
+    evaluation (derived df/ctf all-reduce) equal the full-index answer
+    exactly — the new iops ride the generic derived-stats machinery."""
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine, evaluate_sharded
+
+    full = SearchEngine(built_index, ModelParams(model="bm25", top_k=1 << 30))
+    for q in (
+        "#ordered/3( unit lock )",
+        "#unordered/3( unit lock )",
+        "#dfuzzy/2( lokc )",
+        "#sum( #ordered/2( unit test ) mutex )",
+    ):
+        want = full.search("q", q).to_pandas()
+        got = evaluate_sharded(
+            built_index, "q", q, parts=[0, 1],
+            params=ModelParams(model="bm25", top_k=1 << 30),
+        ).to_pandas()
+        assert list(got["external_id"]) == list(want["external_id"]), q
+        assert list(got["score"]) == list(want["score"]), q
+        assert len(want) > 0, f"degenerate query {q}"
