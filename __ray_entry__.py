@@ -318,6 +318,24 @@ u AS (SELECT doc_id FROM m1 WHERE e - st - 1 <= 2
 SELECT doc_id, count(*) AS score FROM u GROUP BY doc_id
 """
 
+# has_child / has_parent over the source join field (esquery): parent
+# ranking with score_mode=max (order-free => exact GROUP BY max) and
+# the child-side parent-predicate filter (QUALIFY window count).
+_SE_HAS_CHILD_SQL = f"""
+WITH b AS (SELECT doc_id, s FROM ({_bm25_terms_sql(["dup"], raw=True)}))
+SELECT d.source AS parent, CAST(count(*) AS BIGINT) AS n_children,
+       round(max(b.s), 6) AS score_r
+FROM b JOIN documents d USING (doc_id)
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+_SE_HAS_PARENT_SQL = f"""
+WITH b AS (SELECT doc_id, s FROM ({_bm25_terms_sql(["dup"], raw=True)}))
+SELECT b.doc_id, d.source AS parent, round(b.s, 6) AS score_r
+FROM b JOIN documents d USING (doc_id)
+QUALIFY count(*) OVER (PARTITION BY d.source) >= 2
+"""
+
 # #DFUZZY/1 (unrestricted Damerau, the ES transpositions=true
 # fuzziness): 'sprak'->'spark' is ONE transpose edit — distance 2 under
 # classic Levenshtein, so max_edits=1 separates the two functions.
@@ -4403,6 +4421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_dfuzzy_tf": gate.se_dfuzzy_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix runs the same dictionary-expansion -> #SYN machinery and the Damerau distance itself is 500-case fuzz-pinned against DuckDB's damerau_levenshtein in pytest
         "se_ordered_tf": gate.se_ordered_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix + se_spanfirst_tf run the positional-derived-list machinery, and the minimal-interval enumeration is 300-case differential-pinned against a brute-force itertools oracle in pytest
         "se_unordered_tf": gate.se_unordered_tf,  # new late r5, parked by priority; sibling se_ordered_tf (directly above, same differential-fuzz harness) plus in-window se_spanfirst_tf cover the positional machinery; the directed-union identity is itself the oracle
+        "se_has_child": gate.se_has_child,  # new late r5, parked by priority; in-window se_collapse_inner/se_sampler_terms run the same per-group-over-scored-results machinery (group key from the corpus column vs the facet postings), and the score_mode sum/avg folds keep a manual-recombination pytest
+        "se_has_parent": gate.se_has_parent,  # new late r5, parked by priority; sibling se_has_child (directly above) shares the join-field parent derivation; the filter form leaves scores untouched exactly like the gated #FILREQ/msm family
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -4990,6 +5010,8 @@ WHERE rnk <= 3
         "se_dfuzzy_tf": _SE_DFUZZY_SQL,
         "se_ordered_tf": _SE_ORDERED_SQL,
         "se_unordered_tf": _SE_UNORDERED_SQL,
+        "se_has_child": _SE_HAS_CHILD_SQL,
+        "se_has_parent": _SE_HAS_PARENT_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

@@ -249,3 +249,116 @@ def multi_match(
             "(best_fields | most_fields | cross_fields)"
         )
     return engine.search(qid, q)
+
+
+def has_child_search(
+    engine,
+    qid: str,
+    query: str,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: "int | None" = None,
+) -> pa.Table:
+    """ES ``has_child`` over a join field: documents are the children,
+    their ``source`` (from the corpus doc values / docmap derivation) is
+    the parent entity — return PARENTS whose matching-child count lies
+    in [min_children, max_children], scored by the children's scores
+    under ``score_mode`` (max | sum | avg | min | none, the ES set;
+    ``none`` scores 0.0 — the filter form). This is the JOIN-FIELD
+    (same-shard routed) semantics, not Lucene nested block-join: parents
+    are routed with their children (here: derived from them), so the
+    aggregation is shard-local per parent — the documented ES routing
+    requirement for join fields.
+
+    avg is computed as the one double division sum/n after an exact
+    child-order sum (children sort by doc_id before folding, so the
+    accumulation order is deterministic and the oracle replays it).
+
+    Returns (parent, n_children, score_r) ordered (score desc, parent
+    asc)."""
+    if score_mode not in ("max", "sum", "avg", "min", "none"):
+        raise ValueError(
+            f"unknown score_mode {score_mode!r} (max|sum|avg|min|none)"
+        )
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    t = engine.search(qid, query)
+    docs = t.column("doc_id").to_numpy()
+    scores = t.column("score").to_numpy()
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    parents = _parent_keys(engine.index, docs)
+    up, inv = np.unique(parents, return_inverse=True)
+    n = np.bincount(inv, minlength=len(up))
+    out_p, out_n, out_s = [], [], []
+    for i, p in enumerate(up):
+        if n[i] < min_children:
+            continue
+        if max_children is not None and n[i] > max_children:
+            continue
+        cs = scores[inv == i]  # doc_id-ascending within the parent
+        if score_mode == "max":
+            s = float(np.max(cs))
+        elif score_mode == "min":
+            s = float(np.min(cs))
+        elif score_mode == "none":
+            s = 0.0
+        else:
+            acc = 0.0
+            for v in cs:  # fixed child order -> exact replay
+                acc += float(v)
+            s = acc / len(cs) if score_mode == "avg" else acc
+        out_p.append(str(p))
+        out_n.append(int(n[i]))
+        out_s.append(round(s, 6))
+    idx = sorted(range(len(out_p)), key=lambda i: (-out_s[i], out_p[i]))
+    return pa.table(
+        {
+            "parent": pa.array([out_p[i] for i in idx], pa.string()),
+            "n_children": pa.array([out_n[i] for i in idx], pa.int64()),
+            "score_r": pa.array([out_s[i] for i in idx], pa.float64()),
+        }
+    )
+
+
+def has_parent_search(
+    engine, qid: str, query: str, parent_min_children: int
+) -> pa.Table:
+    """ES ``has_parent``: return CHILD documents whose parent satisfies
+    a parent-level predicate — here "the parent has at least
+    ``parent_min_children`` children matching the query" (parent
+    attributes in this corpus are aggregates of their children; a
+    parent-field predicate would be the same shape with a docvalues
+    read). Child scores are UNTOUCHED (the ES default score=false form:
+    parent matching is a filter). Returns (doc_id, parent, score_r) in
+    (score desc, doc_id asc) order."""
+    if parent_min_children < 1:
+        raise ValueError("parent_min_children must be >= 1")
+    t = engine.search(qid, query)
+    docs = t.column("doc_id").to_numpy()
+    scores = t.column("score").to_numpy()
+    parents = _parent_keys(engine.index, docs)
+    up, inv = np.unique(parents, return_inverse=True)
+    n = np.bincount(inv, minlength=len(up))
+    keep = n[inv] >= parent_min_children
+    docs, scores, parents = docs[keep], scores[keep], parents[keep]
+    order = np.lexsort((docs, -scores))
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "parent": pa.array(
+                [str(p) for p in parents[order]], pa.string()
+            ),
+            "score_r": pc.round(
+                pa.array(scores[order], pa.float64()), ndigits=6
+            ),
+        }
+    )
+
+
+def _parent_keys(index, docs: np.ndarray) -> np.ndarray:
+    """The join-field parent of each doc: its corpus ``source`` value,
+    read through the docmap external-id derivation (external ids embed
+    the source prefix — '<source>/...'), so no extra I/O."""
+    exts = index.external_ids(np.asarray(docs, dtype=np.int64))
+    return np.asarray([str(e).split("/", 1)[0] for e in exts], dtype=object)

@@ -1714,3 +1714,27 @@ def se_unordered_tf(sf_dir: str):
     return _score_table(
         sf_dir, "rankedboolean", "#unordered/2( vector scan )", as_int=True
     )
+
+
+def se_has_child(sf_dir: str):
+    """ES has_child over the source join field (esquery
+    .has_child_search): parents (sources) with >= 2 children matching
+    'dup spark', scored score_mode=max (order-free, so the oracle's
+    GROUP BY max is exact) — the join-field parent ranking surface."""
+    from .esquery import has_child_search
+
+    eng = engine_for(sf_dir, "bm25")
+    return has_child_search(
+        eng, "q", "dup", score_mode="max", min_children=2
+    )
+
+
+def se_has_parent(sf_dir: str):
+    """ES has_parent (esquery.has_parent_search): children of parents
+    satisfying a parent-level predicate (>= 2 matching 'dup' children),
+    child scores UNTOUCHED (the filter form) — the oracle is the plain
+    BM25 SQL + a QUALIFY window-count predicate over the join field."""
+    from .esquery import has_parent_search
+
+    eng = engine_for(sf_dir, "bm25")
+    return has_parent_search(eng, "q", "dup", parent_min_children=2)

@@ -328,3 +328,62 @@ def test_new_gates_match_oracles(ray_session):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         e = exp[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, e, check_dtype=False), name
+
+
+def test_has_child_score_modes(ray_session):
+    """score_mode folds vs manual recombination from the child table;
+    min/max_children window; guards."""
+    from searchengine_ray.esquery import has_child_search
+
+    eng = _engine()
+    t = eng.search("q", "dup")
+    child = t.to_pandas()
+    child["parent"] = [
+        str(e).split("/", 1)[0]
+        for e in eng.index.external_ids(child["doc_id"].to_numpy())
+    ]
+    child = child.sort_values("doc_id")
+    for mode in ("max", "sum", "avg", "min", "none"):
+        got = has_child_search(
+            eng, "q", "dup", score_mode=mode, min_children=1
+        ).to_pandas().set_index("parent")
+        for p, grp in child.groupby("parent"):
+            cs = list(grp["score"])
+            if mode == "max":
+                want = max(cs)
+            elif mode == "min":
+                want = min(cs)
+            elif mode == "none":
+                want = 0.0
+            else:
+                acc = 0.0
+                for v in cs:
+                    acc += float(v)
+                want = acc / len(cs) if mode == "avg" else acc
+            assert got.loc[p, "score_r"] == round(want, 6), (mode, p)
+            assert got.loc[p, "n_children"] == len(grp)
+    # max_children excludes crowded parents
+    capped = has_child_search(
+        eng, "q", "dup", min_children=1, max_children=1
+    ).to_pandas()
+    assert (capped["n_children"] == 1).all()
+    with pytest.raises(ValueError, match="score_mode"):
+        has_child_search(eng, "q", "dup", score_mode="first")
+    with pytest.raises(ValueError, match="min_children"):
+        has_child_search(eng, "q", "dup", min_children=0)
+
+
+def test_has_parent_filter_leaves_scores(ray_session):
+    from searchengine_ray.esquery import has_parent_search
+
+    eng = _engine()
+    t = has_parent_search(eng, "q", "dup", parent_min_children=2).to_pandas()
+    plain = eng.search("q", "dup").to_pandas().set_index("doc_id")
+    assert len(t) > 0
+    for _, r in t.iterrows():
+        assert r["score_r"] == round(plain.loc[r["doc_id"], "score"], 6)
+    # every surviving doc's parent really has >= 2 matching children
+    counts = t.groupby("parent").size()
+    assert (counts >= 2).all()
+    with pytest.raises(ValueError, match="parent_min_children"):
+        has_parent_search(eng, "q", "dup", parent_min_children=0)
