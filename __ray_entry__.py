@@ -336,6 +336,45 @@ FROM b JOIN documents d USING (doc_id)
 QUALIFY count(*) OVER (PARTITION BY d.source) >= 2
 """
 
+# matched_queries (esquery.matched_queries_search): three named
+# clauses in sorted-name order (alt=spark, exact=dup, phrase=near);
+# score = the #SUM fold in that order, matched = concat_ws over the
+# membership predicates in the same order.
+_SE_MATCHED_QUERIES_SQL = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'dup') GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         greatest(0.0, ln((const.n - stats.df + 0.5)/(stats.df + 0.5)))
+           * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+  FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id,
+               max(CASE WHEN term = 'spark' THEN s END) AS s_alt,
+               max(CASE WHEN term = 'dup' THEN s END) AS s_exact
+        FROM scored GROUP BY doc_id),
+ntf AS (SELECT a.doc_id, count(*) AS tf
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id),
+nstats AS (SELECT count(*) AS df FROM ntf),
+nleg AS (SELECT ntf.doc_id,
+                greatest(0.0, ln((const.n - nstats.df + 0.5)/(nstats.df + 0.5)))
+                  * ntf.tf/(ntf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+         FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats),
+matched AS (SELECT doc_id FROM piv UNION SELECT doc_id FROM nleg)
+SELECT m.doc_id,
+       round(coalesce(p.s_alt, 0) + coalesce(p.s_exact, 0)
+             + coalesce(n.s, 0), 6) AS score_r,
+       concat_ws(',',
+                 CASE WHEN p.s_alt IS NOT NULL THEN 'alt' END,
+                 CASE WHEN p.s_exact IS NOT NULL THEN 'exact' END,
+                 CASE WHEN n.doc_id IS NOT NULL THEN 'phrase' END) AS matched
+FROM matched m
+LEFT JOIN piv p USING (doc_id)
+LEFT JOIN nleg n USING (doc_id)
+"""
+
 # #DFUZZY/1 (unrestricted Damerau, the ES transpositions=true
 # fuzziness): 'sprak'->'spark' is ONE transpose edit — distance 2 under
 # classic Levenshtein, so max_edits=1 separates the two functions.
@@ -4423,6 +4462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_unordered_tf": gate.se_unordered_tf,  # new late r5, parked by priority; sibling se_ordered_tf (directly above, same differential-fuzz harness) plus in-window se_spanfirst_tf cover the positional machinery; the directed-union identity is itself the oracle
         "se_has_child": gate.se_has_child,  # new late r5, parked by priority; in-window se_collapse_inner/se_sampler_terms run the same per-group-over-scored-results machinery (group key from the corpus column vs the facet postings), and the score_mode sum/avg folds keep a manual-recombination pytest
         "se_has_parent": gate.se_has_parent,  # new late r5, parked by priority; sibling se_has_child (directly above) shares the join-field parent derivation; the filter form leaves scores untouched exactly like the gated #FILREQ/msm family
+        "se_matched_queries": gate.se_matched_queries,  # new late r5, parked by priority; in-window se_bool_query drives the identical clause-parse + #SUM machinery — this entry adds only the per-clause membership metadata string, whose concat_ws rebuild IS the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5012,6 +5052,7 @@ WHERE rnk <= 3
         "se_unordered_tf": _SE_UNORDERED_SQL,
         "se_has_child": _SE_HAS_CHILD_SQL,
         "se_has_parent": _SE_HAS_PARENT_SQL,
+        "se_matched_queries": _SE_MATCHED_QUERIES_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

@@ -362,3 +362,56 @@ def _parent_keys(index, docs: np.ndarray) -> np.ndarray:
     the source prefix — '<source>/...'), so no extra I/O."""
     exts = index.external_ids(np.asarray(docs, dtype=np.int64))
     return np.asarray([str(e).split("/", 1)[0] for e in exts], dtype=object)
+
+
+def matched_queries_search(
+    engine, qid: str, clauses: "dict[str, str]"
+) -> pa.Table:
+    """ES named queries / ``matched_queries``: every should-clause
+    carries a ``_name``; each hit reports WHICH named clauses it matched
+    alongside its normal disjunction score (scoring untouched — names
+    are pure metadata, the ES rule). Clauses are query-language strings
+    (terms or derived lists, the msm clause contract). The matched-name
+    list is rendered in sorted-name order as a comma-joined string so
+    the column hashes deterministically and the oracle rebuilds it with
+    a fixed concat_ws over per-name membership predicates.
+
+    Returns (doc_id, score_r, matched) for the full match set."""
+    from .engine import Evaluator, select_top_k
+    from .qryparse import Op
+
+    if not clauses:
+        raise ValueError("matched_queries needs at least one named clause")
+    names = sorted(clauses)
+    leaves = []
+    for nm in names:
+        lf = engine._parse_clause(clauses[nm])
+        if not getattr(lf, "is_iop", False):
+            raise ValueError(
+                f"named clause {nm!r} must be a term or derived list"
+            )
+        leaves.append(lf)
+    ev = Evaluator(engine.index, engine.params)
+    tree = Op("#sum", args=[Op("#score", args=[lf]) for lf in leaves])
+    docs, scores = ev.evaluate(tree)
+    member = [
+        np.isin(docs, ev.iop(lf).doc_ids) for lf in leaves
+    ]
+    docs, scores, _ext = select_top_k(
+        engine.index, docs, scores, engine.params.top_k
+    )
+    # select_top_k may reorder; recompute membership on the final order
+    member = [
+        np.isin(docs, ev.iop(lf).doc_ids) for lf in leaves
+    ]
+    matched = [
+        ",".join(nm for nm, m in zip(names, row) if m)
+        for row in zip(*[m.tolist() for m in member])
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pc.round(pa.array(scores, pa.float64()), ndigits=6),
+            "matched": pa.array(matched, pa.string()),
+        }
+    )

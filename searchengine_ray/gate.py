@@ -1738,3 +1738,19 @@ def se_has_parent(sf_dir: str):
 
     eng = engine_for(sf_dir, "bm25")
     return has_parent_search(eng, "q", "dup", parent_min_children=2)
+
+
+def se_matched_queries(sf_dir: str):
+    """ES named queries / matched_queries (esquery
+    .matched_queries_search): three named clauses — exact='dup',
+    phrase='#near/1( hash join )', alt='spark' — each hit carries its
+    sorted matched-name list as a comma string plus the untouched #SUM
+    score; the oracle rebuilds both (membership predicates + concat_ws
+    in the same fixed name order)."""
+    from .esquery import matched_queries_search
+
+    eng = engine_for(sf_dir, "bm25")
+    return matched_queries_search(
+        eng, "q",
+        {"exact": "dup", "phrase": "#near/1( hash join )", "alt": "spark"},
+    )

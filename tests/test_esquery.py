@@ -387,3 +387,33 @@ def test_has_parent_filter_leaves_scores(ray_session):
     assert (counts >= 2).all()
     with pytest.raises(ValueError, match="parent_min_children"):
         has_parent_search(eng, "q", "dup", parent_min_children=0)
+
+
+def test_matched_queries_metadata(ray_session):
+    from searchengine_ray.esquery import matched_queries_search
+
+    eng = _engine()
+    t = matched_queries_search(
+        eng, "q",
+        {"exact": "dup", "phrase": "#near/1( hash join )", "alt": "spark"},
+    ).to_pandas()
+    # names render sorted; scores equal the plain disjunction (metadata
+    # never touches scoring — the ES rule). The equivalent plain query
+    # must fold in the SAME sorted-name clause order.
+    plain = eng.search(
+        "q", "#sum( spark dup #near/1( hash join ) )"
+    ).to_pandas().set_index("doc_id")
+    for _, r in t.iterrows():
+        assert r["matched"] != ""
+        assert list(r["matched"].split(",")) == sorted(r["matched"].split(","))
+        assert r["score_r"] == round(plain.loc[r["doc_id"], "score"], 6)
+    # docs matching only 'dup' report exactly ['exact']
+    only_dup = t[t["matched"] == "exact"]
+    spark_docs = set(
+        eng.search("q", "spark").column("doc_id").to_pylist()
+    )
+    assert not set(only_dup["doc_id"]) & spark_docs
+    with pytest.raises(ValueError, match="at least one"):
+        matched_queries_search(eng, "q", {})
+    with pytest.raises(ValueError, match="must be a term or derived"):
+        matched_queries_search(eng, "q", {"bad": "#range( n_chars 1 2 )"})
