@@ -2329,6 +2329,27 @@ r AS (SELECT doc_id, round(c, 6) AS score_r,
 SELECT doc_id, score_r, rn FROM r WHERE rn <= 25
 """
 
+# runtime field (ES runtime_mappings): half_chars = n_chars // 2
+# computed at query time, consumed by a #filreq #range filter (membership
+# only, stats untouched) AND a field_value_factor boost (1e-2 * value,
+# boost_mode=sum), rank (final DESC, external_id) top-30.
+_SE_RUNTIME_FIELD_SQL = f"""
+WITH comb AS (
+  SELECT b.doc_id,
+         b.s + (1e-2 * (d.n_chars // 2)) AS c,
+         e.external_id
+  FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+  JOIN documents d USING (doc_id)
+  JOIN {_EXT_SUB} e USING (doc_id)
+  WHERE (d.n_chars // 2) BETWEEN 80 AND 220
+),
+r AS (SELECT doc_id, round(c, 6) AS score_r,
+             CAST(row_number() OVER (ORDER BY c DESC, external_id)
+                  AS BIGINT) AS rn
+      FROM comb)
+SELECT doc_id, score_r, rn FROM r WHERE rn <= 30
+"""
+
 # rank_feature (funcscore, ES rank_feature saturation over n_chars,
 # boost_mode=sum): final = bm25 + n_chars/(n_chars + 250) — the division
 # is BIGINT over (DOUBLE + DOUBLE) on both sides; rank over (final DESC,
@@ -4463,6 +4484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_has_child": gate.se_has_child,  # new late r5, parked by priority; in-window se_collapse_inner/se_sampler_terms run the same per-group-over-scored-results machinery (group key from the corpus column vs the facet postings), and the score_mode sum/avg folds keep a manual-recombination pytest
         "se_has_parent": gate.se_has_parent,  # new late r5, parked by priority; sibling se_has_child (directly above) shares the join-field parent derivation; the filter form leaves scores untouched exactly like the gated #FILREQ/msm family
         "se_matched_queries": gate.se_matched_queries,  # new late r5, parked by priority; in-window se_bool_query drives the identical clause-parse + #SUM machinery — this entry adds only the per-clause membership metadata string, whose concat_ws rebuild IS the oracle
+        "se_runtime_field": gate.se_runtime_field,  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5053,6 +5075,7 @@ WHERE rnk <= 3
         "se_has_child": _SE_HAS_CHILD_SQL,
         "se_has_parent": _SE_HAS_PARENT_SQL,
         "se_matched_queries": _SE_MATCHED_QUERIES_SQL,
+        "se_runtime_field": _SE_RUNTIME_FIELD_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

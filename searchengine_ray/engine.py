@@ -94,12 +94,18 @@ class SearchEngine:
         parts: list[int] | None = None,
         docvalues_dir: str | None = None,
         synonyms: "dict[str, list[str]] | None" = None,
+        runtime_fields: "dict[str, tuple[str, str, float]] | None" = None,
     ):
         from .stem import get_stemmer
 
         self.index = InvertedIndex(index_dir, parts=parts)
         if docvalues_dir is not None:
             self.index.attach_docvalues(docvalues_dir)
+        if runtime_fields:
+            # ES runtime_mappings: computed doc values named per engine
+            # (see InvertedIndex.set_runtime_fields) — usable by #range,
+            # function_score and field sorts like any stored column
+            self.index.set_runtime_fields(runtime_fields)
         self.params = params or ModelParams()
         stemmer = get_stemmer(self.index.stemmer_name)
         self._analyze = lambda tok: analyze_query_token(tok, stemmer)

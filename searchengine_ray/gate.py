@@ -1754,3 +1754,35 @@ def se_matched_queries(sf_dir: str):
         eng, "q",
         {"exact": "dup", "phrase": "#near/1( hash join )", "alt": "spark"},
     )
+
+
+def se_runtime_field(sf_dir: str):
+    """ES runtime fields (SearchEngine(runtime_fields=) ->
+    InvertedIndex.set_runtime_fields): 'half_chars' = n_chars // 2
+    computed at query time, consumed by BOTH a #range filter inside
+    #filreq AND a function_score field_value_factor — the oracle
+    replays the floor-division and both consumers verbatim. Scoring
+    untouched by the filter leg (the filter-context rule)."""
+    from .funcscore import function_score
+
+    eng = SearchEngine(
+        index_for(sf_dir),
+        ModelParams(model="bm25", top_k=1 << 30),
+        docvalues_dir=sf_dir,
+        runtime_fields={"half_chars": ("n_chars", "floordiv", 2)},
+    )
+    return function_score(
+        eng,
+        "q",
+        "#filreq( #range( half_chars 80 220 ) #sum( dup spark ) )",
+        [
+            {
+                "type": "field_value_factor",
+                "field": "half_chars",
+                "factor": 0.01,
+                "modifier": "none",
+            }
+        ],
+        boost_mode="sum",
+        k=30,
+    )

@@ -173,10 +173,58 @@ class InvertedIndex:
                 self._sortmap_cache.clear()
         self._docvalues_dir = source_dir
 
+    def set_runtime_fields(
+        self, fields: "dict[str, tuple[str, str, float]] | None"
+    ) -> None:
+        """ES runtime fields (runtime_mappings): computed numeric doc
+        values named at QUERY time, evaluated lazily from a stored
+        column — usable anywhere a doc-values column is (#range
+        filters, function_score, field sorts). A field is the pure-data
+        triple (source_column, op, operand) with op in add | sub | mul
+        | div | floordiv — data, not lambdas, so the definition ships to
+        actors and replays verbatim in SQL. Validity follows the source
+        column; derived caches drop like on re-attach."""
+        ops = {"add", "sub", "mul", "div", "floordiv"}
+        for name, spec in (fields or {}).items():
+            if len(spec) != 3 or spec[1] not in ops:
+                raise ValueError(
+                    f"runtime field {name!r}: spec must be (source_column, "
+                    f"op in {sorted(ops)}, operand), got {spec!r}"
+                )
+        self._runtime_fields = dict(fields or {})
+        self._dv_cache.clear()
+        self._dv_valid.clear()
+        if hasattr(self, "_sortmap_cache"):
+            self._sortmap_cache.clear()
+
     def _ensure_docvalues(self, column: str) -> None:
         """Lazy-load one numeric doc-values column for THIS shard's doc
         span (parquet row-group pushdown), cached aligned to
         ``self._doc_ids`` with a validity mask."""
+        rt = getattr(self, "_runtime_fields", None)
+        if rt and column in rt and column not in self._dv_cache:
+            src, op, operand = rt[column]
+            if src in rt:
+                raise ValueError(
+                    f"runtime field {column!r}: source {src!r} must be a "
+                    "stored column (no chaining)"
+                )
+            self._ensure_docvalues(src)
+            v = self._dv_cache[src]
+            x = float(operand)
+            if op == "add":
+                out = v + x
+            elif op == "sub":
+                out = v - x
+            elif op == "mul":
+                out = v * x
+            elif op == "div":
+                out = v / x
+            else:
+                out = np.floor_divide(v, x)
+            self._dv_cache[column] = out
+            self._dv_valid[column] = self._dv_valid[src].copy()
+            return
         if self._docvalues_dir is None:
             raise ValueError(
                 "numeric doc values are not attached: construct the engine "

@@ -417,3 +417,42 @@ def test_matched_queries_metadata(ray_session):
         matched_queries_search(eng, "q", {})
     with pytest.raises(ValueError, match="must be a term or derived"):
         matched_queries_search(eng, "q", {"bad": "#range( n_chars 1 2 )"})
+
+
+def test_runtime_fields_semantics(ray_session):
+    """ES runtime_mappings: the computed column behaves like a stored
+    doc-values column for #range and function_score; guards on bad
+    specs and chaining; stored columns stay reachable."""
+    import numpy as np
+
+    from searchengine_ray.config import ModelParams
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.gate import index_for
+
+    eng = SearchEngine(
+        index_for(SF), ModelParams(model="bm25", top_k=1 << 30),
+        docvalues_dir=SF,
+        runtime_fields={"half_chars": ("n_chars", "floordiv", 2)},
+    )
+    docs = eng.index.all_doc_ids()[:50]
+    half, hv = eng.index.docvalues_for_docs("half_chars", docs)
+    full, fv = eng.index.docvalues_for_docs("n_chars", docs)
+    assert np.array_equal(half, np.floor_divide(full, 2.0))
+    assert np.array_equal(hv, fv)
+    # range filter over the runtime field == manual predicate
+    in_range = set(
+        eng.index.docvalues_docs_in_range("half_chars", 80, 220).tolist()
+    )
+    alld = eng.index.all_doc_ids()
+    av, avv = eng.index.docvalues_for_docs("n_chars", alld)
+    want = set(alld[avv & (np.floor_divide(av, 2.0) >= 80)
+                    & (np.floor_divide(av, 2.0) <= 220)].tolist())
+    assert in_range == want
+    with pytest.raises(ValueError, match="spec must be"):
+        eng.index.set_runtime_fields({"x": ("n_chars", "pow", 2)})
+    eng.index.set_runtime_fields(
+        {"a": ("n_chars", "mul", 2), "b": ("a", "add", 1)}
+    )
+    with pytest.raises(ValueError, match="no chaining"):
+        eng.index.docvalues_for_docs("b", docs)
+    eng.index.set_runtime_fields({})  # reset for other tests
