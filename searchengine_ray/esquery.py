@@ -394,13 +394,10 @@ def matched_queries_search(
     ev = Evaluator(engine.index, engine.params)
     tree = Op("#sum", args=[Op("#score", args=[lf]) for lf in leaves])
     docs, scores = ev.evaluate(tree)
-    member = [
-        np.isin(docs, ev.iop(lf).doc_ids) for lf in leaves
-    ]
     docs, scores, _ext = select_top_k(
         engine.index, docs, scores, engine.params.top_k
     )
-    # select_top_k may reorder; recompute membership on the final order
+    # membership on the final (post-top-k) doc order; iop() is cached
     member = [
         np.isin(docs, ev.iop(lf).doc_ids) for lf in leaves
     ]

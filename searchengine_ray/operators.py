@@ -560,7 +560,6 @@ def _eval_unordered(parts: list[Postings], max_gaps: int) -> Postings:
             if later_min is None or e < later_min:
                 if (e - s + 1 - k) <= max_gaps:
                     ends.append(e)
-            if later_min is None or e < later_min:
                 later_min = e
         if ends:
             ends.sort()
