@@ -622,13 +622,17 @@ def weighted_avg_agg(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         c = _cents(t)
-        k = pc.cast(
-            pc.struct_field(
-                pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)'),
-                "k",
-            ),
-            pa.int64(),
-        )
+        ext = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        if ext.null_count:
+            # a props row without an integer "k" would silently fall out
+            # of an Arrow null-skipping sum while the SQL oracle's CAST
+            # errors — fail loudly on BOTH sides instead of diverging
+            first = pc.index(pc.is_null(ext), pa.scalar(True)).as_py()
+            bad = t.column("props")[first].as_py()
+            raise ValueError(
+                f"weighted_avg: props row without an integer 'k': {bad!r}"
+            )
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         g = (
             pa.table(
                 {

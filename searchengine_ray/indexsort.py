@@ -45,6 +45,15 @@ def sort_order(index, field: str, descending: bool = True) -> np.ndarray:
     asc), missing-field docs LAST (by ext rank among themselves) — the
     per-segment sorted-doc-id array Lucene stores for index sorts.
     Cached on the index per (field, direction)."""
+    return _sortmap(index, field, descending)[0]
+
+
+def _sortmap(
+    index, field: str, descending: bool
+) -> "tuple[np.ndarray, np.ndarray, int]":
+    """(sorted doc ids, their values aligned, count of docs WITH the
+    field) — the values ride along so cursor pagination can binary-search
+    the sort order instead of re-reading doc values O(n) per page."""
     cache = getattr(index, "_sortmap_cache", None)
     if cache is None:
         cache = index._sortmap_cache = {}
@@ -58,7 +67,7 @@ def sort_order(index, field: str, descending: bool = True) -> np.ndarray:
         # lexsort: last key is most significant — missing-last, then
         # value, then ext rank
         order = np.lexsort((ext, primary, (~valid).astype(np.int8)))
-        cache[key] = docs[order]
+        cache[key] = (docs[order], vals[order], int(valid.sum()))
     return cache[key]
 
 
@@ -119,18 +128,28 @@ def sorted_search(
     ev = Evaluator(index, engine.params)
     docs, _scores = ev.evaluate(tree)
     member = np.sort(np.asarray(docs, dtype=np.int64))
-    order_ids = sort_order(index, field, descending)
+    order_ids, order_vals, n_valid = _sortmap(index, field, descending)
     if _after is not None:
+        # Cursor positioning is a BINARY SEARCH over the cached sorted
+        # values (k-bounded page cost, no O(n) doc-values re-read):
+        # find the cursor's value run, linear-scan only that tie run for
+        # external_id > cursor (run length = duplicate count), and slice
+        # the order past it. Missing-field docs sit beyond n_valid and
+        # are never paginated into (they have no cursor value).
         av, aext = float(_after[0]), str(_after[1])
-        vals, valid = index.docvalues_for_docs(field, order_ids)
-        exts = index.external_ids(order_ids).astype(str)
-        if descending:
-            strictly = valid & (vals < av)
-        else:
-            strictly = valid & (vals > av)
-        tie = valid & (vals == av) & (exts > aext)
-        keep = strictly | tie
-        order_ids = order_ids[keep]
+        srt = -order_vals[:n_valid] if descending else order_vals[:n_valid]
+        pivot = -av if descending else av
+        run_lo = int(np.searchsorted(srt, pivot, side="left"))
+        run_hi = int(np.searchsorted(srt, pivot, side="right"))
+        start = run_hi  # default: cursor value absent or run exhausted
+        if run_lo < run_hi:
+            run_exts = index.external_ids(
+                order_ids[run_lo:run_hi]
+            ).astype(str)
+            after_in_run = np.flatnonzero(run_exts > aext)
+            if len(after_in_run):
+                start = run_lo + int(after_in_run[0])
+        order_ids = order_ids[start:n_valid]
     hits, visited = _first_k_matches(order_ids, member, k)
     vals, valid = index.docvalues_for_docs(field, hits)
     if len(hits) and not valid.all():

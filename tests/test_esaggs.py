@@ -481,3 +481,28 @@ def test_custom_registered_agg_end_to_end(ray_session):
         assert list(got["hi"]) == list(exp["hi"])
     finally:
         AGG_REGISTRY.pop(name, None)
+
+
+def test_weighted_avg_rejects_malformed_props(ray_session):
+    """A props row without an integer 'k' fails LOUDLY (the SQL oracle's
+    CAST would error; a silent null-skip would diverge)."""
+    import pyarrow as pa
+
+    from searchengine_ray import esaggs
+
+    t = pa.table(
+        {
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+            "props": ['{"k": 3}', '{"other": 1}'],
+        }
+    )
+    import pytest as _pytest
+
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    with _pytest.raises(Exception, match="integer 'k'"):
+        esaggs.weighted_avg_agg(d)
