@@ -2350,6 +2350,21 @@ r AS (SELECT doc_id, round(c, 6) AS score_r,
 SELECT doc_id, score_r, rn FROM r WHERE rn <= 30
 """
 
+# sliced scroll (esquery.sliced_scroll): every 'dup spark' match tagged
+# with splitmix64(doc_id, 3) % 3 — the oracle replays the routing chain
+# in HUGEINT; the concatenated slices must equal the full match set.
+def _sliced_scroll_sql() -> str:
+    return f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('dup', 'spark')),
+{_splitmix_ctes('sx', 'm', ['doc_id'], 'doc_id', 3)},
+sl AS (SELECT doc_id, CAST(v % 3 AS BIGINT) AS slice_id FROM sx3)
+SELECT b.doc_id, sl.slice_id, round(b.s, 6) AS score_r
+FROM ({_bm25_terms_sql(["dup", "spark"], raw=True)}) b
+JOIN sl USING (doc_id)
+"""
+
+
 # rank_feature (funcscore, ES rank_feature saturation over n_chars,
 # boost_mode=sum): final = bm25 + n_chars/(n_chars + 250) — the division
 # is BIGINT over (DOUBLE + DOUBLE) on both sides; rank over (final DESC,
@@ -4484,7 +4499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_has_child": gate.se_has_child,  # new late r5, parked by priority; in-window se_collapse_inner/se_sampler_terms run the same per-group-over-scored-results machinery (group key from the corpus column vs the facet postings), and the score_mode sum/avg folds keep a manual-recombination pytest
         "se_has_parent": gate.se_has_parent,  # new late r5, parked by priority; sibling se_has_child (directly above) shares the join-field parent derivation; the filter form leaves scores untouched exactly like the gated #FILREQ/msm family
         "se_matched_queries": gate.se_matched_queries,  # new late r5, parked by priority; in-window se_bool_query drives the identical clause-parse + #SUM machinery — this entry adds only the per-clause membership metadata string, whose concat_ws rebuild IS the oracle
-        "se_runtime_field": gate.se_runtime_field,  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
+        "se_runtime_field": gate.se_runtime_field,
+        "se_sliced_scroll": gate.se_sliced_scroll,  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5076,6 +5092,7 @@ WHERE rnk <= 3
         "se_has_parent": _SE_HAS_PARENT_SQL,
         "se_matched_queries": _SE_MATCHED_QUERIES_SQL,
         "se_runtime_field": _SE_RUNTIME_FIELD_SQL,
+        "se_sliced_scroll": _sliced_scroll_sql(),
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

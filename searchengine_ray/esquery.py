@@ -412,3 +412,42 @@ def matched_queries_search(
             "matched": pa.array(matched, pa.string()),
         }
     )
+
+
+def sliced_scroll(
+    engine, qid: str, query: str, slice_id: int, n_slices: int
+) -> pa.Table:
+    """ES sliced scroll (the parallel-export / reindex primitive): the
+    query's match set split into ``n_slices`` disjoint slices by a
+    deterministic hash of the document id — slice i can stream
+    independently on its own worker, and the union of all slices is
+    exactly the full result (no duplicates, no gaps; ES slices on
+    murmur3(_id), here splitmix64(doc_id, seed=n_slices) so the routing
+    replays in SQL via the pinned hash chain). Scores ride along
+    untouched. Returns (doc_id, slice_id, score_r) in (score desc,
+    doc_id asc) order within the slice."""
+    from .sketch import _hash64
+
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    if not 0 <= slice_id < n_slices:
+        raise ValueError(f"slice_id {slice_id} not in [0, {n_slices})")
+    t = engine.search(qid, query)
+    docs = t.column("doc_id").to_numpy()
+    scores = t.column("score").to_numpy()
+    sl = (_hash64(docs.astype(np.int64), n_slices)
+          % np.uint64(n_slices)).astype(np.int64)
+    keep = sl == slice_id
+    docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "slice_id": pa.array(
+                np.full(int(keep.sum()), slice_id, dtype=np.int64)
+            ),
+            "score_r": pc.round(
+                pa.array(scores[order], pa.float64()), ndigits=6
+            ),
+        }
+    )

@@ -1786,3 +1786,19 @@ def se_runtime_field(sf_dir: str):
         boost_mode="sum",
         k=30,
     )
+
+
+def se_sliced_scroll(sf_dir: str):
+    """ES sliced scroll (esquery.sliced_scroll, the parallel-export /
+    reindex primitive): all 3 slices of the 'dup spark' match set,
+    concatenated — the oracle re-derives the splitmix64(doc_id, 3) % 3
+    routing in HUGEINT and tags each matching doc with its slice, so
+    disjointness AND completeness of the slicing are what the hash
+    pins (the union must equal the full match set row-for-row)."""
+    from .esquery import sliced_scroll
+
+    eng = engine_for(sf_dir, "bm25")
+    parts = [
+        sliced_scroll(eng, "q", "dup spark", i, 3) for i in range(3)
+    ]
+    return pa.concat_tables(parts)

@@ -456,3 +456,29 @@ def test_runtime_fields_semantics(ray_session):
     with pytest.raises(ValueError, match="no chaining"):
         eng.index.docvalues_for_docs("b", docs)
     eng.index.set_runtime_fields({})  # reset for other tests
+
+
+def test_sliced_scroll_partitions_exactly(ray_session):
+    from searchengine_ray.esquery import sliced_scroll
+
+    eng = _engine()
+    full = eng.search("q", "dup spark")
+    slices = [sliced_scroll(eng, "q", "dup spark", i, 4) for i in range(4)]
+    all_docs = [d for s in slices for d in s.column("doc_id").to_pylist()]
+    # disjoint and complete
+    assert len(all_docs) == len(set(all_docs)) == full.num_rows
+    assert set(all_docs) == set(full.column("doc_id").to_pylist())
+    # scores untouched
+    fmap = dict(zip(full.column("doc_id").to_pylist(),
+                    full.column("score").to_pylist()))
+    for s in slices:
+        for d, sc in zip(s.column("doc_id").to_pylist(),
+                         s.column("score_r").to_pylist()):
+            assert sc == round(fmap[d], 6)
+    # n_slices=1 is the identity slicing
+    one = sliced_scroll(eng, "q", "dup spark", 0, 1)
+    assert one.num_rows == full.num_rows
+    with pytest.raises(ValueError, match="n_slices"):
+        sliced_scroll(eng, "q", "dup", 0, 0)
+    with pytest.raises(ValueError, match="slice_id"):
+        sliced_scroll(eng, "q", "dup", 4, 4)
