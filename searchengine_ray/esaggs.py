@@ -486,7 +486,12 @@ def multi_terms_agg(sf_dir: str, size: int = 20) -> pa.Table:
     Unlike single-field ``terms``, the composite key space can explode,
     which is why ES caps it server-side; the engine keeps the same shape:
     per-batch Arrow group_by partial, ONE composite-key shuffle, and the
-    size cut on the driver over the bounded bucket list.
+    size cut on the driver over the bucket list. NOTE the driver fold is
+    bucket-cardinality-sized — exact, the ES single-shard semantics; at
+    explosive cardinality the scale form is the per-shard-truncated
+    ``terms_shard_error_agg`` below (reported counts + the ES
+    doc_count_error_upper_bound), which never ships more than
+    n_shards x size buckets to the driver.
 
     Returns (event_type, user_id, doc_count, sum_value_cents).
     """
