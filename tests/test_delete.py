@@ -137,3 +137,34 @@ def test_expunge_matches_fresh_build_of_survivors(
 
     # idempotent once clean
     assert expunge_deletes(idx) == 0
+
+
+def test_interval_ops_respect_tombstones(deleted):
+    """#ORDERED / #UNORDERED / #DFUZZY under tombstoned deletes: derived
+    lists recompute over LIVE docs only (liveDocs at the scorer), so the
+    result equals a fresh build over the survivors row-for-row."""
+    import ray.data
+
+    idx, _base, dead, survivors, _pre = deleted
+    import tempfile
+
+    fresh = tempfile.mkdtemp(prefix="ordered_survivors_")
+    build_index(lambda: ray.data.from_arrow(survivors), fresh + "/i", _cfg())
+    any_live = 0
+    for q in (
+        "#ordered/8( unit lock )",
+        "#unordered/8( unit lock )",
+        "#dfuzzy/2( lokc )",
+    ):
+        live = SearchEngine(
+            idx, ModelParams(model="rankedboolean", top_k=1 << 30)
+        ).search("q", q).to_pandas()
+        want = SearchEngine(
+            fresh + "/i", ModelParams(model="rankedboolean", top_k=1 << 30)
+        ).search("q", q).to_pandas()
+        assert not set(live.external_id) & dead, q
+        # RankedBoolean score = derived tf, identical on both indexes
+        assert live.external_id.tolist() == want.external_id.tolist(), q
+        assert live.score.tolist() == want.score.tolist(), q
+        any_live += len(live)
+    assert any_live > 0, "all three queries degenerate on the fixture"
