@@ -690,6 +690,33 @@ FROM s
 QUALIFY rank <= 10
 """
 
+# significant_text (sigterms.significant_text): the sigterms JLH over
+# the DUPLICATE-FILTERED 'dup' result set — one doc per sha256(text)
+# (min doc_id), fg_total = the unique count.
+_SE_SIGTEXT_SQL = f"""
+WITH {_TOK},
+m0 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+matched AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM m0 JOIN documents d USING (doc_id)
+  GROUP BY sha256(d.text)),
+fg AS (SELECT term, count(DISTINCT t.doc_id) AS fg
+       FROM tok t JOIN matched USING(doc_id)
+       WHERE term NOT IN {_STOPLIST_SQL} GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg FROM tok GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM matched) AS fgt,
+               (SELECT count(*) FROM documents) AS bgt),
+s AS (SELECT f.term, f.fg, b.bg,
+        (f.fg/tot.fgt - b.bg/tot.bgt) * ((f.fg/tot.fgt) / (b.bg/tot.bgt))
+          AS score
+      FROM fg f JOIN bg b USING(term) CROSS JOIN tot
+      WHERE f.fg/tot.fgt > b.bg/tot.bgt)
+SELECT term, fg, bg, round(score, 6) AS score_r,
+  CAST(row_number() OVER (ORDER BY score DESC, term) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
 # Percolation (percolate.py): membership of each stored query over the
 # corpus, each family re-derived in SQL and tagged with its query_id.
 _SE_PERCOLATE_SQL = f"""
@@ -4500,7 +4527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_has_parent": gate.se_has_parent,  # new late r5, parked by priority; sibling se_has_child (directly above) shares the join-field parent derivation; the filter form leaves scores untouched exactly like the gated #FILREQ/msm family
         "se_matched_queries": gate.se_matched_queries,  # new late r5, parked by priority; in-window se_bool_query drives the identical clause-parse + #SUM machinery — this entry adds only the per-clause membership metadata string, whose concat_ws rebuild IS the oracle
         "se_runtime_field": gate.se_runtime_field,
-        "se_sliced_scroll": gate.se_sliced_scroll,  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
+        "se_sliced_scroll": gate.se_sliced_scroll,
+        "se_sigtext": gate.se_sigtext,  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5093,6 +5121,7 @@ WHERE rnk <= 3
         "se_matched_queries": _SE_MATCHED_QUERIES_SQL,
         "se_runtime_field": _SE_RUNTIME_FIELD_SQL,
         "se_sliced_scroll": _sliced_scroll_sql(),
+        "se_sigtext": _SE_SIGTEXT_SQL,
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

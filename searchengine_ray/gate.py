@@ -1802,3 +1802,22 @@ def se_sliced_scroll(sf_dir: str):
         sliced_scroll(eng, "q", "dup spark", i, 3) for i in range(3)
     ]
     return pa.concat_tables(parts)
+
+
+def se_sigtext(sf_dir: str):
+    """ES significant_text (sigterms.significant_text): JLH contrast of
+    the 'dup' result set vs the corpus with filter_duplicate_text —
+    duplicate documents (this corpus plants exact dups; the 'dup' set
+    provably contains some) count ONCE and fg_total shrinks to the
+    unique count, shifting every fg_pct vs plain significant_terms. The
+    oracle dedupes by min(doc_id) per sha256(text) (the docmap build
+    invariant) and replays the JLH arithmetic on the deduped set."""
+    import numpy as np
+
+    from .sigterms import significant_text
+
+    eng = engine_for(sf_dir, "unrankedboolean")
+    matched = eng.search("q", "dup").column("doc_id").to_numpy()
+    return significant_text(
+        eng.index, sf_dir, np.asarray(matched), k=10
+    )

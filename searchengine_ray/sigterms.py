@@ -105,3 +105,31 @@ def significant_terms(
             ),
         }
     ).cast(_SCHEMA)
+
+
+def significant_text(
+    index: InvertedIndex,
+    sf_dir: str,
+    matched_doc_ids: np.ndarray,
+    field: str = "body",
+    k: int = 10,
+    filter_duplicate_text: bool = True,
+) -> pa.Table:
+    """ES ``significant_text`` — the free-text sibling of
+    ``significant_terms`` whose defining feature is
+    ``filter_duplicate_text``: duplicate documents (boilerplate copied
+    verbatim across the result set) are counted ONCE, so mass-duplicated
+    text cannot masquerade as significant. Dedup is exact by the
+    docmap's ``sha256(text)`` (the build invariant the dedup gates pin),
+    keeping the lowest doc id per digest; fg_total becomes the UNIQUE
+    count, which shifts every fg_pct — the visible contract vs
+    significant_terms. With ``filter_duplicate_text=False`` this IS
+    significant_terms. Same scale shape (result-set-sized pushdown read,
+    lexicon-sized background)."""
+    matched = np.unique(np.asarray(matched_doc_ids, dtype=np.int64))
+    if filter_duplicate_text and len(matched):
+        rows = index._rows_for(matched)
+        shas = index._sha256[rows]
+        _, first = np.unique(shas, return_index=True)
+        matched = matched[np.sort(first)]
+    return significant_terms(index, sf_dir, matched, field=field, k=k)

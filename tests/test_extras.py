@@ -985,3 +985,51 @@ def test_suggest_modes(ray_session):
     assert (popular["df"] > qdf).all()
     with _pytest.raises(ValueError, match="suggest_mode"):
         suggest(idx, ["scan"], suggest_mode="sometimes")
+
+
+def test_significant_text_dedupes_foreground(ray_session, tmp_path):
+    """filter_duplicate_text counts duplicate docs once: fg counts and
+    fg_total shrink vs plain significant_terms on a corpus with PLANTED
+    exact dups; filter off == significant_terms exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import BuildConfig, ModelParams
+    from searchengine_ray.engine import SearchEngine
+    from searchengine_ray.sigterms import significant_terms, significant_text
+
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    df = base.to_pandas().head(60)
+    # plant 3 exact copies of each of the first 5 'dup'-containing docs
+    dup_rows = df[df.text.str.contains("dup")].head(5)
+    assert len(dup_rows) == 5
+    extra = pd.concat([dup_rows] * 3, ignore_index=True)
+    extra["doc_id"] = np.arange(1000, 1000 + len(extra))
+    corpus = pd.concat([df, extra], ignore_index=True)
+    d = tmp_path / "sigtext"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(corpus), str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d), idx, BuildConfig())
+    eng = SearchEngine(idx, ModelParams(model="unrankedboolean",
+                                        top_k=1 << 30))
+    matched = eng.search("q", "dup").column("doc_id").to_numpy()
+    rows = eng.index._rows_for(np.unique(matched))
+    shas = eng.index._sha256[rows]
+    assert len(shas) > len(set(shas))  # the dups matched
+    plain = significant_terms(eng.index, str(d), matched, k=10).to_pandas()
+    text = significant_text(eng.index, str(d), matched, k=10).to_pandas()
+    off = significant_text(
+        eng.index, str(d), matched, k=10, filter_duplicate_text=False
+    ).to_pandas()
+    pd.testing.assert_frame_equal(off, plain)
+    # dedupe shrinks the foreground count for at least one shared term
+    shared = set(plain.term) & set(text.term)
+    assert shared
+    p = plain.set_index("term")
+    t = text.set_index("term")
+    assert any(int(t.loc[x, "fg"]) < int(p.loc[x, "fg"]) for x in shared)
