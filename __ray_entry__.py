@@ -4528,7 +4528,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_matched_queries": gate.se_matched_queries,  # new late r5, parked by priority; in-window se_bool_query drives the identical clause-parse + #SUM machinery — this entry adds only the per-clause membership metadata string, whose concat_ws rebuild IS the oracle
         "se_runtime_field": gate.se_runtime_field,
         "se_sliced_scroll": gate.se_sliced_scroll,
-        "se_sigtext": gate.se_sigtext,  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
+        "se_sigtext": gate.se_sigtext,
+        "events_percentile_ranks": esaggs.percentile_ranks_agg,  # new late r5, parked by priority; in-window events_percentiles runs the identical per-(key,cents) histogram machinery — this is its INVERSE lookup over the same cumsums, pytest-pinned
+        "events_boxplot": esaggs.boxplot_agg,  # new late r5, parked by priority; composes percentiles_agg (in-window sibling events_percentiles) at the five canonical percents — zero new kernel code
+        "events_ttest": esaggs.ttest_agg,  # new late r5, parked by priority; in-window events_matrix_stats runs the identical int64-moment + fixed-double-tree machinery (variance vs covariance of the same sums)  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5122,6 +5125,51 @@ WHERE rnk <= 3
         "se_runtime_field": _SE_RUNTIME_FIELD_SQL,
         "se_sliced_scroll": _sliced_scroll_sql(),
         "se_sigtext": _SE_SIGTEXT_SQL,
+        # inverse percentiles: exact integer numerator, one division
+        "events_percentile_ranks": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+v(value_cents) AS (VALUES (2500), (10000))
+SELECT c.event_type, CAST(v.value_cents AS BIGINT) AS value_cents,
+       (100.0 * sum(CASE WHEN c.cents <= v.value_cents THEN 1 ELSE 0 END))
+         / count(*) AS pct
+FROM c CROSS JOIN v GROUP BY 1, 2
+""",
+        # exact five-number summary with the pinned quantile_disc rule
+        "events_boxplot": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
+SELECT event_type,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1_cents,
+       CAST(quantile_disc(cents, 0.50) AS BIGINT) AS q2_cents,
+       CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM c GROUP BY 1
+""",
+        # Welch t from exact moments, identical double expression tree
+        "events_ttest": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents*cents) AS BIGINT) AS sxx
+      FROM c WHERE event_type IN ('click', 'view') GROUP BY 1),
+a AS (SELECT * FROM g WHERE event_type = 'click'),
+b AS (SELECT * FROM g WHERE event_type = 'view')
+SELECT a.n AS n_a, b.n AS n_b, a.sx AS sx_a, b.sx AS sx_b,
+       a.sxx AS sxx_a, b.sxx AS sxx_b,
+       round(((CAST(a.sx AS DOUBLE) / a.n) - (CAST(b.sx AS DOUBLE) / b.n))
+             / sqrt(((CAST(a.n AS DOUBLE) * a.sxx
+                      - CAST(a.sx AS DOUBLE) * a.sx)
+                     / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)))
+                      / a.n
+                    + ((CAST(b.n AS DOUBLE) * b.sxx
+                        - CAST(b.sx AS DOUBLE) * b.sx)
+                       / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0)))
+                      / b.n), 6) AS t_r
+FROM a, b
+""",
         # registered 'spread' agg: per event_type min/max/count + spread
         "events_spread_agg": """
 WITH c AS (SELECT event_type AS key,

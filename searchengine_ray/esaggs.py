@@ -1086,3 +1086,176 @@ def spread_agg(sf_dir: str) -> pa.Table:
     extension point with a shipped registration): per event_type
     (doc_count, min_cents, max_cents, spread_cents)."""
     return run_aggregation("spread", sf_dir)
+
+
+def percentile_ranks_agg(
+    sf_dir: str,
+    values_cents: "tuple[int, ...]" = (2500, 10000),
+    key: str = "event_type",
+) -> pa.Table:
+    """ES ``percentile_ranks`` — the INVERSE of ``percentiles``: for each
+    given value, the percentage of the key's observations <= it. EXACT
+    (ES runs t-digest): rank = 100 * count(x <= v) / n with an integer
+    numerator, ONE double division — replayable verbatim. Same
+    histogram scale shape as percentiles_agg.
+
+    Returns (key, value_cents, pct).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    vs = sorted(set(int(v) for v in values_cents))
+    if not vs:
+        raise ValueError("percentile_ranks needs at least one value")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key: t.column(key), "cents": _cents(t)})
+            .group_by([key, "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                "cents": g.column("cents"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def per_key(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        cents, n = cents[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        le = [
+            int(cum[np.searchsorted(cents, v, "right") - 1])
+            if np.searchsorted(cents, v, "right") > 0 else 0
+            for v in vs
+        ]
+        k = t.column(key)[0].as_py()
+        return pa.table(
+            {
+                key: pa.array([k] * len(vs), pa.string()),
+                "value_cents": pa.array(vs, pa.int64()),
+                "pct": pa.array(
+                    [(100.0 * c) / total for c in le], pa.float64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=[key, "value"])
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = hist.groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    ).take_all()
+    rows.sort(key=lambda r: (r[key], r["value_cents"]))
+    return pa.table(
+        {
+            key: pa.array([r[key] for r in rows], pa.string()),
+            "value_cents": pa.array([r["value_cents"] for r in rows],
+                                    pa.int64()),
+            "pct": pa.array([r["pct"] for r in rows], pa.float64()),
+        }
+    )
+
+
+def boxplot_agg(sf_dir: str, key: str = "event_type") -> pa.Table:
+    """ES ``boxplot`` aggregation — EXACT: min / q1 / q2 / q3 / max per
+    key with the repo's pinned discrete-quantile rule (DuckDB
+    ``quantile_disc``: smallest element whose cumulative count reaches
+    ceil(q*n); ES approximates with t-digest). Histogram scale shape.
+
+    Returns (key, min_cents, q1_cents, q2_cents, q3_cents, max_cents).
+    """
+    t = percentiles_agg(sf_dir, percents=(0, 25, 50, 75, 100), key=key)
+    df = t.to_pandas().pivot(index=key, columns="percent",
+                             values="value_cents").reset_index()
+    return pa.table(
+        {
+            key: pa.array(df[key].tolist(), pa.string()),
+            "min_cents": pa.array(df[0].tolist(), pa.int64()),
+            "q1_cents": pa.array(df[25].tolist(), pa.int64()),
+            "q2_cents": pa.array(df[50].tolist(), pa.int64()),
+            "q3_cents": pa.array(df[75].tolist(), pa.int64()),
+            "max_cents": pa.array(df[100].tolist(), pa.int64()),
+        }
+    )
+
+
+def ttest_agg(
+    sf_dir: str, group_a: str = "click", group_b: str = "view"
+) -> pa.Table:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch, the ES
+    default): the t statistic between two event_type groups' cents,
+    derived from EXACT int64 moments (n, Σx, Σx²) in a FIXED double
+    expression tree — sample variance v = (n·Σx² - Σx·Σx) / (n·(n-1)),
+    t = (m1 - m2) / sqrt(v1/n1 + v2/n2) — every op correctly-rounded
+    IEEE and replayed with the identical tree in SQL, rounded to 6.
+
+    Returns one row (n_a, n_b, t_r) plus the raw moments.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if group_a == group_b:
+        raise ValueError("t_test needs two distinct groups")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t).to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        out = []
+        for g in (group_a, group_b):
+            m = et == g
+            out.append((g, int(m.sum()), int(c[m].sum()),
+                        int((c[m] * c[m]).sum())))
+        return pa.table(
+            {
+                "grp": pa.array([o[0] for o in out], pa.string()),
+                "n": pa.array([o[1] for o in out], pa.int64()),
+                "sx": pa.array([o[2] for o in out], pa.int64()),
+                "sxx": pa.array([o[3] for o in out], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .take_all()
+    )
+    mom = {r["grp"]: r for r in rows}
+    a, b = mom[group_a], mom[group_b]
+    if a["n"] < 2 or b["n"] < 2:
+        raise ValueError("t_test needs >= 2 observations per group")
+
+    def stats(r):
+        n = np.float64(r["n"])
+        sx = np.float64(r["sx"])
+        m = sx / n
+        v = (n * np.float64(r["sxx"]) - sx * sx) / (n * (n - 1.0))
+        return n, m, v
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    t_stat = (ma - mb) / np.sqrt(va / na + vb / nb)
+    return pa.table(
+        {
+            "n_a": pa.array([a["n"]], pa.int64()),
+            "n_b": pa.array([b["n"]], pa.int64()),
+            "sx_a": pa.array([a["sx"]], pa.int64()),
+            "sx_b": pa.array([b["sx"]], pa.int64()),
+            "sxx_a": pa.array([a["sxx"]], pa.int64()),
+            "sxx_b": pa.array([b["sxx"]], pa.int64()),
+            "t_r": pa.array([round(float(t_stat), 6)], pa.float64()),
+        }
+    )

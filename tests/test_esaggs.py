@@ -506,3 +506,66 @@ def test_weighted_avg_rejects_malformed_props(ray_session):
     pq.write_table(t, os.path.join(d, "events.parquet"))
     with _pytest.raises(Exception, match="integer 'k'"):
         esaggs.weighted_avg_agg(d)
+
+
+def test_percentile_ranks_inverse_of_percentiles(ray_session):
+    from searchengine_ray.esaggs import percentile_ranks_agg
+
+    _assert_match(
+        percentile_ranks_agg(SF),
+        f"""WITH c AS (SELECT event_type,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV}),
+            v(value_cents) AS (VALUES (2500), (10000))
+            SELECT c.event_type, CAST(v.value_cents AS BIGINT) AS value_cents,
+                   (100.0 * sum(CASE WHEN c.cents <= v.value_cents
+                                     THEN 1 ELSE 0 END)) / count(*) AS pct
+            FROM c CROSS JOIN v GROUP BY 1, 2""",
+    )
+    got = percentile_ranks_agg(SF).to_pandas()
+    assert ((got["pct"] >= 0) & (got["pct"] <= 100)).all()
+    # monotone in the value within each key
+    for _, grp in got.groupby("event_type"):
+        grp = grp.sort_values("value_cents")
+        assert (grp["pct"].diff().dropna() >= 0).all()
+    with pytest.raises(ValueError, match="at least one value"):
+        percentile_ranks_agg(SF, values_cents=())
+
+
+def test_boxplot_agg(ray_session):
+    from searchengine_ray.esaggs import boxplot_agg
+
+    _assert_match(
+        boxplot_agg(SF),
+        f"""WITH c AS (SELECT event_type,
+                       CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV})
+            SELECT event_type,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1_cents,
+                   CAST(quantile_disc(cents, 0.50) AS BIGINT) AS q2_cents,
+                   CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents
+            FROM c GROUP BY 1""",
+    )
+    g = boxplot_agg(SF).to_pandas()
+    assert ((g.min_cents <= g.q1_cents) & (g.q1_cents <= g.q2_cents)
+            & (g.q2_cents <= g.q3_cents) & (g.q3_cents <= g.max_cents)).all()
+
+
+def test_ttest_agg(ray_session):
+    import numpy as np
+
+    from searchengine_ray.esaggs import ttest_agg
+
+    got = ttest_agg(SF).to_pandas().iloc[0]
+    # scipy-free check: recompute Welch from the raw data
+    df = duckdb.sql(
+        f"SELECT event_type, CAST(round(value*100.0) AS BIGINT) AS c "
+        f"FROM {EV} WHERE event_type IN ('click','view')"
+    ).df()
+    a = df[df.event_type == "click"]["c"].to_numpy(dtype=float)
+    b = df[df.event_type == "view"]["c"].to_numpy(dtype=float)
+    t = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert abs(got["t_r"] - t) < 1e-6
+    with pytest.raises(ValueError, match="distinct groups"):
+        ttest_agg(SF, "click", "click")
