@@ -3112,6 +3112,24 @@ coords AS (
   FROM glon3 a JOIN glat3 b USING (doc_id))"""
 
 
+def _geo_centroid_sql() -> str:
+    from searchengine_ray.geo import GATE_BBOX
+
+    lon_lo, lon_hi, lat_lo, lat_hi = GATE_BBOX
+    return f"""
+WITH {_geo_coords_cte()},
+m AS (SELECT lon, lat FROM coords
+      WHERE lon BETWEEN {lon_lo} AND {lon_hi}
+        AND lat BETWEEN {lat_lo} AND {lat_hi})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(lon) AS BIGINT) AS sum_lon,
+       CAST(sum(lat) AS BIGINT) AS sum_lat,
+       CAST(sum(lon) AS DOUBLE) / count(*) AS centroid_lon,
+       CAST(sum(lat) AS DOUBLE) / count(*) AS centroid_lat
+FROM m
+"""
+
+
 def _geo_bbox_sql() -> str:
     from searchengine_ray.geo import GATE_BBOX
 
@@ -4531,7 +4549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_sigtext": gate.se_sigtext,
         "events_percentile_ranks": esaggs.percentile_ranks_agg,  # new late r5, parked by priority; in-window events_percentiles runs the identical per-(key,cents) histogram machinery — this is its INVERSE lookup over the same cumsums, pytest-pinned
         "events_boxplot": esaggs.boxplot_agg,  # new late r5, parked by priority; composes percentiles_agg (in-window sibling events_percentiles) at the five canonical percents — zero new kernel code
-        "events_ttest": esaggs.ttest_agg,  # new late r5, parked by priority; in-window events_matrix_stats runs the identical int64-moment + fixed-double-tree machinery (variance vs covariance of the same sums)  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
+        "events_ttest": esaggs.ttest_agg,  # new late r5, parked by priority; in-window events_matrix_stats runs the identical int64-moment + fixed-double-tree machinery (variance vs covariance of the same sums)
+        "geo_centroid": geo.gate_centroid,  # new late r5, parked by priority; in-window geo_bbox runs the identical derive_coords + box-membership machinery — this entry adds only the exact integer sum + one division per component  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5224,6 +5243,7 @@ LIMIT 12
         "se_spanfirst_tf": _SE_SPANFIRST_SQL,
         "se_spannot_tf": _SE_SPANNOT_SQL,
         "geo_bbox": _geo_bbox_sql(),
+        "geo_centroid": _geo_centroid_sql(),
         "geo_radius": _geo_radius_sql(),
         "geo_knn": _geo_knn_sql(),
         "geo_grid": _geo_grid_sql(),

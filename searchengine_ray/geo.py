@@ -243,3 +243,52 @@ def geohash_grid(sf_dir: str, shift: int = 22):
         )
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def geo_centroid(
+    sf_dir: str, lon_lo: int, lon_hi: int, lat_lo: int, lat_hi: int
+) -> pa.Table:
+    """ES ``geo_centroid`` aggregation over a bounding-box-filtered doc
+    set: the mean point of the matched coordinates. EXACT int64
+    micro-degree sums fold through one decomposable reduce (what a
+    multi-node merge ships — ES accumulates compensated doubles and is
+    order-sensitive; integer sums are not), then ONE double division
+    each for the centroid components. Returns a single row
+    (n, sum_lon, sum_lat, centroid_lon, centroid_lat)."""
+    from ray.data.aggregate import Count, Sum
+
+    def inbox(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        lon, lat = derive_coords(ids)
+        m = ((lon >= lon_lo) & (lon <= lon_hi)
+             & (lat >= lat_lo) & (lat <= lat_hi))
+        return pa.table(
+            {
+                "lon": pa.array(lon[m], pa.int64()),
+                "lat": pa.array(lat[m], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs_ids(sf_dir)
+        .map_batches(inbox, batch_format="pyarrow")
+        .aggregate(Count(), Sum("lon", alias_name="sum_lon"),
+                   Sum("lat", alias_name="sum_lat"))
+    )
+    n = int(agg["count()"])
+    if n == 0:
+        raise ValueError("geo_centroid: empty box (no matched docs)")
+    sl, sa = int(agg["sum_lon"]), int(agg["sum_lat"])
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_lon": pa.array([sl], pa.int64()),
+            "sum_lat": pa.array([sa], pa.int64()),
+            "centroid_lon": pa.array([sl / n], pa.float64()),
+            "centroid_lat": pa.array([sa / n], pa.float64()),
+        }
+    )
+
+
+def gate_centroid(sf_dir: str):
+    return geo_centroid(sf_dir, *GATE_BBOX)

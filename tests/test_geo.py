@@ -81,3 +81,30 @@ def test_geo_grid_matches_numpy(ray_session):
 def test_geo_grid_shift_guard():
     with pytest.raises(ValueError):
         geo.geohash_grid(SF, 31)
+
+
+def test_geo_centroid_exact_sums(ray_session):
+    """Centroid from exact integer sums equals the manual recompute; the
+    centroid lies inside the filter box; empty box raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from searchengine_ray.geo import GATE_BBOX, derive_coords, geo_centroid
+
+    SF = "/root/testdata/sf0.001"
+    t = geo_centroid(SF, *GATE_BBOX).to_pandas().iloc[0]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    lon, lat = derive_coords(ids)
+    lon_lo, lon_hi, lat_lo, lat_hi = GATE_BBOX
+    m = ((lon >= lon_lo) & (lon <= lon_hi)
+         & (lat >= lat_lo) & (lat <= lat_hi))
+    assert t["n"] == int(m.sum())
+    assert t["sum_lon"] == int(lon[m].sum())
+    assert t["centroid_lon"] == int(lon[m].sum()) / int(m.sum())
+    assert lon_lo <= t["centroid_lon"] <= lon_hi
+    assert lat_lo <= t["centroid_lat"] <= lat_hi
+    with _pytest.raises(ValueError, match="empty box"):
+        geo_centroid(SF, 0, 1, 0, 1)
