@@ -1987,6 +1987,88 @@ QUALIFY rank <= {k}
 """
 
 
+def _bq_sql(n_queries: int = 10, k: int = 10, shortlist: int = 50) -> str:
+    """Binary-quantization ANN (bq.bq_topk) fully re-derived in DuckDB —
+    sign-bit codes over the normalized vectors (sign is scale-invariant),
+    Hamming shortlist with the (hamming ASC, vec_id ASC) total order, then
+    the SQ8 exact-integer rescoring dot (same train/encode/weight CTEs as
+    `_sq8_sql`) restricted to the shortlist. No literals; the only floats
+    are the elementwise normalize/affine ops the SQ8/PQ oracles already
+    cover."""
+    scale = 1 << 20
+    return f"""
+WITH en AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) = 0
+         THEN 1.0
+         ELSE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) END AS nrm
+  FROM embeddings),
+vd AS (
+  SELECT vec_id, unnest(list_transform(v, x -> x / nrm)) AS x,
+         unnest(range(len(v))) AS d
+  FROM en),
+st AS (SELECT d, min(x) AS mn, max(x) - min(x) AS sp FROM vd GROUP BY d),
+bits AS (SELECT vec_id, d, CASE WHEN x > 0 THEN 1 ELSE 0 END AS b FROM vd),
+hd AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(CASE WHEN q.b != c.b THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM bits q JOIN bits c ON c.d = q.d
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id, hamming FROM hd
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, neighbor_id) <= {shortlist}),
+cd AS (
+  SELECT vec_id, vd.d,
+    CASE WHEN st.sp <= 0 THEN 0
+         ELSE CAST(least(255.0, greatest(0.0,
+                floor((x - st.mn) * 255 / st.sp + 0.5))) AS BIGINT)
+    END AS code
+  FROM vd JOIN st ON st.d = vd.d),
+qw AS (
+  SELECT vec_id AS query_id, vd.d,
+    CASE WHEN st.sp <= 0 THEN 0
+         ELSE CAST(floor(x * st.sp * {scale} / 255 + 0.5) AS BIGINT)
+    END AS w
+  FROM vd JOIN st ON st.d = vd.d
+  WHERE vec_id < {n_queries}),
+sc AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         CAST(sum(c.code * q.w) AS BIGINT) AS score
+  FROM short s
+  JOIN cd c ON c.vec_id = s.neighbor_id
+  JOIN qw q ON q.query_id = s.query_id AND q.d = c.d
+  GROUP BY 1, 2, 3)
+SELECT query_id, neighbor_id, hamming, score,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id)
+       AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {k}
+"""
+
+
+def _ann_bq_gate(sf_dir: str):
+    """ann_bq with the same full-table-vs-sample train-parity precondition
+    as `_ann_sq8_gate` (the rescoring pass trains SQ8 stats on the bounded
+    hash-thinned sample; the oracle trains on the full table)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray import bq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n > 4096:
+        raise AssertionError(
+            f"ann_bq gate requires embeddings rows <= sample_rows=4096 for "
+            f"full-table-vs-sample train parity; got {n} rows"
+        )
+    return bq.bq_topk(sf_dir)
+
+
 _ANN_TOPK_SQL = """
 WITH s AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -4473,11 +4555,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a new hive segment (the se_bm25_incremental analog on the vector
         # side); search unions per-segment pruned reads
         "ann_ivf_incremental": ann.ivf_incremental_topk,
-        # similarity RANGE search (new late r5, FAISS range_search /
-        # Lucene VectorSimilarityQuery analog): every pair >= threshold,
-        # set semantics, max_results-guarded driver fold (rotated in for
-        # eval_metrics, below)
-        "ann_range": gate.ann_range,
+        # binary-quantization ANN (new late r5, the Lucene/ES BBQ
+        # direction): 1-bit sign codes (one uint64 word per 64-dim
+        # vector, a 512x-smaller coarse scan), popcount-Hamming
+        # shortlist under the (hamming ASC, vec_id ASC) total order,
+        # then the SQ8 exact-integer rescoring dot over the shortlist —
+        # codes, distances, shortlist and rescore all re-derived
+        # literal-free in SQL (rotated in for ann_range, parked below)
+        "ann_bq": _ann_bq_gate,
         # full-corpus exact-integer Lloyd's k-means (new in r5): quantized
         # int64 vectors, distributed partial-sum iterations, trunc-div
         # centroid updates — init + every assignment + every update + the
@@ -4533,7 +4618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_distance_feature": gate.se_distance_feature,  # new r5, parked by priority; in-window siblings se_rank_feature/se_function_score run the same funcscore docvalue machinery (only the pivot/(pivot+dist) formula differs, pytest-pinned)
         "se_min_should_match": gate.se_min_should_match,  # new r5, parked by priority; in-window sibling se_bool_query drives the same clause-count msm machinery inside the bool compositor
         "se_extended_stats": gate.se_extended_stats,  # new r5, parked by priority; in-window sibling events_matrix_stats is a strict superset of the exact-integer moment machinery (second moments + correlation)
-        "ann_filtered": gate.ann_filtered,  # new r5, parked by priority; in-window ann_range shares the normalize+cosine+threshold surface and ann_ivf_* the partition-pushdown read machinery
+        "ann_filtered": gate.ann_filtered,  # new r5, parked by priority; parked sibling ann_range shares the normalize+cosine+threshold surface (pytest-pinned) and in-window ann_ivf_* the partition-pushdown read machinery
+        "ann_range": gate.ann_range,  # new r5, parked by priority (yielded its slot to ann_bq, new late r5); in-window ann_ivf_deleted/ann_ivf_incremental hash-check the normalize+cosine scan machinery, ann_bq the streaming bounded driver-fold pattern, and the >=threshold set semantics keep their pytest (test_ann_range)
         "events_multi_terms": esaggs.multi_terms_agg,  # new late r5, parked by priority; in-window events_terms_shard_error hash-checks the same (count desc, key asc) + size-cut terms ordering contract and events_weighted_avg/events_auto_date_histogram the per-batch Arrow partial + single-shuffle machinery
         "se_sorted_search_after": gate.se_sorted_search_after,  # new late r5, parked by priority; in-window se_sorted_search runs the identical sort_order + chunked first-k machinery — this entry adds only the strictly-after cursor predicate, pytest-pinned
         "events_date_histogram": esaggs.date_histogram_agg,  # new late r5, parked by priority (yielded its slot to events_spread_agg, the registry extension surface); in-window events_auto_date_histogram shares the ts-bucket + _sum_by_key machinery and the civil_from_days kernel keeps its 3000-date fuzz pytest across both Gregorian era boundaries
@@ -5304,6 +5390,7 @@ LIMIT 12
         "ann_ivf_incremental": _ivf_sql(train_half=True),
         "ann_ivf_deleted": _ivf_sql(live_pred="e.vec_id % 7 <> 3"),
         "ann_sq8": _sq8_sql(),
+        "ann_bq": _bq_sql(),
         "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic_kmeans": _semdedup_kmeans_sql(),
         "cluster_exemplars": _cluster_exemplars_sql(),
