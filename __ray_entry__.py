@@ -4390,7 +4390,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_adjacency_matrix": esaggs.adjacency_matrix_agg,
         "events_rare_terms": esaggs.rare_terms_agg,
         "events_percentiles": esaggs.percentiles_agg,
-        "events_moving_aggs": windows.hourly_moving_aggs,
+        # cumulative_cardinality pipeline agg (new late r5): exact
+        # cumulative distinct users per day via the first-day identity —
+        # groupby(user).min(day) keeps the shuffle user-sized, the
+        # cumsum runs over the bounded day list
+        "events_cumulative_cardinality": esaggs.cumulative_cardinality_agg,
+        # top_metrics agg (new late r5): per-bucket metric at the top of
+        # the (ts DESC, event_id DESC) sort — per-batch lexsort argmax
+        # partial, n_types x n_blocks bounded driver fold
+        "events_top_metrics": esaggs.top_metrics_agg,
+        # normalize (percent_of_sum) + bucket_sort pipeline aggs (new
+        # late r5): single IEEE division of exact int64s, coordinator
+        # bucket pagination (from=1, size=3) over the bounded list
+        "events_normalize_sort": esaggs.normalize_sort_agg,
+        # string_stats agg over documents.text per source (new late r5):
+        # exact int64 char-length moments + one IEEE division; entropy
+        # intentionally omitted (order-dependent transcendental sum)
+        "text_string_stats": esaggs.string_stats_agg,
         # calendar date_histogram + multi_terms (new late r5, never
         # driver-verified; rotated in for se_bm25f + se_percolate_scored,
         # parked below): calendar-month buckets via exact-integer
@@ -4411,7 +4427,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # matrix_stats (int64 second moments + fixed-tree correlation)
         "events_auto_date_histogram": esaggs.auto_date_histogram_agg,
         "events_weighted_avg": esaggs.weighted_avg_agg,
-        "events_mad": esaggs.mad_agg,
         "events_matrix_stats": esaggs.matrix_stats_agg,
         # search engine (documents-derived corpus)
         # Lucene span-query family (new r5, never driver-verified):
@@ -4423,7 +4438,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # squared-distance knn (streaming bounded fold), geohash_grid
         # cell counts (per-batch pre-aggregated partials)
         "geo_bbox": geo.gate_bbox,
-        "geo_knn": geo.gate_knn,
         # composite aggregation (new late r5, ES composite agg analog):
         # bucket pagination with a lexicographic after-cursor pushed into
         # the scan, per-batch Arrow group_by combiner, one narrow shuffle
@@ -4464,7 +4478,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-verified)
         "se_multi_match": gate.se_multi_match,
         "se_collapse_inner": gate.se_collapse_inner,
-        "se_sampler_terms": gate.se_sampler_terms,
         "events_terms_shard_error": esaggs.terms_shard_error_agg,
         # index-sorted field collection (new late r5, never driver-
         # verified): the Lucene index-sort / TopFieldCollector early-
@@ -4611,6 +4624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "events_moving_aggs": windows.hourly_moving_aggs,  # new late r5, parked by priority (yielded its slot to events_cumulative_cardinality, new late r5); in-window events_pipeline_aggs runs the identical hourly date-histogram partial+shuffle, and the centered moving-window coordinator fold keeps its oracle-parity pytest (test_windows_extras)
+        "events_mad": esaggs.mad_agg,  # new late r5, parked by priority (yielded its slot to events_top_metrics, new late r5); in-window events_percentiles runs the identical per-key cents-histogram machinery (MAD = interpolating median over the deviation histogram), parked events_boxplot composes the same quantile kernel, pytest-pinned
+        "geo_knn": geo.gate_knn,  # new r5, parked by priority (yielded its slot to events_normalize_sort, new late r5); in-window geo_bbox runs the same derive_coords splitmix chain, in-window ann_bq drives the identical per-batch-partial-topk + bounded streaming driver-fold pattern, and the squared-distance knn keeps its brute-parity pytest (test_geo)
+        "se_sampler_terms": gate.se_sampler_terms,  # new late r5, parked by priority (yielded its slot to text_string_stats, new late r5); in-window se_collapse_inner runs the same per-group-over-scored-results machinery and se_top_hits the grouped top-k superset; the sampler shard_size cut keeps its pytest (test_esquery)
         "events_range_agg": esaggs.range_agg,  # new r5, parked by priority; in-window sibling events_histogram_agg runs the same _cents + _sum_by_key partial-shuffle machinery (range adds only the static edge labels, pytest-pinned)
         "events_filters_agg": esaggs.filters_agg,  # new r5, parked by priority; in-window sibling events_adjacency_matrix shares _named_masks and emits the same single-filter counts on its diagonal
         "se_spannot_tf": gate.se_spannot_tf,  # new r5, parked by priority; in-window sibling se_spanfirst_tf runs the same span position-filter family (_refilter_positions) and the anti-join keeps its pytest
@@ -4978,6 +4995,53 @@ FROM h
         # ES aggregation family (new late r5): exact-integer cents
         # discipline; percentiles = DuckDB quantile_disc over the cents
         # domain (the engine's ceil(q*n) rank rule, verified equivalent)
+        "events_cumulative_cardinality": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  user_id FROM events),
+dc AS (SELECT epoch_day, CAST(count(*) AS BIGINT) AS doc_count
+       FROM d GROUP BY 1),
+fu AS (SELECT user_id, min(epoch_day) AS first_day FROM d GROUP BY 1),
+nu AS (SELECT first_day AS epoch_day,
+              CAST(count(*) AS BIGINT) AS n_new_users FROM fu GROUP BY 1)
+SELECT dc.epoch_day, dc.doc_count,
+       CAST(coalesce(nu.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(sum(coalesce(nu.n_new_users, 0))
+            OVER (ORDER BY dc.epoch_day) AS BIGINT) AS n_cumulative_users
+FROM dc LEFT JOIN nu USING (epoch_day)
+""",
+        "events_top_metrics": """
+WITH r AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS top_ts_us,
+                  event_id AS top_event_id,
+                  CAST(round(value*100.0) AS BIGINT) AS top_value_cents,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT event_type, top_ts_us, top_event_id, top_value_cents
+FROM r WHERE rn = 1
+""",
+        "events_normalize_sort": """
+WITH b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+                  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT)
+                    AS sum_value_cents
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(doc_count) AS DOUBLE) AS total FROM b),
+r AS (SELECT b.event_type, b.doc_count, b.sum_value_cents,
+             CAST(b.doc_count AS DOUBLE) / t.total AS pct_of_total,
+             CAST(row_number() OVER (ORDER BY b.sum_value_cents DESC,
+                                     b.event_type) AS INTEGER)
+               AS bucket_rank
+      FROM b, t)
+SELECT * FROM r WHERE bucket_rank BETWEEN 2 AND 4
+""",
+        "text_string_stats": """
+SELECT source, CAST(count(*) AS BIGINT) AS count,
+       CAST(min(length(text)) AS BIGINT) AS min_length,
+       CAST(max(length(text)) AS BIGINT) AS max_length,
+       CAST(sum(length(text)) AS BIGINT) AS sum_length,
+       CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_length
+FROM documents GROUP BY source
+""",
         "events_histogram_agg": """
 WITH c AS (SELECT CAST(round(value*100.0) AS BIGINT) AS cents FROM events)
 SELECT CAST(floor(cents/2500.0)*2500 AS BIGINT) AS bucket_lo_cents,

@@ -1259,3 +1259,296 @@ def ttest_agg(
             "t_r": pa.array([round(float(t_stat), 6)], pa.float64()),
         }
     )
+
+
+def _first_day_counts(t: pa.Table) -> pa.Table:
+    g = (
+        pa.table({"first_day": t.column("first_day")})
+        .group_by(["first_day"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "first_day": g.column("first_day"),
+            "n": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def cumulative_cardinality_agg(sf_dir: str) -> pa.Table:
+    """ES ``cumulative_cardinality`` pipeline aggregation over a daily
+    date_histogram of ``events``: per day, the number of distinct
+    ``user_id`` seen so far (cumulative across buckets).
+
+    Distributed identity that makes this shuffle-cheap at any scale:
+    cumulative-distinct(day d) = Σ_{d' <= d} |{users whose FIRST day is
+    d'}| — so the engine computes ``groupby(user_id).min(day)`` (one
+    user-cardinality shuffle of (user, day) int pairs, never the raw
+    events), bucket-counts the first days, and runs the cumulative sum
+    on the driver over the bounded day list. A per-day HLL union (the ES
+    mechanics) is the approximate sibling — this is the exact form.
+
+    Returns (epoch_day, doc_count, n_new_users, n_cumulative_users).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    US_DAY = 86_400_000_000
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // US_DAY
+        g = (
+            pa.table({"epoch_day": pa.array(d, pa.int64())})
+            .group_by(["epoch_day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "epoch_day": g.column("epoch_day"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // US_DAY
+        g = (
+            pa.table(
+                {"user_id": t.column("user_id"),
+                 "day": pa.array(d, pa.int64())}
+            )
+            .group_by(["user_id"])
+            .aggregate([("day", "min")])
+        )
+        return pa.table(
+            {"user_id": g.column("user_id"), "day": g.column("day_min")}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    day_rows = (
+        ds.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("epoch_day")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .take_all()  # bounded: n_days rows
+    )
+    first_days = (
+        ds.map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+        .map_batches(_first_day_counts, batch_format="pyarrow")
+        .groupby("first_day")
+        .aggregate(Sum("n", alias_name="n_new_users"))
+        .take_all()  # bounded: n_days rows
+    )
+    new_by_day = {r["first_day"]: r["n_new_users"] for r in first_days}
+    day_rows.sort(key=lambda r: r["epoch_day"])
+    days = [r["epoch_day"] for r in day_rows]
+    new = [int(new_by_day.get(d, 0)) for d in days]
+    cum = np.cumsum(new, dtype=np.int64) if days else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "epoch_day": pa.array(days, pa.int64()),
+            "doc_count": pa.array(
+                [r["doc_count"] for r in day_rows], pa.int64()
+            ),
+            "n_new_users": pa.array(new, pa.int64()),
+            "n_cumulative_users": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+def top_metrics_agg(sf_dir: str) -> pa.Table:
+    """ES ``top_metrics`` aggregation: per ``event_type`` bucket, the
+    metric value carried by the top-sorted document — here sort =
+    (ts DESC, event_id DESC) (the event_id leg makes the ES sort a total
+    order), metric = the event's cents.
+
+    Scale shape: per-batch argmax partial (one row per type per batch via
+    a vectorized lexsort group-head pick), bounded driver fold over
+    n_types x n_blocks rows. Returns
+    (event_type, top_ts_us, top_event_id, top_value_cents).
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy()
+        c = _cents(t).to_numpy(zero_copy_only=False)
+        # sort: type asc, ts desc, event_id desc -> first row per type
+        order = np.lexsort((-eid, -ts, et))
+        et, ts, eid, c = et[order], ts[order], eid[order], c[order]
+        head = np.r_[True, et[1:] != et[:-1]]
+        return pa.table(
+            {
+                "event_type": pa.array(et[head], pa.string()),
+                "top_ts_us": pa.array(ts[head], pa.int64()),
+                "top_event_id": pa.array(eid[head], pa.int64()),
+                "top_value_cents": pa.array(c[head], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    best: "dict[str, tuple[int, int, int]]" = {}
+    for b in (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for r in b.to_pylist():  # bounded: n_types rows per block
+            key = (r["top_ts_us"], r["top_event_id"], r["top_value_cents"])
+            cur = best.get(r["event_type"])
+            if cur is None or key[:2] > cur[:2]:
+                best[r["event_type"]] = key
+    types = sorted(best)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "top_ts_us": pa.array([best[t][0] for t in types], pa.int64()),
+            "top_event_id": pa.array(
+                [best[t][1] for t in types], pa.int64()
+            ),
+            "top_value_cents": pa.array(
+                [best[t][2] for t in types], pa.int64()
+            ),
+        }
+    )
+
+
+def string_stats_agg(sf_dir: str) -> pa.Table:
+    """ES ``string_stats`` aggregation over ``documents.text`` bucketed by
+    ``source``: count, min/max/avg length (chars). ``avg_length`` is the
+    single IEEE division of two exact int64s (DuckDB replays it
+    bit-for-bit); the Shannon-entropy field is intentionally omitted —
+    its Σ p·log p is an accumulation-order-dependent transcendental sum,
+    the one thing the repo's exact-oracle discipline excludes.
+
+    Scale shape: per-batch Arrow group_by partial, ONE source-cardinality
+    shuffle, driver sees n_sources rows.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t.column("text")).cast(pa.int64())
+        g = (
+            pa.table({"source": t.column("source"), "len": ln})
+            .group_by(["source"])
+            .aggregate(
+                [([], "count_all"), ("len", "sum"), ("len", "min"),
+                 ("len", "max")]
+            )
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "s": g.column("len_sum").cast(pa.int64()),
+                "mn": g.column("len_min").cast(pa.int64()),
+                "mx": g.column("len_max").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="count"),
+            Sum("s", alias_name="sum_length"),
+            Min("mn", alias_name="min_length"),
+            Max("mx", alias_name="max_length"),
+        )
+        .take_all()  # bounded: n_sources rows
+    )
+    rows.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "count": pa.array([r["count"] for r in rows], pa.int64()),
+            "min_length": pa.array(
+                [r["min_length"] for r in rows], pa.int64()
+            ),
+            "max_length": pa.array(
+                [r["max_length"] for r in rows], pa.int64()
+            ),
+            "sum_length": pa.array(
+                [r["sum_length"] for r in rows], pa.int64()
+            ),
+            "avg_length": pa.array(
+                [float(np.float64(r["sum_length"]) / np.float64(r["count"]))
+                 for r in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def normalize_sort_agg(
+    sf_dir: str, from_: int = 1, size: int = 3
+) -> pa.Table:
+    """ES ``normalize`` + ``bucket_sort`` pipeline aggregations composed
+    over a terms(event_type) histogram: per bucket doc_count and cents
+    sum, ``pct_of_total`` = doc_count / total (the percent_of_sum
+    normalizer as the single IEEE division of two exact int64s), then
+    bucket_sort(sort=[sum_value_cents DESC, event_type ASC], from=1,
+    size=3) — ES's coordinator-side bucket pagination, applied on the
+    driver over the bounded bucket list.
+
+    Returns (event_type, doc_count, sum_value_cents, pct_of_total,
+    bucket_rank) for the paginated buckets only.
+    """
+
+    import ray.data
+
+    if from_ < 0 or size <= 0:
+        raise ValueError("bucket_sort needs from >= 0 and size > 0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t.column("event_type"),
+                      "cents": _cents(t)})
+            .group_by(["event_type"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    rows = _sum_by_key(ds, partial, ["event_type"])
+    total = sum(r["doc_count"] for r in rows)
+    rows.sort(key=lambda r: (-r["sum_value_cents"], r["event_type"]))
+    page = rows[from_:from_ + size]
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [r["event_type"] for r in page], pa.string()
+            ),
+            "doc_count": pa.array(
+                [r["doc_count"] for r in page], pa.int64()
+            ),
+            "sum_value_cents": pa.array(
+                [r["sum_value_cents"] for r in page], pa.int64()
+            ),
+            "pct_of_total": pa.array(
+                [float(np.float64(r["doc_count"]) / np.float64(total))
+                 for r in page],
+                pa.float64(),
+            ),
+            "bucket_rank": pa.array(
+                list(range(from_ + 1, from_ + 1 + len(page))), pa.int32()
+            ),
+        }
+    )

@@ -569,3 +569,97 @@ def test_ttest_agg(ray_session):
     assert abs(got["t_r"] - t) < 1e-6
     with pytest.raises(ValueError, match="distinct groups"):
         ttest_agg(SF, "click", "click")
+
+
+def test_cumulative_cardinality_agg(ray_session):
+    from searchengine_ray.esaggs import cumulative_cardinality_agg
+
+    _assert_match(
+        cumulative_cardinality_agg(SF),
+        f"""WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         AS epoch_day, user_id FROM {EV}),
+            dc AS (SELECT epoch_day, CAST(count(*) AS BIGINT) AS doc_count
+                   FROM d GROUP BY 1),
+            fu AS (SELECT user_id, min(epoch_day) AS first_day
+                   FROM d GROUP BY 1),
+            nu AS (SELECT first_day AS epoch_day,
+                          CAST(count(*) AS BIGINT) AS n_new_users
+                   FROM fu GROUP BY 1)
+            SELECT dc.epoch_day, dc.doc_count,
+                   CAST(coalesce(nu.n_new_users, 0) AS BIGINT)
+                     AS n_new_users,
+                   CAST(sum(coalesce(nu.n_new_users, 0))
+                        OVER (ORDER BY dc.epoch_day) AS BIGINT)
+                     AS n_cumulative_users
+            FROM dc LEFT JOIN nu USING (epoch_day)""",
+    )
+
+
+def test_cumulative_cardinality_monotone_and_total(ray_session):
+    """Last cumulative value equals the global distinct-user count."""
+    from searchengine_ray.esaggs import cumulative_cardinality_agg
+
+    got = cumulative_cardinality_agg(SF).to_pandas()
+    assert (got.n_cumulative_users.diff().fillna(1) >= 0).all()
+    total = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM {EV}"
+    ).fetchone()[0]
+    assert int(got.n_cumulative_users.iloc[-1]) == total
+
+
+def test_top_metrics_agg(ray_session):
+    from searchengine_ray.esaggs import top_metrics_agg
+
+    _assert_match(
+        top_metrics_agg(SF),
+        f"""WITH r AS (SELECT event_type,
+                    CAST(epoch_us(ts) AS BIGINT) AS top_ts_us,
+                    event_id AS top_event_id,
+                    CAST(round(value*100.0) AS BIGINT) AS top_value_cents,
+                    row_number() OVER (PARTITION BY event_type
+                        ORDER BY ts DESC, event_id DESC) AS rn FROM {EV})
+            SELECT event_type, top_ts_us, top_event_id, top_value_cents
+            FROM r WHERE rn = 1""",
+    )
+
+
+def test_string_stats_agg(ray_session):
+    from searchengine_ray.esaggs import string_stats_agg
+
+    _assert_match(
+        string_stats_agg(SF),
+        f"""SELECT source, CAST(count(*) AS BIGINT) AS count,
+                   CAST(min(length(text)) AS BIGINT) AS min_length,
+                   CAST(max(length(text)) AS BIGINT) AS max_length,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_length,
+                   CAST(sum(length(text)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_length
+            FROM read_parquet('{SF}/documents.parquet') GROUP BY source""",
+    )
+
+
+def test_normalize_sort_agg(ray_session):
+    from searchengine_ray.esaggs import normalize_sort_agg
+
+    _assert_match(
+        normalize_sort_agg(SF),
+        f"""WITH b AS (SELECT event_type,
+                    CAST(count(*) AS BIGINT) AS doc_count,
+                    CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT)
+                      AS sum_value_cents FROM {EV} GROUP BY 1),
+            t AS (SELECT CAST(sum(doc_count) AS DOUBLE) AS total FROM b),
+            r AS (SELECT b.event_type, b.doc_count, b.sum_value_cents,
+                    CAST(b.doc_count AS DOUBLE) / t.total AS pct_of_total,
+                    CAST(row_number() OVER (ORDER BY b.sum_value_cents DESC,
+                        b.event_type) AS INTEGER) AS bucket_rank FROM b, t)
+            SELECT * FROM r WHERE bucket_rank BETWEEN 2 AND 4""",
+    )
+
+
+def test_normalize_sort_guards(ray_session):
+    from searchengine_ray.esaggs import normalize_sort_agg
+
+    with pytest.raises(ValueError, match="bucket_sort"):
+        normalize_sort_agg(SF, from_=-1)
+    with pytest.raises(ValueError, match="bucket_sort"):
+        normalize_sort_agg(SF, size=0)
