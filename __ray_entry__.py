@@ -4472,7 +4472,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_rank_feature": gate.se_rank_feature,
         "se_pinned": gate.se_pinned,
         "se_terms_set": gate.se_terms_set,
-        "se_match_phrase_prefix": gate.se_match_phrase_prefix,
+        # simple_query_string (new late r5, ES/Lucene SimpleQueryParser
+        # analog): the +/|/-/"phrase"/term* syntax parsed with NOT > AND
+        # > OR precedence; positive leaves score through #SUM in
+        # appearance order (full-corpus stats), boolean structure is
+        # membership-only set algebra — phrase leaf = #NEAR/1 derived
+        # list, scored and membership-replayed in SQL
+        "se_simple_query_string": gate.se_simple_query_string,
         # multi_match best_fields desugaring, collapse inner_hits,
         # sampler agg, terms-agg shard error bound (new late r5,
         # never driver-verified)
@@ -4624,6 +4630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_match_phrase_prefix": gate.se_match_phrase_prefix,  # new late r5, parked by priority (yielded its slot to se_simple_query_string, new late r5); in-window se_simple_query_string drives the same phrase -> #NEAR machinery under BM25 and se_synonyms the dictionary-expansion -> #SYN rewrite; the capped-expansion rule keeps its pytest (test_esquery)
         "events_moving_aggs": windows.hourly_moving_aggs,  # new late r5, parked by priority (yielded its slot to events_cumulative_cardinality, new late r5); in-window events_pipeline_aggs runs the identical hourly date-histogram partial+shuffle, and the centered moving-window coordinator fold keeps its oracle-parity pytest (test_windows_extras)
         "events_mad": esaggs.mad_agg,  # new late r5, parked by priority (yielded its slot to events_top_metrics, new late r5); in-window events_percentiles runs the identical per-key cents-histogram machinery (MAD = interpolating median over the deviation histogram), parked events_boxplot composes the same quantile kernel, pytest-pinned
         "geo_knn": geo.gate_knn,  # new r5, parked by priority (yielded its slot to events_normalize_sort, new late r5); in-window geo_bbox runs the same derive_coords splitmix chain, in-window ann_bq drives the identical per-batch-partial-topk + bounded streaming driver-fold pattern, and the squared-distance knn keeps its brute-parity pytest (test_geo)
@@ -5257,6 +5264,41 @@ WHERE rnk <= 3
         # tiered-merge-compacted index (build -> 4 appends -> maybe_merge)
         "se_bm25_tiered": _EXTID_BM25_SQL,
         "se_bm25_near": _SE_BM25_NEAR_SQL,
+        # simple_query_string '"fast scan" + (spark | merge) + -dup':
+        # score = #SUM in appearance order (near leaf, spark, merge) via
+        # the left-assoc coalesce chain; membership = the parsed boolean
+        "se_simple_query_string": f"""
+WITH {_TOK},
+ntf AS (SELECT a.doc_id, count(*) AS tf
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'fast' AND b.term = 'scan' GROUP BY a.doc_id),
+nstats AS (SELECT count(*) AS df FROM ntf),
+ns AS (SELECT ntf.doc_id,
+        greatest(0.0, ln((const.n - nstats.df + 0.5)/(nstats.df + 0.5)))
+          * ntf.tf/(ntf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+       FROM ntf JOIN dl USING(doc_id) CROSS JOIN const CROSS JOIN nstats),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark','merge') GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id, tf.term,
+        greatest(0.0, ln((const.n - stats.df + 0.5)/(stats.df + 0.5)))
+          * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+       FROM tf JOIN dl USING(doc_id) JOIN stats USING(term)
+       CROSS JOIN const),
+piv AS (SELECT doc_id,
+        max(CASE WHEN term = 'spark' THEN s END) AS s_0,
+        max(CASE WHEN term = 'merge' THEN s END) AS s_1
+        FROM scored GROUP BY doc_id),
+allsc AS (SELECT coalesce(ns.doc_id, piv.doc_id) AS doc_id,
+        coalesce(ns.s, 0) + coalesce(piv.s_0, 0) + coalesce(piv.s_1, 0)
+          AS s
+        FROM ns FULL JOIN piv ON ns.doc_id = piv.doc_id)
+SELECT doc_id, round(s, 6) AS score_r FROM allsc
+WHERE doc_id IN (SELECT doc_id FROM ntf)
+  AND doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('spark','merge'))
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')
+""",
         "se_near_tf": _SE_NEAR_TF_SQL,
         "se_snippets": _SE_SNIPPETS_SQL,
         "se_facets": _SE_FACETS_SQL,

@@ -451,6 +451,120 @@ class SearchEngine:
             }
         )
 
+    def simple_query_string(
+        self, qid: str, query: str, default_operator: str = "and"
+    ) -> pa.Table:
+        """The ES ``simple_query_string`` query: parse the +/|/-/"..."/
+        term* syntax (`qryparse.parse_simple_query`) and evaluate it with
+        the documented ES scoring split — every positive (non-negated)
+        leaf scores through the model's #SUM in appearance order with
+        full-corpus statistics, and the boolean structure decides
+        MEMBERSHIP only (set algebra over the leaves' inverted lists).
+        A stopword leaf the analyzer drops prunes like the reference
+        optimizer's empty-drop: ignored in AND/OR, its negation a no-op.
+
+        Negation is only valid inside a conjunction with at least one
+        positive sibling (the #ANDNOT boundedness rule); a top-level or
+        OR-side ``-`` raises.
+
+        Scale shape: identical to `bool_search` — per-shard postings
+        decode for every leaf, membership is numpy set algebra over
+        matching doc-id arrays (match-sized, never corpus-sized)."""
+        from .qryparse import Op, parse_simple_query
+
+        ast = parse_simple_query(query, default_operator)
+        ev = Evaluator(self.index, self.params)
+
+        def prune(node):
+            kind = node[0]
+            if kind == "leaf":
+                tree = self.parse(node[1])
+                if isinstance(tree, Op) and tree.name == "#score":
+                    tree = tree.args[0]
+                if tree is None or not getattr(tree, "is_iop", False):
+                    return None
+                return ("leaf", tree)
+            if kind == "not":
+                child = prune(node[1])
+                return None if child is None else ("not", child)
+            ch = [c for c in (prune(c) for c in node[1]) if c is not None]
+            if not ch:
+                return None
+            return ch[0] if len(ch) == 1 else (kind, ch)
+
+        ast = prune(ast)
+        if ast is None:
+            raise ValueError(
+                "simple_query_string: every clause was dropped by analysis"
+            )
+
+        pos_leaves: list = []
+
+        def collect(node, negated: bool):
+            kind = node[0]
+            if kind == "leaf":
+                if not negated:
+                    pos_leaves.append(node[1])
+            elif kind == "not":
+                collect(node[1], True)
+            else:
+                for c in node[1]:
+                    collect(c, negated)
+
+        collect(ast, False)
+        if not pos_leaves:
+            raise ValueError(
+                "simple_query_string needs at least one positive clause"
+            )
+        tree = Op(
+            "#sum", args=[Op("#score", args=[leaf]) for leaf in pos_leaves]
+        )
+        docs, scores = ev.evaluate(tree)
+
+        def mask(node) -> np.ndarray:
+            kind = node[0]
+            if kind == "leaf":
+                return np.isin(docs, ev.iop(node[1]).doc_ids)
+            if kind == "not":
+                raise ValueError(
+                    "simple_query_string: negation needs a positive "
+                    "conjunction sibling (unbounded NOT)"
+                )
+            if kind == "or":
+                m = np.zeros(len(docs), dtype=bool)
+                for c in node[1]:
+                    m |= mask(c)  # "not" under OR raises above
+                return m
+            m = np.ones(len(docs), dtype=bool)
+            positives = 0
+            for c in node[1]:
+                if c[0] == "not":
+                    m &= ~mask(c[1])
+                else:
+                    positives += 1
+                    m &= mask(c)
+            if positives == 0:
+                raise ValueError(
+                    "simple_query_string: conjunction of only negations"
+                )
+            return m
+
+        keep = mask(ast)
+        docs, scores = docs[keep], scores[keep]
+        docs, scores, ext = select_top_k(
+            self.index, docs, scores, self.params.top_k
+        )
+        n = len(docs)
+        return pa.table(
+            {
+                "qid": pa.array([qid] * n, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "external_id": pa.array(ext.astype(str), type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+            }
+        )
+
     def rescore_topn(
         self,
         qid: str,

@@ -1821,3 +1821,20 @@ def se_sigtext(sf_dir: str):
     return significant_text(
         eng.index, sf_dir, np.asarray(matched), k=10
     )
+
+
+def se_simple_query_string(sf_dir: str):
+    """ES simple_query_string (engine.simple_query_string over
+    qryparse.parse_simple_query): '"fast scan" + (spark | merge) + -dup'
+    — phrase -> #NEAR/1 derived list, +/| boolean membership, - negation
+    in conjunction context. Scoring = #SUM over the three positive
+    leaves in appearance order (near, spark, merge) with full-corpus
+    statistics; membership = near AND (spark OR merge) AND NOT dup."""
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.simple_query_string("q", '"fast scan" + (spark | merge) + -dup')
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "score_r": pc.round(t.column("score"), ndigits=6),
+        }
+    )

@@ -447,3 +447,163 @@ def expand_synonyms(tree, synonyms: "dict[str, list[str]]"):
     if isinstance(tree, Op) and tree.name not in EXPANSION_OPS:
         tree.args = [expand_synonyms(a, synonyms) for a in tree.args]
     return tree
+
+
+# --- ES simple_query_string -------------------------------------------------
+
+# AST nodes are plain tuples: ("and"|"or", [children]) / ("not", child) /
+# ("leaf", clause_string) where clause_string is in THIS engine's
+# structured query language (term, #near/n(...), #prefix(...)).
+
+
+def parse_simple_query(
+    s: str, default_operator: str = "and"
+) -> tuple:
+    """Parse the ES/Lucene ``simple_query_string`` syntax
+    (SimpleQueryParser.java semantics) into a boolean AST over this
+    engine's clause language:
+
+    - ``+`` joins clauses with AND, ``|`` with OR, whitespace with
+      ``default_operator``; precedence NOT > AND > OR, parens group.
+    - ``-clause`` negates (valid only in a conjunction — an unbounded
+      or top-level negation raises, the #ANDNOT rule).
+    - ``"a b"~s`` is a phrase with slop ``s`` -> ``#near/{s+1}`` (slop 0,
+      the default, means adjacent-in-order = #near/1).
+    - ``term*`` is a prefix query -> ``#prefix( term )``.
+
+    The flagged-feature subset ES disables via ``flags`` (fuzzy ~N on
+    bare terms, whitespace escaping) is intentionally out of scope.
+    """
+    if default_operator not in ("and", "or"):
+        raise QuerySyntaxError(
+            f"default_operator must be and/or, got {default_operator!r}"
+        )
+    toks = _sqs_lex(s)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_or():
+        left = [parse_and()]
+        while peek() == ("op", "|"):
+            take()
+            left.append(parse_and())
+        return left[0] if len(left) == 1 else ("or", left)
+
+    def parse_and():
+        left = [parse_unary()]
+        while True:
+            nxt = peek()
+            if nxt == ("op", "+"):
+                take()
+                left.append(parse_unary())
+            elif nxt is not None and nxt[0] in ("term", "phrase", "lparen",
+                                                "minus"):
+                if default_operator == "or":
+                    break  # whitespace joins at the OR level
+                left.append(parse_unary())
+            else:
+                break
+        return left[0] if len(left) == 1 else ("and", left)
+
+    def parse_or_ws():
+        # wrapper so default_operator="or" folds whitespace into OR
+        left = [parse_and()]
+        while True:
+            nxt = peek()
+            if nxt == ("op", "|"):
+                take()
+                left.append(parse_and())
+            elif nxt is not None and nxt[0] in ("term", "phrase", "lparen",
+                                                "minus"):
+                left.append(parse_and())
+            else:
+                break
+        return left[0] if len(left) == 1 else ("or", left)
+
+    def parse_unary():
+        nxt = peek()
+        if nxt is None:
+            raise QuerySyntaxError("simple_query_string: dangling operator")
+        if nxt[0] == "minus":
+            take()
+            return ("not", parse_unary())
+        if nxt[0] == "lparen":
+            take()
+            node = parse_or() if default_operator == "and" else parse_or_ws()
+            if peek() != ("rparen", ")"):
+                raise QuerySyntaxError("simple_query_string: unbalanced (")
+            take()
+            return node
+        kind, val = take()
+        if kind == "phrase":
+            words, slop = val
+            if len(words) == 1:
+                return ("leaf", words[0])
+            return ("leaf", f"#near/{slop + 1}( " + " ".join(words) + " )")
+        if kind == "term":
+            if val.endswith("*") and len(val) > 1:
+                return ("leaf", f"#prefix( {val[:-1]} )")
+            return ("leaf", val)
+        raise QuerySyntaxError(f"simple_query_string: unexpected {val!r}")
+
+    root = parse_or() if default_operator == "and" else parse_or_ws()
+    if peek() is not None:
+        raise QuerySyntaxError(
+            f"simple_query_string: trailing input at {peek()!r}"
+        )
+    return root
+
+
+def _sqs_lex(s: str) -> list:
+    """Tokenize simple_query_string input. Token kinds: term, phrase
+    ((words, slop) payload), op (+ or |), minus, lparen, rparen."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            out.append(("lparen", "(")); i += 1
+        elif c == ")":
+            out.append(("rparen", ")")); i += 1
+        elif c == "+":
+            out.append(("op", "+")); i += 1
+        elif c == "|":
+            out.append(("op", "|")); i += 1
+        elif c == "-":
+            out.append(("minus", "-")); i += 1
+        elif c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise QuerySyntaxError("simple_query_string: unclosed quote")
+            words = s[i + 1:j].split()
+            if not words:
+                raise QuerySyntaxError("simple_query_string: empty phrase")
+            slop = 0
+            i = j + 1
+            if i < n and s[i] == "~":
+                k = i + 1
+                while k < n and s[k].isdigit():
+                    k += 1
+                if k == i + 1:
+                    raise QuerySyntaxError(
+                        "simple_query_string: ~ needs a slop number"
+                    )
+                slop = int(s[i + 1:k])
+                i = k
+            out.append(("phrase", (tuple(w.lower() for w in words), slop)))
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in '()+|-"':
+                j += 1
+            out.append(("term", s[i:j].lower()))
+            i = j
+    return out
