@@ -4471,7 +4471,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (capped dictionary expansion into #NEAR+#SYN) in esquery.py
         "se_rank_feature": gate.se_rank_feature,
         "se_pinned": gate.se_pinned,
-        "se_terms_set": gate.se_terms_set,
+        # distinct-n-gram diversity (new late r5): per-doc bigram count
+        # + exact distinct-bigram count (batch-local dictionary codes
+        # packed into one collision-free int64 key, lexsort + boundary
+        # count) — the self-repetition signal next to token_stats'
+        # unigram n_unique
+        "text_distinct_ngrams": textstats.distinct_ngrams,
         # simple_query_string (new late r5, ES/Lucene SimpleQueryParser
         # analog): the +/|/-/"phrase"/term* syntax parsed with NOT > AND
         # > OR precedence; positive leaves score through #SUM in
@@ -4482,7 +4487,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi_match best_fields desugaring, collapse inner_hits,
         # sampler agg, terms-agg shard error bound (new late r5,
         # never driver-verified)
-        "se_multi_match": gate.se_multi_match,
+        # temperature sampling (new late r5, the XLM-R / mC4 alpha=1/2
+        # multilingual rule): data-derived keep rates from exact-integer
+        # isqrt(chars) targets — no operator constants; the oracle
+        # re-derives isqrt in HUGEINT with two-sided neighbor correction
+        "cur_temperature_sample": curation.temperature_sample,
         "se_collapse_inner": gate.se_collapse_inner,
         "events_terms_shard_error": esaggs.terms_shard_error_agg,
         # index-sorted field collection (new late r5, never driver-
@@ -4630,6 +4639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_multi_match": gate.se_multi_match,  # new late r5, parked by priority (yielded its slot to cur_temperature_sample, new late r5); in-window se_dismax drives the identical dis_max compositor multi_match best_fields desugars into, and the per-field leg construction keeps its pytest (test_esquery)
+        "se_terms_set": gate.se_terms_set,  # new late r5, parked by priority (yielded its slot to text_distinct_ngrams, new late r5); in-window se_bool_query drives the same clause-count membership machinery (terms_set IS per-doc msm over a term list) and parked se_min_should_match the identical HAVING-count SQL shape; the msm_field per-doc thresholds keep their pytest (test_esquery)
         "se_match_phrase_prefix": gate.se_match_phrase_prefix,  # new late r5, parked by priority (yielded its slot to se_simple_query_string, new late r5); in-window se_simple_query_string drives the same phrase -> #NEAR machinery under BM25 and se_synonyms the dictionary-expansion -> #SYN rewrite; the capped-expansion rule keeps its pytest (test_esquery)
         "events_moving_aggs": windows.hourly_moving_aggs,  # new late r5, parked by priority (yielded its slot to events_cumulative_cardinality, new late r5); in-window events_pipeline_aggs runs the identical hourly date-histogram partial+shuffle, and the centered moving-window coordinator fold keeps its oracle-parity pytest (test_windows_extras)
         "events_mad": esaggs.mad_agg,  # new late r5, parked by priority (yielded its slot to events_top_metrics, new late r5); in-window events_percentiles runs the identical per-key cents-histogram machinery (MAD = interpolating median over the deviation histogram), parked events_boxplot composes the same quantile kernel, pytest-pinned
@@ -5039,6 +5050,48 @@ r AS (SELECT b.event_type, b.doc_count, b.sum_value_cents,
                AS bucket_rank
       FROM b, t)
 SELECT * FROM r WHERE bucket_rank BETWEEN 2 AND 4
+""",
+        "cur_temperature_sample": f"""
+WITH {_splitmix_ctes('tx', 'documents', ['doc_id', 'lang', 'text'],
+                      'doc_id', 41)},
+d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(v % 1000000 AS BIGINT) AS draw FROM tx3),
+stats AS (SELECT lang, CAST(SUM(n_chars) AS HUGEINT) AS c FROM d
+          GROUP BY lang HAVING SUM(n_chars) > 0),
+isq AS (SELECT lang, c,
+        CAST(floor(sqrt(CAST(c AS DOUBLE))) AS HUGEINT) AS t0 FROM stats),
+isq2 AS (SELECT lang, c,
+         CASE WHEN (t0+1)*(t0+1) <= c THEN t0+1
+              WHEN t0*t0 > c THEN t0-1 ELSE t0 END AS s FROM isq),
+agg AS (SELECT SUM(s) AS s_sum, SUM(c) AS total FROM isq2),
+rates AS (SELECT i.lang,
+        LEAST(1000000,
+              ((i.s * ((500000 * a.total) // 1000000))
+               // a.s_sum) * 1000000 // i.c) AS keep_micro
+        FROM isq2 i, agg a)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM d JOIN rates r ON r.lang = d.lang
+WHERE d.draw < r.keep_micro
+""",
+        "text_distinct_ngrams": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))))
+           AS pos
+  FROM documents),
+bg AS (SELECT a.doc_id, a.term AS t1, b.term AS t2
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT t1 || chr(31) || t2) AS BIGINT)
+               AS n_distinct_bigrams
+      FROM bg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(c.n_distinct_bigrams, 0) AS BIGINT)
+         AS n_distinct_bigrams
+FROM documents d LEFT JOIN c USING (doc_id)
 """,
         "text_string_stats": """
 SELECT source, CAST(count(*) AS BIGINT) AS count,

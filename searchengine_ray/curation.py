@@ -2072,3 +2072,95 @@ def decontaminate_near(
             }
         )
     return pa.concat_tables(parts)
+
+
+TEMPERATURE_SEED = 41
+TEMPERATURE_BUDGET_MICRO = 500_000
+
+
+def temperature_sample(
+    sf_dir: str,
+    budget_micro: int = TEMPERATURE_BUDGET_MICRO,
+    seed: int = TEMPERATURE_SEED,
+):
+    """Temperature-scaled multilingual sampling (the XLM-R / mC4
+    alpha-sampling rule at alpha = 1/2, subsample-only): target language
+    shares proportional to chars^alpha instead of chars — low-resource
+    languages are boosted relative to their raw share, high-resource
+    ones damped. ``mixture_sample``'s sibling with DATA-DERIVED targets
+    (no operator constants at all):
+
+        s_l      = isqrt(chars_l)            (exact integer chars^0.5)
+        S        = sum_l s_l
+        B        = budget_micro * total // 1e6   (kept-char budget)
+        target_l = s_l * B // S
+        keep_micro[l] = min(1e6, target_l * 1e6 // chars_l)
+
+    — every step exact arbitrary-precision integer arithmetic (isqrt is
+    the floor square root; the oracle re-derives it in HUGEINT with a
+    float-sqrt seed plus the two-sided neighbor correction, so double
+    rounding can never change the result). Keep decision = the usual
+    splitmix64 micro-rate draw. Returns kept (doc_id, lang, n_chars).
+
+    Scale shape: identical to mixture_sample — a shuffle-free (lang,
+    chars) partial fold (n_languages driver rows, guarded), then a
+    stateless hash-filter scan; decisions are re-partition/resume-stable.
+    """
+    import math
+
+    if not (0 < budget_micro <= 1_000_000):
+        raise ValueError("budget_micro must be in (0, 1e6]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").combine_chunks().dictionary_encode()
+        chars = pc.utf8_length(t.column("text")).to_numpy().astype(np.int64)
+        codes = langs.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(langs.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, chars)
+        return pa.table(
+            {"lang": langs.dictionary, "chars": pa.array(sums, pa.int64())}
+        )
+
+    rows = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    if len(rows) > 100_000:
+        raise ValueError(
+            f"temperature_sample: {len(rows)} partial rows — lang "
+            "cardinality x blocks exceeds the driver-fold guard"
+        )
+    chars: dict[str, int] = {}
+    for r in rows:
+        chars[r["lang"]] = chars.get(r["lang"], 0) + int(r["chars"])
+    chars = {lg: c for lg, c in chars.items() if c > 0}
+    total = sum(chars.values())
+    sroot = {lg: math.isqrt(c) for lg, c in chars.items()}
+    s_sum = sum(sroot.values())
+    budget = (budget_micro * total) // 1_000_000
+    rates = {
+        lg: min(1_000_000, ((sroot[lg] * budget) // s_sum) * 1_000_000 // c)
+        for lg, c in chars.items()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        draw = (_hash64(ids, seed) % np.uint64(1_000_000)).astype(np.int64)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        thresh = np.fromiter(
+            (rates.get(lg, 0) for lg in langs), dtype=np.int64,
+            count=len(langs),
+        )
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+        return out.filter(pa.array(draw < thresh))
+
+    return _read_docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

@@ -302,3 +302,44 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def distinct_ngrams(sf_dir: str):
+    """(doc_id, n_bigrams, n_distinct_bigrams) — the distinct-n-gram
+    diversity signal (type/token ratio at n=2; the self-repetition
+    measure generation-data curation pairs with `token_stats`'s unigram
+    n_unique). Exact integers, shuffle-free per-doc scan.
+
+    Vectorization: batch-local dictionary codes pack each bigram into
+    ONE int64 key (a * V + b with V the batch vocab size — exact, no
+    hash collisions), one lexsort + boundary count per batch.
+    """
+    ds = _read_docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        n, doc_idx, flat = _flat_tokens(t)
+        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        adj = np.flatnonzero(doc_idx[1:] == doc_idx[:-1]) \
+            if len(codes) else np.empty(0, np.int64)
+        n_bg = np.bincount(doc_idx[adj], minlength=n).astype(np.int64)
+        if len(adj):
+            key = codes[adj] * np.int64(vocab) + codes[adj + 1]
+            dd = doc_idx[adj]
+            order = np.lexsort((key, dd))
+            dd, kk = dd[order], key[order]
+            first = np.empty(len(dd), dtype=bool)
+            first[0] = True
+            first[1:] = (dd[1:] != dd[:-1]) | (kk[1:] != kk[:-1])
+            n_dist = np.bincount(dd[first], minlength=n).astype(np.int64)
+        else:
+            n_dist = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bigrams": pa.array(n_bg, type=pa.int64()),
+                "n_distinct_bigrams": pa.array(n_dist, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

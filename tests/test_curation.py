@@ -937,3 +937,56 @@ def test_mixture_sample_matches_bruteforce(ray_session):
     t2 = {k: v for k, v in MIXTURE_TARGETS_MICRO.items() if k != "en"}
     out2 = mixture_sample(SF, targets_micro=t2).to_pandas()
     assert (out2.lang == "en").sum() == 0 and len(out2) > 0
+
+
+def test_temperature_sample_rates_and_draws(ray_session):
+    """Brute recompute of the alpha=1/2 rate chain + splitmix draws."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import (
+        TEMPERATURE_SEED, temperature_sample,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    import pyarrow.compute as pc_
+
+    n_chars = pc_.utf8_length(t.column("text")).to_numpy()
+    langs = t.column("lang").to_numpy(zero_copy_only=False)
+    chars = {}
+    for lg, c in zip(langs, n_chars):
+        chars[lg] = chars.get(lg, 0) + int(c)
+    total = sum(chars.values())
+    sroot = {lg: math.isqrt(c) for lg, c in chars.items()}
+    s_sum = sum(sroot.values())
+    budget = (500_000 * total) // 1_000_000
+    rates = {
+        lg: min(1_000_000,
+                ((sroot[lg] * budget) // s_sum) * 1_000_000 // c)
+        for lg, c in chars.items()
+    }
+    ids = t.column("doc_id").to_numpy()
+    draws = (_hash64(ids, TEMPERATURE_SEED)
+             % np.uint64(1_000_000)).astype(np.int64)
+    exp = {
+        int(i) for i, lg, d in zip(ids, langs, draws)
+        if d < rates[lg]
+    }
+    got = temperature_sample(sf).to_pandas()
+    assert set(got.doc_id) == exp
+    # the alpha<1 boost property: smallest language keeps at a rate >=
+    # the largest language's
+    small = min(chars, key=chars.get)
+    big = max(chars, key=chars.get)
+    assert rates[small] >= rates[big]
+
+
+def test_temperature_sample_budget_guard(ray_session):
+    from searchengine_ray.curation import temperature_sample
+
+    with pytest.raises(ValueError, match="budget_micro"):
+        temperature_sample("/root/testdata/sf0.001", budget_micro=0)

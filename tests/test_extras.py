@@ -1033,3 +1033,37 @@ def test_significant_text_dedupes_foreground(ray_session, tmp_path):
     p = plain.set_index("term")
     t = text.set_index("term")
     assert any(int(t.loc[x, "fg"]) < int(p.loc[x, "fg"]) for x in shared)
+
+
+def test_distinct_ngrams_oracle_parity(ray_session):
+    import duckdb
+
+    import pandas as pd
+
+    from searchengine_ray.textstats import distinct_ngrams
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        distinct_ngrams(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH docs AS (SELECT * FROM
+              read_parquet('{sf}/documents.parquet')),
+        tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+          unnest(range(len(regexp_extract_all(lower(text),
+            '[a-z0-9_]+')))) AS pos FROM docs),
+        bg AS (SELECT a.doc_id, a.term AS t1, b.term AS t2 FROM tok a
+               JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1),
+        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(count(DISTINCT t1 || chr(31) || t2) AS BIGINT)
+                AS n_distinct_bigrams FROM bg GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(c.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          CAST(coalesce(c.n_distinct_bigrams, 0) AS BIGINT)
+            AS n_distinct_bigrams
+        FROM docs d LEFT JOIN c USING (doc_id) ORDER BY doc_id"""
+    ).df()
+    assert (got.n_distinct_bigrams <= got.n_bigrams).all()
+    pd.testing.assert_frame_equal(got, exp)
