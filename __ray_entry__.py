@@ -1987,6 +1987,56 @@ QUALIFY rank <= {k}
 """
 
 
+def _quality_clf_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Trained quality classifier reproduced in DuckDB. The six logistic
+    weights (bias + five) are the engine's own deterministic full-batch
+    GD output inlined as literals (gate._qc_trained — the
+    trained-weights-as-literals pattern of _ltr_rerank_sql; weights
+    derive from the corpus alone, no RNG at all). DuckDB independently
+    re-derives the SCORING path: all five exact-integer features from
+    raw text, the fixed-order literal-weighted sum, and the sigmoid —
+    bitwise IEEE replay (exp/div/left-assoc adds). Falls back to
+    constant-false SQL if the gate corpus is missing."""
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        return "SELECT 1 WHERE 1=0"
+    from searchengine_ray import gate
+
+    b, w = gate._qc_trained(sf_dir)
+    z = f"({float(b)!r})" + "".join(
+        f" + ({float(w[j])!r}) * f{j + 1}" for j in range(len(w))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))))
+           AS pos
+  FROM documents),
+uni AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT term) AS BIGINT) AS n_unique,
+               CAST(coalesce(sum(CASE WHEN term IN {_STOPLIST_SQL}
+                                 THEN 1 END), 0) AS BIGINT) AS n_stop
+        FROM tok GROUP BY doc_id),
+bg AS (SELECT a.doc_id, a.term AS t1, b.term AS t2
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bgc AS (SELECT doc_id,
+               CAST(count(DISTINCT t1 || chr(31) || t2) AS BIGINT) AS nb
+        FROM bg GROUP BY doc_id),
+feats AS (SELECT d.doc_id,
+        coalesce(u.n_tokens, 0) AS f1, coalesce(u.n_unique, 0) AS f2,
+        coalesce(u.n_stop, 0) AS f3, coalesce(c.nb, 0) AS f4,
+        CAST(length(d.text) AS BIGINT) AS f5
+        FROM documents d LEFT JOIN uni u USING (doc_id)
+        LEFT JOIN bgc c USING (doc_id)),
+p AS (SELECT doc_id, 1.0/(1.0 + exp(-({z}))) AS prob FROM feats)
+SELECT doc_id, round(prob, 6) AS prob_r,
+       CAST(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+         AS label_pred
+FROM p
+"""
+
+
 def _bq_sql(n_queries: int = 10, k: int = 10, shortlist: int = 50) -> str:
     """Binary-quantization ANN (bq.bq_topk) fully re-derived in DuckDB —
     sign-bit codes over the normalized vectors (sign is scale-invariant),
@@ -4470,7 +4520,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # terms_set (CoveringQuery per-doc msm) / match_phrase_prefix
         # (capped dictionary expansion into #NEAR+#SYN) in esquery.py
         "se_rank_feature": gate.se_rank_feature,
-        "se_pinned": gate.se_pinned,
+        # trained quality classifier (new late r5, the CCNet /
+        # FineWeb-Edu distilled-rule pattern): deterministic no-RNG
+        # logistic GD on five exact-integer text signals, corpus scored
+        # by the literal-weighted sigmoid — the third
+        # trained-weights-as-SQL-literals gate beside ltr/drmm
+        "cur_quality_classifier": gate.cur_quality_classifier,
         # distinct-n-gram diversity (new late r5): per-doc bigram count
         # + exact distinct-bigram count (batch-local dictionary codes
         # packed into one collision-free int64 key, lexsort + boundary
@@ -4639,6 +4694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_pinned": gate.se_pinned,  # new late r5, parked by priority (yielded its slot to cur_quality_classifier, new late r5); the organic leg is the plain ranked BM25 surface in-window se_bool_query/se_simple_query_string hash-check, and the id-promotion splice keeps its pytest (test_esquery)
         "se_multi_match": gate.se_multi_match,  # new late r5, parked by priority (yielded its slot to cur_temperature_sample, new late r5); in-window se_dismax drives the identical dis_max compositor multi_match best_fields desugars into, and the per-field leg construction keeps its pytest (test_esquery)
         "se_terms_set": gate.se_terms_set,  # new late r5, parked by priority (yielded its slot to text_distinct_ngrams, new late r5); in-window se_bool_query drives the same clause-count membership machinery (terms_set IS per-doc msm over a term list) and parked se_min_should_match the identical HAVING-count SQL shape; the msm_field per-doc thresholds keep their pytest (test_esquery)
         "se_match_phrase_prefix": gate.se_match_phrase_prefix,  # new late r5, parked by priority (yielded its slot to se_simple_query_string, new late r5); in-window se_simple_query_string drives the same phrase -> #NEAR machinery under BM25 and se_synonyms the dictionary-expansion -> #SYN rewrite; the capped-expansion rule keeps its pytest (test_esquery)
@@ -5550,6 +5606,7 @@ LIMIT 12
         "ann_ivf_deleted": _ivf_sql(live_pred="e.vec_id % 7 <> 3"),
         "ann_sq8": _sq8_sql(),
         "ann_bq": _bq_sql(),
+        "cur_quality_classifier": _quality_clf_sql(),
         "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic_kmeans": _semdedup_kmeans_sql(),
         "cluster_exemplars": _cluster_exemplars_sql(),

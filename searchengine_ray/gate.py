@@ -1838,3 +1838,29 @@ def se_simple_query_string(sf_dir: str):
             "score_r": pc.round(t.column("score"), ndigits=6),
         }
     )
+
+
+_QC_CACHE: dict = {}
+
+
+def _qc_trained(sf_dir: str):
+    """Train-once cache for the quality classifier (the _ltr_trained
+    pattern): weights derive deterministically from the corpus alone, so
+    the gate and the SQL-literal oracle share one training call."""
+    key = os.path.abspath(sf_dir)
+    if key not in _QC_CACHE:
+        from searchengine_ray.qualityclf import train_quality_classifier
+
+        _QC_CACHE[key] = train_quality_classifier(sf_dir)
+    return _QC_CACHE[key]
+
+
+def cur_quality_classifier(sf_dir: str):
+    """Trained quality classifier (qualityclf.py): deterministic logistic
+    GD on integer text signals with rule pseudo-labels, corpus scored by
+    the literal-weighted sigmoid — weights inlined as SQL literals by
+    the oracle (the ltr_rerank/drmm_rerank trained-state pattern)."""
+    from searchengine_ray.qualityclf import quality_scores
+
+    b, w = _qc_trained(sf_dir)
+    return quality_scores(sf_dir, b, w)
