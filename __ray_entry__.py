@@ -4487,7 +4487,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # splitmix64 micro-degree coords; integer-exact bbox membership,
         # squared-distance knn (streaming bounded fold), geohash_grid
         # cell counts (per-batch pre-aggregated partials)
-        "geo_bbox": geo.gate_bbox,
+        # geo_distance aggregation (new late r5, the bucket sibling of
+        # the geo_distance query): concentric squared-distance rings,
+        # exact integer membership, per-batch bincount partial + one
+        # ring-cardinality shuffle
+        "geo_distance_rings": geo.geo_distance_rings,
         # composite aggregation (new late r5, ES composite agg analog):
         # bucket pagination with a lexicographic after-cursor pushed into
         # the scan, per-batch Arrow group_by combiner, one narrow shuffle
@@ -4513,13 +4517,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES random_score (new late r5): deterministic splitmix64 draw
         # as a function_score function, boost_mode=replace — exact-double
         # by construction, hash chain replayed in HUGEINT SQL
-        "se_random_score": gate.se_random_score,
+        # stats_bucket/max_bucket/min_bucket pipeline aggs (new late
+        # r5): exact int64 stats OF the daily date-histogram bucket
+        # values plus the argmax/argmin bucket keys (smallest-day ties)
+        "events_bucket_stats": esaggs.bucket_stats_agg,
         # ES query-DSL batch (new late r5, never driver-verified):
         # rank_feature (Lucene FeatureField saturation) and
         # distance_feature as function_score functions; pinned /
         # terms_set (CoveringQuery per-doc msm) / match_phrase_prefix
         # (capped dictionary expansion into #NEAR+#SYN) in esquery.py
-        "se_rank_feature": gate.se_rank_feature,
+        # percentiles_bucket pipeline agg (new late r5): exact discrete
+        # quantile_disc percentiles OF the daily bucket counts
+        "events_percentiles_bucket": esaggs.percentiles_bucket_agg,
         # trained quality classifier (new late r5, the CCNet /
         # FineWeb-Edu distilled-rule pattern): deterministic no-RNG
         # logistic GD on five exact-integer text signals, corpus scored
@@ -4694,19 +4703,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "geo_bbox": geo.gate_bbox,  # new r5, parked by priority (yielded its slot to geo_distance_rings, new late r5); in-window geo_distance_rings drives the identical derive_coords splitmix chain + exact-integer membership arithmetic (bbox is the axis-aligned special case), and the box predicate keeps its pytest (test_geo)
+        "se_rank_feature": gate.se_rank_feature,  # new late r5, parked by priority (yielded its slot to events_percentiles_bucket, new late r5); in-window se_function_score runs the same funcscore docvalue machinery and parked se_distance_feature the same saturation-formula family, pytest-pinned (test_funcscore)
+        "se_random_score": gate.se_random_score,  # new late r5, parked by priority (yielded its slot to events_bucket_stats, new late r5); its splitmix64 draw chain is the identical hash the in-window curation samplers (cur_temperature_sample, cur_mixture_sample) HUGEINT-replay, and the function_score composition surface stays in-window via se_function_score; the boost_mode=replace splice keeps its pytest (test_funcscore)
         "se_pinned": gate.se_pinned,  # new late r5, parked by priority (yielded its slot to cur_quality_classifier, new late r5); the organic leg is the plain ranked BM25 surface in-window se_bool_query/se_simple_query_string hash-check, and the id-promotion splice keeps its pytest (test_esquery)
         "se_multi_match": gate.se_multi_match,  # new late r5, parked by priority (yielded its slot to cur_temperature_sample, new late r5); in-window se_dismax drives the identical dis_max compositor multi_match best_fields desugars into, and the per-field leg construction keeps its pytest (test_esquery)
         "se_terms_set": gate.se_terms_set,  # new late r5, parked by priority (yielded its slot to text_distinct_ngrams, new late r5); in-window se_bool_query drives the same clause-count membership machinery (terms_set IS per-doc msm over a term list) and parked se_min_should_match the identical HAVING-count SQL shape; the msm_field per-doc thresholds keep their pytest (test_esquery)
         "se_match_phrase_prefix": gate.se_match_phrase_prefix,  # new late r5, parked by priority (yielded its slot to se_simple_query_string, new late r5); in-window se_simple_query_string drives the same phrase -> #NEAR machinery under BM25 and se_synonyms the dictionary-expansion -> #SYN rewrite; the capped-expansion rule keeps its pytest (test_esquery)
         "events_moving_aggs": windows.hourly_moving_aggs,  # new late r5, parked by priority (yielded its slot to events_cumulative_cardinality, new late r5); in-window events_pipeline_aggs runs the identical hourly date-histogram partial+shuffle, and the centered moving-window coordinator fold keeps its oracle-parity pytest (test_windows_extras)
         "events_mad": esaggs.mad_agg,  # new late r5, parked by priority (yielded its slot to events_top_metrics, new late r5); in-window events_percentiles runs the identical per-key cents-histogram machinery (MAD = interpolating median over the deviation histogram), parked events_boxplot composes the same quantile kernel, pytest-pinned
-        "geo_knn": geo.gate_knn,  # new r5, parked by priority (yielded its slot to events_normalize_sort, new late r5); in-window geo_bbox runs the same derive_coords splitmix chain, in-window ann_bq drives the identical per-batch-partial-topk + bounded streaming driver-fold pattern, and the squared-distance knn keeps its brute-parity pytest (test_geo)
+        "geo_knn": geo.gate_knn,  # new r5, parked by priority (yielded its slot to events_normalize_sort, new late r5); in-window geo_distance_rings runs the same derive_coords splitmix chain, in-window ann_bq drives the identical per-batch-partial-topk + bounded streaming driver-fold pattern, and the squared-distance knn keeps its brute-parity pytest (test_geo)
         "se_sampler_terms": gate.se_sampler_terms,  # new late r5, parked by priority (yielded its slot to text_string_stats, new late r5); in-window se_collapse_inner runs the same per-group-over-scored-results machinery and se_top_hits the grouped top-k superset; the sampler shard_size cut keeps its pytest (test_esquery)
         "events_range_agg": esaggs.range_agg,  # new r5, parked by priority; in-window sibling events_histogram_agg runs the same _cents + _sum_by_key partial-shuffle machinery (range adds only the static edge labels, pytest-pinned)
         "events_filters_agg": esaggs.filters_agg,  # new r5, parked by priority; in-window sibling events_adjacency_matrix shares _named_masks and emits the same single-filter counts on its diagonal
         "se_spannot_tf": gate.se_spannot_tf,  # new r5, parked by priority; in-window sibling se_spanfirst_tf runs the same span position-filter family (_refilter_positions) and the anti-join keeps its pytest
-        "geo_grid": geo.gate_grid,  # new r5, parked by priority; in-window siblings geo_bbox/geo_knn run the same derive_coords splitmix chain, and the geohash cell arithmetic keeps its pytest
-        "se_distance_feature": gate.se_distance_feature,  # new r5, parked by priority; in-window siblings se_rank_feature/se_function_score run the same funcscore docvalue machinery (only the pivot/(pivot+dist) formula differs, pytest-pinned)
+        "geo_grid": geo.gate_grid,  # new r5, parked by priority; in-window geo_distance_rings runs the same derive_coords splitmix chain (geo_bbox/geo_knn parked, SQL-checked), and the geohash cell arithmetic keeps its pytest
+        "se_distance_feature": gate.se_distance_feature,  # new r5, parked by priority; in-window se_function_score (and parked sibling se_rank_feature) run the same funcscore docvalue machinery (only the pivot/(pivot+dist) formula differs, pytest-pinned)
         "se_min_should_match": gate.se_min_should_match,  # new r5, parked by priority; in-window sibling se_bool_query drives the same clause-count msm machinery inside the bool compositor
         "se_extended_stats": gate.se_extended_stats,  # new r5, parked by priority; in-window sibling events_matrix_stats is a strict superset of the exact-integer moment machinery (second moments + correlation)
         "ann_filtered": gate.ann_filtered,  # new r5, parked by priority; parked sibling ann_range shares the normalize+cosine+threshold surface (pytest-pinned) and in-window ann_ivf_* the partition-pushdown read machinery
@@ -4727,7 +4739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentile_ranks": esaggs.percentile_ranks_agg,  # new late r5, parked by priority; in-window events_percentiles runs the identical per-(key,cents) histogram machinery — this is its INVERSE lookup over the same cumsums, pytest-pinned
         "events_boxplot": esaggs.boxplot_agg,  # new late r5, parked by priority; composes percentiles_agg (in-window sibling events_percentiles) at the five canonical percents — zero new kernel code
         "events_ttest": esaggs.ttest_agg,  # new late r5, parked by priority; in-window events_matrix_stats runs the identical int64-moment + fixed-double-tree machinery (variance vs covariance of the same sums)
-        "geo_centroid": geo.gate_centroid,  # new late r5, parked by priority; in-window geo_bbox runs the identical derive_coords + box-membership machinery — this entry adds only the exact integer sum + one division per component  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
+        "geo_centroid": geo.gate_centroid,  # new late r5, parked by priority; in-window geo_distance_rings runs the identical derive_coords + integer-membership machinery (geo_bbox parked, SQL-checked) — this entry adds only the exact integer sum + one division per component  # new late r5, parked by priority; parked se_sigterms (driver-verified r4) runs the identical JLH counting machinery — this entry adds only the sha-dedupe of the foreground set, whose build invariant the in-window dedup family (dedup_keep_best siblings) pins  # new late r5, parked by priority; the splitmix routing chain is the same hash the in-window events_terms_shard_error + curation samplers pin, and scores ride the plain BM25 surface se_bool_query drives in-window  # new late r5, parked by priority; in-window se_rank_feature + se_function_score drive the docvalue function machinery and se_bool_query the #range filter leaf — this entry adds only the computed-column derivation, replayed verbatim (n_chars // 2) by the oracle
         # --- SQL-backed, rotated beyond the driver's 50-entry window ----
         # Each was driver-verified hash-green in an earlier round's window
         # and has an in-window sibling on the same code path; all stay
@@ -5069,6 +5081,45 @@ FROM h
         # ES aggregation family (new late r5): exact-integer cents
         # discipline; percentiles = DuckDB quantile_disc over the cents
         # domain (the engine's ceil(q*n) rank rule, verified equivalent)
+        "geo_distance_rings": f"""
+WITH {_geo_coords_cte()},
+d AS (SELECT doc_id,
+        (lon - 10000000)*(lon - 10000000) + (lat - 20000000)*(lat - 20000000) AS d2
+      FROM coords),
+r AS (SELECT CASE WHEN d2 < 60000000::BIGINT * 60000000 THEN 0
+                  WHEN d2 < 120000000::BIGINT * 120000000 THEN 1
+                  WHEN d2 < 180000000::BIGINT * 180000000 THEN 2
+                  ELSE 3 END AS ring FROM d)
+SELECT ring,
+  CAST(CASE ring WHEN 0 THEN 0 WHEN 1 THEN 60000000
+                 WHEN 2 THEN 120000000 ELSE 180000000 END AS BIGINT) AS lo_mdeg,
+  CAST(count(*) AS BIGINT) AS doc_count
+FROM r GROUP BY ring
+""",
+        "events_bucket_stats": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n) AS BIGINT) AS min_count,
+       CAST(max(n) AS BIGINT) AS max_count,
+       CAST(sum(n) AS BIGINT) AS sum_count,
+       CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_count,
+       (SELECT epoch_day FROM d ORDER BY n DESC, epoch_day LIMIT 1)
+         AS argmax_day,
+       (SELECT epoch_day FROM d ORDER BY n ASC, epoch_day LIMIT 1)
+         AS argmin_day
+FROM d
+""",
+        "events_percentiles_bucket": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+q AS (
+  SELECT 25 AS percent, quantile_disc(n, 0.25) AS v FROM d
+  UNION ALL SELECT 50, quantile_disc(n, 0.50) FROM d
+  UNION ALL SELECT 75, quantile_disc(n, 0.75) FROM d
+  UNION ALL SELECT 90, quantile_disc(n, 0.90) FROM d)
+SELECT CAST(percent AS BIGINT) AS percent, CAST(v AS BIGINT) AS value FROM q
+""",
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
                   user_id FROM events),

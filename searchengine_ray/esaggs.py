@@ -1552,3 +1552,98 @@ def normalize_sort_agg(
             ),
         }
     )
+
+
+US_DAY = 86_400_000_000
+
+
+def _daily_counts(sf_dir: str) -> "list[tuple[int, int]]":
+    """Sorted (epoch_day, doc_count) bucket list — per-batch Arrow
+    group_by partial, ONE day-cardinality shuffle, bounded driver rows
+    (the date-histogram machinery the *_bucket pipeline aggs fold over).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // US_DAY
+        g = (
+            pa.table({"epoch_day": pa.array(d, pa.int64())})
+            .group_by(["epoch_day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "epoch_day": g.column("epoch_day"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("epoch_day")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .take_all()  # bounded: n_days rows
+    )
+    return sorted((int(r["epoch_day"]), int(r["doc_count"])) for r in rows)
+
+
+def bucket_stats_agg(sf_dir: str) -> pa.Table:
+    """ES ``stats_bucket`` + ``max_bucket`` + ``min_bucket`` pipeline
+    aggregations over the daily date histogram: min/max/sum/avg of the
+    per-day doc counts plus the bucket KEYS holding the extremes
+    (ES ties broken here by smallest epoch_day — a documented total
+    order; ES returns a key list on ties). avg is the single IEEE
+    division of two exact int64s. One row out.
+    """
+    days = _daily_counts(sf_dir)
+    if not days:
+        return pa.table({"n_buckets": pa.array([], pa.int64())})
+    counts = np.array([c for _, c in days], dtype=np.int64)
+    keys = np.array([d for d, _ in days], dtype=np.int64)
+    return pa.table(
+        {
+            "n_buckets": pa.array([len(days)], pa.int64()),
+            "min_count": pa.array([int(counts.min())], pa.int64()),
+            "max_count": pa.array([int(counts.max())], pa.int64()),
+            "sum_count": pa.array([int(counts.sum())], pa.int64()),
+            "avg_count": pa.array(
+                [float(np.float64(counts.sum()) / np.float64(len(days)))],
+                pa.float64(),
+            ),
+            "argmax_day": pa.array(
+                [int(keys[np.lexsort((keys, -counts))[0]])], pa.int64()
+            ),
+            "argmin_day": pa.array(
+                [int(keys[np.lexsort((keys, counts))[0]])], pa.int64()
+            ),
+        }
+    )
+
+
+def percentiles_bucket_agg(
+    sf_dir: str, percents: "tuple[int, ...]" = (25, 50, 75, 90)
+) -> pa.Table:
+    """ES ``percentiles_bucket`` pipeline aggregation: exact discrete
+    percentiles OF the daily doc-count bucket values (DuckDB
+    quantile_disc rule — sorted ascending, index ceil(p/100*n) clamped
+    to >= 1, the same rule `percentiles_agg` uses on raw cents).
+    Returns (percent, value).
+    """
+    import math
+
+    days = _daily_counts(sf_dir)
+    counts = sorted(c for _, c in days)
+    n = len(counts)
+    if n == 0:
+        raise ValueError("percentiles_bucket: no buckets")
+    vals = [
+        counts[max(math.ceil((p / 100.0) * n), 1) - 1] for p in percents
+    ]
+    return pa.table(
+        {
+            "percent": pa.array(list(percents), pa.int64()),
+            "value": pa.array(vals, pa.int64()),
+        }
+    )

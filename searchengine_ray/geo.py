@@ -292,3 +292,66 @@ def geo_centroid(
 
 def gate_centroid(sf_dir: str):
     return geo_centroid(sf_dir, *GATE_BBOX)
+
+
+RING_EDGES = (60_000_000, 120_000_000, 180_000_000)
+
+
+def geo_distance_rings(
+    sf_dir: str,
+    origin: "tuple[int, int]" = GATE_ORIGIN,
+    edges: "tuple[int, ...]" = RING_EDGES,
+) -> pa.Table:
+    """ES ``geo_distance`` AGGREGATION (the bucket sibling of the
+    ``geo_distance`` query filter): concentric distance rings around an
+    origin, each bucket counting the docs whose derived coordinate falls
+    in [edge_{i-1}, edge_i) — membership by exact integer SQUARED
+    distance (planar micro-degrees), so no sqrt touches the corpus path.
+
+    Returns (ring, lo_mdeg, doc_count) for non-empty rings; ring k spans
+    [edges[k-1], edges[k]) with ring 0 = [0, edges[0]) and the last ring
+    unbounded. Scale shape: per-batch bincount partial, ONE
+    ring-cardinality shuffle (the esaggs histogram pattern).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lon0, lat0 = origin
+    e2 = np.array([int(e) ** 2 for e in edges], dtype=np.int64)
+    if not np.all(np.diff(e2) > 0):
+        raise ValueError("ring edges must be strictly increasing")
+    lows = [0] + [int(e) for e in edges]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        lon, lat = derive_coords(ids)
+        d2 = (lon - lon0) ** 2 + (lat - lat0) ** 2
+        ring = np.searchsorted(e2, d2, side="right").astype(np.int64)
+        cnt = np.bincount(ring, minlength=len(edges) + 1).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "ring": pa.array(nz, pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs_ids(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ring")
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .take_all()  # bounded: n_rings rows
+    )
+    rows.sort(key=lambda r: r["ring"])
+    return pa.table(
+        {
+            "ring": pa.array([r["ring"] for r in rows], pa.int64()),
+            "lo_mdeg": pa.array(
+                [lows[r["ring"]] for r in rows], pa.int64()
+            ),
+            "doc_count": pa.array(
+                [r["doc_count"] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -663,3 +663,42 @@ def test_normalize_sort_guards(ray_session):
         normalize_sort_agg(SF, from_=-1)
     with pytest.raises(ValueError, match="bucket_sort"):
         normalize_sort_agg(SF, size=0)
+
+
+def test_bucket_stats_agg(ray_session):
+    from searchengine_ray.esaggs import bucket_stats_agg
+
+    _assert_match(
+        bucket_stats_agg(SF),
+        f"""WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                  AS epoch_day, CAST(count(*) AS BIGINT) AS n
+                FROM {EV} GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(min(n) AS BIGINT) AS min_count,
+                   CAST(max(n) AS BIGINT) AS max_count,
+                   CAST(sum(n) AS BIGINT) AS sum_count,
+                   CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avg_count,
+                   (SELECT epoch_day FROM d ORDER BY n DESC, epoch_day
+                    LIMIT 1) AS argmax_day,
+                   (SELECT epoch_day FROM d ORDER BY n ASC, epoch_day
+                    LIMIT 1) AS argmin_day
+            FROM d""",
+    )
+
+
+def test_percentiles_bucket_agg(ray_session):
+    from searchengine_ray.esaggs import percentiles_bucket_agg
+
+    _assert_match(
+        percentiles_bucket_agg(SF),
+        f"""WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                  AS epoch_day, CAST(count(*) AS BIGINT) AS n
+                FROM {EV} GROUP BY 1),
+            q AS (SELECT 25 AS percent, quantile_disc(n, 0.25) AS v FROM d
+              UNION ALL SELECT 50, quantile_disc(n, 0.50) FROM d
+              UNION ALL SELECT 75, quantile_disc(n, 0.75) FROM d
+              UNION ALL SELECT 90, quantile_disc(n, 0.90) FROM d)
+            SELECT CAST(percent AS BIGINT) AS percent,
+                   CAST(v AS BIGINT) AS value FROM q""",
+    )

@@ -108,3 +108,37 @@ def test_geo_centroid_exact_sums(ray_session):
     assert lat_lo <= t["centroid_lat"] <= lat_hi
     with _pytest.raises(ValueError, match="empty box"):
         geo_centroid(SF, 0, 1, 0, 1)
+
+
+def test_geo_distance_rings_partition_and_parity(ray_session):
+    """Rings partition the corpus (counts sum to N) and match a brute
+    numpy recompute including the closed-left boundary rule."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.geo import (
+        GATE_ORIGIN, RING_EDGES, derive_coords, geo_distance_rings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = geo_distance_rings(sf).to_pandas()
+    ids = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    lon, lat = derive_coords(ids)
+    d2 = (lon - GATE_ORIGIN[0]) ** 2 + (lat - GATE_ORIGIN[1]) ** 2
+    e2 = np.array([e * e for e in RING_EDGES], dtype=np.int64)
+    ring = np.searchsorted(e2, d2, side="right")
+    exp = {int(r): int(c) for r, c in
+           zip(*np.unique(ring, return_counts=True))}
+    assert dict(zip(got.ring, got.doc_count)) == exp
+    assert got.doc_count.sum() == len(ids)
+
+
+def test_geo_distance_rings_bad_edges(ray_session):
+    from searchengine_ray.geo import geo_distance_rings
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="increasing"):
+        geo_distance_rings("/root/testdata/sf0.001", edges=(5, 5, 6))
