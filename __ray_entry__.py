@@ -4596,7 +4596,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dl, leaf score from the SAME _score_leaf serving runs; sum of a
         # doc's rows == its se_bm25_flat score (rotated in for
         # text_textrank, below)
-        "se_explain": gate.se_explain,
+        # KMV bottom-k distinct sketch (new late r5, the order-free
+        # counter sibling of HLL): k smallest distinct 63-bit hashes per
+        # hourly window, associative bottom-k union partials, exact count
+        # below k, (k-1)/U_(k) estimate above — hash chain, bottom-k cut
+        # and the single float division replayed bit-exactly in SQL
+        "events_hourly_users_kmv": sketch.kmv_distinct_users,
         # CheckIndex (new late r5, Lucene CheckIndex analog): decode every
         # postings row through the serving codec, verify every structural
         # invariant incl. exact skip-metadata recomputation and the
@@ -4703,6 +4708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_explain": gate.se_explain,  # new late r5, parked by priority (yielded its slot to events_hourly_users_kmv, new late r5); its per-(doc, term) rows decompose the same _score_leaf BM25 formula the in-window se_pit_search/se_bool_query gates hash-check whole, and the sum-of-rows == flat-score identity keeps its pytest (test_dismax_explain)
         "geo_bbox": geo.gate_bbox,  # new r5, parked by priority (yielded its slot to geo_distance_rings, new late r5); in-window geo_distance_rings drives the identical derive_coords splitmix chain + exact-integer membership arithmetic (bbox is the axis-aligned special case), and the box predicate keeps its pytest (test_geo)
         "se_rank_feature": gate.se_rank_feature,  # new late r5, parked by priority (yielded its slot to events_percentiles_bucket, new late r5); in-window se_function_score runs the same funcscore docvalue machinery and parked se_distance_feature the same saturation-formula family, pytest-pinned (test_funcscore)
         "se_random_score": gate.se_random_score,  # new late r5, parked by priority (yielded its slot to events_bucket_stats, new late r5); its splitmix64 draw chain is the identical hash the in-window curation samplers (cur_temperature_sample, cur_mixture_sample) HUGEINT-replay, and the function_score composition surface stays in-window via se_function_score; the boost_mode=replace splice keeps its pytest (test_funcscore)
@@ -5119,6 +5125,25 @@ q AS (
   UNION ALL SELECT 75, quantile_disc(n, 0.75) FROM d
   UNION ALL SELECT 90, quantile_disc(n, 0.90) FROM d)
 SELECT CAST(percent AS BIGINT) AS percent, CAST(v AS BIGINT) AS value FROM q
+""",
+        "events_hourly_users_kmv": f"""
+WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, user_id
+            FROM events),
+{_splitmix_ctes('kx', 'ev', ['window_start'], 'user_id', 0)},
+h AS (SELECT DISTINCT window_start, CAST(v // 2 AS BIGINT) AS h63
+      FROM kx3),
+r AS (SELECT window_start, h63,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY h63) AS rn FROM h),
+agg AS (SELECT window_start, CAST(count(*) AS BIGINT) AS nd,
+               max(CASE WHEN rn = 64 THEN h63 END) AS hk
+        FROM r WHERE rn <= 64 GROUP BY window_start)
+SELECT window_start,
+  CAST(CASE WHEN nd < 64 THEN nd
+       ELSE CAST(floor((63e0 * 9223372036854775808e0)
+                       / CAST(hk AS DOUBLE) + 0.5e0) AS BIGINT)
+       END AS BIGINT) AS n_users_approx
+FROM agg
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

@@ -326,3 +326,96 @@ def cms_term_counts(
             "est": pa.array(est, type=pa.int64()),
         }
     )
+
+
+def kmv_distinct_users(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per hourly
+    window — the order-free counter sibling of HyperLogLog (Bar-Yossef et
+    al. 2002): keep the k smallest DISTINCT 63-bit hashes of user_id;
+    when a window holds fewer than k distinct hashes the sketch IS the
+    exact distinct count, otherwise estimate (k-1) / U_(k) with U_(k)
+    the k-th minimum normalized by 2^63.
+
+    State is k integers per window regardless of user count, and the
+    bottom-k union is associative: per-batch partials emit <= k rows per
+    window, the per-window merge re-takes the k smallest of the union —
+    the same partial/merge shape as the HLL register pipeline, with rows
+    instead of register blocks.
+
+    Determinism: hashes are splitmix64 >> 1 (63-bit, sign-safe int64,
+    order-preserving), the estimate is ONE float division of exactly
+    representable values plus floor(x + 0.5) — bit-replayable in SQL.
+
+    Returns (window_start, n_users_approx).
+    """
+    import ray.data
+
+    if k < 2:
+        raise ValueError("kmv needs k >= 2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        win = pa.compute.floor_temporal(ts, unit="hour")
+        w = pa.compute.cast(win, pa.int64()).to_numpy()
+        h = (
+            _hash64(t.column("user_id").to_numpy()) >> np.uint64(1)
+        ).astype(np.int64)
+        order = np.lexsort((h, w))
+        w, h = w[order], h[order]
+        keep = np.empty(len(w), dtype=bool)
+        if len(w):
+            keep[0] = True
+            keep[1:] = (w[1:] != w[:-1]) | (h[1:] != h[:-1])  # distinct
+        w, h = w[keep], h[keep]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]]) \
+            if len(w) else np.empty(0, np.int64)
+        rank = np.arange(len(w)) - np.repeat(
+            starts, np.diff(np.append(starts, len(w)))
+        ) if len(w) else np.empty(0, np.int64)
+        m = rank < k
+        return pa.table(
+            {
+                "window_us": pa.array(w[m], pa.int64()),
+                "h63": pa.array(h[m], pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        h = np.unique(g.column("h63").to_numpy())  # sorted distinct
+        nd = len(h)
+        if nd < k:
+            est = nd
+        else:
+            hk = float(np.float64(h[k - 1]))
+            est = int(np.floor(
+                (np.float64(k - 1) * np.float64(1 << 63)) / hk + 0.5
+            ))
+        return pa.table(
+            {
+                "window_us": pa.array(
+                    [g.column("window_us")[0].as_py()], pa.int64()
+                ),
+                "n_users_approx": pa.array([est], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_us")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # bounded: n_windows rows
+    )
+    out.sort(key=lambda r: r["window_us"])
+    return pa.table(
+        {
+            "window_start": pa.array(
+                [r["window_us"] for r in out], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "n_users_approx": pa.array(
+                [r["n_users_approx"] for r in out], pa.int64()
+            ),
+        }
+    )

@@ -47,3 +47,53 @@ def test_pipeline_aggs_invariants(ray_session):
         t.diff_n.to_numpy()[1:]
         == t.n.to_numpy()[1:] - t.n.to_numpy()[:-1]
     ).all()
+
+
+def test_kmv_exact_below_k_and_accuracy(ray_session):
+    """Windows with < k distinct users report the EXACT count; larger
+    windows estimate within the sketch's error envelope."""
+    import duckdb
+    import numpy as np
+
+    from searchengine_ray.sketch import kmv_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    got = kmv_distinct_users(sf, k=64).to_pandas()
+    exact = duckdb.sql(
+        f"""SELECT date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id) AS n
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1"""
+    ).df().set_index("window_start").n
+    assert len(got) == len(exact)
+    for _, r in got.iterrows():
+        ex = int(exact.loc[r.window_start])
+        if ex < 64:
+            assert int(r.n_users_approx) == ex
+        else:
+            assert abs(r.n_users_approx - ex) <= max(3, 0.3 * ex)
+
+
+def test_kmv_batch_size_invariant(ray_session):
+    import ray.data
+
+    from searchengine_ray.sketch import kmv_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    base = kmv_distinct_users(sf).to_pandas()
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 8 * 1024
+        small = kmv_distinct_users(sf).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert base.equals(small)
+
+
+def test_kmv_k_guard(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.sketch import kmv_distinct_users
+
+    with _pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct_users("/root/testdata/sf0.001", k=1)
