@@ -3023,6 +3023,19 @@ sel AS (SELECT DISTINCT doc_id, fp FROM m)
 SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp FROM sel GROUP BY doc_id
 """
 
+
+_WINNOW_PAIRS_SQL = _WINNOW_SQL.replace(
+    """SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp FROM sel GROUP BY doc_id""",
+    """ok AS (SELECT fp FROM sel GROUP BY fp
+       HAVING count(*) BETWEEN 2 AND 50),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       WHERE a.fp IN (SELECT fp FROM ok))
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY 1, 2 HAVING count(*) >= 5""",
+).replace("sel AS (SELECT DISTINCT doc_id, fp FROM m)",
+          "sel AS (SELECT DISTINCT doc_id, fp FROM m),")
+
 # BPE-ish piece count: the engine and this oracle run the IDENTICAL
 # RE2 pattern (textstats.BPE_PIECE_RE) through count_substring_regex /
 # regexp_extract_all respectively.
@@ -4562,7 +4575,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verified): the Lucene index-sort / TopFieldCollector early-
         # termination analog — per-shard cached (value, ext) doc order,
         # chunked first-k membership scan, no per-query sort
-        "se_sorted_search": gate.se_sorted_search,
+        # winnowing-fingerprint near-dup pairs (new late r5, the MOSS
+        # design — fourth dedup family): same bit-exact fingerprint
+        # stream as text_winnow, df-capped fp buckets, two narrow
+        # shuffles, shared-count >= m verdicts
+        "dedup_winnow_pairs": dedup.winnow_pairs,
         # trained rerankers, newly hash-gated in r4: seeded-deterministic
         # weights inlined as SQL literals, every query-path step re-derived
         # in DuckDB (see _ltr_rerank_sql / _drmm_rerank_sql)
@@ -4708,6 +4725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_sorted_search": gate.se_sorted_search,  # new late r5, parked by priority (yielded its slot to dedup_winnow_pairs, new late r5); parked sibling se_sorted_search_after drives the identical sort_order + chunked first-k machinery plus the cursor predicate, both SQL-checked in GATE_LOCAL_r05, and the early-termination invariants keep their pytest (test_indexsort)
         "se_explain": gate.se_explain,  # new late r5, parked by priority (yielded its slot to events_hourly_users_kmv, new late r5); its per-(doc, term) rows decompose the same _score_leaf BM25 formula the in-window se_pit_search/se_bool_query gates hash-check whole, and the sum-of-rows == flat-score identity keeps its pytest (test_dismax_explain)
         "geo_bbox": geo.gate_bbox,  # new r5, parked by priority (yielded its slot to geo_distance_rings, new late r5); in-window geo_distance_rings drives the identical derive_coords splitmix chain + exact-integer membership arithmetic (bbox is the axis-aligned special case), and the box predicate keeps its pytest (test_geo)
         "se_rank_feature": gate.se_rank_feature,  # new late r5, parked by priority (yielded its slot to events_percentiles_bucket, new late r5); in-window se_function_score runs the same funcscore docvalue machinery and parked se_distance_feature the same saturation-formula family, pytest-pinned (test_funcscore)
@@ -5698,6 +5716,7 @@ LIMIT 12
         "text_lang_id": _lang_markers_sql(),
         "text_quality": _QUALITY_SQL,
         "text_winnow": _WINNOW_SQL,
+        "dedup_winnow_pairs": _WINNOW_PAIRS_SQL,
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "events_tumbling": _TUMBLING_SQL,
         "events_funnel": _funnel_sql(),

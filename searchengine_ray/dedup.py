@@ -1446,3 +1446,101 @@ def keep_best_in_cluster(sf_dir: str, n: int = 3, threshold: float = 0.6):
             "keep": pa.array(keep, type=pa.bool_()),
         }
     ).cast(schema)
+
+
+def winnow_pairs(
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 50,
+    max_pairs: int = 2_000_000,
+):
+    """Near-dup candidate pairs via shared winnowing fingerprints (the
+    MOSS design, Schleimer et al. 2003) — the fourth dedup family beside
+    MinHash-LSH / SimHash / n-gram Jaccard, built on the SAME bit-exact
+    fingerprint stream `textstats.winnow_fingerprints` gates: two docs
+    pair when they share >= ``min_shared`` distinct fingerprints, and a
+    fingerprint shared by more than ``max_df`` docs is dropped first
+    (boilerplate suppression — MOSS's "too common to be evidence" rule,
+    which also bounds every bucket's pair fan-out at max_df^2).
+
+    Pipeline: per-batch distinct (doc, fp) rows (the shared winnowing
+    kernel; fingerprints travel as int64 two's-complement views — a
+    bijection, and only equality matters downstream) -> ONE fp-keyed
+    shuffle -> per-bucket pair explosion under the df cap -> ONE
+    pair-keyed count shuffle -> pairs with n_shared >= min_shared.
+    ``max_pairs`` guards the bounded driver collect.
+
+    Returns (doc_a, doc_b, n_shared).
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .textstats import _read_docs as _read_docs_ts, _winnow_doc_fps
+
+    if min_shared < 1 or max_df < 2:
+        raise ValueError("winnow_pairs needs min_shared >= 1, max_df >= 2")
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        dd, mm = _winnow_doc_fps(t, k, w)
+        return pa.table(
+            {
+                "fp": pa.array(mm.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[dd], pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy())
+        if len(ids) < 2 or len(ids) > max_df:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ai, bi = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ai], pa.int64()),
+                "doc_b": pa.array(ids[bi], pa.int64()),
+                "n": pa.array(np.ones(len(ai), np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        _read_docs_ts(sf_dir)
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+    out_rows = []
+    for b in counted.iter_batches(batch_format="pyarrow", batch_size=None):
+        keep = pc.greater_equal(b.column("n_shared"), min_shared)
+        kept = b.filter(keep)
+        out_rows.append(kept)
+        if sum(t.num_rows for t in out_rows) > max_pairs:
+            raise ValueError(
+                f"winnow_pairs: over {max_pairs} qualifying pairs — "
+                "raise min_shared or lower max_df (near-all-dup corpus)"
+            )
+    if not out_rows:
+        t = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+        return t
+    t = pa.concat_tables(out_rows)
+    order = pc.sort_indices(
+        t, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
+    )
+    return t.take(order).select(["doc_a", "doc_b", "n_shared"])

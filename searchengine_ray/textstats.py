@@ -239,16 +239,45 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4):
     max-padded array + sliding_window_view; the former implementation
     md5'd every k-gram in Python per doc).
     """
-    from .dedup import _POS_MIX, _term_hash64
-
     ds = _read_docs(sf_dir)
-    pad = np.iinfo(np.uint64).max
 
     def fp(t: pa.Table) -> pa.Table:
-        n, doc_idx, flat = _flat_tokens(t)
+        n = t.num_rows
         n_fp = np.zeros(n, dtype=np.int64)
         min_fp = np.full(n, "", dtype=object)
-        if len(doc_idx) >= k:
+        dd, mm = _winnow_doc_fps(t, k, w)
+        if len(dd):
+            n_fp = np.bincount(dd, minlength=n).astype(np.int64)
+            doc_first = np.empty(len(dd), dtype=bool)
+            doc_first[0] = True
+            doc_first[1:] = dd[1:] != dd[:-1]
+            for di, v in zip(dd[doc_first], mm[doc_first]):
+                min_fp[di] = f"{int(v):016x}"
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_fingerprints": pa.array(n_fp, type=pa.int64()),
+                "min_fp": pa.array(min_fp, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def _winnow_doc_fps(
+    t: pa.Table, k: int, w: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Shared winnowing kernel: distinct (doc_row_index, fingerprint)
+    pairs for a batch, sorted by (doc_row_index, fingerprint) — the
+    vectorized scatter/sliding-window pass `winnow_fingerprints`
+    documents, factored out so `dedup.winnow_pairs` joins on the same
+    bit-exact fingerprint stream."""
+    from .dedup import _POS_MIX, _term_hash64
+
+    pad = np.iinfo(np.uint64).max
+    n, doc_idx, flat = _flat_tokens(t)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint64))
+    if len(doc_idx) >= k:
             # hash only the UNIQUE surface forms, broadcast through codes
             d = flat.dictionary_encode()
             uniq = d.dictionary.to_pylist()
@@ -287,21 +316,8 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4):
                 first = np.empty(len(dd), dtype=bool)
                 first[0] = True
                 first[1:] = (dd[1:] != dd[:-1]) | (mm[1:] != mm[:-1])
-                n_fp = np.bincount(dd[first], minlength=n).astype(np.int64)
-                doc_first = np.empty(len(dd), dtype=bool)
-                doc_first[0] = True
-                doc_first[1:] = dd[1:] != dd[:-1]
-                for di, v in zip(dd[doc_first], mm[doc_first]):
-                    min_fp[di] = f"{int(v):016x}"
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_fingerprints": pa.array(n_fp, type=pa.int64()),
-                "min_fp": pa.array(min_fp, type=pa.string()),
-            }
-        )
-
-    return ds.map_batches(fp, batch_format="pyarrow")
+                return dd[first], mm[first]
+    return empty
 
 
 def distinct_ngrams(sf_dir: str):

@@ -86,3 +86,46 @@ def test_crash_leftover_tmp_dir_is_ignored(small_index):
     with open(os.path.join(small_index, "stats.json")) as f:
         after = json.load(f)
     assert after == before
+
+
+def test_winnow_pairs_matches_brute(ray_session):
+    """Pairs equal a brute recomputation from the gated fingerprint
+    stream (df cap + shared-count threshold)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.dedup import winnow_pairs
+    from searchengine_ray.textstats import _winnow_doc_fps
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    dd, mm = _winnow_doc_fps(t, 3, 4)
+    by_fp = defaultdict(set)
+    for di, fp in zip(dd, mm):
+        by_fp[int(fp)].add(int(ids[di]))
+    shared = defaultdict(int)
+    for docs in by_fp.values():
+        if 2 <= len(docs) <= 50:
+            ds = sorted(docs)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    shared[(ds[i], ds[j])] += 1
+    exp = {p: c for p, c in shared.items() if c >= 5}
+    got = winnow_pairs(sf).to_pandas()
+    assert {(a, b): c for a, b, c in
+            zip(got.doc_a, got.doc_b, got.n_shared)} == exp
+
+
+def test_winnow_pairs_guards(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.dedup import winnow_pairs
+
+    with _pytest.raises(ValueError, match="min_shared"):
+        winnow_pairs("/root/testdata/sf0.001", min_shared=0)
+    with _pytest.raises(ValueError, match="pairs"):
+        winnow_pairs("/root/testdata/sf0.001", min_shared=1,
+                     max_pairs=1)
