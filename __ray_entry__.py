@@ -3036,6 +3036,58 @@ FROM pr GROUP BY 1, 2 HAVING count(*) >= 5""",
 ).replace("sel AS (SELECT DISTINCT doc_id, fp FROM m)",
           "sel AS (SELECT DISTINCT doc_id, fp FROM m),")
 
+
+_RANK_EVAL_SQL = f"""
+WITH RECURSIVE {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('dup','spark') GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         greatest(0.0, ln((const.n - stats.df + 0.5)/(stats.df + 0.5)))
+           * tf.tf/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/const.ave)) AS s
+  FROM tf JOIN dl USING(doc_id) JOIN stats USING(term) CROSS JOIN const),
+piv AS (SELECT doc_id,
+    max(CASE WHEN term = 'dup' THEN s END) AS s_0,
+    max(CASE WHEN term = 'spark' THEN s END) AS s_1
+  FROM scored GROUP BY doc_id),
+runt AS (SELECT doc_id, coalesce(s_0, 0) + coalesce(s_1, 0) AS s FROM piv),
+ext AS (SELECT doc_id,
+    source || '/' || ('src/' || lang || '/doc_' ||
+      lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt') || '@' ||
+    substr(sha256(source || '/' || ('src/' || lang || '/doc_' ||
+      lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt')), 1, 40) AS e
+  FROM documents),
+has AS (SELECT doc_id,
+    max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)
+  + max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS rel
+  FROM tok WHERE term IN ('spark','dup') GROUP BY doc_id),
+ranked AS (SELECT r.doc_id, coalesce(h.rel, 0) AS rel,
+    row_number() OVER (ORDER BY r.s DESC, e.e ASC) AS rk
+  FROM runt r JOIN ext e USING(doc_id) LEFT JOIN has h USING(doc_id)),
+top AS (SELECT rk, rel,
+        (power(2.0, CAST(rel AS DOUBLE)) - 1.0)/4.0 AS R
+        FROM ranked WHERE rk <= 10),
+rtot AS (SELECT CAST(count(*) AS BIGINT) AS rn FROM has WHERE rel > 0),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS m FROM top WHERE rel >= 1),
+mrrv AS (SELECT coalesce(1.0 / CAST(min(rk) AS DOUBLE), 0.0) AS v
+         FROM top WHERE rel >= 1),
+errrec AS (
+  SELECT t.rk, (1.0 * t.R) / t.rk AS acc, 1.0 - t.R AS prod
+  FROM top t WHERE t.rk = 1
+  UNION ALL
+  SELECT t.rk, r.acc + (r.prod * t.R) / t.rk, r.prod * (1.0 - t.R)
+  FROM errrec r JOIN top t ON t.rk = r.rk + 1),
+errv AS (SELECT acc AS v FROM errrec ORDER BY rk DESC LIMIT 1)
+SELECT '1' AS qid, 'precision@10' AS metric,
+       round(CAST(nrel.m AS DOUBLE) / 10.0, 6) AS value_r FROM nrel
+UNION ALL SELECT '1', 'recall@10',
+       round(CAST(nrel.m AS DOUBLE) / CAST(rtot.rn AS DOUBLE), 6)
+       FROM nrel, rtot
+UNION ALL SELECT '1', 'mrr@10', round(v, 6) FROM mrrv
+UNION ALL SELECT '1', 'err@10', round(v, 6) FROM errv
+"""
+
 # BPE-ish piece count: the engine and this oracle run the IDENTICAL
 # RE2 pattern (textstats.BPE_PIECE_RE) through count_substring_regex /
 # regexp_extract_all respectively.
@@ -4686,7 +4738,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # literal-free sibling of dedup_semantic — cell chain + dist2
         # keep-priority + per-cell greedy ALL re-derived in SQL with zero
         # inlined centroids (see _semdedup_kmeans_sql)
-        "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,
+        # ES _rank_eval API (new late r5): the live-search-order metric
+        # set — precision/recall@10, mrr@10, ERR@10 (Chapelle cascade as
+        # a fixed-order recursion replayed by a recursive CTE) against
+        # corpus-derived graded qrels
+        "eval_rank_eval": gate.eval_rank_eval,
         # per-cluster exemplars (new late r5): rank 1..m closest-to-
         # centroid members per cell — batch partial top-m + bounded
         # driver fold, the brute_topk pattern over the kmeans labels
@@ -4725,6 +4781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,  # new late r5, parked by priority (yielded its slot to eval_rank_eval, new late r5); in-window cluster_kmeans hash-checks the full exact-integer kmeans chain it reads its cells from and cluster_exemplars the per-cell rank machinery; the SemDeDup greedy keep rule stays SQL-checked in GATE_LOCAL_r05 and via parked dedup_semantic (driver-verified r2/r3)
         "se_sorted_search": gate.se_sorted_search,  # new late r5, parked by priority (yielded its slot to dedup_winnow_pairs, new late r5); parked sibling se_sorted_search_after drives the identical sort_order + chunked first-k machinery plus the cursor predicate, both SQL-checked in GATE_LOCAL_r05, and the early-termination invariants keep their pytest (test_indexsort)
         "se_explain": gate.se_explain,  # new late r5, parked by priority (yielded its slot to events_hourly_users_kmv, new late r5); its per-(doc, term) rows decompose the same _score_leaf BM25 formula the in-window se_pit_search/se_bool_query gates hash-check whole, and the sum-of-rows == flat-score identity keeps its pytest (test_dismax_explain)
         "geo_bbox": geo.gate_bbox,  # new r5, parked by priority (yielded its slot to geo_distance_rings, new late r5); in-window geo_distance_rings drives the identical derive_coords splitmix chain + exact-integer membership arithmetic (bbox is the axis-aligned special case), and the box predicate keeps its pytest (test_geo)
@@ -5716,6 +5773,7 @@ LIMIT 12
         "text_lang_id": _lang_markers_sql(),
         "text_quality": _QUALITY_SQL,
         "text_winnow": _WINNOW_SQL,
+        "eval_rank_eval": _RANK_EVAL_SQL,
         "dedup_winnow_pairs": _WINNOW_PAIRS_SQL,
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "events_tumbling": _TUMBLING_SQL,

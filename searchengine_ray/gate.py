@@ -1864,3 +1864,55 @@ def cur_quality_classifier(sf_dir: str):
 
     b, w = _qc_trained(sf_dir)
     return quality_scores(sf_dir, b, w)
+
+
+def eval_rank_eval(sf_dir: str):
+    """The ES ``_rank_eval`` API analog: score one templated query's
+    live ranking (the ENGINE's search order — score DESC, external_id
+    ASC — not trec_eval's docno-DESC tie order) against corpus-derived
+    graded qrels with the four ES rank_eval metrics: precision@10 and
+    recall@10 at relevant_rating_threshold=1, mean_reciprocal_rank@10,
+    and expected_reciprocal_rank@10 at maximum_relevance=2 (the Chapelle
+    cascade, R(g) = (2^g - 1) / 2^gmax, evaluated in fixed rank order:
+    acc += (prod * R) / r; prod *= 1 - R). Returns (qid, metric,
+    value_r)."""
+    eng = engine_for(sf_dir, "bm25")
+    t = eng.search("1", "dup spark")
+    docs = t.column("doc_id").to_numpy()
+    ext = eng.index.external_ids(docs).astype(str)
+    ub = engine_for(sf_dir, "unrankedboolean")
+
+    def match_set(q: str) -> set:
+        mt = ub.search("q", q)
+        return set(ub.index.external_ids(
+            mt.column("doc_id").to_numpy()).astype(str))
+
+    spark, dup = match_set("spark"), match_set("dup")
+    qrels = {e: int(e in spark) + int(e in dup) for e in spark | dup}
+    total_rel = sum(1 for g in qrels.values() if g >= 1)
+    k = 10
+    top = [qrels.get(e, 0) for e in ext[:k]]
+    n_rel_top = sum(1 for g in top if g >= 1)
+    prec = np.float64(n_rel_top) / np.float64(k)
+    rec = np.float64(n_rel_top) / np.float64(total_rel)
+    mrr = 0.0
+    for r, g in enumerate(top, 1):
+        if g >= 1:
+            mrr = 1.0 / np.float64(r)
+            break
+    acc, prod = np.float64(0.0), np.float64(1.0)
+    for r, g in enumerate(top, 1):
+        R = (np.float64(2.0) ** np.float64(g) - 1.0) / 4.0
+        acc = acc + (prod * R) / np.float64(r)
+        prod = prod * (1.0 - R)
+    names = ["precision@10", "recall@10", "mrr@10", "err@10"]
+    vals = [prec, rec, mrr, acc]
+    return pa.table(
+        {
+            "qid": pa.array(["1"] * 4, pa.string()),
+            "metric": pa.array(names, pa.string()),
+            "value_r": pa.array(
+                [round(float(v), 6) for v in vals], pa.float64()
+            ),
+        }
+    )

@@ -159,3 +159,40 @@ def test_nerr_ia_penalizes_redundancy():
     q = ndeval_run(run, dq, andcg_k=3)["per_query"]["1"]
     assert 0.0 < q["nERR-IA@3"] < 1.0
     assert q["ERR-IA@3"] < (7 / 12 + 1 / 4) / 2
+
+
+def test_rank_eval_brute_parity(ray_session):
+    """The four rank_eval metrics recomputed scalar-by-scalar from the
+    engine's own ranking + derived qrels."""
+    from searchengine_ray.gate import engine_for, eval_rank_eval
+
+    sf = "/root/testdata/sf0.001"
+    got = {m: v for m, v in zip(
+        *[eval_rank_eval(sf).column(c).to_pylist()
+          for c in ("metric", "value_r")])}
+    eng = engine_for(sf, "bm25")
+    t = eng.search("1", "dup spark")
+    ext = eng.index.external_ids(
+        t.column("doc_id").to_numpy()).astype(str)
+    ub = engine_for(sf, "unrankedboolean")
+
+    def mset(q):
+        return set(ub.index.external_ids(
+            ub.search("q", q).column("doc_id").to_numpy()).astype(str))
+
+    spark, dup = mset("spark"), mset("dup")
+    qrels = {e: (e in spark) + (e in dup) for e in spark | dup}
+    top = [qrels.get(e, 0) for e in ext[:10]]
+    nrel = sum(1 for g in top if g >= 1)
+    assert got["precision@10"] == round(nrel / 10, 6)
+    assert got["recall@10"] == round(
+        nrel / sum(1 for g in qrels.values() if g >= 1), 6)
+    first = next((r for r, g in enumerate(top, 1) if g >= 1), None)
+    assert got["mrr@10"] == (round(1 / first, 6) if first else 0.0)
+    acc, prod = 0.0, 1.0
+    for r, g in enumerate(top, 1):
+        R = (2.0 ** g - 1.0) / 4.0
+        acc, prod = acc + (prod * R) / r, prod * (1.0 - R)
+    assert got["err@10"] == round(acc, 6)
+    # cascade sanity: err <= mrr (diminishing returns below first rel)
+    assert got["err@10"] <= got["mrr@10"] + 1e-9
