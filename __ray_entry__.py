@@ -4720,7 +4720,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # half, ivf_add appends the second half to the FROZEN centroids as
         # a new hive segment (the se_bm25_incremental analog on the vector
         # side); search unions per-segment pruned reads
-        "ann_ivf_incremental": ann.ivf_incremental_topk,
+        # per-step-window funnel (new late r5, the Amplitude "within W
+        # of the previous step" mode): the gated greedy kernel with the
+        # cap re-anchoring at every completed step
+        "events_funnel_stepwise": lambda sf_dir: windows.funnel_counts(
+            sf_dir, per_step_window_us=windows.FUNNEL_STEP_WINDOW_US
+        ),
         # binary-quantization ANN (new late r5, the Lucene/ES BBQ
         # direction): 1-bit sign codes (one uint64 word per 64-dim
         # vector, a 512x-smaller coarse scan), popcount-Hamming
@@ -4781,6 +4786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "ann_ivf_incremental": ann.ivf_incremental_topk,  # new late r5, parked by priority (yielded its slot to events_funnel_stepwise, new late r5); in-window sibling ann_ivf_deleted drives the same frozen-centroid cell-partitioned read machinery (tombstones + compaction are a superset of the plain segment-append read) and the hive segment-union keeps its pytest (test_ann_extras/test_incremental)
         "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,  # new late r5, parked by priority (yielded its slot to eval_rank_eval, new late r5); in-window cluster_kmeans hash-checks the full exact-integer kmeans chain it reads its cells from and cluster_exemplars the per-cell rank machinery; the SemDeDup greedy keep rule stays SQL-checked in GATE_LOCAL_r05 and via parked dedup_semantic (driver-verified r2/r3)
         "se_sorted_search": gate.se_sorted_search,  # new late r5, parked by priority (yielded its slot to dedup_winnow_pairs, new late r5); parked sibling se_sorted_search_after drives the identical sort_order + chunked first-k machinery plus the cursor predicate, both SQL-checked in GATE_LOCAL_r05, and the early-termination invariants keep their pytest (test_indexsort)
         "se_explain": gate.se_explain,  # new late r5, parked by priority (yielded its slot to events_hourly_users_kmv, new late r5); its per-(doc, term) rows decompose the same _score_leaf BM25 formula the in-window se_pit_search/se_bool_query gates hash-check whole, and the sum-of-rows == flat-score identity keeps its pytest (test_dismax_explain)
@@ -5219,6 +5225,22 @@ SELECT window_start,
                        / CAST(hk AS DOUBLE) + 0.5e0) AS BIGINT)
        END AS BIGINT) AS n_users_approx
 FROM agg
+""",
+        "events_funnel_stepwise": """
+WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       FROM events e JOIN u1 ON u1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t
+         AND epoch_us(e.ts) <= u1.t + 3600000000 GROUP BY 1),
+u3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       FROM events e JOIN u2 ON u2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t
+         AND epoch_us(e.ts) <= u2.t + 3600000000 GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM u1) AS users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

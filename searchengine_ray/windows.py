@@ -412,10 +412,14 @@ FUNNEL_HORIZON_US: int = 24 * 3600 * 1_000_000  # 24 h conversion window
 _DAY_US = 86_400_000_000
 
 
+FUNNEL_STEP_WINDOW_US: int = 3600 * 1_000_000  # 1 h between steps
+
+
 def funnel_counts(
     sf_dir: str,
     steps: tuple[str, ...] = FUNNEL_STEPS,
     horizon_us: int = FUNNEL_HORIZON_US,
+    per_step_window_us: "int | None" = None,
 ):
     """Ordered-step conversion funnel with first-touch attribution: a user
     completes step i when an event of type steps[i] exists STRICTLY after
@@ -424,6 +428,12 @@ def funnel_counts(
     first-touch rule product-analytics engines use, deterministic and
     SQL-replayable, unlike optimal-matching variants). Returns one row per
     step: (step, step_name, users), users non-increasing by construction.
+
+    ``per_step_window_us`` switches to the PER-STEP conversion-window
+    rule (the Amplitude "within W of the previous step" mode): step i
+    must land within ``per_step_window_us`` of the step-(i-1) completion
+    time instead of within one global horizon of the anchor — the cap
+    re-anchors at every completed step.
 
     Scale shape: the read is pruned to the step event types at the parquet
     scan; users hash-partition into input-scaled buckets (ONE shuffle) and
@@ -467,7 +477,14 @@ def funnel_counts(
                 ti = np.full(len(uniq), INF, np.int64)
                 np.minimum.at(ti, uinv[mask], ts[mask])
                 counts[i] = int((ti < INF).sum())
-                if i == 0:
+                if per_step_window_us is not None:
+                    # per-step mode: the window re-anchors at every
+                    # completed step (sentinel keeps INF from wrapping)
+                    cap = ti.copy()
+                    done = cap < INF
+                    cap[done] += per_step_window_us
+                    cap[~done] = np.iinfo(np.int64).min
+                elif i == 0:
                     # conversion window anchors at the FIRST step-0 event;
                     # explicit sentinel keeps INF + horizon from wrapping
                     cap = ti.copy()

@@ -97,3 +97,43 @@ def test_kmv_k_guard(ray_session):
 
     with _pytest.raises(ValueError, match="k >= 2"):
         kmv_distinct_users("/root/testdata/sf0.001", k=1)
+
+
+def test_funnel_stepwise_vs_horizon(ray_session):
+    """Per-step windows are strictly tighter than the 24h-horizon mode
+    at W=1h, and the stepwise counts match a brute per-user replay."""
+    import duckdb
+    import numpy as np
+
+    from searchengine_ray.windows import (
+        FUNNEL_STEP_WINDOW_US, funnel_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = funnel_counts(sf).to_pandas()
+    step = funnel_counts(
+        sf, per_step_window_us=FUNNEL_STEP_WINDOW_US
+    ).to_pandas()
+    assert (step.users <= base.users).all()
+    assert (step.users.diff().fillna(0) <= 0).all()  # non-increasing
+    ev = duckdb.sql(
+        f"""SELECT user_id, event_type, epoch_us(ts) AS t
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE event_type IN ('view','click','purchase')
+            ORDER BY user_id, t"""
+    ).df()
+    W = FUNNEL_STEP_WINDOW_US
+    counts = [0, 0, 0]
+    for _, g in ev.groupby("user_id"):
+        prev = None
+        for i, s in enumerate(("view", "click", "purchase")):
+            ts = g[g.event_type == s].t.to_numpy()
+            if prev is None:
+                cand = ts
+            else:
+                cand = ts[(ts > prev) & (ts <= prev + W)]
+            if len(cand) == 0:
+                break
+            prev = int(cand.min())
+            counts[i] += 1
+    assert list(step.users) == counts
