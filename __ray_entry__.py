@@ -4761,7 +4761,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weights, subsample-only): per-lang char budgets + keep rates
         # DATA-DERIVED and re-derived in HUGEINT by the oracle — the
         # fixed-rate sibling cur_sample_stratified rotated out (below)
-        "cur_mixture_sample": curation.mixture_sample,
+        # TPC-H Q22 anti-join block (new late r5): exact-integer
+        # above-average predicate (cross-multiplied), hash-partitioned
+        # left_anti join vs orders custkeys, nation rollup
+        "rel_custs_without_orders": relational.customers_without_orders,
         # multimodal (rotated IN r5 — promoted from rows-only to hash
         # gates, never driver-verified before): payloads derive from
         # documents.text, ByteDecodeBackend decode, exact integer feature
@@ -4786,6 +4789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "cur_mixture_sample": curation.mixture_sample,  # new late r5, parked by priority (yielded its slot to rel_custs_without_orders, new late r5); in-window cur_temperature_sample drives the same (lang, chars) partial fold + HUGEINT rate derivation + splitmix keep-draw machinery with data-derived targets, and the operator-constant target path keeps its pytest (test_curation)
         "ann_ivf_incremental": ann.ivf_incremental_topk,  # new late r5, parked by priority (yielded its slot to events_funnel_stepwise, new late r5); in-window sibling ann_ivf_deleted drives the same frozen-centroid cell-partitioned read machinery (tombstones + compaction are a superset of the plain segment-append read) and the hive segment-union keeps its pytest (test_ann_extras/test_incremental)
         "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,  # new late r5, parked by priority (yielded its slot to eval_rank_eval, new late r5); in-window cluster_kmeans hash-checks the full exact-integer kmeans chain it reads its cells from and cluster_exemplars the per-cell rank machinery; the SemDeDup greedy keep rule stays SQL-checked in GATE_LOCAL_r05 and via parked dedup_semantic (driver-verified r2/r3)
         "se_sorted_search": gate.se_sorted_search,  # new late r5, parked by priority (yielded its slot to dedup_winnow_pairs, new late r5); parked sibling se_sorted_search_after drives the identical sort_order + chunked first-k machinery plus the cursor predicate, both SQL-checked in GATE_LOCAL_r05, and the early-termination invariants keep their pytest (test_indexsort)
@@ -5241,6 +5245,20 @@ SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
        (SELECT CAST(count(*) AS BIGINT) FROM u1) AS users
 UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
+""",
+        "rel_custs_without_orders": """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal
+           FROM customer),
+st AS (SELECT CAST(sum(CASE WHEN bal > 0 THEN bal END) AS BIGINT) AS s,
+              CAST(count(*) FILTER (WHERE bal > 0) AS BIGINT) AS n FROM c),
+rich AS (SELECT c.* FROM c, st WHERE c.bal * st.n > st.s),
+noord AS (SELECT * FROM rich
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT'))
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal) AS BIGINT) AS sum_acctbal_cents
+FROM noord GROUP BY c_nationkey
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

@@ -5,6 +5,7 @@ partial aggregation before the shuffle, broadcast dimension joins)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -356,4 +357,96 @@ def top_orders_per_customer(sf_dir: str, k: int = 2):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("kc")
         .map_groups(rank_partition, batch_format="pyarrow")
+    )
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
+    """TPC-H Q22-style anti-join block ("global sales opportunity"):
+    customers with above-average positive account balance who have never
+    placed a ``priority`` order, rolled up per nation. Three scale-safe
+    stages:
+
+    1. a 2-integer stats pass (sum/count of positive balances, exact
+       cents) — the above-average predicate is then the INTEGER
+       cross-multiplication ``cents * n_pos > sum_pos`` (no float
+       threshold, no rounding ambiguity at the boundary);
+    2. Ray's hash-partitioned ``Dataset.join(join_type="left_anti")``
+       against the priority-filtered orders custkeys (the predicate is
+       pushed into the parquet read; both sides shuffle by key — neither
+       is broadcast, the Q22 shape at any scale);
+    3. a nation-cardinality groupby of count + exact cents sum.
+
+    Returns (c_nationkey, n_custs, sum_acctbal_cents).
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(
+                pc.multiply(t.column("c_acctbal"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "bal_cents": c,
+            }
+        )
+
+    cust = cust.map_batches(cents, batch_format="pyarrow")
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t.column("bal_cents").to_numpy()
+        pos = b[b > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(pos_partial, batch_format="pyarrow").take_all()
+    sum_pos = sum(r["s"] for r in stats)
+    n_pos = sum(r["n"] for r in stats)
+    if n_pos == 0:
+        raise ValueError("no positive balances — Q22 predicate undefined")
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        b = t.column("bal_cents").to_numpy()
+        # exact integer cross-multiplication: bal > sum_pos / n_pos
+        keep = b * np.int64(n_pos) > np.int64(sum_pos)
+        return t.filter(pa.array(keep))
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    okeys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pc.field("o_orderpriority") == priority,
+        )
+        .groupby("o_custkey")
+        .count()
+    )
+    anti = rich.join(
+        okeys,
+        join_type="left_anti",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return (
+        anti.groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="n_custs"),
+            Sum("bal_cents", alias_name="sum_acctbal_cents"),
+        )
     )

@@ -496,3 +496,34 @@ def test_svm_rank_subprocess_plumbing(tmp_path):
     r2 = make_ranker(cfg_bad, workdir=str(tmp_path / "wk2"))
     with pytest.raises(RuntimeError, match="failed"):
         r2.fit([(F, y)])
+
+
+def test_custs_without_orders_brute(ray_session):
+    """Anti-join + integer above-average predicate vs a DuckDB brute."""
+    import duckdb
+
+    from searchengine_ray.relational import customers_without_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        customers_without_orders(sf).to_pandas()
+        .sort_values("c_nationkey").reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal
+             FROM read_parquet('{sf}/customer.parquet')),
+        st AS (SELECT CAST(sum(CASE WHEN bal > 0 THEN bal END) AS BIGINT)
+                 AS s, CAST(count(*) FILTER (WHERE bal > 0) AS BIGINT)
+                 AS n FROM c),
+        rich AS (SELECT c.* FROM c, st WHERE c.bal * st.n > st.s),
+        noord AS (SELECT * FROM rich WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM read_parquet('{sf}/orders.parquet')
+           WHERE o_orderpriority = '1-URGENT'))
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(sum(bal) AS BIGINT) AS sum_acctbal_cents
+        FROM noord GROUP BY c_nationkey ORDER BY c_nationkey"""
+    ).df()
+    assert got.c_nationkey.tolist() == exp.c_nationkey.tolist()
+    assert got.n_custs.tolist() == exp.n_custs.tolist()
+    assert got.sum_acctbal_cents.tolist() == exp.sum_acctbal_cents.tolist()
