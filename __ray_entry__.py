@@ -4646,13 +4646,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-identical to Lucene's sum of logs) and Axiomatic F2EXP
         # (Fang & Zhai 2005; scalar libm pow idf only). First gates to
         # push the CTF all-reduce through a registered-model leaf.
-        "se_lmjm": gate.se_lmjm,
+        # hourly OHLC bars (new late r5): decomposable argmin/argmax
+        # open/close picks + exact int64 extremes, per-batch one-row
+        # partials, per-bucket total-order merge
+        "events_ohlc": esaggs.ohlc_agg,
         "se_f2exp": gate.se_f2exp,
         # ES boosting + constant_score queries (new late r5, never
         # driver-verified; rotated in for dedup_keep_best, parked below):
         # demotion-without-exclusion (#andnot's softer sibling) wrapping a
         # BM25 #SUM that carries a constant-score #near leg
-        "se_boosting": gate.se_boosting,
         "drmm_w2v_rerank": gate.drmm_w2v_rerank,
         # #DISMAX (new late r5, ES dis_max / multi_match best_fields
         # analog): union match, best matching leg + tie_breaker * sum of
@@ -4757,6 +4759,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reader — per-(format, doc) content rows sha-pinned against the
         # parquet originals (rotated in for sketch_cms_counts, below)
         "src_roundtrip": gate.src_roundtrip,
+        # hive-partitioned parquet source/sink roundtrip (new late r5):
+        # documents through write_parquet(partition_cols=[lang]) and a
+        # single-partition path-pruned read-back — the repo's
+        # resumable-output convention gated on the corpus itself
+        "src_hive_roundtrip": gate.src_hive_roundtrip,
         # target-mixture rebalancing (new late r5, DoReMi/Pile domain
         # weights, subsample-only): per-lang char budgets + keep rates
         # DATA-DERIVED and re-derived in HUGEINT by the oracle — the
@@ -4789,6 +4796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_lmjm": gate.se_lmjm,  # new late r5, parked by priority (yielded its slot to events_ohlc, new late r5); in-window sibling se_f2exp drives the identical registered-model score-leaf path with the same CTF all-reduce (the two shipped as one similarity-zoo batch), and the exp-domain prod reducer keeps its pytest (test_similarity_zoo)
+        "se_boosting": gate.se_boosting,  # new late r5, parked by priority (yielded its slot to src_hive_roundtrip, new late r5); in-window se_bool_query + se_dismax drive the same clause-compositor parse + BM25 leg machinery, and the demote-without-exclude negative-weight combine keeps its pytest (test_boosting_constscore)
         "cur_mixture_sample": curation.mixture_sample,  # new late r5, parked by priority (yielded its slot to rel_custs_without_orders, new late r5); in-window cur_temperature_sample drives the same (lang, chars) partial fold + HUGEINT rate derivation + splitmix keep-draw machinery with data-derived targets, and the operator-constant target path keeps its pytest (test_curation)
         "ann_ivf_incremental": ann.ivf_incremental_topk,  # new late r5, parked by priority (yielded its slot to events_funnel_stepwise, new late r5); in-window sibling ann_ivf_deleted drives the same frozen-centroid cell-partitioned read machinery (tombstones + compaction are a superset of the plain segment-append read) and the hive segment-union keeps its pytest (test_ann_extras/test_incremental)
         "dedup_semantic_kmeans": dedup.semantic_dedup_kmeans,  # new late r5, parked by priority (yielded its slot to eval_rank_eval, new late r5); in-window cluster_kmeans hash-checks the full exact-integer kmeans chain it reads its cells from and cluster_exemplars the per-cell rank machinery; the SemDeDup greedy keep rule stays SQL-checked in GATE_LOCAL_r05 and via parked dedup_semantic (driver-verified r2/r3)
@@ -5259,6 +5268,29 @@ noord AS (SELECT * FROM rich
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
        CAST(sum(bal) AS BIGINT) AS sum_acctbal_cents
 FROM noord GROUP BY c_nationkey
+""",
+        "src_hive_roundtrip": """
+SELECT 'hive' AS fmt, doc_id, lang, source, n_chars,
+       substr(sha256(text), 1, 40) AS sha FROM documents
+WHERE lang = 'en'
+""",
+        "events_ohlc": """
+WITH e AS (SELECT date_trunc('hour', ts) AS window_start,
+                  epoch_us(ts) AS t, event_id,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+o AS (SELECT window_start, cents AS open_cents FROM e
+      QUALIFY row_number() OVER (PARTITION BY window_start
+                                 ORDER BY t, event_id) = 1),
+c AS (SELECT window_start, cents AS close_cents FROM e
+      QUALIFY row_number() OVER (PARTITION BY window_start
+                                 ORDER BY t DESC, event_id DESC) = 1),
+agg AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(cents) AS BIGINT) AS high_cents,
+               CAST(min(cents) AS BIGINT) AS low_cents
+        FROM e GROUP BY 1)
+SELECT a.window_start, a.n_events, o.open_cents, a.high_cents,
+       a.low_cents, c.close_cents
+FROM agg a JOIN o USING (window_start) JOIN c USING (window_start)
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

@@ -1647,3 +1647,103 @@ def percentiles_bucket_agg(
             "value": pa.array(vals, pa.int64()),
         }
     )
+
+
+def ohlc_agg(sf_dir: str) -> pa.Table:
+    """Hourly OHLC bars over event cents (the classic time-series
+    downsample): open = value at the (ts ASC, event_id ASC) head of the
+    bucket, close = at the tail, high/low = exact int64 extremes. The
+    open/close picks are decomposable argmin/argmax — per-batch partials
+    carry one candidate row per bucket, the per-bucket merge re-applies
+    the same total order. Returns (window_start, n_events, open_cents,
+    high_cents, low_cents, close_cents).
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.floor_temporal(t.column("ts"), unit="hour"), pa.int64()
+        ).to_numpy()
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy()
+        c = _cents(t).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, w))
+        w, ts, eid, c = w[order], ts[order], eid[order], c[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        ends = np.r_[starts[1:], len(w)] - 1
+        lo = np.minimum.reduceat(c, starts)
+        hi = np.maximum.reduceat(c, starts)
+        n = np.diff(np.r_[starts, len(w)]).astype(np.int64)
+        return pa.table(
+            {
+                "window_us": pa.array(w[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "ots": pa.array(ts[starts], pa.int64()),
+                "oid": pa.array(eid[starts], pa.int64()),
+                "open_c": pa.array(c[starts], pa.int64()),
+                "cts": pa.array(ts[ends], pa.int64()),
+                "cid": pa.array(eid[ends], pa.int64()),
+                "close_c": pa.array(c[ends], pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ots = g.column("ots").to_numpy()
+        oid = g.column("oid").to_numpy()
+        cts = g.column("cts").to_numpy()
+        cid = g.column("cid").to_numpy()
+        i = np.lexsort((oid, ots))[0]
+        j = np.lexsort((-cid, -cts))[0]
+        return pa.table(
+            {
+                "window_us": pa.array(
+                    [g.column("window_us")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array(
+                    [int(g.column("n").to_numpy().sum())], pa.int64()
+                ),
+                "open_cents": pa.array(
+                    [g.column("open_c")[int(i)].as_py()], pa.int64()
+                ),
+                "high_cents": pa.array(
+                    [int(g.column("hi").to_numpy().max())], pa.int64()
+                ),
+                "low_cents": pa.array(
+                    [int(g.column("lo").to_numpy().min())], pa.int64()
+                ),
+                "close_cents": pa.array(
+                    [g.column("close_c")[int(j)].as_py()], pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_us")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # bounded: n_windows rows
+    )
+    rows.sort(key=lambda r: r["window_us"])
+    return pa.table(
+        {
+            "window_start": pa.array(
+                [r["window_us"] for r in rows], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+            "open_cents": pa.array(
+                [r["open_cents"] for r in rows], pa.int64()
+            ),
+            "high_cents": pa.array(
+                [r["high_cents"] for r in rows], pa.int64()
+            ),
+            "low_cents": pa.array([r["low_cents"] for r in rows], pa.int64()),
+            "close_cents": pa.array(
+                [r["close_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -1916,3 +1916,13 @@ def eval_rank_eval(sf_dir: str):
             ),
         }
     )
+
+
+def src_hive_roundtrip(sf_dir: str):
+    """Hive-partitioned parquet roundtrip (sources.hive_roundtrip_check):
+    documents written with partition_cols=["lang"], the lang='en'
+    partition read back by PATH (pruning: other partitions' bytes never
+    leave storage), per-doc content rows sha-pinned vs the originals."""
+    from .sources import hive_roundtrip_check
+
+    return hive_roundtrip_check(sf_dir)

@@ -152,3 +152,61 @@ def roundtrip_check(sf_dir: str) -> pa.Table:
             )
         )
     return pa.concat_tables(parts)
+
+
+def write_documents_hive(sf_dir: str, out_dir: str) -> str:
+    """Export documents.parquet -> lang-partitioned hive layout
+    (``lang=<v>/`` directories) — the repo's resumable-output convention
+    (one directory per partition; a failed run re-exports only missing
+    partitions) applied to the corpus itself."""
+    import ray.data
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").write_parquet(
+        out_dir, partition_cols=["lang"]
+    )
+    return out_dir
+
+
+def read_documents_hive(root: str, lang: str):
+    """Read ONE hive partition by path (``root/lang=<v>``): partition
+    pruning at its simplest — bytes of other languages never leave
+    storage. Ray's reader re-attaches the partition column from the
+    directory name (the hive contract), so no manual re-attach."""
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(root, f"lang={lang}"))
+
+
+def hive_roundtrip_check(sf_dir: str, lang: str = "en") -> pa.Table:
+    """documents -> hive-partitioned parquet sink -> single-partition
+    read-back; per-doc content rows (same checksum surface as
+    ``roundtrip_check``). Equal to the lang-filtered parquet originals
+    iff the partitioned write + pruned read are lossless."""
+    root = _hive_export_root(sf_dir)
+    ds = read_documents_hive(root, lang).map_batches(
+        _checksum_batch("hive"), batch_format="pyarrow"
+    )
+    return pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+
+
+def _hive_export_root(sf_dir: str) -> str:
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = f"hive|{src}|{st.st_mtime_ns}|{st.st_size}"
+    if key not in _EXPORT_CACHE:
+        root = os.path.join(
+            "/tmp/se_ray_sources", hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        done = os.path.join(root, "_done")
+        if not os.path.exists(done):
+            if os.path.isdir(root):
+                import shutil
+
+                shutil.rmtree(root)
+            write_documents_hive(sf_dir, root)
+            with open(done, "w") as f:
+                f.write("ok")
+        _EXPORT_CACHE[key] = root
+    return _EXPORT_CACHE[key]

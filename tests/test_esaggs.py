@@ -702,3 +702,45 @@ def test_percentiles_bucket_agg(ray_session):
             SELECT CAST(percent AS BIGINT) AS percent,
                    CAST(v AS BIGINT) AS value FROM q""",
     )
+
+
+def test_ohlc_agg(ray_session):
+    from searchengine_ray.esaggs import ohlc_agg
+
+    _assert_match(
+        ohlc_agg(SF),
+        f"""WITH e AS (SELECT date_trunc('hour', ts) AS window_start,
+                  epoch_us(ts) AS t, event_id,
+                  CAST(round(value*100.0) AS BIGINT) AS cents FROM {EV}),
+            o AS (SELECT window_start, cents AS open_cents FROM e
+                  QUALIFY row_number() OVER (PARTITION BY window_start
+                     ORDER BY t, event_id) = 1),
+            c AS (SELECT window_start, cents AS close_cents FROM e
+                  QUALIFY row_number() OVER (PARTITION BY window_start
+                     ORDER BY t DESC, event_id DESC) = 1),
+            agg AS (SELECT window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(cents) AS BIGINT) AS high_cents,
+                   CAST(min(cents) AS BIGINT) AS low_cents
+                   FROM e GROUP BY 1)
+            SELECT a.window_start, a.n_events, o.open_cents, a.high_cents,
+                   a.low_cents, c.close_cents
+            FROM agg a JOIN o USING (window_start)
+            JOIN c USING (window_start)""",
+    )
+
+
+def test_ohlc_batch_size_invariant(ray_session):
+    import ray.data
+
+    from searchengine_ray.esaggs import ohlc_agg
+
+    base = ohlc_agg(SF).to_pandas()
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 8 * 1024
+        small = ohlc_agg(SF).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert base.equals(small)

@@ -139,3 +139,36 @@ def test_export_cache_invalidates_on_regenerated_corpus(
     assert root2 != root1
     got = sources.read_documents_jsonl(os.path.join(root2, "jsonl"))
     assert got.to_pandas().text.tolist() == ["regenerated"]
+
+
+def test_hive_roundtrip_all_langs(ray_session):
+    """Partitioned write + per-partition pruned reads reconstruct the
+    full corpus exactly (sha-pinned per doc)."""
+    import duckdb
+    import pyarrow as pa
+
+    from searchengine_ray.sources import (
+        _hive_export_root, hive_roundtrip_check, read_documents_hive,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    langs = duckdb.sql(
+        f"SELECT DISTINCT lang FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY lang"
+    ).df().lang.tolist()
+    root = _hive_export_root(sf)
+    total = 0
+    for lg in langs:
+        t = pa.concat_tables(
+            pa.table(b) for b in read_documents_hive(root, lg).iter_batches(
+                batch_format="pyarrow")
+        )
+        assert set(t.column("lang").to_pylist()) == {lg}
+        total += t.num_rows
+    assert total == 500
+    en = hive_roundtrip_check(sf, "en")
+    exp = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet') "
+        f"WHERE lang = 'en'"
+    ).fetchone()[0]
+    assert en.num_rows == exp
