@@ -4560,7 +4560,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite aggregation (new late r5, ES composite agg analog):
         # bucket pagination with a lexicographic after-cursor pushed into
         # the scan, per-batch Arrow group_by combiner, one narrow shuffle
-        "se_composite_agg": gate.se_composite_agg,
+        # feature-hashing vectors (new late r5, HashingVectorizer /
+        # HashingTF): fnv1a64(token) % dim bucket counts — stateless,
+        # vocabulary-free, shuffle-free; FNV replayed via list_reduce
+        "text_feature_hashing": textstats.feature_hashing,
         # numeric doc-values #range filter (new in r4, ES range query /
         # Lucene NumericDocValues) evaluated INSIDE #filreq — one gate
         # covers both the range leaf and the Indri filter-context
@@ -4621,7 +4624,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # isqrt(chars) targets — no operator constants; the oracle
         # re-derives isqrt in HUGEINT with two-sided neighbor correction
         "cur_temperature_sample": curation.temperature_sample,
-        "se_collapse_inner": gate.se_collapse_inner,
+        # 3-sigma anomaly flags (new late r5): exact-integer
+        # cross-multiplied |c - mean| > 3*sigma over the daily buckets
+        "events_anomaly_3sigma": esaggs.anomaly_3sigma_agg,
         "events_terms_shard_error": esaggs.terms_shard_error_agg,
         # index-sorted field collection (new late r5, never driver-
         # verified): the Lucene index-sort / TopFieldCollector early-
@@ -4796,6 +4801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_composite_agg": gate.se_composite_agg,  # new late r5, parked by priority (yielded its slot to text_feature_hashing, new late r5); in-window se_top_hits + the events_* agg heads cover the per-batch Arrow group_by combiner + narrow-shuffle machinery, and the lexicographic after-cursor pushdown keeps its pytest (test_composite)
+        "se_collapse_inner": gate.se_collapse_inner,  # new late r5, parked by priority (yielded its slot to events_anomaly_3sigma, new late r5); in-window se_top_hits is the strict superset machinery (top-k-per-group over the same ranked surface, inner_hits = the k>1 form), pytest-pinned (test_esquery)
         "se_lmjm": gate.se_lmjm,  # new late r5, parked by priority (yielded its slot to events_ohlc, new late r5); in-window sibling se_f2exp drives the identical registered-model score-leaf path with the same CTF all-reduce (the two shipped as one similarity-zoo batch), and the exp-domain prod reducer keeps its pytest (test_similarity_zoo)
         "se_boosting": gate.se_boosting,  # new late r5, parked by priority (yielded its slot to src_hive_roundtrip, new late r5); in-window se_bool_query + se_dismax drive the same clause-compositor parse + BM25 leg machinery, and the demote-without-exclude negative-weight combine keeps its pytest (test_boosting_constscore)
         "cur_mixture_sample": curation.mixture_sample,  # new late r5, parked by priority (yielded its slot to rel_custs_without_orders, new late r5); in-window cur_temperature_sample drives the same (lang, chars) partial fold + HUGEINT rate derivation + splitmix keep-draw machinery with data-derived targets, and the operator-constant target path keeps its pytest (test_curation)
@@ -4830,7 +4837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "se_dfuzzy_tf": gate.se_dfuzzy_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix runs the same dictionary-expansion -> #SYN machinery and the Damerau distance itself is 500-case fuzz-pinned against DuckDB's damerau_levenshtein in pytest
         "se_ordered_tf": gate.se_ordered_tf,  # new late r5, parked by priority; in-window se_match_phrase_prefix + se_spanfirst_tf run the positional-derived-list machinery, and the minimal-interval enumeration is 300-case differential-pinned against a brute-force itertools oracle in pytest
         "se_unordered_tf": gate.se_unordered_tf,  # new late r5, parked by priority; sibling se_ordered_tf (directly above, same differential-fuzz harness) plus in-window se_spanfirst_tf cover the positional machinery; the directed-union identity is itself the oracle
-        "se_has_child": gate.se_has_child,  # new late r5, parked by priority; in-window se_collapse_inner/se_sampler_terms run the same per-group-over-scored-results machinery (group key from the corpus column vs the facet postings), and the score_mode sum/avg folds keep a manual-recombination pytest
+        "se_has_child": gate.se_has_child,  # new late r5, parked by priority; in-window se_top_hits (and parked se_collapse_inner/se_sampler_terms) run the same per-group-over-scored-results machinery (group key from the corpus column vs the facet postings), and the score_mode sum/avg folds keep a manual-recombination pytest
         "se_has_parent": gate.se_has_parent,  # new late r5, parked by priority; sibling se_has_child (directly above) shares the join-field parent derivation; the filter form leaves scores untouched exactly like the gated #FILREQ/msm family
         "se_matched_queries": gate.se_matched_queries,  # new late r5, parked by priority; in-window se_bool_query drives the identical clause-parse + #SUM machinery — this entry adds only the per-clause membership metadata string, whose concat_ws rebuild IS the oracle
         "se_runtime_field": gate.se_runtime_field,
@@ -5291,6 +5298,36 @@ agg AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
 SELECT a.window_start, a.n_events, o.open_cents, a.high_cents,
        a.low_cents, c.close_cents
 FROM agg a JOIN o USING (window_start) JOIN c USING (window_start)
+""",
+        "text_feature_hashing": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+f AS (SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(string_split(term, ''),
+                         c -> CAST(unicode(c) AS HUGEINT))),
+        (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                          AS HUGEINT) * 1099511628211) % 18446744073709551616
+      ) AS fh
+      FROM tok)
+SELECT doc_id, CAST(fh % 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY 1, 2
+""",
+        "events_anomaly_3sigma": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+st AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+              CAST(sum(n) AS HUGEINT) AS s,
+              CAST(sum(n*n) AS HUGEINT) AS q FROM d)
+SELECT d.epoch_day, d.n AS n_events,
+  CAST(CASE WHEN (st.nb*d.n - st.s)*(st.nb*d.n - st.s)
+                 > 9*(st.nb*st.q - st.s*st.s)
+       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM d, st
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

@@ -1747,3 +1747,32 @@ def ohlc_agg(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def anomaly_3sigma_agg(sf_dir: str) -> pa.Table:
+    """3-sigma bucket anomaly flags over the daily date histogram —
+    entirely EXACT-INTEGER: with n buckets, count sum S and sum of
+    squares Q, the population rule |c - S/n| > 3*sigma (sigma^2 =
+    (n*Q - S*S)/n^2) squares and cross-multiplies to
+
+        (n*c - S)^2  >  9 * (n*Q - S*S)
+
+    — no division, no sqrt, no float anywhere. Returns
+    (epoch_day, n_events, is_anomaly).
+    """
+    days = _daily_counts(sf_dir)
+    n = len(days)
+    if n == 0:
+        raise ValueError("anomaly_3sigma: no buckets")
+    counts = [c for _, c in days]
+    S = sum(counts)
+    Q = sum(c * c for c in counts)
+    rhs = 9 * (n * Q - S * S)
+    flags = [1 if (n * c - S) * (n * c - S) > rhs else 0 for c in counts]
+    return pa.table(
+        {
+            "epoch_day": pa.array([d for d, _ in days], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "is_anomaly": pa.array(flags, pa.int64()),
+        }
+    )

@@ -359,3 +359,56 @@ def distinct_ngrams(sf_dir: str):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+FEATURE_HASH_DIM = 64
+
+
+def feature_hashing(sf_dir: str, dim: int = FEATURE_HASH_DIM):
+    """Feature-hashing term-frequency vectors (the hashing trick —
+    sklearn HashingVectorizer / Spark HashingTF): each token maps to
+    bucket ``fnv1a64(token) % dim`` and per-doc bucket counts form a
+    fixed-width sparse vector regardless of vocabulary size — the
+    stateless vectorizer a 100 TB corpus wants (no vocabulary build, no
+    broadcast dictionary, re-partition/resume-stable).
+
+    Returns nonzero entries only: (doc_id, bucket, n). Shuffle-free
+    per-doc scan; hashes are computed once per UNIQUE batch surface form
+    and broadcast through dictionary codes.
+    """
+    from .dedup import _term_hash64
+
+    if dim < 2:
+        raise ValueError("feature_hashing needs dim >= 2")
+    ds = _read_docs(sf_dir)
+
+    def vec(t: pa.Table) -> pa.Table:
+        n, doc_idx, flat = _flat_tokens(t)
+        if len(doc_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        ub = np.fromiter(
+            (_term_hash64(x) % dim for x in uniq), dtype=np.int64,
+            count=len(uniq),
+        )
+        bucket = ub[d.indices.to_numpy()]
+        ids = t.column("doc_id").to_numpy()
+        key = doc_idx * np.int64(dim) + bucket
+        cnt = np.bincount(key, minlength=n * dim).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz // dim], pa.int64()),
+                "bucket": pa.array(nz % dim, pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vec, batch_format="pyarrow")

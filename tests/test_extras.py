@@ -1067,3 +1067,45 @@ def test_distinct_ngrams_oracle_parity(ray_session):
     ).df()
     assert (got.n_distinct_bigrams <= got.n_bigrams).all()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_feature_hashing_brute_and_guard(ray_session):
+    """Bucket counts equal a scalar FNV recount; dim guard raises."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.analyze import TOKEN_RE
+    from searchengine_ray.dedup import _term_hash64
+    from searchengine_ray.textstats import feature_hashing
+
+    sf = "/root/testdata/sf0.001"
+    got = feature_hashing(sf).to_pandas()
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    exp = Counter()
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        for tok in TOKEN_RE.findall(text.lower()):
+            exp[(did, _term_hash64(tok) % 64)] += 1
+    assert Counter(
+        {(d, b): n for d, b, n in
+         zip(got.doc_id, got.bucket, got.n)}
+    ) == exp
+    with pytest.raises(ValueError, match="dim"):
+        feature_hashing(sf, dim=1)
+
+
+def test_anomaly_3sigma_matches_float_rule(ray_session):
+    """The integer cross-multiplication agrees with the float 3-sigma
+    rule away from exact boundaries."""
+    import numpy as np
+
+    from searchengine_ray.esaggs import _daily_counts, anomaly_3sigma_agg
+
+    sf = "/root/testdata/sf0.001"
+    got = anomaly_3sigma_agg(sf).to_pandas()
+    counts = np.array([c for _, c in _daily_counts(sf)], dtype=np.float64)
+    mu, sig = counts.mean(), counts.std()
+    exp = (np.abs(counts - mu) > 3 * sig).astype(int)
+    assert got.is_anomaly.tolist() == exp.tolist()
