@@ -4503,7 +4503,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # se_prefix_tf, text_pmi.
         "events_histogram_agg": esaggs.histogram_agg,
         "events_adjacency_matrix": esaggs.adjacency_matrix_agg,
-        "events_rare_terms": esaggs.rare_terms_agg,
+        # per-term burstiness (new late r5, Church & Gale 1995): exact
+        # int64 tf moments per vocab term over one tokenize scan + one
+        # vocab shuffle; VMR as a single fixed double expression
+        "text_burstiness": textextras.term_burstiness,
         "events_percentiles": esaggs.percentiles_agg,
         # cumulative_cardinality pipeline agg (new late r5): exact
         # cumulative distinct users per day via the first-day identity —
@@ -4763,7 +4766,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # through the Ray JSONL and CSV sinks and back through each
         # reader — per-(format, doc) content rows sha-pinned against the
         # parquet originals (rotated in for sketch_cms_counts, below)
-        "src_roundtrip": gate.src_roundtrip,
+        # TPC-H Q14 promo effect (new late r5): broadcast part bitmap
+        # (ray.put once), ship-month predicate pushed into the read,
+        # exact-cents sums, one IEEE division for the share
+        "rel_promo_share": relational.promo_revenue_share,
         # hive-partitioned parquet source/sink roundtrip (new late r5):
         # documents through write_parquet(partition_cols=[lang]) and a
         # single-partition path-pruned read-back — the repo's
@@ -4801,6 +4807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "events_rare_terms": esaggs.rare_terms_agg,  # new late r5, parked by priority (yielded its slot to text_burstiness, new late r5); in-window events_terms_shard_error drives the same terms-bucket counting + ordering-contract machinery and the max_doc_count rare cut keeps its pytest (test_esaggs)
+        "src_roundtrip": gate.src_roundtrip,  # new late r5, parked by priority (yielded its slot to rel_promo_share, new late r5); in-window sibling src_hive_roundtrip drives the identical _checksum_batch content surface through the third sink/reader pair, and the JSONL/CSV lossless-roundtrip semantics keep their pytest (test_sources)
         "se_composite_agg": gate.se_composite_agg,  # new late r5, parked by priority (yielded its slot to text_feature_hashing, new late r5); in-window se_top_hits + the events_* agg heads cover the per-batch Arrow group_by combiner + narrow-shuffle machinery, and the lexicographic after-cursor pushdown keeps its pytest (test_composite)
         "se_collapse_inner": gate.se_collapse_inner,  # new late r5, parked by priority (yielded its slot to events_anomaly_3sigma, new late r5); in-window se_top_hits is the strict superset machinery (top-k-per-group over the same ranked surface, inner_hits = the k>1 form), pytest-pinned (test_esquery)
         "se_lmjm": gate.se_lmjm,  # new late r5, parked by priority (yielded its slot to events_ohlc, new late r5); in-window sibling se_f2exp drives the identical registered-model score-leaf path with the same CTF all-reduce (the two shipped as one similarity-zoo batch), and the exp-domain prod reducer keeps its pytest (test_similarity_zoo)
@@ -5328,6 +5336,42 @@ SELECT d.epoch_day, d.n AS n_events,
                  > 9*(st.nb*st.q - st.s*st.s)
        THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM d, st
+""",
+        "text_burstiness": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(tf) AS BIGINT) AS ctf,
+              CAST(sum(tf*tf) AS BIGINT) AS sum_tf_sq
+       FROM tf GROUP BY term HAVING count(*) >= 50),
+c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT term, df, ctf, sum_tf_sq,
+  round((c.n * CAST(sum_tf_sq AS DOUBLE)
+         - CAST(ctf AS DOUBLE) * CAST(ctf AS DOUBLE))
+        / (c.n * CAST(ctf AS DOUBLE)), 6) AS vmr_r
+FROM st, c
+""",
+        "rel_promo_share": """
+WITH li AS (SELECT l_partkey,
+        CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+             AS BIGINT) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-09-01'
+        AND l_shipdate < DATE '1995-10-01'),
+j AS (SELECT rev,
+             CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS isp
+      FROM li JOIN part p ON p.p_partkey = li.l_partkey)
+SELECT CAST(coalesce(sum(CASE WHEN isp = 1 THEN rev END), 0) AS BIGINT)
+         AS promo_revenue_cents,
+       CAST(sum(rev) AS BIGINT) AS total_revenue_cents,
+       round(100.0 * CAST(coalesce(sum(CASE WHEN isp = 1 THEN rev END), 0)
+                          AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS promo_share_pct
+FROM j
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

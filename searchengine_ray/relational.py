@@ -450,3 +450,82 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
             Sum("bal_cents", alias_name="sum_acctbal_cents"),
         )
     )
+
+
+def promo_revenue_share(sf_dir: str, month: str = "1995-09"):
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    coming from PROMO parts. The part side broadcasts (dimension table —
+    one ``ray.put`` of a partkey -> is_promo bitmap read inside every
+    task); lineitem is a pruned scan with the ship-month predicate pushed
+    to the parquet read. Revenue stays exact int64 cents; the final
+    promo share is the single IEEE division ``100 * promo / total`` of
+    two exact integers. Returns one row
+    (promo_revenue_cents, total_revenue_cents, promo_share_pct).
+    """
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    y, m = (int(x) for x in month.split("-"))
+    lo = _dt.date(y, m, 1)
+    hi = _dt.date(y + (m == 12), m % 12 + 1, 1)
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    keys = part.column("p_partkey").to_numpy()
+    promo = pc.starts_with(part.column("p_type"), "PROMO").to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], promo[order]))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, isp = ray.get(ref)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(1.0, t.column("l_discount")),
+                    ),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy()
+        pk = t.column("l_partkey").to_numpy()
+        idx = np.searchsorted(k, pk)
+        hit = isp[np.clip(idx, 0, len(k) - 1)] & (k[np.clip(idx, 0, len(k) - 1)] == pk)
+        return pa.table(
+            {
+                "promo": pa.array([int(rev[hit].sum())], pa.int64()),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    promo_c = sum(r["promo"] for r in rows)
+    total_c = sum(r["total"] for r in rows)
+    if total_c == 0:
+        raise ValueError(f"no lineitems shipped in {month}")
+    share = float(
+        100.0 * np.float64(promo_c) / np.float64(total_c)
+    )
+    return pa.table(
+        {
+            "promo_revenue_cents": pa.array([promo_c], pa.int64()),
+            "total_revenue_cents": pa.array([total_c], pa.int64()),
+            "promo_share_pct": pa.array([round(share, 6)], pa.float64()),
+        }
+    )

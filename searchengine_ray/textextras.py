@@ -254,3 +254,102 @@ def pmi_collocations(
             ),
         }
     ).cast(out_schema)
+
+
+def term_burstiness(sf_dir: str, min_df: int = 50):
+    """Per-term burstiness (Church & Gale 1995 / Katz's K-mixture input):
+    for every term with df >= ``min_df``, the exact int64 moments of its
+    per-document tf over ALL documents — df, ctf (= S), sum of squared
+    tf (= Q) — plus the variance-to-mean ratio over the N-doc corpus,
+    VMR = (N*Q - S*S) / (N*S), as ONE fixed double expression of exact
+    integers (VMR >> 1 marks bursty/topical terms, VMR ~= 1 Poisson-like
+    function words — a classic vocabulary-quality signal).
+
+    Scale shape: one tokenize scan, per-batch (term, tf, tf^2) Arrow
+    partials, ONE vocab-cardinality shuffle, bounded driver rows (terms
+    above the df floor). Returns (term, df, ctf, sum_tf_sq, vmr_r).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .textstats import _flat_tokens, _read_docs
+
+    n_docs = 0
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs == 0:
+        raise ValueError("term_burstiness: empty corpus")
+
+    def partial(t: pa.Table) -> pa.Table:
+        n, doc_idx, flat = _flat_tokens(t)
+        if len(doc_idx) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy().astype(np.int64)
+        nv = len(d.dictionary)
+        key = doc_idx * np.int64(nv) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        tcode = (ukey % nv).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "tcode": pa.array(tcode, pa.int64()),
+                    "one": pa.array(np.ones(len(tcode), np.int64)),
+                    "tf": pa.array(tf.astype(np.int64)),
+                    "tf2": pa.array((tf * tf).astype(np.int64)),
+                }
+            )
+            .group_by(["tcode"])
+            .aggregate([("one", "sum"), ("tf", "sum"), ("tf2", "sum")])
+        )
+        terms = d.dictionary.take(g.column("tcode"))
+        return pa.table(
+            {
+                "term": terms,
+                "df": g.column("one_sum").cast(pa.int64()),
+                "s": g.column("tf_sum").cast(pa.int64()),
+                "q": g.column("tf2_sum").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        _read_docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("s", alias_name="ctf"),
+            Sum("q", alias_name="sum_tf_sq"),
+        )
+        .take_all()  # bounded: vocabulary rows (post-floor output below)
+    )
+    rows = [r for r in rows if r["df"] >= min_df]
+    rows.sort(key=lambda r: r["term"])
+    N = np.float64(n_docs)
+    vmr = [
+        float(
+            (N * np.float64(r["sum_tf_sq"])
+             - np.float64(r["ctf"]) * np.float64(r["ctf"]))
+            / (N * np.float64(r["ctf"]))
+        )
+        for r in rows
+    ]
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "df": pa.array([r["df"] for r in rows], pa.int64()),
+            "ctf": pa.array([r["ctf"] for r in rows], pa.int64()),
+            "sum_tf_sq": pa.array(
+                [r["sum_tf_sq"] for r in rows], pa.int64()
+            ),
+            "vmr_r": pa.array(np.round(vmr, 6), pa.float64()),
+        }
+    )

@@ -527,3 +527,38 @@ def test_custs_without_orders_brute(ray_session):
     assert got.c_nationkey.tolist() == exp.c_nationkey.tolist()
     assert got.n_custs.tolist() == exp.n_custs.tolist()
     assert got.sum_acctbal_cents.tolist() == exp.sum_acctbal_cents.tolist()
+
+
+def test_promo_share_brute(ray_session):
+    import duckdb
+
+    from searchengine_ray.relational import promo_revenue_share
+
+    sf = "/root/testdata/sf0.001"
+    got = promo_revenue_share(sf).to_pandas()
+    exp = duckdb.sql(
+        f"""WITH li AS (SELECT l_partkey,
+              CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                   AS BIGINT) AS rev
+            FROM read_parquet('{sf}/lineitem.parquet')
+            WHERE l_shipdate >= DATE '1995-09-01'
+              AND l_shipdate < DATE '1995-10-01'),
+        j AS (SELECT rev, CASE WHEN p.p_type LIKE 'PROMO%' THEN 1
+                          ELSE 0 END AS isp
+              FROM li JOIN read_parquet('{sf}/part.parquet') p
+                ON p.p_partkey = li.l_partkey)
+        SELECT CAST(coalesce(sum(CASE WHEN isp = 1 THEN rev END), 0)
+                    AS BIGINT) AS promo,
+               CAST(sum(rev) AS BIGINT) AS total FROM j"""
+    ).df()
+    assert int(got.promo_revenue_cents[0]) == int(exp.promo[0])
+    assert int(got.total_revenue_cents[0]) == int(exp.total[0])
+
+
+def test_promo_share_no_rows_raises(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.relational import promo_revenue_share
+
+    with _pytest.raises(ValueError, match="no lineitems"):
+        promo_revenue_share("/root/testdata/sf0.001", month="1970-01")

@@ -1109,3 +1109,33 @@ def test_anomaly_3sigma_matches_float_rule(ray_session):
     mu, sig = counts.mean(), counts.std()
     exp = (np.abs(counts - mu) > 3 * sig).astype(int)
     assert got.is_anomaly.tolist() == exp.tolist()
+
+
+def test_term_burstiness_brute(ray_session):
+    """Moments equal a pandas recount; stopword-ish uniform terms sit
+    near VMR ~= 1 while no term falls below the Poisson floor wildly."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.analyze import TOKEN_RE
+    from searchengine_ray.textextras import term_burstiness
+
+    sf = "/root/testdata/sf0.001"
+    got = term_burstiness(sf, min_df=30).to_pandas()
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    df_c, s_c, q_c = Counter(), Counter(), Counter()
+    for text in t.column("text").to_pylist():
+        c = Counter(TOKEN_RE.findall(text.lower()))
+        for term, tf in c.items():
+            df_c[term] += 1
+            s_c[term] += tf
+            q_c[term] += tf * tf
+    for _, r in got.iterrows():
+        assert df_c[r.term] == r.df >= 30
+        assert s_c[r.term] == r.ctf
+        assert q_c[r.term] == r.sum_tf_sq
+        n = float(t.num_rows)
+        vmr = (n * r.sum_tf_sq - r.ctf * r.ctf) / (n * r.ctf)
+        assert abs(vmr - r.vmr_r) < 1e-6
