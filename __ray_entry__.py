@@ -4544,7 +4544,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MAD (interpolating-median over the bounded cents histogram),
         # matrix_stats (int64 second moments + fixed-tree correlation)
         "events_auto_date_histogram": esaggs.auto_date_histogram_agg,
-        "events_weighted_avg": esaggs.weighted_avg_agg,
+        # T5 span-corruption preview (new late r5): iid splitmix token
+        # masks keyed (doc_id, pos) in wrapping uint64, runs -> spans,
+        # per-doc exact-integer accounting; the mask chain replays in
+        # HUGEINT mod-2^64
+        "cur_span_corruption": curation.span_corruption_stats,
         "events_matrix_stats": esaggs.matrix_stats_agg,
         # search engine (documents-derived corpus)
         # Lucene span-query family (new r5, never driver-verified):
@@ -4807,6 +4811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "events_weighted_avg": esaggs.weighted_avg_agg,  # new late r5, parked by priority (yielded its slot to cur_span_corruption, new late r5); in-window events_auto_date_histogram/events_histogram-family heads drive the same per-batch Arrow partial + single-shuffle machinery, parked se_runtime_field the JSON props extraction (both SQL-checked in GATE_LOCAL_r05), and the exact int numerator/denominator split keeps its pytest (test_esaggs)
         "events_rare_terms": esaggs.rare_terms_agg,  # new late r5, parked by priority (yielded its slot to text_burstiness, new late r5); in-window events_terms_shard_error drives the same terms-bucket counting + ordering-contract machinery and the max_doc_count rare cut keeps its pytest (test_esaggs)
         "src_roundtrip": gate.src_roundtrip,  # new late r5, parked by priority (yielded its slot to rel_promo_share, new late r5); in-window sibling src_hive_roundtrip drives the identical _checksum_batch content surface through the third sink/reader pair, and the JSONL/CSV lossless-roundtrip semantics keep their pytest (test_sources)
         "se_composite_agg": gate.se_composite_agg,  # new late r5, parked by priority (yielded its slot to text_feature_hashing, new late r5); in-window se_top_hits + the events_* agg heads cover the per-batch Arrow group_by combiner + narrow-shuffle machinery, and the lexicographic after-cursor pushdown keeps its pytest (test_composite)
@@ -5372,6 +5377,33 @@ SELECT CAST(coalesce(sum(CASE WHEN isp = 1 THEN rev END), 0) AS BIGINT)
                           AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE), 6) AS promo_share_pct
 FROM j
+""",
+        "cur_span_corruption": f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))))
+           AS pos
+  FROM documents),
+{_splitmix_ctes('scx', 'tok', ['doc_id', 'pos'],
+                 "((CAST(doc_id AS HUGEINT) * 4294967296 + pos) % 18446744073709551616)",
+                 53)},
+mk AS (SELECT doc_id, pos,
+              CASE WHEN v % 1000000 < 150000
+                   THEN 1 ELSE 0 END AS m
+       FROM scx3),
+sp AS (SELECT doc_id, pos, m,
+        CASE WHEN m = 1 AND coalesce(lag(m) OVER (
+               PARTITION BY doc_id ORDER BY pos), 0) = 0
+             THEN 1 ELSE 0 END AS st
+       FROM mk),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(m) AS BIGINT) AS n_masked,
+               CAST(sum(st) AS BIGINT) AS n_spans
+        FROM sp GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

@@ -2164,3 +2164,71 @@ def temperature_sample(
     return _read_docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+SPAN_CORRUPT_SEED = 53
+SPAN_CORRUPT_RATE_MICRO = 150_000  # 15% token mask rate
+
+
+def span_corruption_stats(
+    sf_dir: str,
+    rate_micro: int = SPAN_CORRUPT_RATE_MICRO,
+    seed: int = SPAN_CORRUPT_SEED,
+):
+    """T5-style span-corruption PREVIEW (Raffel et al. 2020 §3.1.4): mask
+    each token iid at ``rate_micro``/1e6 by a splitmix64 draw keyed on
+    (doc_id, pos) — runs of consecutive masked tokens form the corruption
+    spans (each span becomes one sentinel in the real objective). Emits
+    the per-doc accounting a data pipeline needs to size the objective
+    (mask budget per doc, expected span length): (doc_id, n_tokens,
+    n_masked, n_spans).
+
+    Decisions are re-partition/resume-stable (pure function of
+    (doc_id, pos, seed); the key packs as ``doc_id * 2^32 + pos`` in
+    WRAPPING uint64 arithmetic, replayed mod 2^64 in HUGEINT by the
+    oracle). Shuffle-free per-doc scan, exact integers out.
+    """
+    if not (0 < rate_micro < 1_000_000):
+        raise ValueError("rate_micro must be in (0, 1e6)")
+
+    from .textstats import _flat_tokens, _read_docs
+
+    def stats(t: pa.Table) -> pa.Table:
+        n, doc_idx, flat = _flat_tokens(t)
+        ids = t.column("doc_id").to_numpy()
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(doc_idx):
+            pos_in_doc = np.arange(len(doc_idx), dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+            pos_in_doc -= np.repeat(
+                pos_in_doc[starts],
+                np.diff(np.append(starts, len(doc_idx))),
+            )
+            key = (
+                ids[doc_idx].astype(np.uint64) << np.uint64(32)
+            ) + pos_in_doc.astype(np.uint64)
+            masked = (
+                _hash64(key, seed) % np.uint64(1_000_000)
+            ).astype(np.int64) < rate_micro
+            n_masked = np.bincount(
+                doc_idx[masked], minlength=n
+            ).astype(np.int64)
+            span_start = masked & np.r_[
+                True, (~masked[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+            ]
+            n_spans = np.bincount(
+                doc_idx[span_start], minlength=n
+            ).astype(np.int64)
+        else:
+            n_masked = np.zeros(n, dtype=np.int64)
+            n_spans = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_masked": pa.array(n_masked, pa.int64()),
+                "n_spans": pa.array(n_spans, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")

@@ -990,3 +990,42 @@ def test_temperature_sample_budget_guard(ray_session):
 
     with pytest.raises(ValueError, match="budget_micro"):
         temperature_sample("/root/testdata/sf0.001", budget_micro=0)
+
+
+def test_span_corruption_brute_and_rate(ray_session):
+    """Per-doc mask/span counts equal a scalar splitmix replay; the
+    realized mask rate sits near the 15% target."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.analyze import TOKEN_RE
+    from searchengine_ray.curation import (
+        SPAN_CORRUPT_SEED, span_corruption_stats,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    sf = "/root/testdata/sf0.001"
+    got = span_corruption_stats(sf).to_pandas().set_index("doc_id")
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    tot_tok = tot_mask = 0
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        n = len(TOKEN_RE.findall(text.lower()))
+        keys = (np.uint64(did) << np.uint64(32)) + np.arange(
+            n, dtype=np.uint64)
+        m = (_hash64(keys, SPAN_CORRUPT_SEED)
+             % np.uint64(1_000_000)) < 150_000
+        spans = int((m & np.r_[True, ~m[:-1]]).sum())
+        r = got.loc[did]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (n, int(m.sum()),
+                                                       spans)
+        tot_tok += n
+        tot_mask += int(m.sum())
+    assert abs(tot_mask / tot_tok - 0.15) < 0.02
+
+
+def test_span_corruption_rate_guard(ray_session):
+    from searchengine_ray.curation import span_corruption_stats
+
+    with pytest.raises(ValueError, match="rate_micro"):
+        span_corruption_stats("/root/testdata/sf0.001", rate_micro=0)
