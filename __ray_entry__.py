@@ -4650,7 +4650,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-time synonym expansion (new late r5, ES synonym filter
         # analog): Term leaves rewrite to #SYN before evaluation; BM25
         # scores the fused list's derived stats, replayed as term IN (...)
-        "se_synonyms": gate.se_synonyms,
+        # DAU/WAU rolling distinct actives (new late r5): distinct
+        # (user, day) pairs first, bounded x7 explode, re-dedupe, per-day
+        # counts — the standard rolling-actives shape, exact integers
+        "events_dau_wau": windows.dau_wau,
         # similarity zoo via the §2.12 registered-model surface (new late
         # r5, never driver-verified; rotated in for ann_sq8 +
         # cur_dup_ngram_chars, parked below): LM Jelinek-Mercer served in
@@ -4811,6 +4814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "se_synonyms": gate.se_synonyms,  # new late r5, parked by priority (yielded its slot to events_dau_wau, new late r5); in-window se_simple_query_string drives the same leaf-rewrite -> derived-list BM25 scoring surface (its #NEAR leaf scores with derived stats exactly like the #SYN fused list) and the Term->#SYN expansion keeps its pytest (test_synonyms)
         "events_weighted_avg": esaggs.weighted_avg_agg,  # new late r5, parked by priority (yielded its slot to cur_span_corruption, new late r5); in-window events_auto_date_histogram/events_histogram-family heads drive the same per-batch Arrow partial + single-shuffle machinery, parked se_runtime_field the JSON props extraction (both SQL-checked in GATE_LOCAL_r05), and the exact int numerator/denominator split keeps its pytest (test_esaggs)
         "events_rare_terms": esaggs.rare_terms_agg,  # new late r5, parked by priority (yielded its slot to text_burstiness, new late r5); in-window events_terms_shard_error drives the same terms-bucket counting + ordering-contract machinery and the max_doc_count rare cut keeps its pytest (test_esaggs)
         "src_roundtrip": gate.src_roundtrip,  # new late r5, parked by priority (yielded its slot to rel_promo_share, new late r5); in-window sibling src_hive_roundtrip drives the identical _checksum_batch content surface through the third sink/reader pair, and the JSONL/CSV lossless-roundtrip semantics keep their pytest (test_sources)
@@ -4876,7 +4880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_dup_ngram_chars": curation.dup_ngram_chars,  # driver-verified r4, code unchanged; parked cur_scrub_ngrams hash-checks the same gram-hash/df counting kernel (the two ship as one family) and cur_decontam_near the shingle-set machinery; the Gopher coverage rule keeps its oracle-parity pytest (rotated out for se_f2exp, new late r5)
         "geo_radius": geo.gate_radius,  # new r5, parked: its two kernels are both in-window — squared-distance arithmetic via geo_knn, derived-coord membership filtering via geo_bbox; radius = their composition, SQL-checked in GATE_LOCAL_r05
         "se_bm25_tiered": gate.se_bm25_tiered,  # driver-verified r4, code unchanged; in-window se_pit_search hash-checks the identical full-corpus BM25 SQL shape and se_bm25_expunged the merge/compaction lifecycle (expunge IS a forced merge of live docs); the TieredMergePolicy selection keeps its pytest suite (rotated out for events_histogram_agg, new late r5)
-        "se_prefix_tf": gate.se_prefix_tf,  # driver-verified r4, code unchanged; in-window se_synonyms hash-checks the same dictionary-expansion -> #SYN rewrite machinery, and the vocab-scan filter family (#FUZZY/#WILDCARD/#REGEXP) keeps its 60-case randomized fuzz suite (rotated out for events_range_agg, new late r5)
+        "se_prefix_tf": gate.se_prefix_tf,  # driver-verified r4, code unchanged; parked se_synonyms (SQL-checked) shares the dictionary-expansion -> #SYN rewrite machinery and in-window se_simple_query_string the derived-list scoring surface, and the vocab-scan filter family (#FUZZY/#WILDCARD/#REGEXP) keeps its 60-case randomized fuzz suite (rotated out for events_range_agg, new late r5)
         "se_collapse": gate.se_collapse,  # driver-verified r4, code unchanged; in-window se_top_hits hash-checks the strict superset machinery (top-k-per-group vs collapse's top-1-per-group over the same ranked surface) (rotated out for events_filters_agg, new late r5)
         "events_hourly_users_hll": sketch.hll_distinct_users,  # driver-verified r4, code unchanged; in-window events_moving_aggs + events_pipeline_aggs hash-check the identical hourly-histogram partial+shuffle, and the HLL register/estimate formula keeps its exact-integer SQL parity in GATE_LOCAL_r05 plus its pytest suite (rotated out for events_adjacency_matrix, new late r5)
         "cur_gopher_rules": curation.gopher_rules,  # driver-verified r4, code unchanged; in-window cur_dup_ngram_chars hash-checks the same analyzer tokenize + per-doc counting kernel and cur_mixture_sample the keep-draw filter shape; the exact-integer cross-multiplied rules keep their oracle-parity pytest (rotated out for events_rare_terms, new late r5)
@@ -5404,6 +5408,18 @@ SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
        CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "events_dau_wau": """
+WITH p AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+days AS (SELECT DISTINCT day FROM p),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY day),
+w AS (SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+      FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+SELECT d.day AS epoch_day, dau.dau, w.wau
+FROM days d JOIN dau ON dau.day = d.day JOIN w ON w.day = d.day
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

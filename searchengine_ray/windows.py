@@ -719,3 +719,102 @@ def hourly_moving_aggs(
             "serial_diff": pa.array(sd),
         }
     )
+
+
+def dau_wau(sf_dir: str, window_days: int = 7):
+    """DAU / WAU rolling distinct users per day: DAU(d) = distinct users
+    active on day d; WAU(d) = distinct users active in the trailing
+    ``window_days`` window [d-6, d]. The distributed identity: reduce
+    events to DISTINCT (user, day) pairs first (one user-day shuffle of
+    int pairs — never the raw events), then each pair contributes to
+    ``window_days`` target days (a bounded x7 explode of the already
+    thin pair stream), re-deduped by one more (user, target_day) groupby
+    before the per-day count — the standard rolling-actives shape (MAU
+    is the same pipeline at window_days=30). Target days outside the
+    observed [min_day, max_day] span are dropped.
+
+    Returns (epoch_day, dau, wau) for every active day, exact integers.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // _DAY_US
+        g = (
+            pa.table({"user_id": t.column("user_id"),
+                      "day": pa.array(d, pa.int64())})
+            .group_by(["user_id", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return g.select(["user_id", "day"])
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    def day_count(t: pa.Table, col: str) -> pa.Table:
+        g = (
+            pa.table({"day": t.column(col)})
+            .group_by(["day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"day": g.column("day"),
+             "n": g.column("count_all").cast(pa.int64())}
+        )
+
+    dau_rows = (
+        pairs.map_batches(
+            lambda t: day_count(t, "day"), batch_format="pyarrow"
+        )
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="dau"))
+        .take_all()  # bounded: n_days
+    )
+    day_by = {r["day"]: r["dau"] for r in dau_rows}
+    lo, hi = min(day_by), max(day_by)
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        d = t.column("day").to_numpy()
+        uu = np.repeat(u, window_days)
+        dd = np.repeat(d, window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(d)
+        )
+        keep = (dd >= lo) & (dd <= hi)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[keep], pa.int64()),
+                "day": pa.array(dd[keep], pa.int64()),
+            }
+        )
+
+    wau_rows = (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .map_batches(
+            lambda t: day_count(t, "day"), batch_format="pyarrow"
+        )
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="wau"))
+        .take_all()  # bounded: n_days
+    )
+    wau_by = {r["day"]: r["wau"] for r in wau_rows}
+    days = sorted(day_by)
+    return pa.table(
+        {
+            "epoch_day": pa.array(days, pa.int64()),
+            "dau": pa.array([day_by[d] for d in days], pa.int64()),
+            "wau": pa.array([wau_by.get(d, 0) for d in days], pa.int64()),
+        }
+    )

@@ -137,3 +137,39 @@ def test_funnel_stepwise_vs_horizon(ray_session):
             prev = int(cand.min())
             counts[i] += 1
     assert list(step.users) == counts
+
+
+def test_dau_wau_brute_and_invariants(ray_session):
+    import duckdb
+
+    from searchengine_ray.windows import dau_wau
+
+    sf = "/root/testdata/sf0.001"
+    got = dau_wau(sf).to_pandas()
+    exp = duckdb.sql(
+        f"""WITH p AS (SELECT DISTINCT user_id,
+              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM read_parquet('{sf}/events.parquet')),
+        days AS (SELECT DISTINCT day FROM p),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM p GROUP BY day),
+        w AS (SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT)
+                AS wau FROM days d
+              JOIN p ON p.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
+        SELECT d.day AS epoch_day, dau.dau, w.wau FROM days d
+        JOIN dau ON dau.day = d.day JOIN w ON w.day = d.day
+        ORDER BY epoch_day"""
+    ).df()
+    assert got.epoch_day.tolist() == exp.epoch_day.tolist()
+    assert got.dau.tolist() == exp.dau.tolist()
+    assert got.wau.tolist() == exp.wau.tolist()
+    assert (got.wau >= got.dau).all()
+
+
+def test_dau_wau_window_guard(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.windows import dau_wau
+
+    with _pytest.raises(ValueError, match="window_days"):
+        dau_wau("/root/testdata/sf0.001", window_days=0)
