@@ -4520,7 +4520,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalize (percent_of_sum) + bucket_sort pipeline aggs (new
         # late r5): single IEEE division of exact int64s, coordinator
         # bucket pagination (from=1, size=3) over the bounded list
-        "events_normalize_sort": esaggs.normalize_sort_agg,
+        # TPC-H Q4-shaped EXISTS via left_semi (new late r5): the semi
+        # sibling of the Q22 left_anti — returned-lineitem keys deduped
+        # in the hash-partitioned pass, priority rollup
+        "rel_orders_with_returns": relational.orders_with_returns,
         # string_stats agg over documents.text per source (new late r5):
         # exact int64 char-length moments + one IEEE division; entropy
         # intentionally omitted (order-dependent transcendental sum)
@@ -4814,6 +4817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "events_normalize_sort": esaggs.normalize_sort_agg,  # new late r5, parked by priority (yielded its slot to rel_orders_with_returns, new late r5); in-window events_bucket_stats drives the same bounded-bucket coordinator pagination + single-IEEE-division-of-exact-ints shape and the events_histogram-family heads the partial+shuffle machinery; the from/size page cut keeps its pytest (test_esaggs)
         "se_synonyms": gate.se_synonyms,  # new late r5, parked by priority (yielded its slot to events_dau_wau, new late r5); in-window se_simple_query_string drives the same leaf-rewrite -> derived-list BM25 scoring surface (its #NEAR leaf scores with derived stats exactly like the #SYN fused list) and the Term->#SYN expansion keeps its pytest (test_synonyms)
         "events_weighted_avg": esaggs.weighted_avg_agg,  # new late r5, parked by priority (yielded its slot to cur_span_corruption, new late r5); in-window events_auto_date_histogram/events_histogram-family heads drive the same per-batch Arrow partial + single-shuffle machinery, parked se_runtime_field the JSON props extraction (both SQL-checked in GATE_LOCAL_r05), and the exact int numerator/denominator split keeps its pytest (test_esaggs)
         "events_rare_terms": esaggs.rare_terms_agg,  # new late r5, parked by priority (yielded its slot to text_burstiness, new late r5); in-window events_terms_shard_error drives the same terms-bucket counting + ordering-contract machinery and the max_doc_count rare cut keeps its pytest (test_esaggs)
@@ -5420,6 +5424,15 @@ w AS (SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
       GROUP BY d.day)
 SELECT d.day AS epoch_day, dau.dau, w.wau
 FROM days d JOIN dau ON dau.day = d.day JOIN w ON w.day = d.day
+""",
+        "rel_orders_with_returns": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

@@ -529,3 +529,51 @@ def promo_revenue_share(sf_dir: str, month: str = "1995-09"):
             "promo_share_pct": pa.array([round(share, 6)], pa.float64()),
         }
     )
+
+
+def orders_with_returns(sf_dir: str, quarter_start: str = "1996-01-01"):
+    """TPC-H Q4-shaped semi-join block: orders placed in one quarter
+    that have AT LEAST ONE returned lineitem (l_returnflag = 'R'),
+    counted per order priority — the EXISTS form, executed as Ray's
+    hash-partitioned ``Dataset.join(join_type="left_semi")`` (the semi
+    sibling of rel_custs_without_orders' left_anti; together they gate
+    both correlated-subquery shapes). Both reads are column-pruned with
+    their predicates pushed into the parquet scan; dedup of the
+    lineitem keys happens in the same hash-partitioned pass.
+
+    Returns (o_orderpriority, n_orders).
+    """
+    import datetime as _dt
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    y, m, d = (int(x) for x in quarter_start.split("-"))
+    lo = _dt.date(y, m, d)
+    hi = _dt.date(y + (m > 9), (m + 2) % 12 + 1, 1)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    )
+    returned = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey"],
+            filter=pc.field("l_returnflag") == "R",
+        )
+        .groupby("l_orderkey")
+        .count()
+    )
+    semi = orders.join(
+        returned,
+        join_type="left_semi",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return semi.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )

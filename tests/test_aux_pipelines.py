@@ -562,3 +562,28 @@ def test_promo_share_no_rows_raises(ray_session):
 
     with _pytest.raises(ValueError, match="no lineitems"):
         promo_revenue_share("/root/testdata/sf0.001", month="1970-01")
+
+
+def test_orders_with_returns_brute(ray_session):
+    import duckdb
+
+    from searchengine_ray.relational import orders_with_returns
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        orders_with_returns(sf).to_pandas()
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM read_parquet('{sf}/orders.parquet') o
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1996-04-01'
+              AND o.o_orderkey IN
+                (SELECT l_orderkey
+                 FROM read_parquet('{sf}/lineitem.parquet')
+                 WHERE l_returnflag = 'R')
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got.o_orderpriority.tolist() == exp.o_orderpriority.tolist()
+    assert got.n_orders.tolist() == exp.n_orders.tolist()
