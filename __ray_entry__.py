@@ -4516,7 +4516,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top_metrics agg (new late r5): per-bucket metric at the top of
         # the (ts DESC, event_id DESC) sort — per-batch lexsort argmax
         # partial, n_types x n_blocks bounded driver fold
-        "events_top_metrics": esaggs.top_metrics_agg,
+        # repeat-factor oversampling (new late r5): the multi-epoch
+        # data-mixing primitive — floor(boost) copies + fractional-part
+        # hash draw, copy_idx out; the upsampling half the subsample-only
+        # mixers lack
+        "cur_oversample_boost": curation.oversample_boost,
         # normalize (percent_of_sum) + bucket_sort pipeline aggs (new
         # late r5): single IEEE division of exact int64s, coordinator
         # bucket pagination (from=1, size=3) over the bounded list
@@ -4817,6 +4821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "events_top_metrics": esaggs.top_metrics_agg,  # new late r5, parked by priority (yielded its slot to cur_oversample_boost, new late r5); in-window events_ohlc drives the identical per-batch lexsort argmax partial + per-bucket total-order merge (OHLC's open/close picks ARE top_metrics at both ends of the sort), pytest-pinned (test_esaggs)
         "events_normalize_sort": esaggs.normalize_sort_agg,  # new late r5, parked by priority (yielded its slot to rel_orders_with_returns, new late r5); in-window events_bucket_stats drives the same bounded-bucket coordinator pagination + single-IEEE-division-of-exact-ints shape and the events_histogram-family heads the partial+shuffle machinery; the from/size page cut keeps its pytest (test_esaggs)
         "se_synonyms": gate.se_synonyms,  # new late r5, parked by priority (yielded its slot to events_dau_wau, new late r5); in-window se_simple_query_string drives the same leaf-rewrite -> derived-list BM25 scoring surface (its #NEAR leaf scores with derived stats exactly like the #SYN fused list) and the Term->#SYN expansion keeps its pytest (test_synonyms)
         "events_weighted_avg": esaggs.weighted_avg_agg,  # new late r5, parked by priority (yielded its slot to cur_span_corruption, new late r5); in-window events_auto_date_histogram/events_histogram-family heads drive the same per-batch Arrow partial + single-shuffle machinery, parked se_runtime_field the JSON props extraction (both SQL-checked in GATE_LOCAL_r05), and the exact int numerator/denominator split keeps its pytest (test_esaggs)
@@ -5433,6 +5438,19 @@ WHERE o.o_orderdate >= DATE '1996-01-01'
   AND o.o_orderkey IN (SELECT l_orderkey FROM lineitem
                        WHERE l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "cur_oversample_boost": f"""
+WITH {_splitmix_ctes('ox', 'documents', ['doc_id', 'lang'],
+                      'doc_id', 59)},
+d AS (SELECT doc_id, lang, CAST(v % 1000000 AS BIGINT) AS draw FROM ox3),
+b(lang, micro) AS (VALUES ('fr', 2500000), ('zh', 1700000), ('es', 1200000), ('de', 1000000), ('en', 600000)),
+c AS (SELECT d.doc_id, d.lang,
+        CAST(b.micro // 1000000
+             + CASE WHEN d.draw < b.micro % 1000000 THEN 1 ELSE 0 END
+             AS BIGINT) AS n
+      FROM d JOIN b ON b.lang = d.lang)
+SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
+FROM c WHERE n > 0
 """,
         "events_cumulative_cardinality": """
 WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,

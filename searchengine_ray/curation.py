@@ -2232,3 +2232,77 @@ def span_corruption_stats(
         )
 
     return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+OVERSAMPLE_SEED = 59
+OVERSAMPLE_BOOST_MICRO: dict[str, int] = {
+    # epochs x 1e6 per language: >1e6 upsamples (fractional part by
+    # hash draw), <1e6 subsamples — both directions of data mixing
+    "fr": 2_500_000,
+    "zh": 1_700_000,
+    "es": 1_200_000,
+    "de": 1_000_000,
+    "en": 600_000,
+}
+
+
+def oversample_boost(
+    sf_dir: str,
+    boosts_micro: "dict[str, int] | None" = None,
+    seed: int = OVERSAMPLE_SEED,
+):
+    """Repeat-factor sampling (the multi-epoch data-mixing primitive —
+    e.g. running Wikipedia for ~3 epochs while crawl runs once): each
+    doc emits ``floor(boost)`` copies plus one more when the splitmix64
+    draw lands under the fractional part — so boost 2.5e6 micro means
+    "2 copies always, a 3rd with p=0.5", and boost < 1e6 degrades to the
+    usual subsample keep-draw. The missing half of the sampling surface
+    beside the subsample-only mixers (`mixture_sample`,
+    `temperature_sample`, `sample_stratified`).
+
+    Decisions are pure functions of (doc_id, seed) — re-partition and
+    resume stable; output rows carry ``copy_idx`` (0-based) so a
+    downstream shuffle/pack can treat copies as distinct examples.
+    Returns (doc_id, lang, copy_idx). Shuffle-free vectorized scan
+    (np.repeat + per-doc arange); languages absent from the boost map
+    drop entirely.
+    """
+    boosts = OVERSAMPLE_BOOST_MICRO if boosts_micro is None else boosts_micro
+    if any(b < 0 for b in boosts.values()):
+        raise ValueError("boost micros must be >= 0")
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        micro = np.fromiter(
+            (boosts.get(lg, 0) for lg in langs), dtype=np.int64,
+            count=len(langs),
+        )
+        draw = (_hash64(ids, seed) % np.uint64(1_000_000)).astype(np.int64)
+        copies = micro // 1_000_000 + (draw < micro % 1_000_000)
+        total = int(copies.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "copy_idx": pa.array([], pa.int64()),
+                }
+            )
+        rep_ids = np.repeat(ids, copies)
+        rep_lang = np.repeat(langs, copies)
+        starts = np.cumsum(copies) - copies
+        copy_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            starts, copies
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "lang": pa.array(rep_lang, pa.string()),
+                "copy_idx": pa.array(copy_idx, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        expand, batch_format="pyarrow"
+    )

@@ -1029,3 +1029,42 @@ def test_span_corruption_rate_guard(ray_session):
 
     with pytest.raises(ValueError, match="rate_micro"):
         span_corruption_stats("/root/testdata/sf0.001", rate_micro=0)
+
+
+def test_oversample_boost_brute(ray_session):
+    """Copy counts equal the scalar floor+draw rule; copy_idx runs are
+    dense 0..n-1 per doc; en subsamples while fr upsamples."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.curation import (
+        OVERSAMPLE_BOOST_MICRO, OVERSAMPLE_SEED, oversample_boost,
+    )
+    from searchengine_ray.sketch import _hash64
+
+    sf = "/root/testdata/sf0.001"
+    got = oversample_boost(sf).to_pandas()
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_numpy()
+    langs = t.column("lang").to_numpy(zero_copy_only=False)
+    draws = (_hash64(ids, OVERSAMPLE_SEED)
+             % np.uint64(1_000_000)).astype(int)
+    n_fr = n_all_fr = 0
+    for did, lg, d in zip(ids, langs, draws):
+        mi = OVERSAMPLE_BOOST_MICRO.get(lg, 0)
+        n = mi // 1_000_000 + (d < mi % 1_000_000)
+        sub = got[got.doc_id == did]
+        assert len(sub) == n
+        assert sorted(sub.copy_idx) == list(range(n))
+        if lg == "fr":
+            n_fr += n
+            n_all_fr += 1
+    assert n_fr >= 2 * n_all_fr  # fr boost >= 2.0 epochs by construction
+
+
+def test_oversample_boost_guard(ray_session):
+    from searchengine_ray.curation import oversample_boost
+
+    with pytest.raises(ValueError, match="boost"):
+        oversample_boost("/root/testdata/sf0.001",
+                         boosts_micro={"en": -1})
