@@ -132,6 +132,15 @@ def bq_topk(
     )
 
     def batch_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
         qi, qc, wm, mn, sp = ray.get(ref)
         bids = t.column("vec_id").to_numpy()
         mat = batch_matrix(t)

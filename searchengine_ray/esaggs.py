@@ -1293,22 +1293,6 @@ def cumulative_cardinality_agg(sf_dir: str) -> pa.Table:
     import ray.data
     from ray.data.aggregate import Min, Sum
 
-    US_DAY = 86_400_000_000
-
-    def day_partial(t: pa.Table) -> pa.Table:
-        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // US_DAY
-        g = (
-            pa.table({"epoch_day": pa.array(d, pa.int64())})
-            .group_by(["epoch_day"])
-            .aggregate([([], "count_all")])
-        )
-        return pa.table(
-            {
-                "epoch_day": g.column("epoch_day"),
-                "n": g.column("count_all").cast(pa.int64()),
-            }
-        )
-
     def user_partial(t: pa.Table) -> pa.Table:
         d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // US_DAY
         g = (
@@ -1326,12 +1310,10 @@ def cumulative_cardinality_agg(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
-    day_rows = (
-        ds.map_batches(day_partial, batch_format="pyarrow")
-        .groupby("epoch_day")
-        .aggregate(Sum("n", alias_name="doc_count"))
-        .take_all()  # bounded: n_days rows
-    )
+    # per-day doc counts: the shared daily-histogram machinery
+    day_rows = [
+        {"epoch_day": d, "doc_count": c} for d, c in _daily_counts(sf_dir)
+    ]
     first_days = (
         ds.map_batches(user_partial, batch_format="pyarrow")
         .groupby("user_id")

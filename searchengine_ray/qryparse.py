@@ -489,11 +489,22 @@ def parse_simple_query(
         pos[0] += 1
         return t
 
+    _CLAUSE_STARTS = ("term", "phrase", "lparen", "minus")
+
     def parse_or():
+        # '|' always joins here; whitespace-adjacent clauses also land at
+        # this level when default_operator="or" (parse_and defers them)
         left = [parse_and()]
-        while peek() == ("op", "|"):
-            take()
-            left.append(parse_and())
+        while True:
+            nxt = peek()
+            if nxt == ("op", "|"):
+                take()
+                left.append(parse_and())
+            elif (default_operator == "or" and nxt is not None
+                  and nxt[0] in _CLAUSE_STARTS):
+                left.append(parse_and())
+            else:
+                break
         return left[0] if len(left) == 1 else ("or", left)
 
     def parse_and():
@@ -503,29 +514,13 @@ def parse_simple_query(
             if nxt == ("op", "+"):
                 take()
                 left.append(parse_unary())
-            elif nxt is not None and nxt[0] in ("term", "phrase", "lparen",
-                                                "minus"):
+            elif nxt is not None and nxt[0] in _CLAUSE_STARTS:
                 if default_operator == "or":
                     break  # whitespace joins at the OR level
                 left.append(parse_unary())
             else:
                 break
         return left[0] if len(left) == 1 else ("and", left)
-
-    def parse_or_ws():
-        # wrapper so default_operator="or" folds whitespace into OR
-        left = [parse_and()]
-        while True:
-            nxt = peek()
-            if nxt == ("op", "|"):
-                take()
-                left.append(parse_and())
-            elif nxt is not None and nxt[0] in ("term", "phrase", "lparen",
-                                                "minus"):
-                left.append(parse_and())
-            else:
-                break
-        return left[0] if len(left) == 1 else ("or", left)
 
     def parse_unary():
         nxt = peek()
@@ -536,7 +531,7 @@ def parse_simple_query(
             return ("not", parse_unary())
         if nxt[0] == "lparen":
             take()
-            node = parse_or() if default_operator == "and" else parse_or_ws()
+            node = parse_or()
             if peek() != ("rparen", ")"):
                 raise QuerySyntaxError("simple_query_string: unbalanced (")
             take()
@@ -553,7 +548,7 @@ def parse_simple_query(
             return ("leaf", val)
         raise QuerySyntaxError(f"simple_query_string: unexpected {val!r}")
 
-    root = parse_or() if default_operator == "and" else parse_or_ws()
+    root = parse_or()
     if peek() is not None:
         raise QuerySyntaxError(
             f"simple_query_string: trailing input at {peek()!r}"

@@ -33,7 +33,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import STOPWORDS, _flat_tokens, _read_docs
+from .textstats import (
+    STOPWORDS, _distinct_bigram_counts, _flat_tokens, _read_docs,
+)
 
 QC_ITERS = 5000
 QC_LR = 2.0
@@ -59,22 +61,9 @@ def features_batch(t: pa.Table) -> pa.Table:
         first[0] = True
         first[1:] = (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])
         n_uniq = np.bincount(dd[first], minlength=n).astype(np.int64)
-        vocab = int(codes.max()) + 1
-        adj = np.flatnonzero(doc_idx[1:] == doc_idx[:-1])
-        key = codes[adj] * np.int64(vocab) + codes[adj + 1]
-        db = doc_idx[adj]
-        order = np.lexsort((key, db))
-        db, kk = db[order], key[order]
-        if len(db):
-            firstb = np.empty(len(db), dtype=bool)
-            firstb[0] = True
-            firstb[1:] = (db[1:] != db[:-1]) | (kk[1:] != kk[:-1])
-            n_bg = np.bincount(db[firstb], minlength=n).astype(np.int64)
-        else:
-            n_bg = np.zeros(n, dtype=np.int64)
     else:
         n_uniq = np.zeros(n, dtype=np.int64)
-        n_bg = np.zeros(n, dtype=np.int64)
+    _, n_bg = _distinct_bigram_counts(doc_idx, codes, n)
     return pa.table(
         {
             "doc_id": t.column("doc_id"),

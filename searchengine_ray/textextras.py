@@ -274,7 +274,6 @@ def term_burstiness(sf_dir: str, min_df: int = 50):
 
     from .textstats import _flat_tokens, _read_docs
 
-    n_docs = 0
     import pyarrow.parquet as pq_
 
     n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows

@@ -320,6 +320,36 @@ def _winnow_doc_fps(
     return empty
 
 
+
+
+def _distinct_bigram_counts(
+    doc_idx: np.ndarray, codes: np.ndarray, n: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-doc (n_bigrams, n_distinct_bigrams) from batch-local
+    dictionary codes — the collision-free int64 pack (a * V + b) + one
+    lexsort + boundary count. Shared by `distinct_ngrams` and
+    `qualityclf.features_batch` so the kernel and its DuckDB oracle stay
+    bit-identical in one place."""
+    if len(codes) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z.copy()
+    vocab = int(codes.max()) + 1
+    adj = np.flatnonzero(doc_idx[1:] == doc_idx[:-1])
+    n_bg = np.bincount(doc_idx[adj], minlength=n).astype(np.int64)
+    if len(adj):
+        key = codes[adj] * np.int64(vocab) + codes[adj + 1]
+        dd = doc_idx[adj]
+        order = np.lexsort((key, dd))
+        dd, kk = dd[order], key[order]
+        first = np.empty(len(dd), dtype=bool)
+        first[0] = True
+        first[1:] = (dd[1:] != dd[:-1]) | (kk[1:] != kk[:-1])
+        n_dist = np.bincount(dd[first], minlength=n).astype(np.int64)
+    else:
+        n_dist = np.zeros(n, dtype=np.int64)
+    return n_bg, n_dist
+
+
 def distinct_ngrams(sf_dir: str):
     """(doc_id, n_bigrams, n_distinct_bigrams) — the distinct-n-gram
     diversity signal (type/token ratio at n=2; the self-repetition
@@ -335,21 +365,7 @@ def distinct_ngrams(sf_dir: str):
     def stats(t: pa.Table) -> pa.Table:
         n, doc_idx, flat = _flat_tokens(t)
         codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
-        vocab = int(codes.max()) + 1 if len(codes) else 1
-        adj = np.flatnonzero(doc_idx[1:] == doc_idx[:-1]) \
-            if len(codes) else np.empty(0, np.int64)
-        n_bg = np.bincount(doc_idx[adj], minlength=n).astype(np.int64)
-        if len(adj):
-            key = codes[adj] * np.int64(vocab) + codes[adj + 1]
-            dd = doc_idx[adj]
-            order = np.lexsort((key, dd))
-            dd, kk = dd[order], key[order]
-            first = np.empty(len(dd), dtype=bool)
-            first[0] = True
-            first[1:] = (dd[1:] != dd[:-1]) | (kk[1:] != kk[:-1])
-            n_dist = np.bincount(dd[first], minlength=n).astype(np.int64)
-        else:
-            n_dist = np.zeros(n, dtype=np.int64)
+        n_bg, n_dist = _distinct_bigram_counts(doc_idx, codes, n)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

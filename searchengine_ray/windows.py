@@ -759,6 +759,11 @@ def dau_wau(sf_dir: str, window_days: int = 7):
         .groupby(["user_id", "day"])
         .count()
         .drop_columns(["count()"])
+        # both the DAU fold and the WAU explode consume this stream; the
+        # deduped (user, day) pairs are the REDUCED intermediate (orders
+        # of magnitude below the raw events), so materializing here runs
+        # the expensive read+dedup shuffle once instead of twice
+        .materialize()
     )
 
     def day_count(t: pa.Table, col: str) -> pa.Table:
