@@ -42,6 +42,15 @@ def main() -> None:
                     help="also write cur_lm_perplexity scores")
     ap.add_argument("--bpe-counts", action="store_true",
                     help="also write text_bpe_tokens counts")
+    ap.add_argument("--temperature-sample", action="store_true",
+                    help="also write the XLM-R alpha=1/2 temperature "
+                         "sample (kept doc ids)")
+    ap.add_argument("--oversample", action="store_true",
+                    help="also write repeat-factor oversample copies "
+                         "(doc_id, lang, copy_idx)")
+    ap.add_argument("--quality-scores", action="store_true",
+                    help="also train + write the logistic quality "
+                         "classifier scores")
     args = ap.parse_args()
 
     import ray
@@ -79,6 +88,31 @@ def main() -> None:
         t0 = time.time()
         bpe_token_counts(args.corpus).write_parquet(_fresh("bpe_counts"))
         report["bpe_counts_sec"] = round(time.time() - t0, 3)
+    if args.temperature_sample:
+        from searchengine_ray.curation import temperature_sample
+
+        t0 = time.time()
+        temperature_sample(args.corpus).write_parquet(
+            _fresh("temperature_sample")
+        )
+        report["temperature_sample_sec"] = round(time.time() - t0, 3)
+    if args.oversample:
+        from searchengine_ray.curation import oversample_boost
+
+        t0 = time.time()
+        oversample_boost(args.corpus).write_parquet(_fresh("oversample"))
+        report["oversample_sec"] = round(time.time() - t0, 3)
+    if args.quality_scores:
+        from searchengine_ray.qualityclf import (
+            quality_scores, train_quality_classifier,
+        )
+
+        t0 = time.time()
+        b, w = train_quality_classifier(args.corpus)
+        quality_scores(args.corpus, b, w).write_parquet(
+            _fresh("quality_scores")
+        )
+        report["quality_scores_sec"] = round(time.time() - t0, 3)
 
     n = ray.data.read_parquet(os.path.join(args.out, "survivors")).count()
     report["survivors"] = n
