@@ -4359,9 +4359,9 @@ def _ann_sq8_gate(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray import (
-        ann, annpq, bpe, curation, dedup, esaggs, gate, geo, kmeans, mmr,
-        multimodal, rake, relational, sketch, sq8, textextras, textrank,
-        textstats, windows,
+        ann, annpq, bpe, bq, curation, dedup, esaggs, gate, geo, kmeans,
+        mmr, multimodal, rake, relational, sketch, sq8, textextras,
+        textrank, textstats, windows,
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
@@ -4512,7 +4512,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cumulative distinct users per day via the first-day identity —
         # groupby(user).min(day) keeps the shuffle user-sized, the
         # cumsum runs over the bounded day list
-        "events_cumulative_cardinality": esaggs.cumulative_cardinality_agg,
+        # LSH-bucketed multiprobe ANN (new late r5, the other classic
+        # scale path beside IVF): axis-sign bucket codes (literal-free),
+        # own bucket + all Hamming-1 probes, exact-cosine rerank
+        "ann_lsh_multiprobe": bq.lsh_multiprobe_topk,
         # top_metrics agg (new late r5): per-bucket metric at the top of
         # the (ts DESC, event_id DESC) sort — per-batch lexsort argmax
         # partial, n_types x n_blocks bounded driver fold
@@ -4821,6 +4824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "events_cumulative_cardinality": esaggs.cumulative_cardinality_agg,  # new late r5, parked by priority (yielded its slot to ann_lsh_multiprobe, new late r5); in-window events_dau_wau drives the same distinct-(user, day) reduction + bounded per-day fold machinery (cumulative distinct IS the rolling-actives family's cumulative leg, derived from the identical groupby(user).min(day) shape), pytest-pinned (test_esaggs)
         "events_top_metrics": esaggs.top_metrics_agg,  # new late r5, parked by priority (yielded its slot to cur_oversample_boost, new late r5); in-window events_ohlc drives the identical per-batch lexsort argmax partial + per-bucket total-order merge (OHLC's open/close picks ARE top_metrics at both ends of the sort), pytest-pinned (test_esaggs)
         "events_normalize_sort": esaggs.normalize_sort_agg,  # new late r5, parked by priority (yielded its slot to rel_orders_with_returns, new late r5); in-window events_bucket_stats drives the same bounded-bucket coordinator pagination + single-IEEE-division-of-exact-ints shape and the events_histogram-family heads the partial+shuffle machinery; the from/size page cut keeps its pytest (test_esaggs)
         "se_synonyms": gate.se_synonyms,  # new late r5, parked by priority (yielded its slot to events_dau_wau, new late r5); in-window se_simple_query_string drives the same leaf-rewrite -> derived-list BM25 scoring surface (its #NEAR leaf scores with derived stats exactly like the #SYN fused list) and the Term->#SYN expansion keeps its pytest (test_synonyms)
@@ -5465,6 +5469,54 @@ SELECT dc.epoch_day, dc.doc_count,
        CAST(sum(coalesce(nu.n_new_users, 0))
             OVER (ORDER BY dc.epoch_day) AS BIGINT) AS n_cumulative_users
 FROM dc LEFT JOIN nu USING (epoch_day)
+""",
+        "ann_lsh_multiprobe": """
+WITH en AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) = 0
+         THEN 1.0
+         ELSE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) END AS nrm
+  FROM embeddings),
+vd AS (
+  SELECT vec_id, unnest(list_transform(v, x -> x / nrm)) AS x,
+         unnest(range(len(v))) AS d
+  FROM en),
+codes AS (
+  SELECT vec_id,
+         CAST(coalesce(sum(CASE WHEN x > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER))
+                    ELSE 0 END), 0) AS BIGINT) AS code
+  FROM vd WHERE d < 8 GROUP BY vec_id),
+qc AS (SELECT vec_id AS query_id, code FROM codes WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, code AS pcode FROM qc
+  UNION ALL
+  SELECT q.query_id,
+         CASE WHEN (q.code // (CAST(1 AS BIGINT) << CAST(j.j AS INTEGER)))
+                   % 2 = 1
+              THEN q.code - (CAST(1 AS BIGINT) << CAST(j.j AS INTEGER))
+              ELSE q.code + (CAST(1 AS BIGINT) << CAST(j.j AS INTEGER))
+         END
+  FROM qc q, (SELECT unnest(range(8)) AS j) j),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN codes c ON c.code = p.pcode
+  WHERE c.vec_id != p.query_id),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) AS sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings v ON v.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id)
+       AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
 """,
         "events_top_metrics": """
 WITH r AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS top_ts_us,

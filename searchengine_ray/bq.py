@@ -212,3 +212,69 @@ def bq_topk(
             "rank": pa.array((rank[keep] + 1).astype(np.int32), pa.int32()),
         }
     ).cast(_BQ_SCHEMA)
+
+
+def lsh_multiprobe_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    n_bits: int = 8,
+) -> pa.Table:
+    """LSH-bucketed ANN with multiprobe (the other classic scale path
+    beside IVF): vectors bucket by an ``n_bits`` sign code over the
+    FIRST n_bits dimensions (axis-aligned hyperplanes — deterministic
+    and literal-free, the 16x-coarser cousin of `bq_topk`'s full code),
+    a query probes its own bucket plus all ``n_bits`` Hamming-1
+    neighbor buckets (the multiprobe trick: one extra flip recovers
+    most of the recall a single-bucket lookup loses), and probed
+    candidates re-rank by EXACT cosine. Returns
+    (query_id, neighbor_id, cosine, rank) — cosine rounded to 6, rank
+    by (cosine DESC, neighbor_id ASC), self excluded.
+
+    Scale shape: at scale the corpus is hive-partitioned by code (the
+    ann_ivf pattern — probed buckets prune the read); at gate scale one
+    shuffle-free scan filters per batch. Probe sets broadcast once;
+    driver fold is the bounded `_merge_topk`.
+    """
+    import ray
+    import ray.data
+
+    from .ann import _candidate_rows, _merge_topk
+
+    if not (1 <= n_bits <= 16):
+        raise ValueError("n_bits must be in [1, 16]")
+    q_ids, q_mat = _query_matrix(sf_dir, n_queries)
+    weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+    q_codes = ((q_mat[:, :n_bits] > 0.0).astype(np.int64) @ weights)
+    # probe set per query: own bucket + every Hamming-1 flip
+    flips = np.concatenate(
+        [np.zeros(1, np.int64), np.int64(1) << np.arange(n_bits)]
+    )
+    probes = q_codes[:, None] ^ flips[None, :]  # (nq, n_bits+1)
+    ref = ray.put((q_ids, q_mat, probes))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def batch_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        qi, qm, pr = ray.get(ref)
+        bids = t.column("vec_id").to_numpy()
+        mat = batch_matrix(t)
+        codes = ((mat[:, :n_bits] > 0.0).astype(np.int64) @ weights)
+        sims = qm @ mat.T  # (nq, nb) float64 — exact rerank metric
+        # candidate mask: batch code in the query's probe set
+        member = (codes[None, :, None] == pr[:, None, :]).any(axis=2)
+        sims = np.where(member, sims, -np.inf)
+        sims[qi[:, None] == bids[None, :]] = -np.inf
+        return _candidate_rows(qi, sims, bids, k)
+
+    return _merge_topk(ds.map_batches(batch_scan, batch_format="pyarrow"), k)

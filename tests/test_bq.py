@@ -79,3 +79,42 @@ def test_bq_topk_batch_size_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     assert base.equals(small)
+
+
+def test_lsh_multiprobe_matches_brute(ray_session):
+    """Candidate set = probed buckets exactly; ranks = exact cosine
+    among candidates; recall vs full brute is positive."""
+    from searchengine_ray.ann import _load_matrix
+    from searchengine_ray.bq import lsh_multiprobe_topk
+
+    ids, mat = _load_matrix(SF)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    nq, k, nb = 10, 10, 8
+    w = (1 << np.arange(nb)).astype(np.int64)
+    codes = ((mat[:, :nb] > 0).astype(np.int64) @ w)
+    got = lsh_multiprobe_topk(SF, n_queries=nq, k=k,
+                              n_bits=nb).to_pandas()
+    for qi in range(nq):
+        probes = {int(codes[qi])} | {
+            int(codes[qi] ^ (1 << j)) for j in range(nb)
+        }
+        cand = [j for j in range(len(ids))
+                if int(codes[j]) in probes and ids[j] != ids[qi]]
+        sims = sorted(
+            ((float(mat[qi] @ mat[j]), int(ids[j])) for j in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        sub = got[got.query_id == ids[qi]].sort_values("rank")
+        assert list(sub.neighbor_id) == [nid for _, nid in sims]
+        for c, (s, _) in zip(sub.cosine, sims):
+            assert c == round(s, 6)
+
+
+def test_lsh_multiprobe_guard(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.bq import lsh_multiprobe_topk
+
+    with _pytest.raises(ValueError, match="n_bits"):
+        lsh_multiprobe_topk(SF, n_bits=0)
