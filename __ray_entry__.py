@@ -4508,10 +4508,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab shuffle; VMR as a single fixed double expression
         "text_burstiness": textextras.term_burstiness,
         "events_percentiles": esaggs.percentiles_agg,
-        # cumulative_cardinality pipeline agg (new late r5): exact
-        # cumulative distinct users per day via the first-day identity —
-        # groupby(user).min(day) keeps the shuffle user-sized, the
-        # cumsum runs over the bounded day list
         # LSH-bucketed multiprobe ANN (new late r5, the other classic
         # scale path beside IVF): axis-sign bucket codes (literal-free),
         # own bucket + all Hamming-1 probes, exact-cosine rerank

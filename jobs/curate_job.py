@@ -7,7 +7,8 @@ of work you submit with ``ray job submit`` on a real cluster:
     ray job submit --working-dir /path/to/repo -- \\
         python jobs/curate_job.py \\
         --corpus /data/sf0.1 --out /data/curated \\
-        [--min-tokens 20] [--lm-scores] [--bpe-counts]
+        [--min-tokens 20] [--lm-scores] [--bpe-counts] \\
+        [--temperature-sample] [--oversample] [--quality-scores]
 
 On the cluster the job connects to the running Ray instance
 (``ray.init(address="auto")``); standalone it starts a local session.
@@ -19,7 +20,11 @@ overwrite of the output directory).
 
 ``--lm-scores`` / ``--bpe-counts`` additionally write the CCNet-style
 bigram-LM NLL scores and real-BPE token counts beside the survivors, the
-columns a downstream mixing/packing step consumes.
+columns a downstream mixing/packing step consumes;
+``--temperature-sample`` / ``--oversample`` write the XLM-R alpha=1/2
+kept set and the repeat-factor copy table, and ``--quality-scores``
+trains the logistic quality classifier (full-corpus up to 4096 docs,
+deterministically hash-thinned above) and writes per-doc probabilities.
 """
 
 from __future__ import annotations

@@ -270,10 +270,22 @@ def lsh_multiprobe_topk(
         bids = t.column("vec_id").to_numpy()
         mat = batch_matrix(t)
         codes = ((mat[:, :n_bits] > 0.0).astype(np.int64) @ weights)
-        sims = qm @ mat.T  # (nq, nb) float64 — exact rerank metric
-        # candidate mask: batch code in the query's probe set
+        # candidate mask FIRST, exact cosine only for probed columns —
+        # the prune must precede the matmul or it saves nothing (the
+        # rescore-only-the-shortlist design bq_topk uses above)
         member = (codes[None, :, None] == pr[:, None, :]).any(axis=2)
-        sims = np.where(member, sims, -np.inf)
+        cols = np.flatnonzero(member.any(axis=0))
+        if len(cols) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = np.full((len(qi), len(mat)), -np.inf)
+        sims[:, cols] = qm @ mat[cols].T  # exact rerank metric
+        sims[~member] = -np.inf
         sims[qi[:, None] == bids[None, :]] = -np.inf
         return _candidate_rows(qi, sims, bids, k)
 

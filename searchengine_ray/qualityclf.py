@@ -86,23 +86,39 @@ def label_rule(F: np.ndarray) -> np.ndarray:
 def train_quality_classifier(
     sf_dir: str, iters: int = QC_ITERS, lr: float = QC_LR
 ) -> tuple[float, np.ndarray]:
-    """Deterministic full-batch logistic GD on the bounded corpus sample.
-    Returns (bias, w_eff) with the /QC_SCALE feature scaling already
-    folded into ``w_eff`` (elementwise exact division by a power of 2).
-    """
+    """Deterministic full-batch logistic GD on the bounded corpus sample
+    (full corpus up to QC_MAX_TRAIN_ROWS docs, splitmix-thinned above —
+    deterministic either way). Returns (bias, w_eff) with the /QC_SCALE
+    feature scaling already folded into ``w_eff`` (elementwise exact
+    division by a power of 2)."""
     import pyarrow.parquet as pq
 
+    from .sketch import _hash64
+
     n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    if n_rows > QC_MAX_TRAIN_ROWS:
-        raise ValueError(
-            f"quality classifier trains full-corpus only up to "
-            f"{QC_MAX_TRAIN_ROWS} docs (got {n_rows}); hash-thin the "
-            "sample before training at scale"
+    if n_rows <= QC_MAX_TRAIN_ROWS:
+        thresh = np.uint64(0xFFFFFFFF)
+    else:
+        # splitmix-thinned deterministic sample (the _sample_matrix
+        # convention): bounded driver rows at any corpus size, and at
+        # gate scale (<= cap) every row survives so the SQL-literal
+        # oracle's weights derive from the full corpus
+        thresh = np.uint64(
+            max(1, int(QC_MAX_TRAIN_ROWS / n_rows * 0xFFFFFFFF))
         )
+
+    def thin(t: pa.Table) -> pa.Table:
+        keep = (
+            _hash64(t.column("doc_id").to_numpy(), 97)
+            & np.uint64(0xFFFFFFFF)
+        ) <= thresh
+        return t.filter(pa.array(keep))
+
     rows = (
         _read_docs(sf_dir)
+        .map_batches(thin, batch_format="pyarrow")
         .map_batches(features_batch, batch_format="pyarrow")
-        .take_all()  # bounded by the guard above
+        .take_all()  # bounded: ~QC_MAX_TRAIN_ROWS rows by construction
     )
     rows.sort(key=lambda r: r["doc_id"])
     F = np.array(

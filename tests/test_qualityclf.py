@@ -17,7 +17,10 @@ def test_training_deterministic(ray_session):
     assert np.array_equal(w1, w2)
 
 
-def test_guard_on_oversized_corpus(monkeypatch, ray_session):
+def test_oversized_corpus_thins_deterministically(monkeypatch,
+                                                  ray_session):
+    """Above the cap the trainer hash-thins instead of raising, and the
+    thinned training stays deterministic."""
     import pyarrow.parquet as pq
 
     from searchengine_ray import qualityclf
@@ -31,8 +34,15 @@ def test_guard_on_oversized_corpus(monkeypatch, ray_session):
         pq, "read_metadata", lambda p: FakeMeta() if "documents" in p
         else real(p),
     )
-    with pytest.raises(ValueError, match="4096"):
-        qualityclf.train_quality_classifier(SF)
+    b1, w1 = qualityclf.train_quality_classifier(SF)
+    b2, w2 = qualityclf.train_quality_classifier(SF)
+    assert b1 == b2 and np.array_equal(w1, w2)
+    # the fake 10k-row metadata forces a thinning threshold < max, so
+    # the sample is a strict subset and the weights differ from the
+    # full-corpus training below
+    monkeypatch.undo()
+    b_full, w_full = qualityclf.train_quality_classifier(SF)
+    assert (b1, list(w1)) != (b_full, list(w_full))
 
 
 def test_classifier_learns_rule(ray_session):

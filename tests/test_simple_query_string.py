@@ -134,10 +134,10 @@ def test_sqs_unbounded_not_raises(ray_session):
 
 
 def test_sqs_randomized_membership_fuzz(ray_session):
-    """150 random grammar-generated queries: the engine's membership
+    """150 random grammar-generated queries: the engine's MEMBERSHIP
     equals a brute set-algebra evaluation of the parsed AST over
-    per-leaf match sets (and scores equal the #SUM over positive
-    leaves re-queried directly)."""
+    per-leaf match sets (scores are covered by the bool_search
+    bitwise-equality test above, not re-checked here)."""
     import random
 
     from searchengine_ray.qryparse import parse_simple_query
