@@ -4530,7 +4530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # string_stats agg over documents.text per source (new late r5):
         # exact int64 char-length moments + one IEEE division; entropy
         # intentionally omitted (order-dependent transcendental sum)
-        "text_string_stats": esaggs.string_stats_agg,
+        # day-of-week x hour heatmap (new late r5): pure integer
+        # dow/hour derivation (no calendar library on either side),
+        # packed 168-cell bincount partials, one narrow shuffle
+        "events_heatmap": esaggs.heatmap_agg,
         # calendar date_histogram + multi_terms (new late r5, never
         # driver-verified; rotated in for se_bm25f + se_percolate_scored,
         # parked below): calendar-month buckets via exact-integer
@@ -4820,6 +4823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "text_string_stats": esaggs.string_stats_agg,  # new late r5, parked by priority (yielded its slot to events_heatmap, new late r5); the per-batch Arrow group_by partial + single-shuffle machinery is the in-window events-agg family shape, the single IEEE division of exact ints is events_bucket_stats' avg (in-window), and the per-source length moments keep their oracle-parity pytest (test_esaggs)
         "events_cumulative_cardinality": esaggs.cumulative_cardinality_agg,  # new late r5, parked by priority (yielded its slot to ann_lsh_multiprobe, new late r5); in-window events_dau_wau drives the same distinct-(user, day) reduction + bounded per-day fold machinery (cumulative distinct IS the rolling-actives family's cumulative leg, derived from the identical groupby(user).min(day) shape), pytest-pinned (test_esaggs)
         "events_top_metrics": esaggs.top_metrics_agg,  # new late r5, parked by priority (yielded its slot to cur_oversample_boost, new late r5); in-window events_ohlc drives the identical per-batch lexsort argmax partial + per-bucket total-order merge (OHLC's open/close picks ARE top_metrics at both ends of the sort), pytest-pinned (test_esaggs)
         "events_normalize_sort": esaggs.normalize_sort_agg,  # new late r5, parked by priority (yielded its slot to rel_orders_with_returns, new late r5); in-window events_bucket_stats drives the same bounded-bucket coordinator pagination + single-IEEE-division-of-exact-ints shape and the events_histogram-family heads the partial+shuffle machinery; the from/size page cut keeps its pytest (test_esaggs)
@@ -5513,6 +5517,14 @@ SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
        AS INTEGER) AS rank
 FROM s
 QUALIFY rank <= 10
+""",
+        "events_heatmap": """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+c AS (SELECT ((us // 86400000000 + 3) % 7) AS dow,
+             ((us // 3600000000) % 24) AS hour FROM e)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM c GROUP BY dow, hour
 """,
         "events_top_metrics": """
 WITH r AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS top_ts_us,

@@ -1758,3 +1758,53 @@ def anomaly_3sigma_agg(sf_dir: str) -> pa.Table:
             "is_anomaly": pa.array(flags, pa.int64()),
         }
     )
+
+
+def heatmap_agg(sf_dir: str) -> pa.Table:
+    """Activity heatmap: event counts per (day-of-week, hour-of-day)
+    cell — the classic dashboard downsample. Both coordinates derive by
+    PURE INTEGER arithmetic from epoch microseconds (dow 0 = Monday via
+    ``(epoch_day + 3) % 7`` — 1970-01-01 was a Thursday; hour via
+    ``(epoch_us // 3600e6) % 24``), so no calendar library sits between
+    the engine and the oracle. Per-batch bincount over the packed
+    dow*24+hour cell, ONE 168-cell shuffle.
+
+    Returns (dow, hour, n_events) for non-empty cells.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        day = us // US_DAY
+        dow = (day + 3) % 7
+        hour = (us // US_HOUR) % 24
+        cell = dow * 24 + hour
+        cnt = np.bincount(cell, minlength=168).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .take_all()  # bounded: <= 168 rows
+    )
+    rows.sort(key=lambda r: r["cell"])
+    return pa.table(
+        {
+            "dow": pa.array([r["cell"] // 24 for r in rows], pa.int64()),
+            "hour": pa.array([r["cell"] % 24 for r in rows], pa.int64()),
+            "n_events": pa.array(
+                [r["n_events"] for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -744,3 +744,37 @@ def test_ohlc_batch_size_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     assert base.equals(small)
+
+
+def test_heatmap_agg(ray_session):
+    from searchengine_ray.esaggs import heatmap_agg
+
+    _assert_match(
+        heatmap_agg(SF),
+        f"""WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us
+                FROM {EV}),
+            c AS (SELECT ((us // 86400000000 + 3) % 7) AS dow,
+                         ((us // 3600000000) % 24) AS hour FROM e)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(hour AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM c GROUP BY dow, hour""",
+    )
+
+
+def test_heatmap_dow_matches_calendar(ray_session):
+    """The integer dow rule agrees with DuckDB's calendar dayofweek
+    (isodow-1) on every event day."""
+    import duckdb
+
+    from searchengine_ray.esaggs import heatmap_agg
+
+    got = heatmap_agg(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+            FROM {EV} GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    got = got.sort_values(["dow", "hour"]).reset_index(drop=True)
+    assert got.equals(exp)
