@@ -4365,9 +4365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 218 SQL-backed entries (full rows+schema+hash check
+    # The registry has 219 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 168 must sit beyond the window no matter the order. The
+    # 169 must sit beyond the window no matter the order. The
     # window holds ONLY never-driver-verified entries (all 50 slots), with
     # family HEADS and the judge-requested mm_* promotions first. Parked
     # entries come in two documented kinds (notes inline at each): (a)
