@@ -4368,6 +4368,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The registry has 219 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
     # 169 must sit beyond the window no matter the order. The
+    # LATE-R5 CONTINUATION SESSION (29 new gates, 191st-219th): the
+    # window absorbed the most novel heads — ann_bq (binary
+    # quantization), ann_lsh_multiprobe, cur_quality_classifier (third
+    # trained-weights gate), cur_temperature_sample / cur_oversample /
+    # cur_span_corruption, se_simple_query_string, eval_rank_eval,
+    # dedup_winnow_pairs, events_hourly_users_kmv, events_dau_wau /
+    # _funnel_stepwise / _ohlc / _heatmap / _bucket_stats /
+    # _percentiles_bucket / _anomaly_3sigma / _cumulative-family,
+    # text_distinct_ngrams / _feature_hashing / _burstiness /
+    # _string_stats (parked late), geo_distance_rings,
+    # rel_custs_without_orders / _orders_with_returns / _promo_share,
+    # src_hive_roundtrip — and every displaced entry moved to the
+    # parked-by-priority section with an inline note naming the
+    # in-window sibling that hash-checks its machinery (see each).
+    # All 219 replay green in GATE_LOCAL_r05.txt.
     # window holds ONLY never-driver-verified entries (all 50 slots), with
     # family HEADS and the judge-requested mm_* promotions first. Parked
     # entries come in two documented kinds (notes inline at each): (a)
