@@ -4572,7 +4572,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # masks keyed (doc_id, pos) in wrapping uint64, runs -> spans,
         # per-doc exact-integer accounting; the mask chain replays in
         # HUGEINT mod-2^64
-        "cur_span_corruption": curation.span_corruption_stats,
+        # streaming n-gram novelty (new late r5): gram -> min(doc_id)
+        # ownership, one gram min-shuffle + one hash-partitioned join,
+        # FNV/positional-combine hashes shared with the winnow chain
+        "cur_ngram_novelty": curation.ngram_novelty,
         "events_matrix_stats": esaggs.matrix_stats_agg,
         # search engine (documents-derived corpus)
         # Lucene span-query family (new r5, never driver-verified):
@@ -4838,6 +4841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (GATE_LOCAL_r05.txt). Late-r5 window rebalance: 13 new gates
         # (161st-173rd) would have pushed mm_*/cluster_* out; instead
         # these variants yield their slots. ----
+        "cur_span_corruption": curation.span_corruption_stats,  # new late r5, parked by priority (yielded its slot to cur_ngram_novelty, new late r5); in-window cur_temperature_sample + cur_oversample_boost drive the same splitmix64 draw chains (HUGEINT-replayed) and the (doc_id, pos)-keyed wrapping pack + lag-span accounting keep their oracle-parity pytests (test_curation)
         "text_string_stats": esaggs.string_stats_agg,  # new late r5, parked by priority (yielded its slot to events_heatmap, new late r5); the per-batch Arrow group_by partial + single-shuffle machinery is the in-window events-agg family shape, the single IEEE division of exact ints is events_bucket_stats' avg (in-window), and the per-source length moments keep their oracle-parity pytest (test_esaggs)
         "events_cumulative_cardinality": esaggs.cumulative_cardinality_agg,  # new late r5, parked by priority (yielded its slot to ann_lsh_multiprobe, new late r5); in-window events_dau_wau drives the same distinct-(user, day) reduction + bounded per-day fold machinery (cumulative distinct IS the rolling-actives family's cumulative leg, derived from the identical groupby(user).min(day) shape), pytest-pinned (test_esaggs)
         "events_top_metrics": esaggs.top_metrics_agg,  # new late r5, parked by priority (yielded its slot to cur_oversample_boost, new late r5); in-window events_ohlc drives the identical per-batch lexsort argmax partial + per-bucket total-order merge (OHLC's open/close picks ARE top_metrics at both ends of the sort), pytest-pinned (test_esaggs)
@@ -5457,6 +5461,33 @@ WHERE o.o_orderdate >= DATE '1996-01-01'
   AND o.o_orderkey IN (SELECT l_orderkey FROM lineitem
                        WHERE l_returnflag = 'R')
 GROUP BY o_orderpriority
+""",
+        "cur_ngram_novelty": f"""
+WITH {_TOK},
+f AS (SELECT doc_id, pos,
+      list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(string_split(term, ''),
+                         c -> CAST(unicode(c) AS HUGEINT))),
+        (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                          AS HUGEINT) * 1099511628211) % {_WINNOW_T}
+      ) AS fh
+      FROM tok),
+g2 AS (SELECT doc_id, fh AS f0, lead(fh, 1) OVER w AS f1
+       FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g3 AS (SELECT doc_id,
+        ((f0 * 668265295) % {_WINNOW_T}
+         + ((f0 * 3266489917) % 4294967296) * 4294967296) % {_WINNOW_T}
+          AS p1, f1
+       FROM g2 WHERE f1 IS NOT NULL),
+g AS (SELECT doc_id,
+       CAST(((p1 + f1) % {_WINNOW_T}) // 2 AS BIGINT) AS gh FROM g3),
+sel AS (SELECT DISTINCT doc_id, gh FROM g),
+firsts AS (SELECT gh, min(doc_id) AS fd FROM sel GROUP BY gh)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(sum(CASE WHEN fi.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_bigrams
+FROM sel s JOIN firsts fi USING (gh) GROUP BY s.doc_id
 """,
         "cur_oversample_boost": f"""
 WITH {_splitmix_ctes('ox', 'documents', ['doc_id', 'lang'],

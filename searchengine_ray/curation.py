@@ -2306,3 +2306,105 @@ def oversample_boost(
     return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
         expand, batch_format="pyarrow"
     )
+
+
+def ngram_novelty(sf_dir: str):
+    """Streaming n-gram novelty (the dedup-pressure signal a crawl
+    pipeline tracks as it ingests): per doc, how many of its DISTINCT
+    token bigrams appear here for the FIRST time in doc_id order —
+    novelty 1.0 means all-new content, ~0 means the doc's phrasing is
+    entirely recycled from earlier documents. First-occurrence ownership
+    is a pure min-reduction (gram -> min(doc_id)), so the result is
+    ingestion-order-deterministic and re-partition-stable.
+
+    Scale shape: distinct (gram_hash, doc) rows (uint64 shingle hashes,
+    never strings) -> ONE gram-keyed min shuffle -> ONE hash-partitioned
+    join back -> per-doc counts. No driver state beyond the output.
+    Returns (doc_id, n_distinct_bigrams, n_novel_bigrams).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import _POS_MIX, _term_hash64
+    from .textstats import _flat_tokens, _read_docs
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        n, doc_idx, flat = _flat_tokens(t)
+        ids = t.column("doc_id").to_numpy()
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        if len(doc_idx) < 2:
+            return empty
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.fromiter(
+            (_term_hash64(x) for x in uniq), dtype=np.uint64,
+            count=len(uniq),
+        )
+        seq = uh[d.indices.to_numpy()]
+        # positional 2-gram combine — EXACTLY the shingle kernel at k=2
+        # (h_0 = seq0, h_1 = h_0 * _POS_MIX[1] + seq1), so the oracle
+        # reuses the winnow SQL's mulmod constants
+        h = seq[:-1] * _POS_MIX[1] + seq[1:]
+        valid = doc_idx[:-1] == doc_idx[1:]
+        gh = (h[valid] >> np.uint64(1)).astype(np.int64)  # sign-safe
+        gd = doc_idx[:-1][valid]
+        if len(gh) == 0:
+            return empty
+        order = np.lexsort((gh, gd))
+        gd, gh = gd[order], gh[order]
+        first = np.empty(len(gd), dtype=bool)
+        first[0] = True
+        first[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+        return pa.table(
+            {
+                "gh": pa.array(gh[first], pa.int64()),
+                "doc_id": pa.array(ids[gd[first]], pa.int64()),
+            }
+        )
+
+    rows = _read_docs(sf_dir).map_batches(gram_rows, batch_format="pyarrow")
+    firsts = (
+        rows.groupby("gh").aggregate(Min("doc_id", alias_name="first_doc"))
+    )
+    joined = rows.join(
+        firsts, join_type="inner", num_partitions=16, on=("gh",),
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        novel = (
+            t.column("first_doc").to_numpy() == ids
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "one": pa.array(np.ones(len(ids), np.int64)),
+                    "nov": pa.array(novel, pa.int64()),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("one", "sum"), ("nov", "sum")])
+        )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "nd": g.column("one_sum").cast(pa.int64()),
+                "nn": g.column("nov_sum").cast(pa.int64()),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("nd", alias_name="n_distinct_bigrams"),
+            Sum("nn", alias_name="n_novel_bigrams"),
+        )
+    )
+    return per_doc

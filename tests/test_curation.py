@@ -1068,3 +1068,47 @@ def test_oversample_boost_guard(ray_session):
     with pytest.raises(ValueError, match="boost"):
         oversample_boost("/root/testdata/sf0.001",
                          boosts_micro={"en": -1})
+
+
+def test_ngram_novelty_brute(ray_session):
+    """Per-doc novelty equals a scalar replay of the shingle chain +
+    first-occurrence ownership; the first doc is fully novel."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.analyze import TOKEN_RE
+    from searchengine_ray.curation import ngram_novelty
+    from searchengine_ray.dedup import _POS_MIX, _term_hash64
+
+    sf = "/root/testdata/sf0.001"
+    got = ngram_novelty(sf).to_pandas().set_index("doc_id")
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    grams = {}
+    for did, text in sorted(
+        zip(t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist())
+    ):
+        toks = TOKEN_RE.findall(text.lower())
+        hs = np.array([_term_hash64(w) for w in toks], dtype=np.uint64)
+        gh = set()
+        if len(hs) >= 2:
+            gh = set(
+                ((hs[:-1] * _POS_MIX[1] + hs[1:])
+                 >> np.uint64(1)).tolist()
+            )
+        grams[did] = gh
+    firsts = {}
+    for did in sorted(grams):
+        for g in grams[did]:
+            firsts.setdefault(g, did)
+    for did in sorted(grams):
+        if not grams[did]:
+            assert did not in got.index
+            continue
+        novel = sum(1 for g in grams[did] if firsts[g] == did)
+        r = got.loc[did]
+        assert (r.n_distinct_bigrams, r.n_novel_bigrams) == (
+            len(grams[did]), novel)
+    first_doc = min(grams)
+    assert got.loc[first_doc].n_novel_bigrams == \
+        got.loc[first_doc].n_distinct_bigrams
