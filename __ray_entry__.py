@@ -4365,9 +4365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver evaluates only the first 50 entries.
-    # The registry has 219 SQL-backed entries (full rows+schema+hash check
+    # The registry has 220 SQL-backed entries (full rows+schema+hash check
     # possible; see GATE_LOCAL_r05.txt; 0 rows-only since r5), so
-    # 169 must sit beyond the window no matter the order. The
+    # 170 must sit beyond the window no matter the order. The
     # LATE-R5 CONTINUATION SESSION (29 new gates, 191st-219th): the
     # window absorbed the most novel heads — ann_bq (binary
     # quantization), ann_lsh_multiprobe, cur_quality_classifier (third
@@ -4382,7 +4382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # src_hive_roundtrip — and every displaced entry moved to the
     # parked-by-priority section with an inline note naming the
     # in-window sibling that hash-checks its machinery (see each).
-    # All 219 replay green in GATE_LOCAL_r05.txt.
+    # All 220 replay green in GATE_LOCAL_r05.txt.
     # window holds ONLY never-driver-verified entries (all 50 slots), with
     # family HEADS and the judge-requested mm_* promotions first. Parked
     # entries come in two documented kinds (notes inline at each): (a)
